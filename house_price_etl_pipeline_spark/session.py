@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Single place where execution-relevant configuration lives, so local tests
+and the driver's bench run exercise the same settings we would ship on a
+real cluster:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  the 100 TB safety net for skewed keys and mis-estimated shuffles.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this would be ~2-3x total executor cores (AQE coalesces down).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (naive/UTC timestamps) byte-for-byte.
+- Arrow enabled for the few Pandas-UDF code paths (vectorized transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "house_price_etl_pipeline_spark",
+              cores: int | None = None) -> SparkSession:
+    """Build (or fetch) the configured SparkSession."""
+    n = cores if cores is not None else default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally-created session.
+
+    The driver passes us its own SparkSession in ``entry()``/``queries()``;
+    we cannot rebuild it, but timezone + AQE + shuffle sizing are runtime
+    settable and required for oracle parity and sane local plans.
+    """
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    except Exception:
+        pass  # static configs on some builds; non-fatal
+    return spark
