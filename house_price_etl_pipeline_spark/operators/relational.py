@@ -1,0 +1,661 @@
+"""Relational operator menu (SURVEY §2.12 completion + §2.5 A4 flagship).
+
+The reference has exactly one analytic (average price by year filtered to
+one region — README.md:103-106) and zero joins/windows/set-ops. This
+module supplies the full standard menu on the driver's TPC-H-ish tables,
+each query both as a DataFrame plan and a DuckDB oracle.
+
+Scale notes baked into the plans (the part that matters at 100 TB):
+- nation/region are fixed-cardinality dims → always `F.broadcast`;
+- customer/orders/lineitem joins shuffle on their keys — expressed as
+  plain equi-joins so Catalyst/AQE pick sort-merge vs shuffled-hash and
+  split skewed partitions at runtime;
+- scan-heavy queries (q6) are written filter-first so predicates and
+  column pruning reach the parquet reader;
+- double aggregates use exact decimal inner sums (functions.numeric) —
+  result bits independent of partition count, required for oracle hashes
+  and for run-to-run stability on an elastic cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec_avg, dec_avg_expr, dec_sum, dec_sum_expr
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+_DEC = "decimal(25,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship: the reference's documented analytic (SURVEY §2.5 A4) transposed
+# to the testdata star schema — "average order price by year in one region"
+# (reference: average land price by year in 宜蘭縣, README.md:103-106).
+# --------------------------------------------------------------------------
+
+@register(
+    "flagship_avg_price_by_year",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           {dec_avg_expr('o.o_totalprice')} AS avg_total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def flagship_avg_price_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # dims are fixed-size → broadcast; orders⨝customer shuffles on custkey.
+    dim = (customer
+           .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+           .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+           .filter(F.col("r_name") == "ASIA")
+           .select("c_custkey"))
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(dec_avg("o_totalprice").alias("avg_total_price"),
+             F.count("*").alias("n_orders"))
+        .orderBy("order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation menu
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dec_sum_expr('l_quantity')} AS sum_qty,
+           {dec_sum_expr('l_extendedprice')} AS sum_base_price,
+           {dec_sum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dec_sum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {dec_avg_expr('l_quantity')} AS avg_qty,
+           {dec_avg_expr('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate scan — partial agg map-side,
+    2-way shuffle on a 6-value grouping key; scan-bound at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        # direct timestamp comparison (no cast) → parquet min/max pushdown
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price.cast(_DEC)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(_DEC)).cast("double").alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    oracle=f"""
+    SELECT {dec_sum_expr('l_extendedprice * l_discount')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filtered scan-aggregate. All four predicates
+    push to the parquet reader (min/max row-group skipping at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct → Spark expands + partial-aggregates; exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_supps"),
+             F.count("*").alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_distinct")  # approx → rows-only check by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — THE scale path for distinct
+    counts at 100 TB (fixed-size sketch, no expansion shuffle). Not
+    oracle-checked (DuckDB's approx differs); accuracy asserted in
+    tests/test_relational.py against the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_expr('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dec_sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_cube_priority_status",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dec_sum_expr('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_first(),
+                 F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+@register(
+    "agg_stats_moments",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           ROUND(CAST({dec_sum_expr('l_extendedprice * l_extendedprice')}
+             - 2 * {dec_avg_expr('l_extendedprice')} * {dec_sum_expr('l_extendedprice')}
+             + COUNT(l_extendedprice) * {dec_avg_expr('l_extendedprice')} * {dec_avg_expr('l_extendedprice')}
+             AS DOUBLE) / (COUNT(l_extendedprice) - 1), 4) AS var_price
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance via exact decimal moment sums — deterministic across
+    engines and partitionings (built-in var_samp is order-sensitive)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    sum_x = F.sum(x.cast(_DEC)).cast("double")
+    sum_x2 = F.sum((x * x).cast(_DEC)).cast("double")
+    n = F.count(x)
+    mean = sum_x / n
+    var = (sum_x2 - 2 * mean * sum_x + n * mean * mean) / (n - 1)
+    return (
+        li.groupBy("l_linestatus")
+        .agg(F.min(x).cast("double").alias("min_price"),
+             F.max(x).cast("double").alias("max_price"),
+             F.round(var, 4).alias("var_price"))
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "pivot_orders_status_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def pivot_orders_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — never omit it at scale: without
+    it Spark runs an extra distinct-collect job over the pivot column."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        # absent (year, status) combos pivot to NULL; oracle's FILTER gives 0
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join menu (SURVEY §2.10: reference has none; we exercise every flavor)
+# --------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_brand_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           {dec_sum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the filtered dim — no shuffle of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+             .cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_shuffle_order_lineitem",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {dec_sum_expr('l.l_extendedprice')} AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_shuffle_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact equi-join: both sides shuffle on orderkey; AQE picks
+    sort-merge (or skew-splits) — the canonical big join at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(dec_sum("l_extendedprice").alias("sum_price"),
+             F.count("*").alias("n_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_left_customer_order_counts",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_expr('coalesce(o.o_totalprice, 0)')} AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.count("*").alias("n_rows"),
+             F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast(_DEC))
+             .cast("double").alias("total_spend"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_semi_big_ticket_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_semi_big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: EXISTS without duplication — half the shuffle of a full
+    join + dropDuplicates."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_anti_customers_no_orders",
+    oracle="""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q5_supplier_volume_by_nation",
+    oracle=f"""
+    SELECT n.n_name,
+           {dec_sum_expr('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q5_supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join. Fact-side joins shuffle; nation/region
+    broadcast; Catalyst reorders the dim filters below the big joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
+             .cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows, sorts, top-k
+# --------------------------------------------------------------------------
+
+@register(
+    "window_top3_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part)
+    WHERE rn <= 3 ORDER BY p_brand, rn
+    """,
+)
+def window_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the window shuffles once on the partition key; at
+    scale prefer this over groupBy+collect_list+slice (no row explosion).
+    Order-by includes p_partkey → deterministic under ties."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+        .orderBy("p_brand", "rn")
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate; decimal inner sum → identical bits in both
+    engines regardless of their internal frame evaluation strategy."""
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        o.withColumn("running_spend",
+                     F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.withColumn("gap_days",
+                     F.datediff(d, F.lag(d).over(w)).cast("int"))
+        .select("o_custkey", "o_orderkey", "gap_days")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge, never a full sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        # date-valued output as string: arrow date32 vs datetime64 round
+        # -trips differently between engines (SURVEY §7.4 parity trap)
+        o.select("o_orderkey", "o_totalprice",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+@register(
+    "setop_lapsed_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_custkey
+    """,
+)
+def setop_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract == SQL EXCEPT (distinct) — exceptAll would keep duplicates
+    return y95.subtract(y96).orderBy("o_custkey")
+
+
+@register(
+    "setop_retained_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ORDER BY o_custkey
+    """,
+)
+def setop_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96).orderBy("o_custkey")
+
+
+@register(
+    "setop_union_all_sources",
+    oracle="""
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_custkey AS k FROM customer
+      UNION ALL
+      SELECT o_custkey AS k FROM orders
+    ) GROUP BY k HAVING COUNT(*) > 1 ORDER BY k
+    """,
+)
+def setop_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return (
+        c.unionByName(o).groupBy("k").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1).orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON / date-time scalar surface (events table)
+# --------------------------------------------------------------------------
+
+@register(
+    "events_json_k_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (SURVEY §2.12): get_json_object stays JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_k"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_hourly_activity",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dec_sum_expr('value')} AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour batch rollup (the batch twin of the streaming window
+    query in streaming/windows.py). Timestamp output as string — arrow
+    tz-awareness differs between engines (SURVEY §7.4)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").cast("string").alias("hour_ts"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("sum_value"))
+        .orderBy("hour_ts")
+    )
+
+
+@register(
+    "orders_monthly_sales",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dec_sum_expr('o_totalprice')} AS sum_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
+        .orderBy("order_month")
+    )
