@@ -1,0 +1,309 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` (north-star
+extensions, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the 100 TB story):
+- exact dedup = hash-groupBy on a canonical fingerprint — one shuffle on
+  an md5 key, perfectly partitionable;
+- all-pairs similarity is NEVER materialized: candidate generation goes
+  through an inverted index (token join), LSH band buckets, or SimHash
+  chunk buckets — each a plain equi-join Spark shuffles on the bucket
+  key — and only candidates get the exact similarity check;
+- MinHash signatures use ``xxhash64(seed, token)`` — JVM-side, seedable,
+  no Python; band buckets follow the classic B×R construction
+  (Broder '97 / MMDS ch.3);
+- the oracle-checked queries bound their doc population (doc_id < 300) so
+  the DuckDB oracle's quadratic verify stays cheap; the Spark plans are
+  the same shape unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+# MinHash parameters: 16 permutations, 4 bands x 4 rows.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+JACCARD_THRESHOLD = 0.6
+SIMHASH_HAMMING_MAX = 3
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFrame:
+    """(doc_id, token) distinct pairs — the inverted-index building block."""
+    d = load_table(spark, sf_dir, "documents")
+    if max_doc is not None:
+        d = d.filter(F.col("doc_id") < max_doc)
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) >= 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical fingerprint → keep lowest doc_id per group.
+    One hash shuffle; group_size > 1 rows are the discarded duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.groupBy(F.md5(canon.cast("binary")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_doc_id"),
+             F.count("*").alias("group_size"))
+        .orderBy("fingerprint")
+    )
+
+
+@register(
+    "dedup_exact_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_dropped
+    FROM documents
+    """,
+)
+def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates accounting: corpus size before/after exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dropped"),
+    )
+
+
+# --- n-gram (token-set) Jaccard via inverted index -------------------------
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      WHERE doc_id < 300
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.c / CAST(sa.n + sb.n - i.c AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.c / CAST(sa.n + sb.n - i.c AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ t via inverted index: explode → self-join
+    on token → count intersections → |A∪B| from the size table. No
+    all-pairs materialization; the token join is the only shuffle. This is
+    also the exact-verify stage the LSH pipeline reuses."""
+    tok = _doc_tokens(spark, sf_dir, 300).cache()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signatures(tok: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, h0..h{k-1}): min over tokens of xxhash64(seed_i, token).
+    Seeded JVM hash = k independent permutation approximations, computed
+    in ONE pass over the inverted index (one shuffle on doc_id)."""
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("t"))).alias(f"h{i}") for i in range(k)]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
+                        rows: int = LSH_ROWS) -> DataFrame:
+    """Band the signature, bucket-join on (band_id, band_hash): docs equal
+    on all rows of any band become candidates. The join key is the bucket
+    — the classic LSH trick that replaces all-pairs with an equi-join."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        sig.select("doc_id", F.explode(band_structs).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.band_hash") == F.col("y.band_hash"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register("dedup_minhash_lsh")  # engine-internal hash seeds → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4x4) candidate generation, then exact-Jaccard
+    verification of candidates only. Output schema matches
+    dedup_ngram_jaccard_pairs; recall vs the exact pairs is asserted in
+    tests/test_dedup.py (no DuckDB oracle: xxhash64 is Spark-internal)."""
+    tok = _doc_tokens(spark, sf_dir, None).cache()
+    cand = lsh_candidate_pairs(minhash_signatures(tok))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.t") == F.col("b.t")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+@register("dedup_simhash")  # engine-internal hash → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash (Charikar '02): per-token xxhash64, signed bit-vote
+    sum, sign → fingerprint; near-dups = Hamming ≤ 3 found via the
+    4x16-bit chunk pigeonhole (distance ≤ 3 ⇒ ≥1 chunk equal), so
+    candidates come from a chunk-bucket equi-join, not all-pairs."""
+    tok = _doc_tokens(spark, sf_dir, None)
+    h = F.xxhash64("t")
+    votes = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"bit{i}")
+        for i in range(64)
+    ]
+    bits = tok.groupBy("doc_id").agg(*votes)
+    # 4 chunks of 16 bits each → chunk value in [0, 2^16)
+    chunk_cols = []
+    for c in range(4):
+        expr = F.lit(0).cast("long")
+        for i in range(16):
+            bit = (F.col(f"bit{c * 16 + i}") > 0).cast("long")
+            expr = expr + F.shiftleft(bit, i)
+        chunk_cols.append(expr.alias(f"chunk{c}"))
+    fp = bits.select("doc_id", *chunk_cols)
+    chunks = fp.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("cid"), F.col(f"chunk{c}").alias("cval"))
+            for c in range(4)
+        ])).alias("ch"),
+    ).select("doc_id", "ch.cid", "ch.cval")
+    x, y = chunks.alias("x"), chunks.alias("y")
+    cand = (
+        x.join(y, (F.col("x.cid") == F.col("y.cid"))
+               & (F.col("x.cval") == F.col("y.cval"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"),
+                   *[F.col(f"chunk{c}").alias(f"a{c}") for c in range(4)])
+    fb = fp.select(F.col("doc_id").alias("doc_b"),
+                   *[F.col(f"chunk{c}").alias(f"b{c}") for c in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(4)
+    )
+    return (
+        cand.join(fa, "doc_a").join(fb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+_DOT_SQL = ("list_sum(list_transform(range(1, 65),"
+            " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / (a.nrm * b.nrm) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ t) — brute-force within a bounded
+    population for the oracle; the scale path is the LSH-bucketed variant
+    in similarity.py. Dot products via sequence/transform/aggregate folds
+    with element-wise double casts: identical left-to-right summation in
+    Spark and DuckDB → bit-identical cosines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    v = e.select("vec_id", "embedding",
+                 F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.4)
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over ``embeddings.embedding`` (array<float>, 64-dim).
+
+Two paths behind one result shape (SURVEY §7.4):
+- brute-force cosine top-k — exact, oracle-checked, O(n) per query: the
+  correctness baseline and perfectly adequate when the query side is
+  small (scoring candidates, eval sets);
+- random-hyperplane LSH (SimHash for cosine, Charikar '02) — signature
+  bits from sign(v·h), candidates from signature-chunk bucket equi-joins,
+  exact re-rank of candidates only. At 100 TB the bucket join is the only
+  shuffle and each bucket is small; recall vs brute force is asserted in
+  tests/test_similarity.py.
+
+All vector math is sequence/zip_with/aggregate folds with element-wise
+double casts — JVM-side, codegen'd, and bit-identical to the DuckDB
+oracle's list_transform/list_sum (same left-to-right order).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+EMB_DIM = 64
+QUERY_VEC_ID = 0
+TOP_K = 10
+
+_DOT_SQL = ("list_sum(list_transform(range(1, 65),"
+            " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product with per-element double casts."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for one query vector: broadcast the query (a
+    1-row cross join), score every vector, TakeOrderedAndProject — no
+    full sort, no shuffle of the scored set beyond the top-k heaps."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("embedding").alias("qv")))
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+        6,
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "sim_embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(CAST(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+                 AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+           round(MIN(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})), 6) AS min_norm,
+           round(MAX(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})), 6) AS max_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def sim_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the vector column: per-label L2-norm
+    statistics (the sanity profile every embedding pipeline starts with)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = l2_norm(F.col("embedding"))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum(nrm.cast("decimal(25,6)")).cast("double") / F.count("*"), 6)
+            .alias("avg_norm"),
+            F.round(F.min(nrm), 6).alias("min_norm"),
+            F.round(F.max(nrm), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- LSH-bucketed ANN (the scale path) -------------------------------------
+
+# Multi-table LSH: more tables with fewer bits trades candidate-set size
+# for recall. 16 tables x 4 bits targets high recall even on a corpus
+# whose nearest neighbors sit at cosine ~0.4 (p_bit ≈ 0.63 →
+# P(candidate) ≈ 1-(1-0.63^4)^16 ≈ 0.94); a near-dup corpus (cos > 0.9)
+# gets recall ≈ 1 with far fewer tables.
+LSH_TABLES = 16
+LSH_BITS = 4
+
+
+def _hyperplanes(n: int = LSH_TABLES * LSH_BITS, dim: int = EMB_DIM,
+                 seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded stdlib RNG — no
+    runtime randomness, same planes every run/round)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def rhp_table_keys(vec: Column, planes: list[list[float]],
+                   tables: int = LSH_TABLES, bits: int = LSH_BITS) -> Column:
+    """Array of per-table bucket keys: table t's key packs ``bits`` sign
+    bits of v·h over that table's hyperplanes."""
+    keys = []
+    for t in range(tables):
+        key = F.lit(0).cast("long")
+        for b in range(bits):
+            h = F.array(*[F.lit(x) for x in planes[t * bits + b]])
+            key = key + F.shiftleft((dot(vec, h) > 0).cast("long"), b)
+        keys.append(F.struct(F.lit(t).alias("cid"), key.alias("cval")))
+    return F.array(*keys)
+
+
+@register("sim_ann_lsh_topk")  # LSH internals → rows-only (recall in tests)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: multi-table random-hyperplane LSH — candidates are
+    vectors sharing any table's bucket with the query; exact cosine
+    re-rank of candidates only. Same output schema as
+    sim_bruteforce_topk; recall asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    chunks = e.select(
+        "vec_id", "label", "embedding",
+        F.explode(rhp_table_keys(F.col("embedding"), planes)).alias("ch"),
+    ).select("vec_id", "label", "embedding", "ch.cid", "ch.cval")
+    qc = (chunks.filter(F.col("vec_id") == QUERY_VEC_ID)
+          .select("cid", "cval", F.col("embedding").alias("qv")))
+    cand = (
+        chunks.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qc), ["cid", "cval"])
+        .select("vec_id", "label", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
+    )
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+        6,
+    )
+    return (
+        cand.select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

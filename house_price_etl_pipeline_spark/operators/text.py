@@ -1,0 +1,238 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extensions, BASELINE.json): language-ID, quality scoring, token counting,
+fingerprinting, n-gram profiles.
+
+All pure column expressions — split/filter/transform/aggregate higher-order
+functions stay inside whole-stage codegen; there is no Python in any of
+these paths, so they scan at parquet speed at 100 TB. The heuristics are
+deliberately simple (marker-token scoring, ratio features): the *shape* is
+what a training-data pipeline needs; swapping in real marker tables is a
+broadcast join away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec_sum, dec_sum_expr
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+# Marker-token sets per language (synthetic vocab: the driver's documents
+# are space-separated English-ish tokens with random lang labels, so these
+# exercise the real n-gram/marker scoring machinery on that vocab).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("table", "row", "line"),
+    "de": ("group", "order", "filter"),
+    "fr": ("join", "merge", "sort"),
+    "zh": ("scan", "hash", "key"),
+}
+_LANG_ORDER = tuple(LANG_MARKERS)  # tie-break priority, fixed
+
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrence count (multiset, not distinct) of marker tokens."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers))).cast("bigint")
+
+
+def _marker_hits_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '),"
+        f" t -> t IN ({inlist}))) AS BIGINT)"
+    )
+
+
+# --- language identification ----------------------------------------------
+
+_LANGID_SCORE_SQL = ",\n".join(
+    f"           {_marker_hits_sql(m)} AS score_{lang}"
+    for lang, m in LANG_MARKERS.items()
+)
+_LANGID_PRED_SQL = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(f"score_{lang} >= score_{other}"
+                   for other in _LANG_ORDER if other != lang)
+    + f" THEN '{lang}'"
+    for lang in _LANG_ORDER
+) + " END"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    SELECT doc_id, {_LANGID_PRED_SQL.replace(chr(10), ' ')} AS pred_lang,
+           score_en, score_es, score_de, score_fr, score_zh
+    FROM (
+      SELECT doc_id,
+{_LANGID_SCORE_SQL}
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language scoring + deterministic argmax (first language
+    in _LANG_ORDER wins ties — mirrored exactly in the oracle CASE)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    scored = d.select(
+        "doc_id",
+        *[_marker_hits(toks, m).alias(f"score_{lang}")
+          for lang, m in LANG_MARKERS.items()],
+    )
+    pred = None
+    for lang in reversed(_LANG_ORDER):
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(cond, F.lit(lang)).otherwise(pred)
+    return (
+        scored.select(
+            "doc_id", pred.alias("pred_lang"),
+            "score_en", "score_es", "score_de", "score_fr", "score_zh",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- quality scoring -------------------------------------------------------
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, n_distinct_tokens, stopword_ratio, avg_token_len,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (n_distinct_tokens / CAST(n_tokens AS DOUBLE))
+               + 0.3 * (1.0 - stopword_ratio), 6) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+             round({_marker_hits_sql(STOPWORDS)} / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+             round((length(text) - len(string_split(text, ' ')) + 1)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / diversity / stopword-ratio features + a weighted quality
+    score — the standard pre-training corpus filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop_ratio = F.round(_marker_hits(toks, STOPWORDS) / n_tokens.cast("double"), 6)
+    # total chars minus separators, over token count
+    avg_len = F.round(
+        (F.length("text") - n_tokens + 1) / n_tokens.cast("double"), 6
+    )
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+    )
+    quality = F.round(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * (F.col("n_distinct_tokens") / F.col("n_tokens").cast("double"))
+        + 0.3 * (1.0 - F.col("stopword_ratio")),
+        6,
+    )
+    return base.withColumn("quality", quality).orderBy("doc_id")
+
+
+# --- token counting --------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens, regex word tokens, and the chars/4 BPE
+    approximation — the three standard budget estimators."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(_tokens()).cast("bigint").alias("ws_tokens"),
+            F.regexp_count(F.col("text"), F.lit(r"[a-z0-9]+")).cast("bigint")
+            .alias("re_tokens"),
+            F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- fingerprinting --------------------------------------------------------
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form content fingerprint: whitespace-normalize, lowercase,
+    md5 — engine-portable (identical hex in Spark and DuckDB), the exact
+    -dedup key at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        d.select(
+            "doc_id",
+            F.md5(canon.cast("binary")).alias("fingerprint"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_trigram_profile",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(list_transform(range(1, length(text) - 1),
+                i -> substring(text, CAST(i AS INTEGER), 3)))) AS BIGINT) AS n_distinct_trigrams,
+           CAST(length(text) - 2 AS BIGINT) AS n_trigrams
+    FROM documents WHERE length(text) >= 3 ORDER BY doc_id
+    """,
+)
+def text_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram shingle profile (the unit under MinHash): distinct
+    vs total shingles per doc, via sequence+transform higher-order fns."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    return (
+        d.filter(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct_trigrams"),
+            (F.length("text") - 2).cast("bigint").alias("n_trigrams"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,169 @@
+"""Event-time windowed aggregation over the ``events`` stream (SURVEY
+§2.8 extensions: watermarks, tumbling/sliding/session windows — absent
+from the reference, table stakes for a streaming engine).
+
+Each catalog query here runs a REAL Structured Streaming query (file
+source over the events parquet → watermark → windowed agg → memory sink,
+``Trigger.AvailableNow``) and returns the drained result as a DataFrame.
+Because the input is finite, the streamed result must equal the batch
+computation — which is exactly what the DuckDB oracle expresses, so the
+driver's correctness gate covers the streaming path end-to-end.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.catalog import register
+
+_counter = itertools.count()
+
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet (nanos ts → µs TimestampType,
+    mirroring the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file source needs a directory: scan sf_dir, glob-filtered to the
+    # events file (same trick as the reference's *a.csv suffix filter)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run the streaming aggregation to completion into a memory sink and
+    return the materialized result. ``complete`` mode + AvailableNow: the
+    finite source drains in one trigger, so the final table is exactly
+    the batch answer."""
+    name = f"stream_out_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window with a 10m watermark, executed as a
+    real streaming query. On this finite input the drained result equals
+    the batch GROUP BY date_trunc — asserted by the oracle."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+             .alias("sum_value"))
+    )
+    out = _drain(agg, spark)
+    return (
+        out.select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "stream_sliding_2h",
+    oracle="""
+    WITH shifted AS (
+      SELECT date_trunc('hour', ts) AS w, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w, value FROM events
+    )
+    SELECT CAST(w AS VARCHAR) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM shifted GROUP BY w ORDER BY window_start
+    """,
+)
+def stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): every event lands in two
+    windows — the oracle expresses the same via a shifted UNION ALL."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+             .alias("sum_value"))
+    )
+    out = _drain(agg, spark)
+    return (
+        out.select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "n_events", "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30m) per user — Spark's built-in stateful
+    sessionization, run as a streaming query. The oracle reconstructs the
+    same sessions with the classic lag/gap-marker SQL (a new session
+    starts when the gap ≥ 30m, matching session_window's merge rule:
+    an event extends a session that ends strictly after it starts)."""
+    ev = stream_events(spark, sf_dir)
+    per_session = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_in_session"))
+    )
+    out = _drain(per_session, spark)
+    return (
+        out.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_in_session").alias("n_events"))
+        .orderBy("user_id")
+    )

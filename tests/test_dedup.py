@@ -1,0 +1,82 @@
+"""Dedup operator tests: LSH recall vs exact Jaccard, SimHash sanity,
+synthetic near-duplicates (the driver corpus has none at small SF)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.operators.dedup import (
+    JACCARD_THRESHOLD, lsh_candidate_pairs, minhash_signatures)
+
+
+@pytest.fixture(scope="module")
+def synthetic_docs(spark):
+    """Corpus with planted near-duplicates: pairs (i, i+1000) share most
+    tokens; unrelated docs share almost none."""
+    rows = []
+    for i in range(60):
+        base = [f"tok{i}_{j}" for j in range(20)] + ["common_a", "common_b"]
+        rows.append((i, " ".join(base)))
+        near = base[:-1] + [f"alt{i}"]  # jaccard 21/23 ≈ 0.91
+        rows.append((i + 1000, " ".join(near)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _tok(docs):
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+
+
+def _exact_pairs(tok):
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+
+
+def test_lsh_recall_vs_exact(spark, synthetic_docs):
+    tok = _tok(synthetic_docs).cache()
+    truth = {(r.doc_a, r.doc_b) for r in _exact_pairs(tok).collect()}
+    assert len(truth) >= 60  # the planted pairs are above threshold
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(tok)).collect()
+    }
+    found = truth & cand
+    recall = len(found) / len(truth)
+    # 4 bands x 4 rows at j≈0.9: P(candidate) = 1-(1-0.9^4)^4 ≈ 0.97
+    assert recall >= 0.85, f"LSH recall {recall:.2f} too low ({len(found)}/{len(truth)})"
+
+
+def test_minhash_signature_similarity_estimate(spark, synthetic_docs):
+    """Fraction of equal minhash components estimates Jaccard."""
+    tok = _tok(synthetic_docs)
+    sig = minhash_signatures(tok).cache()
+    a = sig.filter(F.col("doc_id") == 0).drop("doc_id").collect()[0]
+    b = sig.filter(F.col("doc_id") == 1000).drop("doc_id").collect()[0]
+    agree = sum(1 for x, y in zip(a, b) if x == y) / len(a)
+    assert agree >= 0.5  # true jaccard ≈ 0.91; 16 components is coarse
+
+
+def test_exact_dedup_drops_planted_duplicates(spark):
+    rows = [(i, "exactly the same text") for i in range(5)] + [(9, "different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = (
+        df.groupBy("text").agg(F.min("doc_id").alias("keep"))
+        .orderBy("keep").collect()
+    )
+    assert [r.keep for r in kept] == [0, 9]

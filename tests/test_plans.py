@@ -1,0 +1,81 @@
+"""Physical-plan quality gates — the 100 TB discipline, asserted.
+
+These tests pin the plan properties that matter at scale: predicate
+pushdown into parquet scans, column pruning, broadcast joins for
+fixed-size dims, top-k compiling to TakeOrderedAndProject (not a global
+sort), and zero Python-UDF nodes outside the explicitly-Pandas operators.
+A refactor that silently regresses one of these fails CI long before a
+bench run would catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.plans.catalog import REGISTRY, load_all
+
+load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_revenue_forecast")
+    assert "PushedFilters: [" in plan
+    # the shipdate range + discount + quantity predicates reach the scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_revenue_forecast")
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only the 4 referenced columns are read, not all 11
+    assert "l_extendedprice" in scan_line and "l_discount" in scan_line
+    assert "l_returnflag" not in scan_line and "l_orderkey" not in scan_line
+
+
+def test_broadcast_join_for_fixed_dims(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "join_broadcast_brand_revenue")
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "flagship_avg_price_by_year")
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_expensive_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi_big_ticket_orders")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti_customers_no_orders")
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_python_udf_outside_pandas_operators(spark, sf_dir, name):
+    if name.startswith("mm_decode"):
+        pytest.skip("mapInPandas operator: Python is the point")
+    if name.startswith("stream_"):
+        pytest.skip("streaming plans materialize through a sink")
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, f"{name} fell off the JVM hot path"
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert "*(" in plan, plan[:500]
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    approx = {r.l_returnflag: r.approx_parts
+              for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r.n_parts
+             for r in REGISTRY["agg_distinct_parts_per_flag"].fn(spark, sf_dir).collect()}
+    for flag, n in exact.items():
+        rel_err = abs(approx[flag] - n) / n
+        assert rel_err < 0.1, f"{flag}: approx {approx[flag]} vs exact {n}"

@@ -1,0 +1,34 @@
+"""Similarity-search tests: ANN recall vs brute force on the real
+embeddings table, and plumbing checks for the vector expressions."""
+
+from __future__ import annotations
+
+from house_price_etl_pipeline_spark.plans.catalog import REGISTRY, load_all
+
+load_all()
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    truth = [r.vec_id for r in
+             REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()]
+    ann = [r.vec_id for r in
+           REGISTRY["sim_ann_lsh_topk"].fn(spark, sf_dir).collect()]
+    overlap = len(set(truth) & set(ann)) / len(truth)
+    # 16 tables x 4 bits on a corpus whose true neighbors sit at only
+    # cosine ~0.3-0.45: theoretical recall ≈ 0.9; assert with margin.
+    assert overlap >= 0.6, f"ANN recall@10 = {overlap:.2f}"
+
+
+def test_bruteforce_topk_is_sorted_desc(spark, sf_dir):
+    rows = REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert len(rows) == 10
+    assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_norm_stats_plausible(spark, sf_dir):
+    rows = REGISTRY["sim_embedding_norm_stats"].fn(spark, sf_dir).collect()
+    assert {r.label for r in rows} == set(range(10))
+    for r in rows:
+        assert 0 < r.min_norm <= r.avg_norm <= r.max_norm
