@@ -43,6 +43,34 @@ def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFr
     )
 
 
+def shingle_expr(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Shingling (Broder '97) is what makes set-similarity dedup meaningful on
+    natural text: unigram token SETS saturate on a small vocabulary (every
+    doc shares the common words → Jaccard ≈ 1 corpus-wide, and LSH buckets
+    degenerate to all-pairs), while n-gram sequences are near-unique unless
+    the docs genuinely share phrasing. Pure JVM expressions: split →
+    transform(sequence) → slice → concat_ws."""
+    ws = F.split(text_col, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    return F.when(F.size(ws) >= n, F.array_distinct(grams)).otherwise(
+        F.array_distinct(ws)  # degenerate short doc: fall back to its tokens
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None,
+                  n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — MinHash/SimHash input."""
+    d = load_table(spark, sf_dir, "documents")
+    if max_doc is not None:
+        d = d.filter(F.col("doc_id") < max_doc)
+    return d.select("doc_id", F.explode(shingle_expr(F.col("text"), n)).alias("t"))
+
+
 # --- exact dedup -----------------------------------------------------------
 
 @register(
@@ -176,11 +204,13 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
 
 @register("dedup_minhash_lsh")  # engine-internal hash seeds → rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(4x4) candidate generation, then exact-Jaccard
-    verification of candidates only. Output schema matches
-    dedup_ngram_jaccard_pairs; recall vs the exact pairs is asserted in
-    tests/test_dedup.py (no DuckDB oracle: xxhash64 is Spark-internal)."""
-    tok = _doc_tokens(spark, sf_dir, None).cache()
+    """Shingle(3) → MinHash(16) → LSH(4x4) candidate generation, then
+    exact shingle-Jaccard verification of candidates only. Recall vs the
+    exact pairs is asserted in tests/test_dedup.py (no DuckDB oracle:
+    xxhash64 is Spark-internal). Shingles — not unigram tokens — keep the
+    band buckets selective (see shingle_expr); on this corpus that is the
+    difference between ~6M degenerate candidates and a few dozen."""
+    tok = _doc_shingles(spark, sf_dir, None).cache()
     cand = lsh_candidate_pairs(minhash_signatures(tok))
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
@@ -208,8 +238,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash (Charikar '02): per-token xxhash64, signed bit-vote
     sum, sign → fingerprint; near-dups = Hamming ≤ 3 found via the
     4x16-bit chunk pigeonhole (distance ≤ 3 ⇒ ≥1 chunk equal), so
-    candidates come from a chunk-bucket equi-join, not all-pairs."""
-    tok = _doc_tokens(spark, sf_dir, None)
+    candidates come from a chunk-bucket equi-join, not all-pairs. Feature
+    set = 3-gram shingles (see shingle_expr) so fingerprints are
+    near-uniform and chunk buckets stay selective."""
+    tok = _doc_shingles(spark, sf_dir, None)
     h = F.xxhash64("t")
     votes = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
