@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -132,18 +135,41 @@ def _hyperplanes(n: int = LSH_TABLES * LSH_BITS, dim: int = EMB_DIM,
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
 
 
-def rhp_table_keys(vec: Column, planes: list[list[float]],
-                   tables: int = LSH_TABLES, bits: int = LSH_BITS) -> Column:
-    """Array of per-table bucket keys: table t's key packs ``bits`` sign
-    bits of v·h over that table's hyperplanes."""
-    keys = []
-    for t in range(tables):
-        key = F.lit(0).cast("long")
-        for b in range(bits):
-            h = F.array(*[F.lit(x) for x in planes[t * bits + b]])
-            key = key + F.shiftleft((dot(vec, h) > 0).cast("long"), b)
-        keys.append(F.struct(F.lit(t).alias("cid"), key.alias("cval")))
-    return F.array(*keys)
+def _bucket_keys_udf(tables: int = LSH_TABLES, bits: int = LSH_BITS):
+    """Arrow-vectorized signature kernel: embedding → array of per-table
+    packed sign-bit bucket keys.
+
+    WHY a pandas_udf and not zip_with/aggregate folds: Spark evaluates
+    higher-order-function lambdas interpreted, per element, outside
+    whole-stage codegen — 64 plane dots per vector that way costs seconds
+    even at 2k vectors. One numpy matmul per Arrow batch is ~100x that,
+    and turns the whole signature step into a shuffle-free narrow map
+    (the plane matrix rides along as a closure broadcast)."""
+    M = np.asarray(_hyperplanes(tables * bits), dtype=np.float64).T  # dim x (t*b)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def keys(emb: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy()).astype(np.float64)      # n x dim
+        S = (X @ M) > 0                                       # n x (t*b)
+        vals = (S.reshape(len(X), tables, bits) * weights).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return keys
+
+
+def rhp_bucket_keys(vectors: DataFrame, spark: SparkSession | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    tables: int = LSH_TABLES, bits: int = LSH_BITS) -> DataFrame:
+    """(id_col, cid, cval): one row per LSH table per vector, where cval
+    packs that table's sign bits of v·h. Narrow map (Arrow batch matmul)
+    + posexplode — no join, no shuffle; partitioning is preserved."""
+    keys = _bucket_keys_udf(tables, bits)
+    return (
+        vectors.select(id_col, keys(F.col(vec_col)).alias("ks"))
+        .select(id_col, F.posexplode("ks").alias("cid", "cval"))
+    )
 
 
 @register("sim_ann_lsh_topk")  # LSH internals → rows-only (recall in tests)
@@ -153,26 +179,24 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank of candidates only. Same output schema as
     sim_bruteforce_topk; recall asserted in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
-    chunks = e.select(
-        "vec_id", "label", "embedding",
-        F.explode(rhp_table_keys(F.col("embedding"), planes)).alias("ch"),
-    ).select("vec_id", "label", "embedding", "ch.cid", "ch.cval")
-    qc = (chunks.filter(F.col("vec_id") == QUERY_VEC_ID)
-          .select("cid", "cval", F.col("embedding").alias("qv")))
-    cand = (
-        chunks.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(qc), ["cid", "cval"])
-        .select("vec_id", "label", "embedding", "qv")
-        .dropDuplicates(["vec_id"])
+    sig = rhp_bucket_keys(e)
+    qsig = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select("cid", "cval")
+    cand_ids = (
+        sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qsig), ["cid", "cval"])
+        .select("vec_id").distinct()
     )
+    qv = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+          .select(F.col("embedding").alias("qv")))
     cos = F.round(
         dot(F.col("embedding"), F.col("qv"))
         / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
         6,
     )
     return (
-        cand.select("vec_id", "label", cos.alias("cosine"))
+        e.join(cand_ids, "vec_id")  # AQE broadcasts the small candidate set
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
