@@ -659,3 +659,85 @@ def orders_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
         .orderBy("order_month")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dec_sum_expr('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus),
+                            (year(o_orderdate), o_orderstatus), ())
+    ORDER BY g_year, g_status, order_year NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) through the engine's
+    SQL surface (SURVEY §2.11: spark.sql over registered views IS the
+    DSL; Catalyst expands the sets into a single Expand+Aggregate plan —
+    one shuffle, not four). GROUPING() markers disambiguate grouped-out
+    NULLs, identical in both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderstatus,
+               CAST(GROUPING(year(o_orderdate)) AS INT) AS g_year,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus),
+                                (year(o_orderdate), o_orderstatus), ())
+        ORDER BY g_year, g_status, order_year NULLS FIRST, o_orderstatus NULLS FIRST
+    """)
+
+
+@register(
+    "agg_quantiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+           round(quantile_cont(l_extendedprice, 0.75)
+                 - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation). The approximate
+    sibling for 100 TB is approx_percentile (same API shape, sketch-based,
+    no full sort) — checked rows-only in agg_quantiles_approx."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = lambda p: F.percentile("l_extendedprice", F.lit(p))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(q(0.25), 6).alias("q25"),
+            F.round(q(0.50), 6).alias("median_price"),
+            F.round(q(0.75), 6).alias("q75"),
+            F.round(q(0.75) - q(0.25), 6).alias("iqr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_quantiles_approx")  # sketch-based → rows-only by design
+def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the quantile that scales —
+    partial sketches merge map-side, no global sort. Values are
+    accuracy-bounded, not exact → no value-hash oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10000)).alias("approx_quantiles"))
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,194 @@
+"""Temporal join operators: as-of join and range (band) join.
+
+Absent from the reference (SURVEY §2.12 lists every join flavor as a
+missing category) and from Spark's built-in join menu — implemented here
+as compositions of existing DataFrame ops (SURVEY §7 / the brief's
+"custom operators" ladder, option (a)):
+
+- **as-of join**: the union-marker + last_value window technique — both
+  sides union into one keyed stream ordered by time, the right side's
+  payload is carried forward with ``last(ignorenulls)`` over a running
+  window, then left rows are filtered back out. ONE shuffle (on the key,
+  same as a sort-merge join would pay) and no inequality join, so it
+  scales exactly like a groupBy at 100 TB. Verified against DuckDB's
+  native ``ASOF LEFT JOIN``.
+- **range/band join**: mapping a continuous value to a small band
+  dimension. The naive form is an inequality theta-join (nested-loop —
+  fine only because the band side is tiny and broadcast); the scale form
+  maps each row O(1) to its band id with a width_bucket expression and
+  equi-joins — no inequality predicate anywhere in the plan. Both are
+  registered; the oracle proves them identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# As-of join: each click event matched to the user's most recent
+# prior-or-simultaneous purchase.
+# --------------------------------------------------------------------------
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              payload_cols: list[str]) -> DataFrame:
+    """Generic as-of join (left row ← latest right row with right.ts <=
+    left.ts, per key). Returns every left column plus ``payload_cols``
+    from the matched right row (NULL when no prior right row exists).
+
+    Implementation: union with a side marker; right rows sort before left
+    rows at equal timestamps (ties match, ASOF semantics); last_value
+    with ignorenulls carries the right payload forward within each key.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.lit(1).alias("_side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in payload_cols],
+    )
+    r = right.select(
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on and c != ts
+          else F.col(c).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    w = (Window.partitionBy(on).orderBy(F.col(ts), F.col("_side"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = l.unionByName(r).select(
+        "_side", *lcols,
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+          for c in payload_cols],
+    )
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(*lcols, *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in payload_cols])
+    )
+
+
+@register(
+    "join_asof_last_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id,
+           c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts,
+           CAST(p.ts AS VARCHAR) AS purchase_ts,
+           round(p.pvalue, 6) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events table: every click annotated with the
+    user's latest purchase at-or-before the click. Purchases are deduped
+    to one row per (user, ts) first (MAX value) so tie resolution is
+    deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue"))
+        .select("user_id", "ts", F.col("ts").alias("pts"), "pvalue")
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts",
+                       payload_cols=["pts", "pvalue"])
+    return (
+        joined.select(
+            "event_id", "user_id",
+            F.col("ts").cast("string").alias("click_ts"),
+            F.col("asof_pts").cast("string").alias("purchase_ts"),
+            F.round("asof_pvalue", 6).alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (band) join: part retail prices mapped into price bands.
+# --------------------------------------------------------------------------
+
+BAND_WIDTH = 200.0
+N_BANDS = 10  # bands [0,200), [200,400), ... [1800, inf)
+
+
+def price_bands(spark: SparkSession) -> DataFrame:
+    """Small band dimension (band_id, lo, hi); the last band is open-ended."""
+    rows = [
+        (b, b * BAND_WIDTH,
+         float("inf") if b == N_BANDS - 1 else (b + 1) * BAND_WIDTH)
+        for b in range(N_BANDS)
+    ]
+    return spark.createDataFrame(rows, "band_id int, lo double, hi double")
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {b} AS band_id, {b * BAND_WIDTH} AS lo, "
+    + ("CAST('inf' AS DOUBLE)" if b == N_BANDS - 1 else str((b + 1) * BAND_WIDTH))
+    + " AS hi"
+    for b in range(N_BANDS)
+)
+
+_BAND_ORACLE = f"""
+    WITH bands AS ({_BANDS_SQL})
+    SELECT b.band_id, b.lo,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(25,6))) AS DOUBLE), 2)
+             AS sum_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_id, b.lo ORDER BY b.band_id
+    """
+
+
+@register("join_range_band_theta", oracle=_BAND_ORACLE)
+def join_range_band_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join, literal form: inequality predicates against the
+    broadcast band table (BroadcastNestedLoopJoin — acceptable ONLY
+    because the band side is ~10 rows; the plan shape to avoid on two
+    large sides)."""
+    p = load_table(spark, sf_dir, "part")
+    b = price_bands(spark)
+    return (
+        p.join(F.broadcast(b),
+               (p.p_retailprice >= b.lo) & (p.p_retailprice < b.hi))
+        .groupBy("band_id", "lo")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.sum(F.col("p_retailprice").cast("decimal(25,6)"))
+                     .cast("double"), 2).alias("sum_price"))
+        .orderBy("band_id")
+    )
+
+
+@register("join_range_band_bucketed", oracle=_BAND_ORACLE)
+def join_range_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join, scale form: each row maps O(1) to its band_id via
+    width_bucket — the inequality disappears and the join is a broadcast
+    EQUI-join (hash, codegen'd). Same result as the theta form by
+    construction; this is the shape that survives two large sides
+    (band id becomes a shuffle key)."""
+    p = load_table(spark, sf_dir, "part")
+    b = price_bands(spark)
+    band_id = F.least(
+        F.floor(F.col("p_retailprice") / BAND_WIDTH), F.lit(N_BANDS - 1)
+    ).cast("int")
+    return (
+        p.withColumn("band_id", band_id)
+        .join(F.broadcast(b), "band_id")
+        .groupBy("band_id", "lo")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.sum(F.col("p_retailprice").cast("decimal(25,6)"))
+                     .cast("double"), 2).alias("sum_price"))
+        .orderBy("band_id")
+    )

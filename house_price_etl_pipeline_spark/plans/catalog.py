@@ -50,12 +50,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 _MODULES = (
     "house_price_etl_pipeline_spark.operators.relational",
+    "house_price_etl_pipeline_spark.operators.temporal",
     "house_price_etl_pipeline_spark.operators.reference_ops",
     "house_price_etl_pipeline_spark.operators.text",
     "house_price_etl_pipeline_spark.operators.dedup",
     "house_price_etl_pipeline_spark.operators.similarity",
     "house_price_etl_pipeline_spark.operators.multimodal",
     "house_price_etl_pipeline_spark.streaming.windows",
+    "house_price_etl_pipeline_spark.streaming.stateful",
 )
 
 

@@ -1,0 +1,139 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.8/§2.9: the reference has no stateful streaming at all; the
+brief's operator ladder, option (b) — a Pandas-backed stateful kernel for
+semantics the built-in windowed aggs don't cover).
+
+The operator keeps one evolving state blob per user (event count,
+per-type counts, first/last seen) across micro-batches — the shape of
+any streaming feature-store / user-profile pipeline. State lives in
+Spark's state store (checkpointed, partitioned by the grouping key);
+the Python kernel only ever sees one key's Arrow batches.
+
+On the finite events table the drained result must equal the batch
+GROUP BY — which is what the DuckDB oracle asserts. Incremental
+correctness across batches (state carried, not recomputed) is asserted
+separately in tests/test_streaming.py with a two-file source.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans.catalog import register
+from .windows import stream_events
+
+_counter = itertools.count()
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_clicks", T.LongType()),
+    T.StructField("n_purchases", T.LongType()),
+    T.StructField("first_ts", T.TimestampType()),
+    T.StructField("last_ts", T.TimestampType()),
+])
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_clicks", T.LongType()),
+    T.StructField("n_purchases", T.LongType()),
+    T.StructField("first_ts", T.TimestampType()),
+    T.StructField("last_ts", T.TimestampType()),
+])
+
+
+def _update_profile(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Merge this batch's events for one user into the running profile and
+    emit the updated profile row (outputMode=update)."""
+    if state.exists:
+        n, clicks, purchases, first_ts, last_ts = state.get
+    else:
+        n, clicks, purchases, first_ts, last_ts = 0, 0, 0, None, None
+    for pdf in pdfs:
+        n += len(pdf)
+        clicks += int((pdf["event_type"] == "click").sum())
+        purchases += int((pdf["event_type"] == "purchase").sum())
+        b_first, b_last = pdf["ts"].min(), pdf["ts"].max()
+        first_ts = b_first if first_ts is None else min(first_ts, b_first)
+        last_ts = b_last if last_ts is None else max(last_ts, b_last)
+    state.update((n, clicks, purchases, first_ts, last_ts))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n_events": [n], "n_clicks": [clicks],
+        "n_purchases": [purchases], "first_ts": [first_ts], "last_ts": [last_ts],
+    })
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """events stream → per-user evolving profile (one row per user per
+    batch that touched them)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def drain_user_profiles(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Run the stateful query to completion (AvailableNow) into a memory
+    sink; with update output the LAST emission per user is the final
+    profile — deduped here by (user_id, n_events DESC) since n_events is
+    monotone in batch order."""
+    name = f"user_profiles_{next(_counter)}"
+    q = (
+        user_profile_stream(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register(
+    "stream_stateful_user_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(MIN(ts) AS VARCHAR) AS first_ts,
+           CAST(MAX(ts) AS VARCHAR) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState profile over the finite events stream; the
+    drained final state per user must equal the batch GROUP BY."""
+    profiles = drain_user_profiles(spark, stream_events(spark, sf_dir))
+    return (
+        profiles.select(
+            "user_id", "n_events", "n_clicks", "n_purchases",
+            F.col("first_ts").cast("string").alias("first_ts"),
+            F.col("last_ts").cast("string").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -50,3 +50,44 @@ def test_path_glob_filter_skips_non_matching_files(spark, landing_dir, tmp_path)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     run_ingest_available_now(spark, landing_dir, out, ckpt)
     assert spark.read.parquet(out).count() == 3  # unchanged by the b-file
+
+
+def test_stateful_profile_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState must MERGE per-user state batch-over-batch,
+    not recompute: feed two parquet files one-per-trigger and check the
+    final profile equals the union's batch aggregate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from house_price_etl_pipeline_spark.streaming.stateful import (
+        OUTPUT_SCHEMA, drain_user_profiles)
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    batch1 = [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+              (2, "2024-01-01 10:05:00", 7, "purchase", 2.0, "{}"),
+              (3, "2024-01-01 10:06:00", 8, "view", 3.0, "{}")]
+    batch2 = [(4, "2024-01-02 09:00:00", 7, "click", 4.0, "{}"),
+              (5, "2024-01-02 09:30:00", 9, "click", 5.0, "{}")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate([batch1, batch2]):
+        staging = tmp_path / f"staging{i}"
+        (spark.createDataFrame(rows, cols)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .withColumn("ts", F.unix_micros("ts") * 1000)  # nanos-as-long layout
+         .coalesce(1).write.parquet(str(staging)))
+        part = next(staging.glob("part-*.parquet"))
+        part.rename(src / f"b{i}.parquet")  # flat file: one file per trigger
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from house_price_etl_pipeline_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("maxFilesPerTrigger", 1)  # forces 2 micro-batches
+              .parquet(str(src)))
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    final = {r.user_id: r for r in drain_user_profiles(spark, stream).collect()}
+    assert final[7].n_events == 3 and final[7].n_clicks == 2
+    assert final[7].n_purchases == 1
+    assert str(final[7].first_ts) == "2024-01-01 10:00:00"
+    assert str(final[7].last_ts) == "2024-01-02 09:00:00"  # merged across batches
+    assert final[8].n_events == 1 and final[9].n_clicks == 1
