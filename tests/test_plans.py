@@ -79,3 +79,22 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     for flag, n in exact.items():
         rel_err = abs(approx[flag] - n) / n
         assert rel_err < 0.1, f"{flag}: approx {approx[flag]} vs exact {n}"
+
+
+def test_band_join_bucketed_form_is_equi_hash_join(spark, sf_dir):
+    """The width_bucket rewrite must eliminate the nested-loop join the
+    theta form pays: equi-join on band_id → BroadcastHashJoin."""
+    theta = _plan(spark, sf_dir, "join_range_band_theta")
+    bucketed = _plan(spark, sf_dir, "join_range_band_bucketed")
+    assert "BroadcastNestedLoopJoin" in theta  # the shape being avoided
+    assert "BroadcastNestedLoopJoin" not in bucketed
+    assert "BroadcastHashJoin" in bucketed
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """The as-of join must compile to union + one exchange + window —
+    never a range/theta join (no NestedLoop anywhere)."""
+    plan = _plan(spark, sf_dir, "join_asof_last_purchase")
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
+    assert "Union" in plan

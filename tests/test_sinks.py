@@ -1,0 +1,74 @@
+"""Sink-surface tests: write modes (K1/K3), partition pruning from a
+partitionBy layout, and exchange elimination from bucketBy co-location."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.sources.sinks import (
+    read_table, write_bucketed_table, write_table)
+from house_price_etl_pipeline_spark.sources.tables import load_table
+
+
+def test_overwrite_then_append_modes(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nations")
+    n = load_table(spark, sf_dir, "nation")
+    write_table(n, out, mode="overwrite")
+    assert read_table(spark, out).count() == 25
+    write_table(n, out, mode="append")  # K3: event-driven accumulate
+    assert read_table(spark, out).count() == 50
+    write_table(n, out, mode="overwrite")  # K1: truncate semantics
+    assert read_table(spark, out).count() == 25
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, sf_dir, "orders")
+    write_table(o, out, partition_by=["o_orderstatus"])
+
+    statuses = [r[0] for r in
+                read_table(spark, out).select("o_orderstatus").distinct().collect()]
+    assert len(statuses) >= 2  # layout actually split by status
+
+    pruned = read_table(spark, out).filter(F.col("o_orderstatus") == statuses[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter handled by directory pruning: it appears as a
+    # PartitionFilters entry, NOT a post-scan Filter over data rows
+    assert "PartitionFilters: [" in plan
+    assert f"isnotnull(o_orderstatus" in plan
+    assert pruned.count() == o.filter(F.col("o_orderstatus") == statuses[0]).count()
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
+    """Join of two tables bucketed on the join key must plan ZERO
+    shuffles — the co-located join that bucketing exists for."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(o, "b_orders", ["o_orderkey"], 8)
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8)
+
+    joined = (
+        spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    )
+    # disable broadcast so the test can't pass via a broadcast join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Exchange" not in plan, plan[:800]
+    assert "SortMergeJoin" in plan
+
+    try:
+        expected = (o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                    .groupBy("o_orderkey").count().count())
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
