@@ -12,7 +12,7 @@ broadcast join away.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_sum, dec_sum_expr
@@ -235,4 +235,54 @@ def text_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") - 2).cast("bigint").alias("n_trigrams"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- tf-idf ------------------------------------------------------------------
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs_with FROM tok GROUP BY t),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tok.doc_id, tok.t, tok.tf,
+             round(tok.tf * ln(CAST(n.n_docs AS DOUBLE) / df.n_docs_with), 6) AS tfidf
+      FROM tok JOIN df USING (t) CROSS JOIN n
+    )
+    SELECT doc_id, t AS term, tf, tfidf
+    FROM (SELECT *, row_number() OVER (ORDER BY tfidf DESC, doc_id, t) AS rn
+          FROM scored)
+    WHERE rn <= 100
+    ORDER BY tfidf DESC, doc_id, term
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tf-idf, top-100 (doc, term) pairs: explode → two hash aggs
+    (term frequency per doc, document frequency per term) → broadcast of
+    the corpus size → TakeOrderedAndProject. The df table is vocabulary-
+    sized — tiny next to the corpus — so AQE broadcasts it; at 100 TB
+    this is two shuffles total (both on bounded-cardinality keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar: one count job, broadcast as literal
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tok.groupBy("t").agg(F.count("*").alias("n_docs_with"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("n_docs_with")), 6
+    )
+    return (
+        tok.join(df_tbl, "t")
+        .select("doc_id", F.col("t").alias("term"), "tf", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.col("tfidf").desc(), "doc_id", "term")))
+        .filter(F.col("rn") <= 100).drop("rn")
+        .orderBy(F.col("tfidf").desc(), "doc_id", "term")
     )
