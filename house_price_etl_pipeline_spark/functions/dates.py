@@ -22,13 +22,16 @@ from pyspark.sql import functions as F
 def minguo_to_iso(col: Column | str) -> Column:
     """Minguo digit-string → ISO ``yyyy-MM-dd`` string, NULL if malformed.
 
-    Handles 7-digit (year >= 100) and 6-digit (year < 100) forms: the ROC
-    year is everything except the trailing 4 chars (MMDD), mirroring
-    reference `etl_pipeline_spark.py:47` ``int(date[:-4]) + 1911``.
+    Handles 7-digit (year >= 100), 6-digit (year 10-99) and 5-digit
+    (year 1-9, i.e. 1912-1920) forms: the ROC year is everything except
+    the trailing 4 chars (MMDD), mirroring reference
+    `etl_pipeline_spark.py:47` ``int(date[:-4]) + 1911`` — which accepts
+    any length >= 5 (4 or fewer digits leaves an empty year and raises
+    there; NULL here). Found by the hypothesis round-trip test.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = F.trim(c)
-    digits = F.when(c.rlike(r"^[0-9]{6,7}$"), c)
+    digits = F.when(c.rlike(r"^[0-9]{5,7}$"), c)
     roc_year = F.substring(digits, 1, F.length(digits) - 4)
     greg_year = roc_year.cast("int") + F.lit(1911)
     mm = F.substring(digits, -4, 2)

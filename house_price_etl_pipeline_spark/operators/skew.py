@@ -1,0 +1,37 @@
+"""Skew-handling join: explicit key salting.
+
+AQE's skew-join splitting (on in `session.py`) handles most skew at
+runtime, but it only splits partitions of an already-shuffled sort-merge
+join. Salting is the plan-level tool for the pathological case — a
+handful of hot keys (the power-law reality of user_id / doc-domain keys
+in training-data pipelines) — and works for aggregations too. It trades
+an R-fold replication of the small side for an even distribution of the
+hot side:
+
+  big side:    key → (key, salt = hash(row) % R)
+  small side:  each row replicated R times, salt = 0..R-1
+  join on (key, salt) — every (key, salt) bucket is ~1/R of the hot key.
+
+R (`n_salts`) bounds the replication cost; choose ~ max-key-share x
+partition count. Result is row-identical to the unsalted join (asserted
+in tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(big: DataFrame, small: DataFrame, on: str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Equi-join ``big ⋈ small`` on column ``on`` with ``n_salts``-way
+    salting of the big side. Returns the same columns as
+    ``big.join(small, on, how)``."""
+    salt = (F.abs(F.xxhash64(*big.columns)) % n_salts).cast("int")
+    big_s = big.withColumn("_salt", salt)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_s.join(small_s, [on, "_salt"], how)
+    return out.drop("_salt")

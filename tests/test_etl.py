@@ -94,3 +94,43 @@ def test_no_python_udf_in_plan(raw):
     plan = clean_building_transactions(raw)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# --- property tests (hypothesis): minguo date edge semantics ---------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.functions.dates import minguo_to_date
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.dates(min_value=_dt.date(1912, 1, 1), max_value=_dt.date(2099, 12, 31)))
+    def test_minguo_roundtrips_any_valid_date(spark, d):
+        """date → minguo digits → minguo_to_date == identity (6- and
+        7-digit ROC years both occur across this range)."""
+        minguo = f"{d.year - 1911}{d.month:02d}{d.day:02d}"
+        out = (spark.range(1)
+               .select(minguo_to_date(F.lit(minguo)).alias("d")).collect()[0].d)
+        assert out == d, (minguo, out, d)
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.text(max_size=12))
+    def test_minguo_never_raises_on_garbage(spark, s):
+        """The reference UDF raises on garbage (etl_pipeline_spark.py:47);
+        our expression must instead yield NULL for anything that is not a
+        valid 6/7-digit minguo date — and never error."""
+        row = (spark.range(1)
+               .select(minguo_to_date(F.lit(s)).alias("d")).collect()[0])
+        if row.d is not None:
+            assert s.strip().isdigit() and 6 <= len(s.strip()) <= 7

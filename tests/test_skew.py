@@ -1,0 +1,41 @@
+"""Salted-join equivalence: same rows as the plain join, salt never leaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.operators.skew import salted_join
+from house_price_etl_pipeline_spark.sources.tables import load_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey")
+
+    plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(o, c, "o_custkey", n_salts=8).groupBy(
+        "c_mktsegment").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+    assert "_salt" not in salted_join(o, c, "o_custkey").columns
+
+
+def test_salted_join_spreads_a_hot_key(spark):
+    """90%-hot-key input: every (key, salt) bucket must hold ~1/R of the
+    hot key — the whole point of salting."""
+    hot = spark.range(0, 9000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(0, 1000).select((F.col("id") % 50 + 2).alias("k"),
+                                       F.col("id").alias("v"))
+    big = hot.unionByName(cold)
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(1, 60)], "k long, name string")
+
+    out = salted_join(big, small, "k", n_salts=8)
+    assert out.count() == 10000  # all rows matched, none duplicated
+
+    # inspect the salt distribution the join would shuffle on
+    salt = (F.abs(F.xxhash64(*big.columns)) % 8).cast("int")
+    dist = (big.filter(F.col("k") == 1).withColumn("_salt", salt)
+            .groupBy("_salt").count().collect())
+    assert len(dist) == 8  # hot key spread across all 8 salt buckets
+    assert max(r["count"] for r in dist) < 9000 * 0.25  # no bucket ~whole key
