@@ -126,3 +126,17 @@ def avg_price_by_year(cleaned: DataFrame, city: str = "宜蘭縣") -> DataFrame:
         .agg(F.round(F.avg("unit_price_ping"), 2).alias("avg_unit_price_ping"))
         .orderBy("year")
     )
+
+
+def materialize_partitioned(cleaned: DataFrame, path: str,
+                            mode: str = "overwrite") -> None:
+    """Post-ingest physical layout (SURVEY §4): parquet partitioned by
+    (city, transaction year). The flagship analytic filters on city and
+    groups by year, so at 100 TB it touches exactly the directories it
+    needs — partition pruning instead of a full scan. CSV is an
+    ingest-only format here; everything downstream reads this layout."""
+    (cleaned
+     .withColumn("year", F.year("transaction_date"))
+     .write.mode(mode)
+     .partitionBy("city", "year")
+     .parquet(path))

@@ -134,3 +134,23 @@ if HAVE_HYPOTHESIS:
                .select(minguo_to_date(F.lit(s)).alias("d")).collect()[0])
         if row.d is not None:
             assert s.strip().isdigit() and 6 <= len(s.strip()) <= 7
+
+
+def test_materialized_layout_prunes_city_and_year(spark, house_csv_fixture, tmp_path):
+    """SURVEY §4 physical design: the flagship query over the partitioned
+    layout must hit partition filters, not data filters."""
+    from house_price_etl_pipeline_spark.operators.etl import (
+        clean_building_transactions, materialize_partitioned)
+    from house_price_etl_pipeline_spark.sources.csv_house import load_raw_csv
+
+    cleaned = clean_building_transactions(
+        load_raw_csv(spark, str(house_csv_fixture) + "/*_a.csv"))
+    out = str(tmp_path / "warehouse")
+    materialize_partitioned(cleaned, out)
+
+    cities = [r.city for r in
+              spark.read.parquet(out).select("city").distinct().collect()]
+    q = spark.read.parquet(out).filter(F.col("city") == cities[0])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "city" in plan.split("PartitionFilters")[1][:120]
+    assert q.count() == cleaned.filter(F.col("city") == cities[0]).count()
