@@ -91,3 +91,53 @@ def test_stateful_profile_carries_state_across_batches(spark, tmp_path):
     assert str(final[7].first_ts) == "2024-01-01 10:00:00"
     assert str(final[7].last_ts) == "2024-01-02 09:00:00"  # merged across batches
     assert final[8].n_events == 1 and final[9].n_clicks == 1
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Late-data policy (SURVEY §2.8 extension): an event arriving after
+    the watermark passed its window must be DROPPED from an append-mode
+    windowed aggregation — the contract that bounds state at 100 TB."""
+    from pyspark.sql import functions as F
+
+    import time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # batch 0 raises the watermark to 10:50; batch 1's end EVICTS and
+    # emits the finalized [10:00,10:30) window (watermark > window end);
+    # batch 2's 10:05 straggler then hits evicted state and is dropped.
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+         (2, "2024-01-01 10:10:00", 1, "view", 1.0, "{}"),
+         (3, "2024-01-01 11:00:00", 1, "view", 1.0, "{}")],
+        [(4, "2024-01-01 11:05:00", 1, "view", 1.0, "{}")],
+        [(5, "2024-01-01 10:05:00", 1, "view", 1.0, "{}"),  # the straggler
+         (6, "2024-01-01 11:10:00", 1, "view", 1.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"late_staging{i}"
+        (spark.createDataFrame(rows, cols)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .withColumn("ts", F.unix_micros("ts") * 1000)
+         .coalesce(1).write.parquet(str(staging)))
+        next(staging.glob("part-*.parquet")).rename(src / f"b{i}.parquet")
+        time.sleep(1.1)  # distinct mod-times → deterministic batch order
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from house_price_etl_pipeline_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "30 minutes"))
+           .agg(F.count("*").alias("n")))
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("late_demo").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = {str(r.window.start): r.n
+           for r in spark.table("late_demo").collect()}
+    # the 10:00 window was finalized by batch1's watermark with 2 events;
+    # batch2's late 10:05 event must not reappear in it
+    assert out.get("2024-01-01 10:00:00") == 2
