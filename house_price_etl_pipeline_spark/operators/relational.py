@@ -822,3 +822,88 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "sql_correlated_exists",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 1000)
+    ORDER BY c.c_custkey
+    """,
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    decorrelates both into left-semi + left-anti joins (asserted in
+    tests/test_plans.py) — the subquery shape §4's optimizer table marks
+    'built-in when §7 adds joins'."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        ORDER BY c.c_custkey
+    """)
+
+
+@register(
+    "join_interval_self_events",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts, event_type FROM events),
+    pairs AS (
+      SELECT a.user_id, a.event_id AS click_id, b.event_id AS error_id,
+             CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'error'
+       AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+    )
+    SELECT user_id, click_id, error_id, gap_s
+    FROM pairs ORDER BY user_id, click_id, error_id
+    """,
+)
+def join_interval_self_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with TWO large sides — errors within 5 minutes after
+    each click, per user. The inequality never reaches the join: both
+    sides are bucketed into 5-minute time bins, each left row probes its
+    own and the next bin (an event within [t, t+5m) lands in one of the
+    two), and the exact interval predicate runs post-join as a cheap
+    filter. Plan = equi-join on (user_id, bin) — shuffle-partitionable,
+    no BroadcastNestedLoopJoin, survives any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    binlen = 300  # seconds = the interval length
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("cts"),
+                      (F.unix_timestamp("ts") / binlen).cast("long").alias("bin")))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.col("user_id").alias("e_user_id"),
+                      F.col("ts").alias("ets"),
+                      (F.unix_timestamp("ts") / binlen).cast("long").alias("e_bin")))
+    probe = clicks.withColumn(
+        "probe_bin", F.explode(F.array(F.col("bin"), F.col("bin") + 1)))
+    return (
+        probe.join(errors, (probe.user_id == errors.e_user_id)
+                   & (probe.probe_bin == errors.e_bin))
+        .filter((F.col("ets") >= F.col("cts"))
+                & (F.col("ets") < F.col("cts") + F.expr("INTERVAL 5 MINUTES")))
+        .select("user_id", "click_id", "error_id",
+                (F.unix_timestamp("ets") - F.unix_timestamp("cts"))
+                .cast("long").alias("gap_s"))
+        .orderBy("user_id", "click_id", "error_id")
+    )

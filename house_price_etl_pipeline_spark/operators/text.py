@@ -286,3 +286,39 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100).drop("rn")
         .orderBy(F.col("tfidf").desc(), "doc_id", "term")
     )
+
+
+# --- UDTF surface (SURVEY §2.9 U3: absent in reference; exemplar here) ------
+
+@register(
+    "text_udtf_positional_tokens",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE doc_id < 100),
+         UNNEST(range(1, len(ws) + 1)) AS r(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def text_udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) exemplar: one input row → N output
+    rows with schema (pos, token), consumed via a SQL LATERAL join. The
+    engine-surface demonstration for UDTFs; for pure tokenization the
+    native posexplode(split()) is the hot-path form (it is what the
+    oracle models and what dedup/text ops use)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class PositionalTokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield i, t
+
+    spark.udtf.register("positional_tokens", PositionalTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT d.doc_id, s.pos, s.token
+        FROM documents d, LATERAL positional_tokens(d.text) s
+        WHERE d.doc_id < 100
+        ORDER BY doc_id, pos
+    """)

@@ -55,8 +55,8 @@ def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_python_udf_outside_pandas_operators(spark, sf_dir, name):
-    if name.startswith("mm_decode"):
-        pytest.skip("mapInPandas operator: Python is the point")
+    if name.startswith("mm_decode") or name == "text_udtf_positional_tokens":
+        pytest.skip("mapInPandas / UDTF operator: Python is the point")
     if name.startswith("stream_"):
         pytest.skip("streaming plans materialize through a sink")
     plan = _plan(spark, sf_dir, name)
@@ -98,3 +98,16 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "Window" in plan
     assert "Union" in plan
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sql_correlated_exists")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_interval_join_is_equi_join_on_bins(spark, sf_dir):
+    """Two large sides: the 5-minute interval must run as an equi-join on
+    (user_id, bin) with a post-join filter — never a nested loop."""
+    plan = _plan(spark, sf_dir, "join_interval_self_events")
+    assert "NestedLoop" not in plan
