@@ -93,16 +93,25 @@ def drain_user_profiles(spark: SparkSession, events: DataFrame) -> DataFrame:
     sink; with update output the LAST emission per user is the final
     profile — deduped here by (user_id, n_events DESC) since n_events is
     monotone in batch order."""
+    from .windows import STREAM_SHUFFLE_PARTITIONS
+
     name = f"user_profiles_{next(_counter)}"
-    q = (
-        user_profile_stream(events)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # see windows.STREAM_SHUFFLE_PARTITIONS: state-store count = shuffle
+    # partition count; fixed per-store commit cost dwarfs the work here
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            user_profile_stream(events)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table(name)
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

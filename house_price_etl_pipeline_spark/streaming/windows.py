@@ -47,20 +47,34 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _drain(agg: DataFrame, spark: SparkSession) -> DataFrame:
+# Stateful-stream shuffle sizing: every shuffle partition carries its own
+# state store whose per-batch commit/snapshot overhead is FIXED cost —
+# 32 stores for 1.5k keys is 4-5x slower than 8 on local[32] (measured:
+# 13.1 s → 2.5 s for the user-profile query at sf0.1). On a real cluster
+# this is sized to key cardinality x update rate, not to core count.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def _drain(agg: DataFrame, spark: SparkSession,
+           output_mode: str = "complete") -> DataFrame:
     """Run the streaming aggregation to completion into a memory sink and
     return the materialized result. ``complete`` mode + AvailableNow: the
     finite source drains in one trigger, so the final table is exactly
     the batch answer."""
     name = f"stream_out_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
