@@ -200,3 +200,70 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --- IVF (inverted-file) ANN: the other classic scale path -----------------
+
+IVF_CELLS = 32     # coarse-quantizer cells (≈ sqrt(n) at this SF)
+IVF_NPROBE = 8     # cells searched per query: this corpus's nearest
+                   # neighbors sit at only cosine ~0.4 (weak structure),
+                   # where the IVF recall/nprobe curve is shallow - 8/32
+                   # cells ~ recall 0.6 vs 0.2 at 4/32 (measured); tight
+                   # clusters would get recall ~1 at nprobe 1-2
+
+
+def _centroids(cells: int = IVF_CELLS, dim: int = EMB_DIM,
+               seed: int = 7) -> "np.ndarray":
+    """Deterministic pseudo-random unit centroids. A production build
+    would k-means-train these on a sample; the *engine* shape — narrow
+    assignment map, cell-bucketed storage, nprobe search — is identical,
+    and random centroids on unit-ish data still partition the space."""
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((cells, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def _cell_udf(cells: int = IVF_CELLS):
+    C = _centroids(cells).T  # dim x cells
+
+    @F.pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(X @ C, axis=1).astype("int32"))
+
+    return cell_of
+
+
+@register("sim_ann_ivf_topk")  # IVF internals → rows-only (recall in tests)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: every vector is assigned its nearest coarse
+    centroid (Arrow-batched argmax matmul — shuffle-free narrow map; at
+    rest this would be the partition/bucket key of the vector table), the
+    query probes its IVF_NPROBE nearest cells, and only those cells'
+    vectors get the exact cosine re-rank. Same output schema as
+    sim_bruteforce_topk; recall asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = e.select("vec_id", "label", "embedding",
+                        _cell_udf()(F.col("embedding")).alias("cell"))
+
+    qv_row = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+              .select("embedding").collect()[0])
+    qv = np.asarray(qv_row.embedding, dtype=np.float64)
+    C = _centroids()
+    probe_cells = [int(c) for c in np.argsort(-(C @ qv))[:IVF_NPROBE]]
+
+    q = (e.filter(F.col("vec_id") == QUERY_VEC_ID)
+         .select(F.col("embedding").alias("qv")))
+    cos = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (l2_norm(F.col("embedding")) * l2_norm(F.col("qv"))),
+        6,
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))  # partition-prunable
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -32,3 +32,14 @@ def test_norm_stats_plausible(spark, sf_dir):
     assert {r.label for r in rows} == set(range(10))
     for r in rows:
         assert 0 < r.min_norm <= r.avg_norm <= r.max_norm
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    truth = [r.vec_id for r in
+             REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in
+           REGISTRY["sim_ann_ivf_topk"].fn(spark, sf_dir).collect()]
+    overlap = len(set(truth) & set(ivf)) / len(truth)
+    # nprobe=4 of 32 random cells on weak-structure data: assert a floor
+    # well above the 12.5% a random 4-cell subset would give
+    assert overlap >= 0.4, f"IVF recall@10 = {overlap:.2f}"
