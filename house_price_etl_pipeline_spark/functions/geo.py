@@ -25,11 +25,11 @@ from pyspark.sql import functions as F
 # city codes, not code).
 CITY_CODE_MAP: dict[str, str] = {
     "a": "台北市", "b": "台中市", "c": "基隆市", "d": "台南市",
-    "e": "高雄市", "f": "新北市", "g": "宜蘭縣", "h": "桃園市",
-    "i": "嘉義市", "j": "新竹縣", "k": "苗栗縣", "l": "台中縣",
+    "e": "高雄市", "f": "新北市", "g": "宜蘭縣", "h": "桃園縣",
+    "i": "嘉義市", "j": "新竹縣", "k": "苗栗縣", "l": "臺中縣",
     "m": "南投縣", "n": "彰化縣", "o": "新竹市", "p": "雲林縣",
-    "q": "嘉義縣", "r": "台南縣", "s": "高雄縣", "t": "屏東縣",
-    "u": "花蓮縣", "v": "台東縣", "w": "金門縣", "x": "澎湖縣",
+    "q": "嘉義縣", "r": "臺南縣", "s": "高雄縣", "t": "屏東縣",
+    "u": "花蓮縣", "v": "臺東縣", "w": "金門縣", "x": "澎湖縣",
     "y": "陽明山", "z": "連江縣",
 }
 
