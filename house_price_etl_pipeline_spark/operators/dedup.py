@@ -339,3 +339,85 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(cos, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- near-dup cluster resolution (connected components) ---------------------
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 15) -> DataFrame:
+    """(node, label) for every node in the pair list, where label = the
+    smallest node id in its connected component.
+
+    Iterative min-label propagation (the dataframe form of large-star /
+    small-star, Kiveris+ '14): each round every node takes the min of its
+    own label and its neighbors' labels — one shuffle per round, and the
+    round count is bounded by the component DIAMETER, not size. Near-dup
+    clusters are dense and tiny (duplicates of one source), so this
+    converges in 2-3 rounds; max_iter only guards adversarial chains.
+    A driver-side loop over distributed steps — the iterative-algorithm
+    shape SQL can't express (hence rows-only in the oracle gate)."""
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).cache())
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node",
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    .alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_clusters")  # iterative algorithm → rows-only by nature
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the MinHash+LSH pair list: every clustered
+    doc with its canonical (min-id) representative and the cluster size —
+    the decision table a dedup pipeline keeps for provenance."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, "label")
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("keep_doc_id"),
+                "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_corpus_after_neardup",
+    oracle=None,  # depends on dedup_clusters (iterative) → rows-only
+)
+def dedup_corpus_after_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup accounting: corpus size, near-dup clusters found,
+    docs dropped (non-canonical cluster members), corpus size kept."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    dropped = clusters.filter(F.col("doc_id") != F.col("keep_doc_id"))
+    n_docs = d.count()
+    n_dropped = dropped.count()
+    n_clusters = clusters.select("keep_doc_id").distinct().count()
+    return spark.createDataFrame(
+        [(n_docs, n_clusters, n_dropped, n_docs - n_dropped)],
+        "n_docs long, n_clusters long, n_dropped long, n_kept long",
+    )

@@ -80,3 +80,25 @@ def test_exact_dedup_drops_planted_duplicates(spark):
         .orderBy("keep").collect()
     )
     assert [r.keep for r in kept] == [0, 9]
+
+
+def test_connected_components_chains_and_islands(spark):
+    """A 3-chain, a 2-island and a triangle must resolve to min-id labels
+    — chain convergence needs >1 propagation round, so this also pins the
+    iteration logic."""
+    from house_price_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11),          # chain 1-2-3, island 10-11
+         (20, 21), (21, 22), (20, 22)],     # triangle
+        "doc_a long, doc_b long")
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_on_real_corpus(spark, sf_dir):
+    from house_price_etl_pipeline_spark.plans.catalog import REGISTRY
+    rows = REGISTRY["dedup_clusters"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.keep_doc_id <= r.doc_id  # canonical is the min id
+        assert r.cluster_size >= 2        # only clustered docs appear
