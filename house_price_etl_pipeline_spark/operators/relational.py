@@ -907,3 +907,101 @@ def join_interval_self_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("gap_s"))
         .orderBy("user_id", "click_id", "error_id")
     )
+
+
+@register(
+    "window_range_frame_weekly_spend",
+    oracle=f"""
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           {dec_sum_expr('o_totalprice')} AS day_spend,
+           round(CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(25,6))))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS rolling_7d_spend
+    FROM orders WHERE o_custkey <= 200
+    GROUP BY o_custkey, o_orderdate
+    ORDER BY o_custkey, orderdate
+    """,
+)
+def window_range_frame_weekly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): 7-day rolling spend per
+    customer — rangeBetween over a day ordinal, the frame spec ROWS
+    BETWEEN can't express when days are missing. Aggregated to one row
+    per (customer, day) first so the window input is deterministic."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    daily = (
+        o.groupBy("o_custkey", "o_orderdate")
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("day_spend_dec"))
+    )
+    day_ord = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy(day_ord)
+         .rangeBetween(-6, Window.currentRow))
+    return (
+        daily.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("day_spend_dec").cast("double").alias("day_spend"),
+            F.round(F.sum("day_spend_dec").over(w).cast("double"), 6)
+            .alias("rolling_7d_spend"),
+        )
+        .orderBy("o_custkey", "orderdate")
+    )
+
+
+@register(
+    "window_analytic_ranks",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 6) AS balance,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           CAST(ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INTEGER) AS decile,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cum_dist
+    FROM customer WHERE c_custkey <= 2000
+    ORDER BY c_custkey
+    """,
+)
+def window_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth: percent_rank / ntile / cume_dist per
+    segment (the customer-scoring shape). Total order inside each
+    partition (balance, custkey) so every rank is deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            F.round("c_acctbal", 6).alias("balance"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "events_props_map_entries",
+    oracle="""
+    SELECT k AS prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS sum_v
+    FROM (
+      SELECT unnest(json_keys(props)) AS k,
+             json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
+      FROM events
+    )
+    GROUP BY k ORDER BY k
+    """,
+)
+def events_props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON → map<string,string> → explode (SURVEY §2.12 map-function
+    surface): per-key frequency and sum over the props blob — from_json
+    with a map schema handles open-schema JSON where a struct can't."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("v").try_cast("long")).alias("sum_v"))
+        .orderBy("prop_key")
+    )
