@@ -1005,3 +1005,63 @@ def events_props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("v").try_cast("long")).alias("sum_v"))
         .orderBy("prop_key")
     )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+    WITH m AS (
+      SELECT 'l_discount' AS measure, CAST(l_discount AS DOUBLE) AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem
+      UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    )
+    SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+           {dec_sum_expr('value')} AS total
+    FROM m GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (inverse of pivot_orders_status_by_year): wide measure
+    columns → long (measure, value) — the reshape feeding any
+    per-measure profiling job. DataFrame.unpivot is a zero-shuffle
+    Expand, the same node GROUPING SETS lowers to."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=[], values=["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+        variableColumnName="measure", valueColumnName="value",
+    )
+    return (
+        melted.groupBy("measure")
+        .agg(F.count("*").alias("n"), dec_sum("value").alias("total"))
+        .orderBy("measure")
+    )
+
+
+@register(
+    "dedup_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id,
+           CAST(ts AS VARCHAR) AS latest_ts, event_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def dedup_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key (log compaction / CDC upsert shape): total
+    order inside each key via (ts, event_id) so the survivor is
+    deterministic — the correct form of what a bare
+    dropDuplicates(['user_id']) does nondeterministically."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("latest_event_id"),
+                F.col("ts").cast("string").alias("latest_ts"), "event_type")
+        .orderBy("user_id")
+    )
