@@ -111,3 +111,19 @@ def test_interval_join_is_equi_join_on_bins(spark, sf_dir):
     (user_id, bin) with a post-join filter — never a nested loop."""
     plan = _plan(spark, sf_dir, "join_interval_self_events")
     assert "NestedLoop" not in plan
+
+
+def test_disjunctive_pred_join_stays_hash_join(spark, sf_dir):
+    """Q19 shape: the OR of cross-side conjunct groups must stay a hash
+    join on the partkey equi-key with a residual filter — a planner that
+    gives up to BroadcastNestedLoopJoin would O(n*m) at scale."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_pred_join")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q18_in_subquery_is_semi_join(spark, sf_dir):
+    """Q18 shape: the IN (SELECT ... HAVING) subquery must execute as a
+    semi join, not a full join + distinct."""
+    plan = _plan(spark, sf_dir, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
