@@ -1,0 +1,142 @@
+"""Sampling & binning operators (training-data-pipeline extensions).
+
+A 100 TB corpus is never consumed whole: pipelines carve reproducible
+subsets (dev/val/test splits, QA samples, ablation slices) and profile
+distributions. Four sampling regimes, each the right tool somewhere:
+
+- **deterministic hash split** — split membership is a pure function of
+  a stable key (md5), so it survives re-runs, repartitioning, engine
+  swaps, and incremental arrivals: the split a training pipeline should
+  use. Engine-portable (md5 is md5 everywhere), hence fully
+  oracle-checked.
+- **seeded Bernoulli sample** (`df.sample`) — cheap scan-time row
+  sampling; reproducible within Spark for a fixed seed+partitioning but
+  NOT across engines (rows-only check; determinism pinned in
+  tests/test_sampling.py).
+- **stratified sample** (`df.sampleBy`) — per-stratum fractions, the
+  class-rebalancing primitive (rows-only; proportions tested).
+- **histogram binning** — fixed-width bucket profile of a numeric
+  column: the O(1)-per-row distribution sketch that replaces sorting at
+  scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+# Hex-prefix thresholds on md5: uniform over [0x00, 0xff] per 2-hex-char
+# prefix, compared LEXICALLY — identical semantics in any engine, no
+# hex→int conversion needed. '19' keeps 0x00-0x19 = 26/256 ≈ 10.2%.
+_VAL_MAX = "19"
+
+
+def hash_split_col(key, val_prefix_max: str = _VAL_MAX):
+    """'val' for ~10% of keys, 'train' for the rest — stable under
+    re-runs, shuffles, and data growth (membership depends only on the
+    key). The idiom: md5(key) hex-prefix compared against a threshold."""
+    return F.when(
+        F.substring(F.md5(key.cast("string").cast("binary")), 1, 2) <= val_prefix_max,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+
+
+@register(
+    "sample_hash_10pct",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash: a pure per-row predicate —
+    no shuffle, no state, pushes into the scan stage, and yields the
+    SAME sample on any engine or cluster layout."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")),
+                             1, 2) <= _VAL_MAX)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_train_val_split",
+    oracle="""
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+                THEN 'val' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split accounting: label every doc by hash split, count
+    docs and characters per side — the manifest row a data pipeline
+    publishes with each snapshot."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", hash_split_col(F.col("doc_id")))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("n_chars"))
+        .orderBy("split")
+    )
+
+
+@register("sample_bernoulli_seeded")  # Spark-internal RNG → rows-only
+def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli row sample (scan-time coin flip, no shuffle).
+    Reproducible for a fixed seed within Spark — but the RNG stream is
+    engine-internal, so no cross-engine oracle. Determinism + fraction
+    tolerance pinned in tests/test_sampling.py."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.sample(fraction=0.1, seed=42)
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey"))
+
+
+@register("sample_stratified_returnflag")  # Spark-internal RNG → rows-only
+def sample_stratified_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with per-stratum fractions (the class-rebalance
+    primitive): keep 5% of 'N' rows but 50% of the rarer 'R'/'A' rows.
+    sampleBy = scan-time filter against per-key thresholds — no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy("l_returnflag", {"N": 0.05, "R": 0.5, "A": 0.5}, seed=42)
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_histogram_totalprice",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 50000), 11) AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 6)
+             AS sum_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: O(1) bucket assignment per
+    row + one tiny-key aggregation — the distribution profile that
+    replaces any sort-based approach at scale. Top bucket clamped so the
+    bin count is fixed regardless of outliers."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11)).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                     .cast("double"), 6).alias("sum_price"))
+        .orderBy("bucket")
+    )

@@ -192,3 +192,62 @@ def join_range_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("double"), 2).alias("sum_price"))
         .orderBy("band_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization: gap-based session ids over the events table.
+# --------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marks
+    )
+    SELECT user_id, CAST(session_no AS INTEGER) AS session_no,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of streaming session windows):
+    a new session starts after a >30-min gap; session id = running count
+    of session-starts. ONE shuffle on user_id serves both windows (mark +
+    running sum share the partition/order spec) and the session rollup —
+    the canonical clickstream/session-feature shape at any scale.
+    Deterministic under timestamp ties via the (ts, event_id) order."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    sess_no = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        e.withColumn("session_no", sess_no.cast("int"))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").cast("string").alias("session_start"),
+             (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+             .cast("long").alias("duration_s"),
+             F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+             .alias("sum_value"))
+        .orderBy("user_id", "session_no")
+    )

@@ -1,0 +1,52 @@
+"""Sampling operators: determinism, fraction tolerance, stratification.
+
+The hash-split queries are oracle-checked (test_oracle_parity); these
+tests pin the semantics the oracle can't see — seeded-RNG reproducibility
+and per-stratum proportions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.operators.sampling import (
+    hash_split_col,
+    sample_bernoulli_seeded,
+    sample_stratified_returnflag,
+)
+from house_price_etl_pipeline_spark.sources.tables import load_table
+
+
+def test_bernoulli_seeded_is_reproducible(spark, sf_dir):
+    a = sample_bernoulli_seeded(spark, sf_dir).collect()
+    b = sample_bernoulli_seeded(spark, sf_dir).collect()
+    assert a == b  # same seed, same partitioning → identical sample
+
+
+def test_bernoulli_fraction_within_tolerance(spark, sf_dir):
+    n_total = load_table(spark, sf_dir, "orders").count()
+    n_sample = sample_bernoulli_seeded(spark, sf_dir).count()
+    frac = n_sample / n_total
+    assert 0.05 < frac < 0.15  # 10% ± sampling noise at sf0.001
+
+
+def test_hash_split_is_stable_under_repartition(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    base = (d.withColumn("split", hash_split_col(F.col("doc_id")))
+            .select("doc_id", "split"))
+    reparted = (d.repartition(17)
+                .withColumn("split", hash_split_col(F.col("doc_id")))
+                .select("doc_id", "split"))
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, reparted.collect()))
+
+
+def test_stratified_rebalances_rare_classes(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = dict(li.groupBy("l_returnflag").count().collect())
+    sampled = dict(
+        (r["l_returnflag"], r["n_sampled"])
+        for r in sample_stratified_returnflag(spark, sf_dir).collect()
+    )
+    # N sampled at ~5%, R/A at ~50% — rates must be in disjoint ranges
+    assert sampled["N"] / totals["N"] < 0.12
+    for k in ("R", "A"):
+        assert 0.3 < sampled[k] / totals[k] < 0.7
