@@ -267,3 +267,74 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --- embedding maintenance ops: centroids, normalize + quantize ------------
+
+@register(
+    "emb_centroid_per_label",
+    oracle="""
+    SELECT e.label, i.pos,
+           round(CAST(SUM(CAST(list_extract(e.embedding, i.pos + 1)
+                               AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid
+    FROM embeddings e, (SELECT unnest(range(0, 64)) AS pos) i
+    GROUP BY e.label, i.pos
+    ORDER BY e.label, i.pos
+    """,
+)
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector — the k-means / IVF-coarse-quantizer update
+    step and the class-prototype primitive. posexplode → (label, pos)
+    agg: ONE shuffle keyed on (label, dim) — 640 keys here, and at any
+    scale the key space is labels × dims, never rows. Exact decimal inner
+    sums make each coordinate bit-stable across partitionings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(
+            F.sum(F.col("x").cast("decimal(25,12)")).cast("double") / F.count("*"),
+            6).alias("centroid"))
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "emb_normalize_quantize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings WHERE vec_id < 500
+    )
+    SELECT vec_id, round(nrm, 6) AS l2_norm,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5) AS INTEGER))
+             AS q_int8
+    FROM n ORDER BY vec_id
+    """,
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize then symmetric int8 quantization (scale 127) — the
+    4-8x storage/bandwidth shrink applied before ANN serving. Narrow map,
+    no shuffle; rounding spelled floor(x+0.5) so both engines share one
+    deterministic tie rule (round() half-handling differs by engine).
+    Element order: list_transform/F.transform preserve positions."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    x2 = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    nrm = F.sqrt(F.aggregate(x2, F.lit(0.0), lambda acc, v: acc + v))
+    return (
+        e.withColumn("nrm", nrm)
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("l2_norm"),
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") / F.col("nrm") * 127.0 + 0.5)
+                .cast("int"),
+            ).alias("q_int8"),
+        )
+        .orderBy("vec_id")
+    )

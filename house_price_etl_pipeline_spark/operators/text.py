@@ -322,3 +322,112 @@ def text_udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         ORDER BY doc_id, pos
     """)
+
+
+# --- pattern extraction / redaction (the PII-scrub plan shape) -------------
+
+# On real corpora this regex is an email/phone/SSN alternation; the
+# driver's synthetic vocab has no digits, so the exemplar pattern matches
+# word families instead — the PLAN (extract-all → explode → count, and
+# replace-all → fingerprint) is byte-for-byte the PII pipeline's.
+PATTERN = r"\b(s[a-z]+)\b"
+
+
+@register(
+    "text_pattern_extract",
+    oracle=r"""
+    SELECT m AS matched, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)) AS m
+      FROM documents
+    )
+    GROUP BY m ORDER BY n_hits DESC, m
+    """,
+)
+def text_pattern_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract-all + frequency: every regex hit exploded to a row, counted
+    corpus-wide (total + per-doc reach). regexp_extract_all is JVM-side
+    codegen; the only shuffle is on the (small) matched-string key."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id",
+                 F.explode(F.regexp_extract_all("text", F.lit(PATTERN), 1))
+                 .alias("matched"))
+        .groupBy("matched")
+        .agg(F.count("*").alias("n_hits"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n_hits").desc(), "matched")
+    )
+
+
+@register(
+    "text_redact_pattern",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '\b(s[a-z]+)\b', '<REDACTED>', 'g'))
+             AS redacted_fp,
+           CAST(len(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)) AS BIGINT)
+             AS n_redactions
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+)
+def text_redact_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass: replace every pattern hit, emit the redacted-text
+    fingerprint + per-doc redaction count (the audit pair a PII scrub
+    job writes). Pure narrow map — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.regexp_replace("text", PATTERN, "<REDACTED>").cast("binary"))
+            .alias("redacted_fp"),
+            F.size(F.regexp_extract_all("text", F.lit(PATTERN), 1))
+            .cast("bigint").alias("n_redactions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- repetition & entropy quality (Gopher-style signals) -------------------
+
+@register(
+    "text_repetition_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM tok GROUP BY doc_id)
+    SELECT tok.doc_id,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           round(CAST(MAX(tok.c) AS DOUBLE) / tot.n, 6) AS top_token_share,
+           round(-SUM((tok.c / CAST(tot.n AS DOUBLE))
+                      * ln(tok.c / CAST(tot.n AS DOUBLE))), 6) AS token_entropy
+    FROM tok JOIN tot ON tok.doc_id = tot.doc_id
+    GROUP BY tok.doc_id, tot.n ORDER BY tok.doc_id
+    """,
+)
+def text_repetition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition + entropy quality signals (the Gopher-rule shape):
+    top-token share flags degenerate repetition, Shannon entropy of the
+    token distribution flags low-diversity docs. explode → (doc, token)
+    count → per-doc rollup: both shuffles key on doc_id, so the second
+    reuses the first's partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_tokens()).alias("t"))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w).cast("double")
+    return (
+        tok.withColumn("plogp", p * F.log(p))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"),
+             F.round(F.max("c").cast("double") / F.sum("c"), 6)
+             .alias("top_token_share"),
+             F.round(-F.sum("plogp"), 6).alias("token_entropy"))
+        .orderBy("doc_id")
+    )
