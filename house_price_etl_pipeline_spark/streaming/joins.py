@@ -1,0 +1,94 @@
+"""Stream-stream joins and streaming deduplication (SURVEY §2.8
+extensions — absent from the reference, whose only streaming is
+whole-file re-trigger; table stakes for a streaming engine).
+
+Both run as REAL streaming queries over the finite events source and
+drain to completion, so the DuckDB oracle (the batch semantics) checks
+the streaming path end-to-end — same contract as streaming/windows.py.
+
+Scale/state notes:
+- the stream-stream interval join keeps BOTH sides' rows in the state
+  store until the watermark passes the time-range bound — the watermark
+  plus the `[t, t+5m)` constraint is what makes state bounded; without
+  the range condition Spark would buffer a side forever;
+- streaming dropDuplicates holds one state row PER KEY seen: correct and
+  oracle-equal on any input, but state grows with key cardinality. The
+  production variant, dropDuplicatesWithinWatermark, bounds state by
+  evicting keys older than the watermark — at the cost of re-emitting a
+  key that recurs after eviction. tests/test_streaming.py pins exactly
+  that contract on crafted two-batch input (this corpus's keys recur
+  across the full time range, so the bounded variant is deliberately NOT
+  the oracle-checked one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from .windows import _drain, stream_events
+
+
+@register(
+    "stream_dedup_distinct_keys",
+    oracle="""
+    SELECT user_id, event_type FROM events
+    GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type): first arrival per
+    key is emitted, later ones are suppressed by the per-key state row.
+    Drained over finite input this is exactly batch DISTINCT."""
+    ev = stream_events(spark, sf_dir)
+    deduped = (ev.select("user_id", "event_type")
+               .dropDuplicates(["user_id", "event_type"]))
+    out = _drain(deduped, spark, output_mode="append")
+    return out.orderBy("user_id", "event_type")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS error_id,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'error'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+    ORDER BY user_id, click_id, error_id
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: errors within 5 minutes after each click,
+    per user — the streaming twin of the batch interval join
+    (relational.join_interval_self_events). Watermarks on both sides plus
+    the time-range join condition let Spark evict click state once the
+    error-side watermark passes click_ts + 5m — bounded state at any
+    scale. Equality key (user_id) drives the shuffle; the range predicate
+    is evaluated within each key's state."""
+    clicks = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("cts"))
+              .withWatermark("cts", "10 minutes"))
+    errors = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.col("user_id").alias("e_user_id"),
+                      F.col("ts").alias("ets"))
+              .withWatermark("ets", "10 minutes"))
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("ets") >= F.col("cts"))
+        & (F.col("ets") < F.col("cts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    out = _drain(joined, spark, output_mode="append")
+    return (
+        out.select("user_id", "click_id", "error_id",
+                   (F.unix_timestamp("ets") - F.unix_timestamp("cts"))
+                   .cast("long").alias("gap_s"))
+        .orderBy("user_id", "click_id", "error_id")
+    )

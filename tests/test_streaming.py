@@ -141,3 +141,96 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # the 10:00 window was finalized by batch1's watermark with 2 events;
     # batch2's late 10:05 event must not reappear in it
     assert out.get("2024-01-01 10:00:00") == 2
+
+
+def _write_event_batches(spark, tmp_path, batches, name="src"):
+    """Crafted micro-batch input: one flat parquet file per trigger, in
+    the nanos-as-long layout the events loader expects."""
+    from pyspark.sql import functions as F
+
+    import time
+
+    src = tmp_path / name
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate(batches):
+        staging = tmp_path / f"{name}_staging{i}"
+        (spark.createDataFrame(rows, cols)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .withColumn("ts", F.unix_micros("ts") * 1000)
+         .coalesce(1).write.parquet(str(staging)))
+        next(staging.glob("part-*.parquet")).rename(src / f"b{i}.parquet")
+        time.sleep(1.1)  # distinct mod-times → deterministic batch order
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from house_price_etl_pipeline_spark.streaming.windows import EVENTS_RAW_SCHEMA
+    return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate arriving while the key
+    is still in state is SUPPRESSED; after the watermark evicts the key,
+    the same key is emitted again (the state-bounding trade-off the
+    docstring in streaming/joins.py documents)."""
+    from pyspark.sql import functions as F
+
+    batches = [
+        # batch 0: key A first seen at 10:00; duplicate at 10:02 suppressed
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:02:00", 1, "click", 1.0, "{}")],
+        # batch 1: pushes max event time to 12:00 → watermark becomes
+        # 11:50 only AFTER this batch commits
+        [(3, "2024-01-01 12:00:00", 2, "view", 1.0, "{}")],
+        # batch 2: runs with watermark 11:50 → key A (expiry 10:10) is
+        # evicted during this batch's state cleanup
+        [(4, "2024-01-01 12:30:00", 3, "view", 1.0, "{}")],
+        # batch 3: key A recurs AFTER eviction → emitted a second time
+        [(5, "2024-01-01 12:31:00", 1, "click", 1.0, "{}")],
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "dedup_src")
+    deduped = (stream.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("dedup_wm").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = [(r.event_id, r.user_id) for r in
+           spark.table("dedup_wm").orderBy("event_id").collect()]
+    # event 2 (in-state duplicate) suppressed; event 5 (post-eviction
+    # recurrence of the same key) re-emitted
+    assert out == [(1, 1), (3, 2), (4, 3), (5, 1)]
+
+
+def test_stream_stream_join_emits_only_in_range_pairs(spark, tmp_path):
+    """Stream-stream interval join on crafted input: only errors within
+    [click_ts, click_ts+5m) per user match, across micro-batches."""
+    from pyspark.sql import functions as F
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:03:00", 1, "error", 1.0, "{}")],   # in range
+        [(3, "2024-01-01 10:04:59", 1, "error", 1.0, "{}"),    # in range (cross-batch)
+         (4, "2024-01-01 10:05:00", 1, "error", 1.0, "{}"),    # boundary: excluded
+         (5, "2024-01-01 10:01:00", 2, "error", 1.0, "{}")],   # wrong user
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "ssj_src")
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("cts"))
+              .withWatermark("cts", "10 minutes"))
+    errors = (stream.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.col("user_id").alias("e_user_id"),
+                      F.col("ts").alias("ets"))
+              .withWatermark("ets", "10 minutes"))
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("ets") >= F.col("cts"))
+        & (F.col("ets") < F.col("cts") + F.expr("INTERVAL 5 MINUTES")))
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    pairs = sorted((r.click_id, r.error_id) for r in spark.table("ssj_out").collect())
+    assert pairs == [(1, 2), (1, 3)]
