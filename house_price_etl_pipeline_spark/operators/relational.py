@@ -1070,3 +1070,85 @@ def dedup_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ts").cast("string").alias("latest_ts"), "event_type")
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(last_value(o_totalprice)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS last_price,
+           CAST(nth_value(o_totalprice, 2) OVER w AS DOUBLE) AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value frame semantics: last_value needs the
+    explicit unbounded-following frame (the default frame ends at
+    CURRENT ROW — the classic silent-wrong-answer both engines share,
+    spelled out here identically). Deterministic via (date, key) order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+            F.last("o_totalprice").over(w_full).cast("double").alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).cast("double")
+            .alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "arrays_function_breadth",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(list_max(embedding) AS DOUBLE) AS max_x,
+           CAST(list_min(embedding) AS DOUBLE) AS min_x,
+           (CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+            + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+            + CAST(embedding[5] AS DOUBLE) + CAST(embedding[6] AS DOUBLE)
+            + CAST(embedding[7] AS DOUBLE) + CAST(embedding[8] AS DOUBLE))
+             AS head8_sum,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS sorted_first,
+           CAST(list_contains(list_transform(embedding, x -> x > 0), true)
+                AS BOOLEAN) AS has_positive
+    FROM embeddings WHERE vec_id < 400 ORDER BY vec_id
+    """,
+)
+def arrays_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar-function surface (SURVEY §2.12 nested-data slice):
+    size / array_max / array_min / slice+fold / sort_array / exists —
+    all JVM-side expressions over array<float>, no explode and no
+    shuffle. float32 → double widening is exact, so no rounding is
+    needed anywhere."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    # double fold is strictly left-to-right — the oracle spells the same
+    # left-associative chain, so both engines produce identical IEEE bits
+    # (float→decimal casts quantize differently per engine; doubles don't)
+    head8_sum = F.aggregate(
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.array_max("embedding").cast("double").alias("max_x"),
+            F.array_min("embedding").cast("double").alias("min_x"),
+            head8_sum.alias("head8_sum"),
+            F.sort_array("embedding")[0].cast("double").alias("sorted_first"),
+            F.exists("embedding", lambda x: x > 0).alias("has_positive"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,74 @@
+"""Format round-trip coverage: JSON-lines and ORC sources/sinks.
+
+The reference's only format is CSV-in / BigQuery-out (SURVEY §2.1/§2.7).
+A Spark-native engine is format-pluggable for free — this module proves
+value fidelity through the two other built-in columnar/text formats by
+round-tripping a table through each and aggregating the result read back
+from disk. The catalog entry is oracle-checked: if a format dropped
+precision (JSON serializes doubles as text; ORC re-encodes timestamps),
+the per-format aggregates would diverge from the parquet oracle.
+
+Scale note: the round-trip writes are partitioned exactly like any sink
+in sources/sinks.py — format choice changes encoding, not plan shape.
+JSON costs ~5-10x parquet/ORC scan time at 100 TB (text parse, no column
+pruning or predicate pushdown) — it's the interchange format, never the
+analytics store; that asymmetry is the point of registering the
+comparison.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from .tables import load_table
+
+_DEC = "decimal(25,6)"
+
+
+def _agg_by_format(df: DataFrame, fmt: str) -> DataFrame:
+    return df.agg(
+        F.lit(fmt).alias("fmt"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("sum_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("max_date"),
+    )
+
+
+@register(
+    "format_roundtrip_fidelity",
+    oracle="""
+    SELECT f.fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_date
+    FROM orders, (SELECT unnest(['json', 'orc', 'parquet']) AS fmt) f
+    GROUP BY f.fmt ORDER BY f.fmt
+    """,
+)
+def format_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders to JSON-lines and ORC, read each back, and aggregate
+    all three copies (parquet original included): identical rows per
+    format == lossless round-trip. Timestamps travel as ISO strings in
+    JSON (schema-applied on read); doubles survive via Spark's
+    full-precision JSON serialization."""
+    o = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    json_path = os.path.join(base, "orders_json")
+    orc_path = os.path.join(base, "orders_orc")
+    o.write.mode("overwrite").json(json_path)
+    o.write.mode("overwrite").orc(orc_path)
+    o_json = spark.read.schema(o.schema).json(json_path)
+    o_orc = spark.read.orc(orc_path)
+    return (
+        _agg_by_format(o_json, "json")
+        .unionByName(_agg_by_format(o_orc, "orc"))
+        .unionByName(_agg_by_format(o, "parquet"))
+        .orderBy("fmt")
+    )
