@@ -53,6 +53,7 @@ _MODULES = (
     "house_price_etl_pipeline_spark.operators.tpch_shapes",
     "house_price_etl_pipeline_spark.operators.sampling",
     "house_price_etl_pipeline_spark.sources.formats",
+    "house_price_etl_pipeline_spark.sources.pydatasource",
     "house_price_etl_pipeline_spark.operators.temporal",
     "house_price_etl_pipeline_spark.operators.reference_ops",
     "house_price_etl_pipeline_spark.operators.text",

@@ -1,0 +1,34 @@
+"""Python DataSource API connector: partition planning, determinism,
+Arrow-batch reads (sources/pydatasource.py)."""
+
+from __future__ import annotations
+
+from house_price_etl_pipeline_spark.sources.pydatasource import (
+    read_synthetic_events,
+)
+
+
+def test_partition_planning_respected(spark):
+    df = read_synthetic_events(spark, rows=1000, partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+
+
+def test_rows_identical_for_any_partition_count(spark):
+    """Every column is a pure function of the row id, so re-planning with
+    a different partition count must yield the SAME multiset of rows —
+    the retry/elasticity guarantee a distributed source needs."""
+    a = sorted(map(tuple, read_synthetic_events(spark, 2000, 3).collect()))
+    b = sorted(map(tuple, read_synthetic_events(spark, 2000, 7).collect()))
+    assert a == b
+
+
+def test_schema_and_value_ranges(spark):
+    df = read_synthetic_events(spark, rows=500, partitions=2)
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts_s", "user_id", "event_type", "value"]
+    row = df.selectExpr(
+        "min(user_id) as lo_u", "max(user_id) as hi_u",
+        "min(value) as lo_v", "max(value) as hi_v").first()
+    assert 0 <= row.lo_u and row.hi_u < 150
+    assert 0.0 <= row.lo_v and row.hi_v < 100.0
