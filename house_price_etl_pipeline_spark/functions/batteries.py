@@ -1,0 +1,143 @@
+"""Scalar-function batteries: null-handling, string, and date/time
+surface (SURVEY §2.4 closure — the reference uses a handful of scalar
+functions; an engine a user can switch to needs the standard menu).
+
+Each battery is one catalog query applying the whole function family to
+real columns, oracle-checked — so every listed function is value-verified
+against an independent engine, not just "does it parse". All JVM-side
+expressions inside whole-stage codegen; zero shuffles except the final
+presentation sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+
+@register(
+    "scalar_null_battery",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_masked,
+           (c_acctbal IS NOT DISTINCT FROM NULL) AS bal_is_null_safe,
+           CASE WHEN NULLIF(c_acctbal, 0.0) IS NULL THEN 'zero_or_null'
+                ELSE 'nonzero' END AS bal_class,
+           ifnull(NULLIF(c_name, c_name), 'self_nulled') AS nvl_demo,
+           CASE WHEN c_acctbal IS NOT NULL THEN 'has_bal' ELSE 'no_bal' END
+             AS nvl2_demo
+    FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey
+    """,
+)
+def scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling family: coalesce / nullif / null-safe equality (<=>)
+    / nvl / nvl2 — the semantics ETL repairs hinge on (the reference's
+    X7 conditional repair is a special case)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    return (
+        c.select(
+            "c_custkey",
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")),
+                       F.lit("suppressed")).alias("seg_masked"),
+            F.col("c_acctbal").eqNullSafe(F.lit(None).cast("double"))
+            .alias("bal_is_null_safe"),
+            F.when(F.nullif("c_acctbal", F.lit(0.0)).isNull(), "zero_or_null")
+            .otherwise("nonzero").alias("bal_class"),
+            F.nvl(F.nullif("c_name", F.col("c_name")), F.lit("self_nulled"))
+            .alias("nvl_demo"),
+            F.nvl2("c_acctbal", F.lit("has_bal"), F.lit("no_bal"))
+            .alias("nvl2_demo"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "scalar_string_battery",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up_name,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           replace(c_name, 'Customer', 'Cust') AS short_name,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           reverse(c_mktsegment) AS seg_rev,
+           CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+           substring(c_name, 1, 8) AS name_head,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS INTEGER) AS seg_lev,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+           trim(rpad(c_mktsegment, 12, ' ')) AS seg_trim
+    FROM customer WHERE c_custkey <= 1000 ORDER BY c_custkey
+    """,
+)
+def scalar_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper / lpad / rpad / replace / length / reverse /
+    instr / substring / levenshtein / concat_ws / trim — value-verified
+    (levenshtein in particular backs fuzzy-match dedup)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    return (
+        c.select(
+            "c_custkey",
+            F.upper("c_name").alias("up_name"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+            F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+            F.length("c_name").cast("int").alias("name_len"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.instr("c_name", "#").cast("int").alias("hash_pos"),
+            F.substring("c_name", 1, 8).alias("name_head"),
+            F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("int")
+            .alias("seg_lev"),
+            F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string"))
+            .alias("seg_nat"),
+            F.trim(F.rpad("c_mktsegment", 12, " ")).alias("seg_trim"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "scalar_datetime_battery",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST((2000 * 12 + 1) - (year(o_orderdate) * 12 + month(o_orderdate))
+                AS INTEGER) AS whole_months_to_2000,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey
+    """,
+)
+def scalar_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: interval arithmetic / last_day / date_trunc /
+    quarter / ISO weekday / day-of-year / month difference / epoch — the
+    calendar toolkit behind every time-bucketed rollup. Month difference
+    is counted in WHOLE months (both engines' fractional conventions
+    differ; the whole-month count is engine-portable)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_format(d + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd")
+            .alias("plus_30d"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.date_trunc("month", d), "yyyy-MM-dd")
+            .alias("month_start"),
+            F.quarter(d).cast("int").alias("qtr"),
+            F.dayofweek(F.date_sub(d.cast("date"), 1)).cast("int").alias("iso_dow"),
+            F.dayofyear(d).cast("int").alias("doy"),
+            # month-INDEX difference, not months_between: Spark counts
+            # elapsed months with day fractions, DuckDB counts boundary
+            # crossings — the index arithmetic is the portable form
+            (F.lit(2000 * 12 + 1) - (F.year(d) * 12 + F.month(d)))
+            .cast("int").alias("whole_months_to_2000"),
+            F.unix_timestamp(d).alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -54,9 +54,11 @@ _MODULES = (
     "house_price_etl_pipeline_spark.operators.sampling",
     "house_price_etl_pipeline_spark.sources.formats",
     "house_price_etl_pipeline_spark.sources.pydatasource",
+    "house_price_etl_pipeline_spark.functions.batteries",
     "house_price_etl_pipeline_spark.operators.temporal",
     "house_price_etl_pipeline_spark.operators.reference_ops",
     "house_price_etl_pipeline_spark.operators.text",
+    "house_price_etl_pipeline_spark.operators.packing",
     "house_price_etl_pipeline_spark.operators.dedup",
     "house_price_etl_pipeline_spark.operators.similarity",
     "house_price_etl_pipeline_spark.operators.multimodal",
