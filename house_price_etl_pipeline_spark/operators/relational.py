@@ -1152,3 +1152,19 @@ def arrays_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register("agg_freq_items")  # sketch-based (false positives) → rows-only
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (Karp-Papadimitriou-Shenker counters via
+    DataFrame.stat.freqItems): one pass, fixed memory — the 100 TB
+    replacement for exact GROUP BY + ORDER BY count when only "which
+    values are frequent" matters. May over-report (never under-report)
+    → no value oracle; the planted-frequency test lives in
+    tests/test_plans.py::test_freq_items_finds_planted_heavy_hitter."""
+    o = _t(spark, sf_dir, "orders")
+    freq = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    return freq.select(
+        F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
+        F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
+    )

@@ -67,3 +67,48 @@ def run_ingest_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
+                                checkpoint_dir: str, key_cols: list[str],
+                                order_col: str):
+    """Streaming upsert sink via foreachBatch: each micro-batch is merged
+    into a parquet-backed table keeping the latest row per key (CDC
+    compaction — SURVEY K3's append sink upgraded to upsert semantics,
+    which no built-in file sink offers).
+
+    Inside foreachBatch the batch DataFrame is a normal batch frame: we
+    union it with the current target, keep the winner per key via a
+    deterministic row_number over (order_col DESC), and atomically swap
+    the target. At scale the overwrite becomes partition-overwrite-
+    dynamic on the key's partition column; semantics are identical.
+    Exactly-once: foreachBatch re-runs a failed batch with the same
+    batch_id against the already-committed target — the merge is
+    idempotent because keep-latest of an already-merged batch is a
+    no-op."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        if os.path.isdir(target_dir):
+            current = batch_df.sparkSession.read.parquet(target_dir)
+            merged = current.unionByName(batch_df)
+        else:
+            merged = batch_df
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        winners = (merged.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+        tmp = target_dir + f"_staging_{batch_id}"
+        winners.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    return (stream_df.writeStream
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -127,3 +127,57 @@ def test_q18_in_subquery_is_semi_join(spark, sf_dir):
     semi join, not a full join + distinct."""
     plan = _plan(spark, sf_dir, "q18_large_volume_customers")
     assert "LeftSemi" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: with a selective creation side and a
+    shuffle join, the optimizer injects a bloom_filter_might_contain
+    predicate on the probe side — rows that cannot join are dropped at
+    the scan, the 100 TB analog of partition pruning for un-partitioned
+    keys. (Broadcast joins subsume it, so it's asserted with broadcast
+    disabled and local thresholds relaxed.)"""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = (load_table(spark, sf_dir, "orders")
+             .filter(F.col("o_totalprice") > 500000))
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_freq_items_finds_planted_heavy_hitter(spark, sf_dir):
+    """freqItems must include every value whose true frequency exceeds
+    the support threshold (it may over-report, never under-report)."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.plans.catalog import REGISTRY
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    row = REGISTRY["agg_freq_items"].fn(spark, sf_dir).first()
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    truly_frequent = {
+        r.o_orderstatus
+        for r in o.groupBy("o_orderstatus").count().collect()
+        if r["count"] / n > 0.2
+    }
+    assert truly_frequent <= set(row.frequent_statuses)

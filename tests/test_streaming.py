@@ -234,3 +234,28 @@ def test_stream_stream_join_emits_only_in_range_pairs(spark, tmp_path):
     q.awaitTermination()
     pairs = sorted((r.click_id, r.error_id) for r in spark.table("ssj_out").collect())
     assert pairs == [(1, 2), (1, 3)]
+
+
+def test_foreach_batch_upsert_keeps_latest_per_key(spark, tmp_path):
+    """foreachBatch upsert sink: two micro-batches with overlapping keys
+    must leave exactly one (latest) row per key in the target table."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        stream_upsert_foreach_batch)
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:05:00", 2, "view", 2.0, "{}")],
+        # user 1 reappears later (wins), user 3 is new
+        [(3, "2024-01-01 11:00:00", 1, "purchase", 9.0, "{}"),
+         (4, "2024-01-01 11:05:00", 3, "click", 3.0, "{}")],
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "upsert_src")
+    target = str(tmp_path / "upsert_target")
+    q = stream_upsert_foreach_batch(
+        stream, spark, target, str(tmp_path / "upsert_ckpt"),
+        key_cols=["user_id"], order_col="ts")
+    q.awaitTermination()
+    rows = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].event_type == "purchase"  # batch-2 version won
+    assert rows[2].event_type == "view" and rows[3].event_type == "click"
