@@ -41,10 +41,12 @@ DEDUP_SHUFFLE_PARTITIONS = 8
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFrame:
-    """(doc_id, token) distinct pairs — the inverted-index building block."""
+    """(doc_id, token) distinct pairs — the inverted-index building block.
+    Repartitioned before the explode (see _doc_shingles)."""
     d = load_table(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
+    d = d.repartition(DEDUP_SHUFFLE_PARTITIONS, "doc_id")
     return (
         d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     )
@@ -71,10 +73,16 @@ def shingle_expr(text_col, n: int = 3):
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None,
                   n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — MinHash/SimHash input."""
+    """(doc_id, shingle) distinct pairs — MinHash/SimHash input.
+
+    The raw documents table is small on disk (one parquet split) but the
+    shingle explode multiplies it ~300x — repartition BEFORE the explode
+    so the expansion runs wide instead of on the single input split (at
+    100 TB the same applies per-file: spread the explode, not the scan)."""
     d = load_table(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
+    d = d.repartition(DEDUP_SHUFFLE_PARTITIONS, "doc_id")
     return d.select("doc_id", F.explode(shingle_expr(F.col("text"), n)).alias("t"))
 
 
@@ -154,6 +162,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs materialization; the token join is the only shuffle. This is
     also the exact-verify stage the LSH pipeline reuses."""
     tok = _doc_tokens(spark, sf_dir, 300).cache()
+    tok.count()  # eager fill: 3 branches below would race the cold cache
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
@@ -228,6 +237,11 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(DEDUP_SHUFFLE_PARTITIONS))
     try:
         tok = _doc_shingles(spark, sf_dir, None).cache()
+        # fill the cache EAGERLY: the downstream DAG references tok from
+        # six independent branches, and AQE submits their shuffle stages
+        # concurrently — before the cache is populated each branch would
+        # recompute the full explode (measured: 6 parallel 3 s stages)
+        tok.count()
         cand = lsh_candidate_pairs(minhash_signatures(tok))
         sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
         a, b = tok.alias("a"), tok.alias("b")
@@ -291,7 +305,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit = (F.col(f"bit{c * 16 + i}") > 0).cast("long")
             expr = expr + F.shiftleft(bit, i)
         chunk_cols.append(expr.alias(f"chunk{c}"))
-    fp = bits.select("doc_id", *chunk_cols)
+    # localCheckpoint: fp feeds three branches (chunk explode + both
+    # sides of the hamming verify); without materialization each branch
+    # would recompute the full shingle explode + 64-vote aggregation
+    fp = bits.select("doc_id", *chunk_cols).localCheckpoint(eager=True)
     chunks = fp.select(
         "doc_id",
         F.explode(F.array(*[
@@ -396,19 +413,23 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
     labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")).cache())
+              .withColumn("label", F.col("node")).localCheckpoint(eager=True))
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint (not cache): truncates the lineage each round,
+        # so Catalyst plans stay constant-size across iterations instead
+        # of growing — the driver-side planning gap per round was
+        # comparable to the shuffle work itself on small pair lists
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select("node",
                     F.least("label", F.coalesce("nbr_label", "label"))
                     .alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "new_label")
