@@ -49,9 +49,23 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = catalog.load_all()
 
-    # Warmup: run the flagship once untimed (JVM/codegen/Arrow spin-up).
+    # Warmup: run the flagship once untimed (JVM/codegen/Arrow spin-up),
+    # plus one tiny call through each Python-worker path (pandas_udf and
+    # the Python DataSource) — the daemon/worker pool start is a
+    # session-level cost, same amortization class as JVM startup.
     try:
         materialize(registry["flagship_avg_price_by_year"].fn(spark, sf_dir))
+        import pandas as pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("double")
+        def _warm(v: pd.Series) -> pd.Series:
+            return v * 1.0
+
+        spark.range(32).select(_warm(col("id").cast("double"))).collect()
+        from house_price_etl_pipeline_spark.sources.pydatasource import (
+            read_synthetic_events)
+        materialize(read_synthetic_events(spark, rows=64, partitions=2))
     except Exception as exc:  # pragma: no cover - warmup best-effort
         print(f"warmup failed: {exc!r}", file=sys.stderr)
 

@@ -1168,3 +1168,35 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
         F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT))
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    binary variant, then typed try_variant_get extraction — the
+    parse-once/extract-many shape that replaces repeated string JSON
+    parsing when many fields are read (variant decode is columnar and
+    shreddable; get_json_object re-parses the string per call). Missing
+    paths yield NULL (counted to pin that semantics)."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(F.min(k).alias("min_k"), F.max(k).alias("max_k"),
+             F.count(missing).alias("n_missing"))
+        .orderBy("event_type")
+    )

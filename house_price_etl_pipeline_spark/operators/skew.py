@@ -35,3 +35,37 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     )
     out = big_s.join(small_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+# Catalog entry: the salted path under the driver's value-hash gate —
+# salting must be result-invariant, so the oracle is the PLAIN join SQL.
+from ..functions.numeric import dec_sum, dec_sum_expr  # noqa: E402
+from ..plans.catalog import register  # noqa: E402
+from ..sources.tables import load_table  # noqa: E402
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_expr('o.o_totalprice')} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """orders ⋈ customer through the salted path: the hot side spreads
+    each key over 8 salt buckets, the small side replicates 8x — and the
+    oracle is the PLAIN join, proving salting is a pure physical rewrite
+    (identical result bits, value-hash checked)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey")
+    joined = salted_join(o, c, on="o_custkey", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"),
+             dec_sum("o_totalprice").alias("sum_price"))
+        .orderBy("c_mktsegment")
+    )
