@@ -414,3 +414,60 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("min_cost", 6).alias("min_unit_cost"))
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "sql_lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 300
+    ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+    """,
+)
+def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 orders per customer) through
+    the SQL surface — the per-row subquery shape Catalyst plans as a
+    single window/join, never one query per outer row. Equivalent to the
+    row_number window form (window_top3_parts_per_brand); registered via
+    LATERAL to cover the SQL construct itself."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+    """)
+
+
+@register(
+    "join_cross_region_pairs",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name <> b.r_name
+    ORDER BY from_region, to_region
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (the one legitimate nested-loop use: both
+    sides tiny and the full product is wanted — region pair matrix).
+    Anything larger belongs in an equi/bucketed rewrite (see
+    temporal.join_range_band_bucketed)."""
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_name").alias("to_region"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("from_region") != F.col("to_region"))
+        .orderBy("from_region", "to_region")
+    )

@@ -181,3 +181,16 @@ def test_freq_items_finds_planted_heavy_hitter(spark, sf_dir):
         if r["count"] / n > 0.2
     }
     assert truly_frequent <= set(row.frequent_statuses)
+
+
+def test_approx_quantiles_accuracy(spark, sf_dir):
+    """approx_percentile must land within the sketch's rank-error bound
+    of the exact interpolated quantiles (loose 5% value tolerance on
+    this distribution)."""
+    exact = {r.l_returnflag: (r.q25, r.median_price, r.q75)
+             for r in REGISTRY["agg_quantiles_exact"].fn(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: r.approx_quantiles
+              for r in REGISTRY["agg_quantiles_approx"].fn(spark, sf_dir).collect()}
+    for flag, (q25, q50, q75) in exact.items():
+        for got, want in zip(approx[flag], (q25, q50, q75)):
+            assert abs(got - want) / want < 0.05, (flag, got, want)

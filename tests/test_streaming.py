@@ -259,3 +259,30 @@ def test_foreach_batch_upsert_keeps_latest_per_key(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert rows[1].event_type == "purchase"  # batch-2 version won
     assert rows[2].event_type == "view" and rows[3].event_type == "click"
+
+
+def test_state_store_reader_exposes_streaming_state(spark, tmp_path):
+    """Spark 4 state data source: the state store behind a streaming
+    aggregation is directly queryable from its checkpoint — the
+    debuggability story for stateful pipelines (inspect keys/values
+    without instrumenting the job)."""
+    from pyspark.sql import functions as F
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:01:00", 1, "view", 2.0, "{}"),
+         (3, "2024-01-01 10:02:00", 2, "click", 3.0, "{}")],
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "state_src")
+    ckpt = str(tmp_path / "state_ckpt")
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("state_demo").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    state = spark.read.format("statestore").load(ckpt)
+    # state exposes the aggregation BUFFER schema (internal name `count`),
+    # keyed by the grouping columns
+    rows = {r["key"]["user_id"]: r["value"]["count"] for r in state.collect()}
+    assert rows == {1: 2, 2: 1}
