@@ -132,3 +132,89 @@ def pysource_synthetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+# --- writer side: two-phase-commit JSON-lines sink -------------------------
+
+class _ShardCommit:
+    """Picklable commit message: staged shard path + row count."""
+
+    def __init__(self, shard: str, n_rows: int):
+        self.shard, self.n_rows = shard, n_rows
+
+
+class JsonAuditWriter:
+    """Per-partition JSON-lines shards with two-phase commit: executors
+    write to a staging name and report a commit message; only the driver
+    -side commit() renames shards into place and publishes a _MANIFEST
+    with per-shard row counts. A failed/speculative task's shard is
+    never visible (abort() deletes staging) — the exactly-once recipe
+    every distributed sink follows (same contract as Spark's own
+    HadoopMapReduceCommitProtocol)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(shard, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(shard, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {}
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.rename(m.shard, final)
+            manifest[os.path.basename(final)] = m.n_rows
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.shard):
+                os.remove(m.shard)
+
+
+try:  # writer base classes exist on Spark >= 4.0 only
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _ShardCommitMsg(_ShardCommit, WriterCommitMessage):
+        pass
+
+    class _JsonAuditDataSourceWriter(JsonAuditWriter, DataSourceWriter):
+        def write(self, iterator):
+            base = JsonAuditWriter.write(self, iterator)
+            return _ShardCommitMsg(base.shard, base.n_rows)
+
+    class JsonAuditDataSource(DataSource):
+        """`jsonaudit` format: writer-side twin of `synthetic_events`."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonaudit"
+
+        def writer(self, schema, overwrite: bool):
+            return _JsonAuditDataSourceWriter(self.options, overwrite)
+
+    def register_jsonaudit_sink(spark: SparkSession) -> None:
+        spark.dataSource.register(JsonAuditDataSource)
+except ImportError:  # pragma: no cover
+    def register_jsonaudit_sink(spark: SparkSession) -> None:
+        raise NotImplementedError("Python DataSource writer needs Spark >= 4.0")

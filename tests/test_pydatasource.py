@@ -32,3 +32,31 @@ def test_schema_and_value_ranges(spark):
         "min(value) as lo_v", "max(value) as hi_v").first()
     assert 0 <= row.lo_u and row.hi_u < 150
     assert 0.0 <= row.lo_v and row.hi_v < 100.0
+
+
+def test_json_audit_writer_two_phase_commit(spark, tmp_path):
+    """Writer side of the DataSource API: shards land via rename-on-commit
+    with a manifest whose counts reconcile to the input — and no staging
+    files survive."""
+    import json
+    import os
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        register_jsonaudit_sink)
+
+    register_jsonaudit_sink(spark)
+    out = str(tmp_path / "audit_out")
+    df = read_synthetic_events(spark, rows=300, partitions=3)
+    df.write.format("jsonaudit").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(manifest.values()) == 300
+    files = sorted(os.listdir(out))
+    assert not any(f.startswith("_staging") for f in files)
+    n_lines = sum(
+        1 for f in files if f.endswith(".jsonl")
+        for _ in open(os.path.join(out, f)))
+    assert n_lines == 300
+    # round-trip: the shards are plain JSON-lines Spark can read back
+    back = spark.read.schema(df.schema).json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 300
