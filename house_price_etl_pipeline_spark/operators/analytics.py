@@ -1,0 +1,210 @@
+"""Product-analytics shapes over the events stream: time-grid resampling
+with forward-fill, daily new/cumulative users, cohort retention, funnel
+conversion — the rollups an analytics engine is actually asked for, and
+(SURVEY §2.12) categories absent from the reference's single analytic.
+
+Scale notes:
+- the resample grid is generated per key with `sequence()` (grid size =
+  time span / step, independent of event count) and filled via the
+  engine's as-of join (temporal.asof_join): one shuffle on user_id,
+  no inequality join;
+- "new users" needs each user's FIRST event — a (user) agg that shares
+  its shuffle with the cohort assignment; the cumulative series is a
+  window over the (tiny) per-day aggregate;
+- cohort retention is distinct (user, week) activity joined to the
+  (user, first_week) table — both sides pre-shrunk by distinct/agg
+  before the join;
+- the funnel is two per-user min-timestamps and a conditional count —
+  never a self-join of raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+
+@register(
+    "ts_resample_forward_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS gts
+      FROM bounds
+    ),
+    ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20)
+    SELECT g.user_id, CAST(g.gts AS VARCHAR) AS grid_ts,
+           round(CAST(e.value AS DOUBLE), 6) AS ffill_value
+    FROM grid g ASOF LEFT JOIN ev e
+      ON g.user_id = e.user_id AND e.ts <= g.gts
+    ORDER BY g.user_id, g.gts
+    """,
+)
+def ts_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular events onto a regular 6-hour grid,
+    forward-filling the last observed value — the gap-filling shape every
+    time-series rollup needs. Grid via sequence() (size bounded by the
+    time span, not event count), fill via the engine's as-of join —
+    verified against DuckDB's native ASOF LEFT JOIN."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS")))
+        .alias("gts"))
+    return _resample_fill(grid, e).orderBy("user_id", "grid_ts")
+
+
+def _resample_fill(grid: DataFrame, events: DataFrame) -> DataFrame:
+    """Forward-fill grid points from events via the union+window as-of
+    technique (temporal.asof_join generalized to differing ts column
+    names): one shuffle on user_id."""
+    g = grid.select("user_id", F.col("gts").alias("t"))
+    e = events.select("user_id", F.col("ts").alias("t"), "value")
+    left = g.select(F.lit(1).alias("_side"), "user_id", "t",
+                    F.lit(None).cast("double").alias("_v"))
+    right = e.select(F.lit(0).alias("_side"), "user_id", "t",
+                     F.col("value").cast("double").alias("_v"))
+    w = (Window.partitionBy("user_id").orderBy("t", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        left.unionByName(right)
+        .select("_side", "user_id", "t",
+                F.last("_v", ignorenulls=True).over(w).alias("ffill"))
+        .filter(F.col("_side") == 1)
+        .select("user_id", F.col("t").cast("string").alias("grid_ts"),
+                F.round("ffill", 6).alias("ffill_value"))
+    )
+
+
+@register(
+    "users_daily_new_cumulative",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily ORDER BY day
+    """,
+)
+def users_daily_new_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users + running total: first-event date per user (one
+    shuffle on user_id), a per-day count, and a window over the tiny
+    daily aggregate — running distinct counts without ever carrying a
+    distinct-set through time."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("d"))
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_new",
+            F.sum("n_new").over(w).cast("long").alias("cumulative_users"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', f.cohort, a.wk) AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM active a JOIN first_week f ON a.user_id = f.user_id
+    GROUP BY f.cohort, week_offset ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week,
+    counted per weeks-since-cohort. Both join inputs are pre-shrunk
+    (per-user agg; distinct (user, week)) so the join is user-cardinality,
+    not event-cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    first_week = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"))
+    active = e.select("user_id",
+                      F.date_trunc("week", "ts").alias("wk")).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .groupBy("cohort", (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+                 .cast("int").alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+        .select(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "n_active")
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, MIN(ts) AS first_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT c.user_id, c.first_click,
+             MIN(e.ts) AS first_purchase
+      FROM clicks c
+      LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts >= c.first_click
+       AND e.ts < c.first_click + INTERVAL 24 HOUR
+      GROUP BY c.user_id, c.first_click
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS users_clicked,
+           CAST(COUNT(first_purchase) AS BIGINT) AS users_converted,
+           round(CAST(COUNT(first_purchase) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM conv
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: first click per user, then the earliest purchase
+    within 24 h after it. The step-2 probe joins the (small) per-user
+    step-1 table against purchase events only — equi-join on user_id
+    with the time window as a residual; never a raw-events self-join."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id").agg(F.min("ts").alias("first_click")))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"), F.col("ts").alias("pts")))
+    conv = (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user)
+            & (purchases.pts >= clicks.first_click)
+            & (purchases.pts < clicks.first_click + F.expr("INTERVAL 24 HOURS")),
+            "left")
+        .groupBy("user_id", "first_click")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    return conv.agg(
+        F.count("*").alias("users_clicked"),
+        F.count("first_purchase").alias("users_converted"),
+        F.round(F.count("first_purchase").cast("double") / F.count("*"), 6)
+        .alias("conversion_rate"),
+    )

@@ -1200,3 +1200,38 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(missing).alias("n_missing"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "maps_function_breadth",
+    oracle="""
+    SELECT user_id, event_type AS k,
+           CAST(n * 2 AS BIGINT) AS v_scaled
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    WHERE n >= 3
+    ORDER BY user_id, k
+    """,
+)
+def maps_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (SURVEY §2.12 nested-data slice): per-user
+    event-type counts assembled into a map<string,bigint>
+    (map_from_entries), thresholded with map_filter, rescaled with
+    transform_values, then exploded back to rows. The oracle computes the
+    same relationally — equality proves each map op's semantics, not just
+    that it runs. Map ops are JVM-side; the only shuffle is the
+    (user_id, event_type) count."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    per_user = counts.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
+        .alias("m"))
+    m = F.transform_values(
+        F.map_filter(F.col("m"), lambda k, v: v >= 3),
+        lambda k, v: v * 2)
+    return (
+        per_user.select("user_id", F.explode(m).alias("k", "v_scaled"))
+        .orderBy("user_id", "k")
+    )
