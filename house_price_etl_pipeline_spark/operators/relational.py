@@ -1235,3 +1235,35 @@ def maps_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.select("user_id", F.explode(m).alias("k", "v_scaled"))
         .orderBy("user_id", "k")
     )
+
+
+@register(
+    "agg_regression_price_on_qty",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(corr(l_extendedprice, l_quantity), 6) AS r,
+           round(covar_pop(l_extendedprice, l_quantity), 4) AS cov_pop,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression/correlation aggregate family (regr_slope/intercept,
+    corr, covar_pop): distributed OLS from sufficient statistics — one
+    partial-aggregated pass, no data movement beyond the group shuffle.
+    The scale story for ANY closed-form fit: ship moments, not rows.
+    Rounded to absorb the engines' summation-order difference in the
+    second-moment accumulations."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.regr_slope(y, x), 6).alias("slope"),
+             F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+             F.round(F.corr(y, x), 6).alias("r"),
+             F.round(F.covar_pop(y, x), 4).alias("cov_pop"),
+             F.regr_count(y, x).alias("n"))
+        .orderBy("l_returnflag")
+    )
