@@ -1267,3 +1267,51 @@ def agg_regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.regr_count(y, x).alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_custkey_not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_in_domain',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_custkey_referential',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ORDER BY rule
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report: per-rule violation counts — the
+    publish-with-every-snapshot audit table. Column rules fold into ONE
+    conditional-aggregate scan (no per-rule pass); the referential rule
+    is a single anti join. At 100 TB: one scan + one shuffle, total."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    col_rules = o.agg(
+        F.count_if(F.col("o_custkey").isNull())
+        .alias("orders_custkey_not_null"),
+        F.count_if(F.col("o_totalprice") <= 0)
+        .alias("orders_totalprice_positive"),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P"))
+        .alias("orders_status_in_domain"),
+    )
+    report = col_rules.unpivot(
+        ids=[], values=None, variableColumnName="rule",
+        valueColumnName="n_violations")
+    referential = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.lit("orders_custkey_referential").alias("rule"),
+             F.count("*").alias("n_violations"))
+    )
+    return report.unionByName(referential).orderBy("rule")

@@ -431,3 +431,36 @@ def text_repetition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(-F.sum("plogp"), 6).alias("token_entropy"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang AS labeled,
+             {_LANGID_PRED_SQL.replace(chr(10), ' ')} AS predicted
+      FROM (
+        SELECT doc_id, lang,
+{_LANGID_SCORE_SQL}
+        FROM documents
+      )
+    )
+    SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY labeled, predicted ORDER BY labeled, predicted
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation shape: the language-ID confusion matrix
+    (labeled × predicted counts) — the rollup any filter/classifier in a
+    data pipeline publishes with each run. Reuses the scorer; adds one
+    tiny-key shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = text_language_id(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("predicted"))
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled"))
+        .join(pred, "doc_id")
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("labeled", "predicted")
+    )
