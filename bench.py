@@ -65,7 +65,9 @@ def main() -> None:
         spark.range(32).select(_warm(col("id").cast("double"))).collect()
         from house_price_etl_pipeline_spark.sources.pydatasource import (
             read_synthetic_events)
-        materialize(read_synthetic_events(spark, rows=64, partitions=2))
+        # partitions matches the catalog query's so the worker pool is
+        # fully grown before timing starts
+        materialize(read_synthetic_events(spark, rows=64, partitions=8))
     except Exception as exc:  # pragma: no cover - warmup best-effort
         print(f"warmup failed: {exc!r}", file=sys.stderr)
 
