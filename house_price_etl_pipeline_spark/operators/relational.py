@@ -1315,3 +1315,99 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("*").alias("n_violations"))
     )
     return report.unionByName(referential).orderBy("rule")
+
+
+@register(
+    "join_full_outer_daily_traffic",
+    oracle="""
+    WITH clicks AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY 1
+    ),
+    errors AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_errors FROM events
+      WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT strftime(coalesce(c.d, e.d), '%Y-%m-%d') AS day,
+           CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(coalesce(e.n_errors, 0) AS BIGINT) AS n_errors
+    FROM clicks c FULL OUTER JOIN errors e ON c.d = e.d
+    ORDER BY day
+    """,
+)
+def join_full_outer_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the last uncovered join flavor): daily click and
+    error series aligned with neither side dropping days the other
+    lacks — the series-alignment shape. Both inputs pre-aggregate to
+    day-cardinality before the join."""
+    e = _t(spark, sf_dir, "events")
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy(F.col("ts").cast("date").alias("d"))
+              .agg(F.count("*").alias("n_clicks")))
+    errors = (e.filter(F.col("event_type") == "error")
+              .groupBy(F.col("ts").cast("date").alias("e_d"))
+              .agg(F.count("*").alias("n_errors")))
+    return (
+        clicks.join(errors, clicks.d == errors.e_d, "full_outer")
+        .select(
+            F.date_format(F.coalesce("d", "e_d"), "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "agg_misc_battery",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bool_and(o_totalprice > 0) AS BOOLEAN) AS all_positive,
+           CAST(bool_or(o_totalprice > 400000) AS BOOLEAN) AS any_jumbo,
+           CAST(bit_and(CAST(o_custkey AS BIGINT)) AS BIGINT) AS key_bit_and,
+           CAST(bit_or(CAST(o_custkey AS BIGINT)) AS BIGINT) AS key_bit_or,
+           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           CAST(MIN(o_orderkey) AS BIGINT) AS stable_any_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining aggregate families: bool_and/bool_or, bit_and/bit_or,
+    collect_set (sorted for a deterministic array), and the any_value
+    shape spelled as MIN for cross-engine determinism (any_value itself
+    is legitimately nondeterministic — the battery documents the
+    deterministic substitute)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+             F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+             F.bit_and("o_custkey").alias("key_bit_and"),
+             F.bit_or("o_custkey").alias("key_bit_or"),
+             F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+             F.min("o_orderkey").alias("stable_any_key"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("agg_hll_sketch_union")  # sketch bytes are engine-internal → rows-only
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reusable distinct-count sketches (Apache DataSketches HLL): build
+    one sketch per group, then UNION the sketches for the rollup —
+    the store-sketches/merge-later pattern that gives mergeable distinct
+    counts across partitions, days, or tables without re-scanning rows.
+    Estimate accuracy vs exact is asserted in tests/test_plans.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_flag = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"),
+             F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey"))
+             .alias("approx_parts"))
+    )
+    total = per_flag.agg(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"))
+    return (
+        per_flag.select("l_returnflag", "approx_parts")
+        .unionByName(total)
+        .orderBy("l_returnflag")
+    )

@@ -194,3 +194,21 @@ def test_approx_quantiles_accuracy(spark, sf_dir):
     for flag, (q25, q50, q75) in exact.items():
         for got, want in zip(approx[flag], (q25, q50, q75)):
             assert abs(got - want) / want < 0.05, (flag, got, want)
+
+
+def test_hll_sketch_union_estimates_match_exact(spark, sf_dir):
+    """Per-group HLL estimates and the sketch-UNION rollup must land
+    within HLL error of the exact distinct counts — including the union,
+    which must NOT double-count keys shared across groups."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    got = {r.l_returnflag: r.approx_parts
+           for r in REGISTRY["agg_hll_sketch_union"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_all = li.select("l_partkey").distinct().count()
+    assert abs(got["ALL"] - exact_all) / exact_all < 0.05
+    for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_partkey").alias("n")).collect():
+        assert abs(got[r.l_returnflag] - r.n) / r.n < 0.05
