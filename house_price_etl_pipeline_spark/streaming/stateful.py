@@ -146,3 +146,78 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-stateful API) -------------------
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor: per-user running totals via a typed ValueState —
+    the transformWithState upgrade over applyInPandasWithState (typed
+    state variables with independent lifecycles, optional timers/TTL,
+    initial-state seeding). Emits one row per user per micro-batch with
+    totals ACROSS batches. Module-level class: the driver-side schema
+    worker unpickles the processor by reference, so it must be importable
+    (a closure-local ``type(...)`` subclass crashes that worker).
+
+    Runtime note: the transformWithState state-server protocol speaks
+    protobuf; in environments without ``google.protobuf`` the query
+    cannot start (the driver-side schema worker dies on import). The
+    companion test skips in that case; ``applyInPandasWithState``
+    (above) covers stateful streaming without that dependency."""
+
+    def init(self, handle) -> None:
+        self.totals = handle.getValueState(
+            "totals", "n_events long, sum_value double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        prev = self.totals.get()
+        if prev is not None:
+            n += prev[0]
+            s += prev[1]
+        self.totals.update((n, s))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 6)],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def drain_running_totals(spark, stream_df):
+    """Run the transformWithState query to completion (availableNow) and
+    return the LAST emitted row per user (the final running totals)."""
+    out_schema = "user_id long, n_events long, sum_value double"
+    result = (
+        stream_df.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
+        )
+    )
+    name = "twstate_out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (result.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table(name)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    latest = (out.withColumn(
+        "_rn", F.row_number().over(
+            w.partitionBy("user_id").orderBy(F.col("n_events").desc())))
+        .filter(F.col("_rn") == 1).drop("_rn"))
+    return latest

@@ -286,3 +286,27 @@ def test_state_store_reader_exposes_streaming_state(spark, tmp_path):
     # keyed by the grouping columns
     rows = {r["key"]["user_id"]: r["value"]["count"] for r in state.collect()}
     assert rows == {1: 2, 2: 1}
+
+
+def test_transform_with_state_carries_typed_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4): the typed ValueState must
+    accumulate ACROSS micro-batches — final running totals equal the
+    union's batch aggregate. Requires google.protobuf (the state-server
+    wire protocol); skipped where it isn't installed."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf")
+    from house_price_etl_pipeline_spark.streaming.stateful import (
+        drain_running_totals)
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.5, "{}"),
+         (2, "2024-01-01 10:05:00", 7, "purchase", 2.0, "{}"),
+         (3, "2024-01-01 10:06:00", 8, "view", 3.0, "{}")],
+        [(4, "2024-01-02 09:00:00", 7, "click", 4.0, "{}"),
+         (5, "2024-01-02 09:30:00", 9, "click", 5.5, "{}")],
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "tws_src")
+    final = {r.user_id: r for r in drain_running_totals(spark, stream).collect()}
+    assert final[7].n_events == 3 and abs(final[7].sum_value - 7.5) < 1e-9
+    assert final[8].n_events == 1 and final[9].n_events == 1
