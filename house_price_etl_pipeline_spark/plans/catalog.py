@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _MODULES = (
     "house_price_etl_pipeline_spark.operators.relational",
     "house_price_etl_pipeline_spark.operators.tpch_shapes",
+    "house_price_etl_pipeline_spark.operators.tpch_shapes2",
     "house_price_etl_pipeline_spark.operators.sampling",
     "house_price_etl_pipeline_spark.sources.formats",
     "house_price_etl_pipeline_spark.sources.pydatasource",
