@@ -27,6 +27,9 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # module-level: the warmup pandas_udf's stringified
+                     # type hints resolve against this module's globals
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from house_price_etl_pipeline_spark.plans import catalog
@@ -51,28 +54,52 @@ def main() -> None:
 
     # Warmup: run the flagship once untimed (JVM/codegen/Arrow spin-up),
     # plus one tiny call through each Python-worker path (pandas_udf and
-    # the Python DataSource) — the daemon/worker pool start is a
-    # session-level cost, same amortization class as JVM startup.
-    try:
-        materialize(registry["flagship_avg_price_by_year"].fn(spark, sf_dir))
-        import pandas as pd
-        from pyspark.sql.functions import col, pandas_udf
+    # the Python DataSource — the latter also spins up the driver-side
+    # planner worker) — the daemon/worker pool start is a session-level
+    # cost, same amortization class as JVM startup. Each step is
+    # independently best-effort so one failure can't skip the rest.
+    # NB: the pandas_udf MUST resolve its type hints under this module's
+    # `from __future__ import annotations` (stringified hints) — pd has
+    # to be a module-level name or pandas_udf raises UNSUPPORTED_SIGNATURE.
+    def _warmups():
+        yield lambda: materialize(
+            registry["flagship_avg_price_by_year"].fn(spark, sf_dir))
 
-        @pandas_udf("double")
-        def _warm(v: pd.Series) -> pd.Series:
-            return v * 1.0
+        def _pandas_warm():
+            from pyspark.sql.functions import col, pandas_udf
 
-        spark.range(32).select(_warm(col("id").cast("double"))).collect()
-        from house_price_etl_pipeline_spark.sources.pydatasource import (
-            read_synthetic_events)
-        # partitions matches the catalog query's so the worker pool is
-        # fully grown before timing starts
-        materialize(read_synthetic_events(spark, rows=64, partitions=8))
-    except Exception as exc:  # pragma: no cover - warmup best-effort
-        print(f"warmup failed: {exc!r}", file=sys.stderr)
+            @pandas_udf("double")
+            def _warm(v: pd.Series) -> pd.Series:
+                return v * 1.0
+
+            spark.range(32).select(_warm(col("id").cast("double"))).collect()
+        yield _pandas_warm
+
+        def _pysource_warm():
+            from house_price_etl_pipeline_spark.sources.pydatasource import (
+                read_synthetic_events)
+            # partitions matches the catalog query's so the worker pool
+            # is fully grown before timing starts
+            materialize(read_synthetic_events(spark, rows=64, partitions=8))
+        yield _pysource_warm
+
+    for step in _warmups():
+        try:
+            step()
+        except Exception as exc:  # pragma: no cover - warmup best-effort
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            print(f"warmup step failed: {exc!r}", file=sys.stderr)
+
+    # Debug aid: BENCH_DEBUG_REPEAT=q1,q2 re-times the named queries a
+    # second time right after their measured run (both printed to stderr)
+    # — distinguishes per-run overhead from steady-state plan cost.
+    debug_repeat = set(filter(None, os.environ.get(
+        "BENCH_DEBUG_REPEAT", "").split(",")))
 
     timings: dict[str, float] = {}
     for name in sorted(registry):
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.perf_counter()
         try:
             materialize(registry[name].fn(spark, sf_dir))
@@ -80,6 +107,11 @@ def main() -> None:
         except Exception as exc:
             print(f"{name} FAILED: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
+        if name in debug_repeat and timings[name] >= 0:
+            t1 = time.perf_counter()
+            materialize(registry[name].fn(spark, sf_dir))
+            print(f"DEBUG {name}: run1={timings[name]:.3f}s "
+                  f"run2={time.perf_counter() - t1:.3f}s", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(json.dumps({

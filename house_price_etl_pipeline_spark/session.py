@@ -42,6 +42,14 @@ def get_spark(app_name: str = "house_price_etl_pipeline_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Perf debugging: SPARK_GRAFT_EVENTLOG=/some/dir enables the event
+    # log so a bench run can be post-mortemed job-by-job (driver gaps vs
+    # task time) with the history server or a JSON parse.
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (builder.config("spark.eventLog.enabled", "true")
+                   .config("spark.eventLog.dir", ev_dir))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
