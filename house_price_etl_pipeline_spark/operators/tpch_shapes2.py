@@ -365,3 +365,51 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "sql_recursive_supplier_chain",
+    oracle=f"""
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey, s_suppkey AS node, 0 AS depth FROM supplier
+      UNION ALL
+      SELECT s_suppkey, node // 2 AS node, depth + 1 AS depth
+      FROM chain WHERE node > 0
+    )
+    SELECT d.depth_to_root,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           {dec_sum_expr('s.s_acctbal')} AS sum_acctbal
+    FROM (SELECT s_suppkey, CAST(MAX(depth) AS INTEGER) AS depth_to_root
+          FROM chain GROUP BY s_suppkey) d
+    JOIN supplier s ON s.s_suppkey = d.s_suppkey
+    GROUP BY d.depth_to_root
+    ORDER BY d.depth_to_root
+    """,
+)
+def sql_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): walk each supplier's
+    synthetic parent chain (parent := suppkey DIV 2 — a binary-tree
+    hierarchy derived from the key, since the testdata has no explicit
+    edges) and aggregate account balance by depth-to-root. The recursion
+    is set-at-a-time — each UnionLoop iteration advances EVERY frontier
+    row in one distributed step (log N iterations total), the same
+    execution shape as the iterative min-label propagation in
+    operators/dedup.py but expressed declaratively through SQL."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(f"""
+        WITH RECURSIVE chain AS (
+          SELECT s_suppkey, s_suppkey AS node, 0 AS depth FROM supplier
+          UNION ALL
+          SELECT s_suppkey, node DIV 2 AS node, depth + 1 AS depth
+          FROM chain WHERE node > 0
+        )
+        SELECT d.depth_to_root,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                 AS sum_acctbal
+        FROM (SELECT s_suppkey, CAST(MAX(depth) AS INT) AS depth_to_root
+              FROM chain GROUP BY s_suppkey) d
+        JOIN supplier s ON s.s_suppkey = d.s_suppkey
+        GROUP BY d.depth_to_root
+        ORDER BY d.depth_to_root
+    """)

@@ -92,3 +92,35 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("long").alias("gap_s"))
         .orderBy("user_id", "click_id", "error_id")
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events fact enriched against a
+    BATCH dimension (customer), then aggregated by segment — the shape of
+    every streaming feature/enrichment pipeline. The static side needs no
+    watermark and holds no state: Spark re-plans it per micro-batch and
+    (small dim) broadcasts it, so the stream side never shuffles for the
+    join. Drained over the finite source this equals the batch join,
+    which is what the oracle asserts."""
+    from ..sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    enriched = ev.join(dim, ev.user_id == dim.c_custkey)
+    agg = (enriched.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+                .alias("sum_value")))
+    out = _drain(agg, spark, output_mode="complete")
+    return out.orderBy("c_mktsegment")
