@@ -413,3 +413,35 @@ def sql_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.depth_to_root
         ORDER BY d.depth_to_root
     """)
+
+
+@register(
+    "sql_pipe_syntax_revenue",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dec_sum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operators): the same
+    filter→aggregate→sort dataflow the reference writes as a method
+    chain (SURVEY §2.11), expressed through the SQL surface's pipe form.
+    Parses to the identical Catalyst plan as the nested-SELECT
+    equivalent — the construct under test is the parser, not a new
+    operator."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue
+        |> ORDER BY l_returnflag, l_linestatus
+    """)

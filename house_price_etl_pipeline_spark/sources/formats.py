@@ -72,3 +72,42 @@ def format_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_agg_by_format(o, "parquet"))
         .orderBy("fmt")
     )
+
+
+@register(
+    "format_xml_roundtrip",
+    oracle="""
+    SELECT f.fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           MAX(c_name) AS max_name
+    FROM customer, (SELECT unnest(['parquet', 'xml']) AS fmt) f
+    GROUP BY f.fmt ORDER BY f.fmt
+    """,
+)
+def format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in XML source: write customer as row-tagged XML,
+    read it back schema-applied, and aggregate both copies — same
+    fidelity contract as the JSON/ORC round-trip. XML is the costliest
+    text format (tag-per-field, no pushdown/pruning); like JSON it's an
+    interchange edge, never the analytics store — the engine ingests it
+    once and persists parquet."""
+    c = load_table(spark, sf_dir, "customer")
+    base = tempfile.mkdtemp(prefix="fmt_xml_")
+    xml_path = os.path.join(base, "customer_xml")
+    (c.write.mode("overwrite").format("xml")
+     .option("rowTag", "customer").save(xml_path))
+    c_xml = (spark.read.format("xml").option("rowTag", "customer")
+             .schema(c.schema).load(xml_path))
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("sum_bal"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.max("c_name").alias("max_name"),
+        )
+
+    return agg(c, "parquet").unionByName(agg(c_xml, "xml")).orderBy("fmt")
