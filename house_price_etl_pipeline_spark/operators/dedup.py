@@ -423,22 +423,22 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         # localCheckpoint (not cache): truncates the lineage each round,
         # so Catalyst plans stay constant-size across iterations instead
         # of growing — the driver-side planning gap per round was
-        # comparable to the shuffle work itself on small pair lists
+        # comparable to the shuffle work itself on small pair lists.
+        # The convergence flag rides along in the checkpointed frame, so
+        # the changed-count is a scan of already-materialized partitions
+        # — not a second shuffle join against the previous labels.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select("node",
                     F.least("label", F.coalesce("nbr_label", "label"))
-                    .alias("label"))
+                    .alias("label"),
+                    (F.coalesce("nbr_label", "label") < F.col("label"))
+                    .alias("_changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("_changed")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
