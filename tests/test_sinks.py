@@ -72,3 +72,34 @@ def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact_join(
+        spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a date-partitioned fact against
+    a FILTERED dim must inject the dim's qualifying keys as a runtime
+    partition filter on the fact scan — at 100 TB this is the difference
+    between scanning one year's directories and scanning the table.
+    Asserted structurally: the fact scan's PartitionFilters carries a
+    dynamicpruning subquery, and results equal the unpartitioned join."""
+    out = str(tmp_path / "lineitem_by_year")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate"))
+    write_table(li, out, partition_by=["ship_year"])
+
+    # tiny year-dimension; the filter on it is what DPP propagates
+    years = (spark.range(1995, 2003)
+             .select(F.col("id").cast("int").alias("ship_year"),
+                     (F.col("id") % 2 == 0).alias("is_even")))
+    fact = read_table(spark, out)
+    joined = (fact.join(years.filter("is_even"), "ship_year")
+              .agg(F.count("*").alias("n"),
+                   F.countDistinct("ship_year").alias("n_years")))
+
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    row = joined.collect()[0]
+    expect = li.filter(F.year("l_shipdate") % 2 == 0)
+    assert row["n"] == expect.count()
+    assert row["n_years"] == expect.select(F.year("l_shipdate")).distinct().count()
