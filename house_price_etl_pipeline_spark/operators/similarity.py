@@ -338,3 +338,57 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "emb_arrow_norm_profile",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 6)
+                AS DECIMAL(25,6))) AS DOUBLE) AS sum_norm,
+           CAST(SUM(len(list_filter(embedding, x -> abs(x) > 0.5))) AS BIGINT)
+             AS n_large_components
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def emb_arrow_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface: a zero-copy Arrow-batch kernel (pyarrow →
+    numpy views, no pandas materialization) computing per-vector L2 norm
+    and large-component count, aggregated per label. The squared-sum is
+    a LEFT FOLD across the 64 dims (a vectorized per-dim accumulate over
+    the whole batch), bit-identical to the SQL oracle's sequential
+    list_sum — numpy's pairwise summation would differ in the last bits.
+    mapInArrow vs pandas_udf: no Series boxing, the kernel sees the
+    Arrow buffers the JVM shipped — the cheapest Python hop Spark has."""
+    import pyarrow as pa
+
+    def kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_id = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            label = batch.column("label").to_numpy(zero_copy_only=False)
+            emb = batch.column("embedding")
+            x = emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64).reshape(len(batch), EMB_DIM)
+            acc = np.zeros(len(batch))
+            for j in range(EMB_DIM):            # left fold, SQL-order
+                acc = acc + x[:, j] * x[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(vec_id), pa.array(label.astype("int32")),
+                 pa.array(np.round(np.sqrt(acc), 6)),
+                 pa.array((np.abs(x) > 0.5).sum(axis=1).astype("int64"))],
+                names=["vec_id", "label", "norm", "n_large"])
+
+    e = load_table(spark, sf_dir, "embeddings")
+    per_vec = e.mapInArrow(
+        kernel, "vec_id long, label int, norm double, n_large long")
+    return (
+        per_vec.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"),
+             F.sum(F.col("norm").cast("decimal(25,6)")).cast("double")
+             .alias("sum_norm"),
+             F.sum("n_large").alias("n_large_components"))
+        .orderBy("label")
+    )

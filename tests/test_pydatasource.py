@@ -60,3 +60,40 @@ def test_json_audit_writer_two_phase_commit(spark, tmp_path):
     # round-trip: the shards are plain JSON-lines Spark can read back
     back = spark.read.schema(df.schema).json(os.path.join(out, "*.jsonl"))
     assert back.count() == 300
+
+
+def test_stream_reader_drains_in_micro_batches_equal_to_batch(spark, tmp_path):
+    """The connector's DataSourceStreamReader: offsets advance
+    rows_per_batch ids per trigger, executors generate each range, and
+    the fully-drained stream equals the batch read — same generator,
+    same determinism, now under Spark's streaming offset contract."""
+    import time
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        read_synthetic_events, register_synthetic_source)
+
+    register_synthetic_source(spark)
+    n = 1000
+    stream = (spark.readStream.format("synthetic_events")
+              .option("rows", str(n)).option("rows_per_batch", "256")
+              .option("partitions", "4").load())
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("pysrc_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        deadline = time.time() + 120
+        while spark.table("pysrc_stream").count() < n:
+            assert time.time() < deadline, "stream did not drain in time"
+            time.sleep(0.5)
+        # ≥ ceil(1000/256) = 4 micro-batches committed
+        assert q.lastProgress is not None
+        assert q.lastProgress["batchId"] >= 3
+    finally:
+        q.stop()
+    got = spark.table("pysrc_stream")
+    assert got.count() == n
+    batch = read_synthetic_events(spark, rows=n, partitions=4)
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
