@@ -133,3 +133,119 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bytes", "width", "height", "feature")
         .orderBy("doc_id")
     )
+
+
+# --- resize + frame-sample (the other two brief-listed media kernels) ------
+
+RESIZE_W, RESIZE_H = 64, 64            # fake "image" target: 4096 bytes
+FRAME_BYTES, FRAME_STRIDE = 256, 4     # fake "video": 256-byte frames, keep every 4th
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("was_padded", T.BooleanType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def resize_media(media: DataFrame, w: int = RESIZE_W,
+                 h: int = RESIZE_H) -> DataFrame:
+    """'Resize' every payload to exactly w*h bytes (truncate or
+    zero-pad) — the stub stand-in for an interpolating image resize,
+    with the real kernel's plumbing: 1→1 rows through mapInPandas, new
+    binary payload out, metadata recomputed. A real implementation
+    swaps the body for PIL/cv2 over the same batch iterator."""
+    target = w * h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            p = pdf["payload"]
+            resized = p.map(lambda b: bytes(b[:target]).ljust(target, b"\0"))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": resized,
+                "width": w, "height": h,
+                "n_bytes": target,
+                "was_padded": p.map(len) < target,
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES,
+                  stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling: treat each payload as a sequence of fixed-size
+    frames and keep every ``stride``-th full frame — the 1→N batch shape
+    (one output row per sampled frame) a video pipeline needs; a real
+    kernel decodes via ffmpeg instead of slicing bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_frame = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(b) // frame_bytes, stride):
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_frame.append(bytes(b[i*frame_bytes:(i+1)*frame_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": out_id,
+                 "frame_idx": pd.array(out_idx, dtype="int32"),
+                 "frame": out_frame})
+
+    return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+@register(
+    "mm_resize_pad_stats",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM({RESIZE_W * RESIZE_H}) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN strlen(text) < {RESIZE_W * RESIZE_H}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_padded
+    FROM documents
+    """,
+)
+def mm_resize_pad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel under the value-hash gate: the fake resize's byte
+    arithmetic (truncate-or-pad to w*h) is replayed by the oracle from
+    strlen(text) — the Python batch path must agree exactly."""
+    r = resize_media(media_table(spark, sf_dir))
+    return r.agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.octet_length("payload").cast("long")).alias("total_bytes"),
+        F.sum(F.when(F.col("was_padded"), 1).otherwise(0)).cast("long")
+        .alias("n_padded"),
+    )
+
+
+@register(
+    "mm_frame_sample_stats",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_with_frames,
+           CAST(SUM(CAST((strlen(text) // {FRAME_BYTES} + {FRAME_STRIDE - 1})
+                    // {FRAME_STRIDE} AS BIGINT)) AS BIGINT) AS n_frames,
+           CAST(SUM(CAST((strlen(text) // {FRAME_BYTES} + {FRAME_STRIDE - 1})
+                    // {FRAME_STRIDE} AS BIGINT) * {FRAME_BYTES}) AS BIGINT)
+             AS total_frame_bytes
+    FROM documents WHERE strlen(text) >= {FRAME_BYTES}
+    """,
+)
+def mm_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample kernel under the value-hash gate: sampled-frame
+    counts and bytes per the stride arithmetic, replayed by the oracle
+    from strlen(text)."""
+    f = sample_frames(media_table(spark, sf_dir))
+    return (
+        f.groupBy("doc_id").agg(F.count("*").alias("nf"))
+        .agg(F.count("*").alias("n_docs_with_frames"),
+             F.sum("nf").alias("n_frames"),
+             (F.sum("nf") * FRAME_BYTES).alias("total_frame_bytes"))
+    )
