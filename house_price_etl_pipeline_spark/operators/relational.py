@@ -1411,3 +1411,50 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(total)
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_mode_listagg_bitmap",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_linestatus ASC) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT g.l_returnflag,
+           m.l_linestatus AS mode_status,
+           g.statuses,
+           g.n_suppliers
+    FROM (
+      SELECT l_returnflag,
+             string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+               AS statuses,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+      FROM lineitem GROUP BY l_returnflag
+    ) g JOIN m ON m.l_returnflag = g.l_returnflag AND m.rn = 1
+    ORDER BY g.l_returnflag
+    """,
+)
+def agg_mode_listagg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newer aggregate family: ``mode`` (deterministic=True → lowest
+    value on ties, which the oracle replays as ORDER BY count DESC,
+    value ASC), ordered ``listagg DISTINCT`` (WITHIN GROUP), and an
+    EXACT distinct count via roaring-style bitmap aggregation —
+    ``bitmap_construct_agg`` ORs fixed-size bitmaps map-side, so the
+    shuffle carries one bitmap per group instead of one row per distinct
+    key (the exact-count analog of HLL; keys must fit one 32k-bit
+    segment, hence the +1 shift — ``bitmap_bit_position`` is 1-based and
+    would drop key 0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               mode(l_linestatus, true) AS mode_status,
+               listagg(DISTINCT l_linestatus, ',')
+                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+               CAST(bitmap_count(bitmap_construct_agg(
+                    bitmap_bit_position(l_suppkey + 1))) AS BIGINT)
+                 AS n_suppliers
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
