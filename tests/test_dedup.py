@@ -110,3 +110,53 @@ def test_corpus_accounting_consistent(spark, sf_dir):
     r = dedup_corpus_after_neardup(spark, sf_dir).collect()[0]
     assert r.n_docs == r.n_kept + r.n_dropped
     assert r.n_clusters <= r.n_docs and r.n_dropped >= r.n_clusters * 0  # sane
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """30 seeded random graphs — sparse, dense, chain-heavy — resolved in
+    ONE distributed CC run (disjoint node-id ranges), checked against a
+    pure-Python union-find oracle. Randomized depth beyond the crafted
+    shapes above: long chains exercise many propagation rounds, dense
+    cores exercise the min-label merge."""
+    import random
+
+    from house_price_etl_pipeline_spark.operators.dedup import connected_components
+
+    rng = random.Random(20260813)
+    edges, expected_nodes = [], []
+    for gid in range(30):
+        base = gid * 1_000
+        n = rng.randint(2, 40)
+        nodes = list(range(base, base + n))
+        style = gid % 3
+        if style == 0:      # random sparse
+            m = rng.randint(1, max(1, n))
+            graph_edges = [tuple(rng.sample(nodes, 2)) for _ in range(m)]
+        elif style == 1:    # one long chain (worst-case diameter)
+            graph_edges = list(zip(nodes, nodes[1:]))
+        else:               # dense-ish core + stragglers
+            m = rng.randint(n, 3 * n)
+            graph_edges = [tuple(rng.sample(nodes, 2)) for _ in range(m)]
+        edges.extend(graph_edges)
+        expected_nodes.extend({v for e in graph_edges for v in e})
+
+    # oracle: union-find with path compression
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in expected_nodes}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.label for r in
+           connected_components(pairs, max_iter=60).collect()}
+    assert got == expected
