@@ -53,6 +53,33 @@ def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
     assert "LeftAnti" in _plan(spark, sf_dir, "join_anti_customers_no_orders")
 
 
+# Queries ALLOWED to plan a nested-loop/cartesian join. Two legitimate
+# classes — anything NEW that trips the gate is an accidental quadratic
+# join and must be rewritten, not added here:
+#
+# (a) one side is a 1-row (or fixed-tiny) relation, so the "nested loop"
+#     is really a broadcast map over the big side — linear at any scale:
+#   join_range_band_theta      documented BNLJ anti-pattern twin of the
+#                              width_bucket rewrite (~10-row band side)
+#   join_cross_region_pairs    explicit CROSS JOIN of two 5-row dims
+#   q11_important_nation_value global scalar-subquery threshold (1 row)
+#   q22_idle_balances          global scalar AVG subquery (1 row)
+#   sim_bruteforce_topk        every vector vs THE query vector (1 row)
+#   sim_ann_ivf_topk           probe-cell filter vs the query vector
+#   sim_ann_lsh_topk           candidate re-rank vs the query vector
+#
+# (b) deliberately exact-quadratic baseline, with the scale path next to
+#     it in the catalog:
+#   dedup_embedding_cosine_pairs  all-pairs exact cosine (the oracle for
+#                                 minhash/simhash/LSH, which ARE linear)
+_NESTED_LOOP_ALLOWED = {
+    "join_range_band_theta", "join_cross_region_pairs",
+    "q11_important_nation_value", "q22_idle_balances",
+    "sim_bruteforce_topk", "sim_ann_ivf_topk", "sim_ann_lsh_topk",
+    "dedup_embedding_cosine_pairs",
+}
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_python_udf_outside_pandas_operators(spark, sf_dir, name):
     if name.startswith("mm_decode") or name == "text_udtf_positional_tokens":
@@ -61,6 +88,12 @@ def test_no_python_udf_outside_pandas_operators(spark, sf_dir, name):
         pytest.skip("streaming plans materialize through a sink")
     plan = _plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, f"{name} fell off the JVM hot path"
+    # catalog-wide scale gate, same plan pass: no accidental nested-loop
+    # or cartesian joins (the shapes that die first at 100 TB) outside
+    # the reviewed allowlist above.
+    if name not in _NESTED_LOOP_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} plans a BNLJ"
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
 
 
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
