@@ -470,3 +470,41 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("labeled", "predicted")
     )
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a
+    JOIN names b
+      ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking — the entity-resolution /
+    data-cleaning op (find near-identical names without an all-pairs
+    scan). Shape at scale: (1) DISTINCT the names first — the candidate
+    relation is vocabulary-sized, not fact-table-sized; (2) equi-join on
+    a cheap blocking key (first char here; first-char + length-band in
+    production) so Catalyst plans a hash join, never a cartesian; (3)
+    the O(len^2) levenshtein runs only on within-block survivors as a
+    JVM-side post-join filter. Recall is the blocking key's recall by
+    design — pairs differing in their first character are out of scope,
+    identically in engine and oracle."""
+    names = (load_table(spark, sf_dir, "part")
+             .select("p_name").distinct())
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+               & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
