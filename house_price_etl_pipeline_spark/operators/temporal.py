@@ -251,3 +251,51 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("sum_value"))
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "events_session_window_builtin",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marks
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN batch ``session_window`` (gap-merged windows in
+    the aggregation itself — no lag/running-sum decomposition), checked
+    against the classic window-function rewrite in the oracle: both must
+    merge events <= 30 min apart into identical sessions. One shuffle on
+    (user_id, session merge), same as the manual form — the built-in
+    just moves the merge into the agg operator."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_S} seconds"),
+            "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+             .alias("sum_value"))
+        .select("user_id",
+                F.col("session_window.start").cast("string")
+                .alias("session_start"),
+                "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
