@@ -445,3 +445,42 @@ def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, n_items, revenue
         |> ORDER BY l_returnflag, l_linestatus
     """)
+
+
+@register(
+    "sql_scripting_threshold_report",
+    oracle="""
+    WITH t AS (
+      SELECT MIN(v) AS threshold FROM (
+        SELECT o_totalprice AS v FROM orders ORDER BY v DESC LIMIT 100)
+    )
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(MAX(o.o_totalprice) AS DOUBLE) AS max_price
+    FROM orders o, t WHERE o.o_totalprice >= t.threshold
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4's BEGIN…END batch): a DECLAREd session
+    variable holds a scalar threshold computed in one statement and
+    consumed in the next — the multi-step-report shape ops teams write,
+    run entirely inside the engine (the variable is driver-side state,
+    the statements are ordinary Catalyst plans). Threshold is the 100th-
+    largest order value (an actual data value, not an interpolated
+    percentile) so the qualifying set is bit-exact in any engine."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE threshold DOUBLE;
+          SET threshold = (
+            SELECT MIN(v) FROM (
+              SELECT o_totalprice AS v FROM orders
+              ORDER BY v DESC LIMIT 100));
+          SELECT o_orderstatus,
+                 CAST(COUNT(*) AS BIGINT) AS n_big,
+                 CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+          FROM orders WHERE o_totalprice >= threshold
+          GROUP BY o_orderstatus ORDER BY o_orderstatus;
+        END
+    """)
