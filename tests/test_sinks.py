@@ -103,3 +103,30 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact_join(
     expect = li.filter(F.year("l_shipdate") % 2 == 0)
     assert row["n"] == expect.count()
     assert row["n_years"] == expect.select(F.year("l_shipdate")).distinct().count()
+
+
+def test_output_file_sizing_and_compaction(spark, sf_dir, tmp_path):
+    """File-count control at the sink — the 100 TB hygiene knobs:
+    maxRecordsPerFile splits oversized tasks' output, coalesce
+    compacts a small-file mess without a shuffle, and both preserve
+    rows exactly."""
+    import glob
+
+    out1 = str(tmp_path / "sharded")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+
+    (li.repartition(2).write.mode("overwrite")
+       .option("maxRecordsPerFile", 1000).parquet(out1))
+    files1 = glob.glob(out1 + "/part-*.parquet")
+    assert len(files1) >= n // 1000  # sizing option actually splits
+    assert spark.read.parquet(out1).count() == n
+
+    # compaction: read the shards back, coalesce (no shuffle) to 2 files
+    out2 = str(tmp_path / "compacted")
+    df = spark.read.parquet(out1).coalesce(2)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+    df.write.mode("overwrite").parquet(out2)
+    files2 = glob.glob(out2 + "/part-*.parquet")
+    assert len(files2) <= 2
+    assert spark.read.parquet(out2).count() == n
