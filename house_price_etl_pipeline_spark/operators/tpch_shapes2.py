@@ -373,7 +373,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE chain AS (
       SELECT s_suppkey, s_suppkey AS node, 0 AS depth FROM supplier
       UNION ALL
-      SELECT s_suppkey, node // 2 AS node, depth + 1 AS depth
+      SELECT s_suppkey, node // 4 AS node, depth + 1 AS depth
       FROM chain WHERE node > 0
     )
     SELECT d.depth_to_root,
@@ -388,19 +388,36 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_recursive_supplier_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4's WITH RECURSIVE): walk each supplier's
-    synthetic parent chain (parent := suppkey DIV 2 — a binary-tree
+    synthetic parent chain (parent := suppkey DIV 4 — a 4-ary-tree
     hierarchy derived from the key, since the testdata has no explicit
     edges) and aggregate account balance by depth-to-root. The recursion
     is set-at-a-time — each UnionLoop iteration advances EVERY frontier
     row in one distributed step (log N iterations total), the same
     execution shape as the iterative min-label propagation in
-    operators/dedup.py but expressed declaratively through SQL."""
+    operators/dedup.py but expressed declaratively through SQL.
+
+    Shuffle sizing: every iteration pays per-partition fixed costs on a
+    frontier of |supplier| rows — same reasoning as the dedup pair
+    stages and streaming state stores (8 partitions while the recursion
+    RUNS, restored after). The recursion is executed eagerly inside the
+    conf window via localCheckpoint — a lazily-returned plan would
+    execute after the conf restore and see 32 partitions again. On a
+    real cluster this is sized to frontier volume, not core count."""
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _recursive_chain_sql(spark).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _recursive_chain_sql(spark: SparkSession) -> DataFrame:
     return spark.sql(f"""
         WITH RECURSIVE chain AS (
           SELECT s_suppkey, s_suppkey AS node, 0 AS depth FROM supplier
           UNION ALL
-          SELECT s_suppkey, node DIV 2 AS node, depth + 1 AS depth
+          SELECT s_suppkey, node DIV 4 AS node, depth + 1 AS depth
           FROM chain WHERE node > 0
         )
         SELECT d.depth_to_root,
