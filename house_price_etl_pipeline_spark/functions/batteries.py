@@ -141,3 +141,46 @@ def scalar_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "nested_struct_surgery",
+    oracle="""
+    SELECT doc_id,
+           lang AS meta_lang,
+           CAST(strlen(text) AS BIGINT) AS meta_bytes,
+           'v2' AS meta_schema_rev
+    FROM documents ORDER BY doc_id
+    """,
+)
+def nested_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct column surgery — the in-place schema-evolution ops
+    every nested dataset eventually needs: build a struct, ADD a field
+    (`withField`), DROP a field (`dropFields`), then read fields back
+    out. All pure Catalyst expressions (UpdateFields nodes) — no
+    rebuild-the-whole-struct projection, which matters when the struct
+    has hundreds of fields at 100 TB; the oracle checks the surviving
+    fields' values."""
+    d = load_table(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.col("lang").alias("lang"),
+        F.lit("v1").alias("schema_rev"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    evolved = (
+        d.select("doc_id", meta.alias("meta"))
+        # evolve: bump the revision, drop nothing yet
+        .withColumn("meta", F.col("meta").withField("schema_rev", F.lit("v2")))
+        # add a derived field, then drop it again (both UpdateFields)
+        .withColumn("meta", F.col("meta").withField("tmp_flag", F.lit(True)))
+        .withColumn("meta", F.col("meta").dropFields("tmp_flag"))
+    )
+    return (
+        evolved.select(
+            "doc_id",
+            F.col("meta.lang").alias("meta_lang"),
+            F.col("meta.n_bytes").alias("meta_bytes"),
+            F.col("meta.schema_rev").alias("meta_schema_rev"),
+        )
+        .orderBy("doc_id")
+    )
