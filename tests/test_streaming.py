@@ -310,3 +310,27 @@ def test_transform_with_state_carries_typed_state(spark, tmp_path):
     final = {r.user_id: r for r in drain_running_totals(spark, stream).collect()}
     assert final[7].n_events == 3 and abs(final[7].sum_value - 7.5) < 1e-9
     assert final[8].n_events == 1 and final[9].n_events == 1
+
+
+def test_update_mode_emits_only_changed_groups(spark, tmp_path):
+    """UPDATE output mode (the third mode, next to complete/append):
+    each micro-batch emits ONLY the groups whose aggregate changed in
+    that batch — the incremental-materialized-view contract a downstream
+    upsert sink depends on. Batch 2 touches user 7 only, so user 8 must
+    NOT be re-emitted."""
+    from pyspark.sql import functions as F
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:01:00", 8, "view", 2.0, "{}")],
+        [(3, "2024-01-01 11:00:00", 7, "click", 3.0, "{}")],
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "upd_src")
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (agg.writeStream.outputMode("update").format("memory")
+         .queryName("upd_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = [(r.user_id, r.n) for r in
+            spark.table("upd_out").orderBy("user_id", "n").collect()]
+    # batch1: (7,1) and (8,1); batch2: only (7,2) — never (8,1) again
+    assert rows == [(7, 1), (7, 2), (8, 1)]
