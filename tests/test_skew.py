@@ -39,3 +39,44 @@ def test_salted_join_spreads_a_hot_key(spark):
             .groupBy("_salt").count().collect())
     assert len(dist) == 8  # hot key spread across all 8 salt buckets
     assert max(r["count"] for r in dist) < 9000 * 0.25  # no bucket ~whole key
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's automatic skew-join handling — the runtime complement to
+    manual salting (skew.salted_join): with one key holding ~99% of the
+    rows, AQE must mark the sort-merge join `skew=true` and split the
+    hot partition into advisory-sized reads instead of letting one task
+    own it. Thresholds are shrunk so the ~MB-scale local shuffle
+    qualifies; on a real cluster the defaults (256MB) play this role."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = (spark.range(500_000)
+                .select(F.lit(0).alias("k"), F.col("id").alias("v"))
+                .union(spark.range(5_000)
+                       .select((F.col("id") % 50 + 1).alias("k"),
+                               F.col("id").alias("v"))))
+        right = (spark.range(51).select(F.col("id").alias("k"),
+                                        F.lit("x").alias("tag")))
+        j = left.join(right, "k").groupBy("tag").agg(F.count("*").alias("n"))
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+        assert rows[0].n == 505_000  # split partitions lose no rows
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
