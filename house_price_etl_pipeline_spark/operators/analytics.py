@@ -208,3 +208,54 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("first_purchase").cast("double") / F.count("*"), 6)
         .alias("conversion_rate"),
     )
+
+
+@register(
+    "events_user_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt(CAST(SUM(CAST(value * value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+                  - pow(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 2))
+               AS sigma
+      FROM events GROUP BY user_id
+    )
+    SELECT s.user_id, s.n,
+           round(s.mu, 6) AS mean_value,
+           CAST(SUM(CASE WHEN abs(e.value - s.mu) > 2 * s.sigma
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    GROUP BY s.user_id, s.n, s.mu
+    ORDER BY s.user_id
+    """,
+)
+def events_user_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly flagging — the ops/monitoring shape: flag
+    events > 2 sigma from that user's own mean, report anomaly counts.
+    Moments are computed from exact DECIMAL sums (sum v, sum v^2 — both
+    exactly representable for 1-decimal values), NOT the built-in
+    stddev, so mu and sigma are bit-identical across partitionings and
+    engines and the 2-sigma boundary can't flip a row between runs. One
+    window pass per user (no stats-join): the same user_id shuffle
+    serves the moments and the flag."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    n = F.count("*").over(w)
+    mu = (F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+          / n)
+    ex2 = (F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)"))
+           .over(w).cast("double") / n)
+    sigma = F.sqrt(ex2 - mu * mu)
+    return (
+        ev.select("user_id", "value", n.alias("n"), mu.alias("mu"),
+                  sigma.alias("sigma"))
+        .groupBy("user_id", "n", "mu")
+        .agg(F.sum(F.when(F.abs(F.col("value") - F.col("mu"))
+                          > 2 * F.col("sigma"), 1).otherwise(0))
+             .cast("bigint").alias("n_anomalies"))
+        .select("user_id", F.col("n").cast("bigint").alias("n"),
+                F.round("mu", 6).alias("mean_value"), "n_anomalies")
+        .orderBy("user_id")
+    )
