@@ -334,3 +334,50 @@ def test_update_mode_emits_only_changed_groups(spark, tmp_path):
             spark.table("upd_out").orderBy("user_id", "n").collect()]
     # batch1: (7,1) and (8,1); batch2: only (7,2) — never (8,1) again
     assert rows == [(7, 1), (7, 2), (8, 1)]
+
+
+def test_stream_stream_left_outer_join_emits_nulls_after_expiry(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: a click with no error inside its
+    5-minute window may NOT emit eagerly — only once the watermark
+    passes the click's join-window expiry can Spark prove no match will
+    arrive and emit the null-padded row. Matched rows emit as they
+    join; unmatched ones emit null-padded, and only after expiry."""
+    from pyspark.sql import functions as F
+
+    batches = [
+        # click 1 gets a matching error 2 min later; click 4 never does
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 10:02:00", 1, "error", 1.0, "{}"),
+         (4, "2024-01-01 10:03:00", 2, "click", 1.0, "{}")],
+        # a matching pair advances BOTH branch watermarks past click 4's
+        # state expiry (each side's watermark is computed on its own
+        # filtered branch — a 'view' event would advance neither)
+        [(9, "2024-01-01 12:00:00", 3, "click", 1.0, "{}"),
+         (10, "2024-01-01 12:00:00", 3, "error", 1.0, "{}")],
+        # one more pair so the cleanup after the advance runs
+        [(11, "2024-01-01 13:00:00", 3, "click", 1.0, "{}"),
+         (12, "2024-01-01 13:00:00", 3, "error", 1.0, "{}")],
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "sslo_src")
+    clicks = (stream.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("cts"))
+              .withWatermark("cts", "10 minutes"))
+    errors = (stream.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.col("user_id").alias("e_user_id"),
+                      F.col("ts").alias("ets"))
+              .withWatermark("ets", "10 minutes"))
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("ets") >= F.col("cts"))
+        & (F.col("ets") < F.col("cts") + F.expr("INTERVAL 5 MINUTES")),
+        "left_outer")
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("sslo_out").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r.click_id: r.error_id for r in spark.table("sslo_out").collect()}
+    # clicks 1/9/11 matched eagerly; click 4 null-padded only after its
+    # state expired (watermark past cts + 5m + 10m delay)
+    assert rows == {1: 2, 4: None, 9: 10, 11: 12}
