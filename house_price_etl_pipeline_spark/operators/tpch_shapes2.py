@@ -501,3 +501,36 @@ def sql_scripting_threshold_report(spark: SparkSession, sf_dir: str) -> DataFram
           GROUP BY o_orderstatus ORDER BY o_orderstatus;
         END
     """)
+
+
+@register(
+    "api_lateral_join_top2",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 300
+    ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+    """,
+)
+def api_lateral_join_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.lateralJoin`` (Spark 4.1's API spelling of LATERAL):
+    the subquery references the outer row via ``.outer()`` column refs —
+    same semantics and same decorrelated window/join plan as the SQL
+    form (tpch_shapes.sql_lateral_top2_orders); registered so BOTH
+    spellings of the per-row-subquery surface are under the gate."""
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") <= 300).select("c_custkey"))
+    o = _t(spark, sf_dir, "orders")
+    top2 = (o.where(F.col("o_custkey") == F.col("c_custkey").outer())
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(2)
+            .select("o_orderkey", "o_totalprice"))
+    return (
+        c.lateralJoin(top2)
+        .select("c_custkey", "o_orderkey",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .orderBy("c_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )
