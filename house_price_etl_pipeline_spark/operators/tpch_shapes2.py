@@ -534,3 +534,39 @@ def api_lateral_join_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_totalprice").cast("double").alias("o_totalprice"))
         .orderBy("c_custkey", F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@register(
+    "api_scalar_exists_subqueries",
+    oracle="""
+    SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_quantity >= 45)
+      AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def api_scalar_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.scalar()`` + ``DataFrame.exists()`` (Spark 4.1's API
+    spelling of scalar and EXISTS subquery expressions, with ``.outer()``
+    correlation) — planned exactly like the SQL forms: the EXISTS
+    decorrelates to a semi join on l_orderkey, the scalar average
+    broadcasts as a 1-row relation.
+
+    Float caveat: AVG here is the built-in double avg on BOTH sides —
+    parity holds because the threshold compare has no rows within one
+    ulp of the average; the engine's own aggregates use the exact
+    decimal forms (functions/numeric.py) precisely so results never
+    depend on such luck."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    avg_price = o.select(F.avg("o_totalprice")).scalar()
+    has_big_line = (li.where((F.col("l_orderkey") == F.col("o_orderkey").outer())
+                             & (F.col("l_quantity") >= 45)).exists())
+    return (
+        o.where(has_big_line & (F.col("o_totalprice") > avg_price))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
