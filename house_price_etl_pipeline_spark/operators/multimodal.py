@@ -127,10 +127,17 @@ def decode_media(media: DataFrame) -> DataFrame:
 @register("mm_decode_features")  # Pandas-UDF path → rows-only check
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stub over the media table; deterministic fake features so
-    the rows-only check is stable round-to-round."""
+    the rows-only check is stable round-to-round. The feature vector is
+    integral-valued by construction, so it CSV-serializes exactly
+    (catalog outputs are scalar-only — the driver can't hash arrays)."""
     return (
         decode_media(media_table(spark, sf_dir))
-        .select("doc_id", "n_bytes", "width", "height", "feature")
+        .select(
+            "doc_id", "n_bytes", "width", "height",
+            F.concat_ws(",", F.transform(
+                "feature", lambda x: x.cast("bigint").cast("string"))
+            ).alias("feature_csv"),
+        )
         .orderBy("doc_id")
     )
 

@@ -82,27 +82,28 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE doc_id < 300)
     )
     SELECT tok.doc_id,
-           array_agg(v.token_id ORDER BY tok.pos) AS ids,
+           string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY tok.pos) AS ids,
            CAST(COUNT(*) AS BIGINT) AS n_tokens
     FROM tok JOIN v ON tok.t = v.token
     GROUP BY tok.doc_id ORDER BY tok.doc_id
     """,
 )
 def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents encoded as token-id arrays (order-preserving): exploded
-    corpus ⨝ broadcast vocab, regrouped per doc with positions restored
-    via sort_array over (pos, id) structs — no assumption that
-    collect_list preserves order."""
+    """Documents encoded as token-id sequences (order-preserving):
+    exploded corpus ⨝ broadcast vocab, regrouped per doc with positions
+    restored via sort_array over (pos, id) structs — no assumption that
+    collect_list preserves order. The id sequence is CSV-serialized so
+    the output schema is scalar-only."""
     v = vocab(spark, sf_dir).select("token", "token_id")
     tok = _tok(spark, sf_dir).filter(F.col("doc_id") < 300)
     enc = (
         tok.join(F.broadcast(v), tok.t == v.token)
         .groupBy("doc_id")
         .agg(
-            F.transform(
+            F.concat_ws(",", F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "token_id"))),
-                lambda s: s.token_id,
-            ).alias("ids"),
+                lambda s: s.token_id.cast("string"),
+            )).alias("ids"),
             F.count("*").alias("n_tokens"),
         )
     )

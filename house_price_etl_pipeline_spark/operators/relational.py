@@ -739,11 +739,19 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sketches merge map-side, no global sort. Values are
     accuracy-bounded, not exact → no value-hash oracle."""
     li = _t(spark, sf_dir, "lineitem")
+    # one array-percentile sketch, unpacked to scalar columns — catalog
+    # outputs are scalar-only (driver's canonicalizer can't hash arrays)
     return (
         li.groupBy("l_returnflag")
         .agg(F.approx_percentile(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-            F.lit(10000)).alias("approx_quantiles"))
+            F.lit(10000)).alias("qs"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("qs")[0], 6).alias("approx_q25"),
+            F.round(F.col("qs")[1], 6).alias("approx_median"),
+            F.round(F.col("qs")[2], 6).alias("approx_q75"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -1164,9 +1172,12 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py::test_freq_items_finds_planted_heavy_hitter."""
     o = _t(spark, sf_dir, "orders")
     freq = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    # CSV-serialized (sorted) so the output schema is scalar-only
     return freq.select(
-        F.sort_array("o_orderpriority_freqItems").alias("frequent_priorities"),
-        F.sort_array("o_orderstatus_freqItems").alias("frequent_statuses"),
+        F.concat_ws(",", F.sort_array("o_orderpriority_freqItems"))
+        .alias("frequent_priorities"),
+        F.concat_ws(",", F.sort_array("o_orderstatus_freqItems"))
+        .alias("frequent_statuses"),
     )
 
 
@@ -1365,14 +1376,15 @@ def join_full_outer_daily_traffic(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(bool_or(o_totalprice > 400000) AS BOOLEAN) AS any_jumbo,
            CAST(bit_and(CAST(o_custkey AS BIGINT)) AS BIGINT) AS key_bit_and,
            CAST(bit_or(CAST(o_custkey AS BIGINT)) AS BIGINT) AS key_bit_or,
-           list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
            CAST(MIN(o_orderkey) AS BIGINT) AS stable_any_key
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
 def agg_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining aggregate families: bool_and/bool_or, bit_and/bit_or,
-    collect_set (sorted for a deterministic array), and the any_value
+    collect_set (sorted + CSV-serialized for a deterministic scalar), and the any_value
     shape spelled as MIN for cross-engine determinism (any_value itself
     is legitimately nondeterministic — the battery documents the
     deterministic substitute)."""
@@ -1383,7 +1395,8 @@ def agg_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
              F.bit_and("o_custkey").alias("key_bit_and"),
              F.bit_or("o_custkey").alias("key_bit_or"),
-             F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+             F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority")))
+             .alias("priorities"),
              F.min("o_orderkey").alias("stable_any_key"))
         .orderBy("o_orderstatus")
     )

@@ -310,8 +310,9 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id < 500
     )
     SELECT vec_id, round(nrm, 6) AS l2_norm,
-           list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5) AS INTEGER))
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5)
+                            AS INTEGER) AS VARCHAR)), ',')
              AS q_int8
     FROM n ORDER BY vec_id
     """,
@@ -321,7 +322,8 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-8x storage/bandwidth shrink applied before ANN serving. Narrow map,
     no shuffle; rounding spelled floor(x+0.5) so both engines share one
     deterministic tie rule (round() half-handling differs by engine).
-    Element order: list_transform/F.transform preserve positions."""
+    Element order: list_transform/F.transform preserve positions; the
+    int8 vector is CSV-serialized so the output schema is scalar-only."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     x2 = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
     nrm = F.sqrt(F.aggregate(x2, F.lit(0.0), lambda acc, v: acc + v))
@@ -330,11 +332,11 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round("nrm", 6).alias("l2_norm"),
-            F.transform(
+            F.concat_ws(",", F.transform(
                 "embedding",
                 lambda x: F.floor(x.cast("double") / F.col("nrm") * 127.0 + 0.5)
-                .cast("int"),
-            ).alias("q_int8"),
+                .cast("int").cast("string"),
+            )).alias("q_int8"),
         )
         .orderBy("vec_id")
     )

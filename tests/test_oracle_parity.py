@@ -39,14 +39,28 @@ def _normalize(pdf: pd.DataFrame) -> list[tuple]:
             if getattr(ts, "tzinfo", None) is not None:
                 ts = ts.tz_convert("UTC").tz_localize(None)
             return ts.isoformat()
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return tuple(canon(x) for x in v)
+        if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+            # The driver's canonicalizer CRASHES on unhashable cells
+            # (pandas sort_values → `unhashable type: 'list'`), so
+            # tolerating them here would make this gate weaker than the
+            # driver's. Catalog queries must serialize complex values.
+            raise AssertionError(
+                f"non-scalar cell {type(v).__name__} in query output — "
+                "the driver cannot hash this; serialize to CSV/JSON"
+            )
         return v
 
     return sorted(
         (tuple(canon(v) for v in row) for row in pdf.itertuples(index=False)),
         key=lambda r: tuple(str(x) for x in r),
     )
+
+
+def test_normalize_rejects_array_cells():
+    """The gate itself must red-flag array-typed outputs (the driver's
+    canonicalizer crashes on them) — guards the guard."""
+    with pytest.raises(AssertionError, match="non-scalar cell"):
+        _normalize(pd.DataFrame({"k": [1], "v": [[1, 2, 3]]}))
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

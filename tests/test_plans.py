@@ -22,6 +22,23 @@ def _plan(spark, sf_dir, name: str) -> str:
     return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
 
+def test_catalog_outputs_are_scalar_only(spark, sf_dir):
+    """Every registered query's output schema must be scalar columns only
+    — the driver's pandas canonicalizer hashes values via sort_values,
+    which raises `unhashable type: 'list'` on array/map/struct cells
+    (CORRECTNESS_r01 red rows). Array-valued results (quantile vectors,
+    token ids, int8 embeddings, ...) are CSV-/JSON-serialized instead."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        for f in q.fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType,
+                                       T.VariantType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, f"complex-typed catalog outputs: {offenders}"
+
+
 def test_q6_filters_push_to_parquet(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q6_revenue_forecast")
     assert "PushedFilters: [" in plan
@@ -222,7 +239,7 @@ def test_approx_quantiles_accuracy(spark, sf_dir):
     this distribution)."""
     exact = {r.l_returnflag: (r.q25, r.median_price, r.q75)
              for r in REGISTRY["agg_quantiles_exact"].fn(spark, sf_dir).collect()}
-    approx = {r.l_returnflag: r.approx_quantiles
+    approx = {r.l_returnflag: (r.approx_q25, r.approx_median, r.approx_q75)
               for r in REGISTRY["agg_quantiles_approx"].fn(spark, sf_dir).collect()}
     for flag, (q25, q50, q75) in exact.items():
         for got, want in zip(approx[flag], (q25, q50, q75)):
