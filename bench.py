@@ -114,11 +114,24 @@ def main() -> None:
                   f"run2={time.perf_counter() - t1:.3f}s", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    n_failed = sum(1 for t in timings.values() if t < 0)
+    # The driver captures only the last ~2.2 KB of stdout: the final line
+    # must stay SHORT (r01's single ~6 KB line came back "parsed": null).
+    # Full per-query timings go to a file + stderr; the final JSON line
+    # carries the total plus only the top-10 slowest queries (~bounded).
+    with open("bench_queries.json", "w") as f:
+        json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+    print("per-query timings -> bench_queries.json", file=sys.stderr)
+    print(json.dumps({"per_query": timings}), file=sys.stderr)
+    top10 = dict(sorted(((n, t) for n, t in timings.items() if t >= 0),
+                        key=lambda kv: -kv[1])[:10])
     print(json.dumps({
         "metric": "catalog_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": top10,
+        "n_queries": len(timings),
+        "n_failed": n_failed,
         "sf": sf,
     }))
 
