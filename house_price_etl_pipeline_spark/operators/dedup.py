@@ -19,6 +19,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,9 +37,11 @@ SIMHASH_HAMMING_MAX = 3
 # Pair-scale stages (LSH buckets, verified pairs, CC label propagation)
 # operate on hundreds of rows: a 32-way shuffle there costs more in fixed
 # task/scheduling overhead than it wins (same lesson as the streaming
-# state stores, windows.STREAM_SHUFFLE_PARTITIONS). On a real cluster
-# this is sized to candidate-pair volume, not core count.
-DEDUP_SHUFFLE_PARTITIONS = 8
+# state stores, windows.stream_shuffle_partitions). On a real cluster
+# this is sized to candidate-pair volume, not core count — override via
+# SPARK_GRAFT_DEDUP_PARTITIONS (read at call time, see SCALE.md).
+def dedup_shuffle_partitions() -> int:
+    return int(os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS", "8"))
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFrame:
@@ -46,7 +50,7 @@ def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFr
     d = load_table(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
-    d = d.repartition(DEDUP_SHUFFLE_PARTITIONS, "doc_id")
+    d = d.repartition(dedup_shuffle_partitions(), "doc_id")
     return (
         d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     )
@@ -82,7 +86,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None,
     d = load_table(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
-    d = d.repartition(DEDUP_SHUFFLE_PARTITIONS, "doc_id")
+    d = d.repartition(dedup_shuffle_partitions(), "doc_id")
     return d.select("doc_id", F.explode(shingle_expr(F.col("text"), n)).alias("t"))
 
 
@@ -234,7 +238,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(DEDUP_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(dedup_shuffle_partitions()))
     try:
         tok = _doc_shingles(spark, sf_dir, None).cache()
         # fill the cache EAGERLY: the downstream DAG references tok from
@@ -454,7 +458,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates at core-count partitions."""
     pairs = lsh_verified_pairs(spark, sf_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(DEDUP_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(dedup_shuffle_partitions()))
     try:
         cc = connected_components(pairs)
     finally:

@@ -27,7 +27,19 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
                 n_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join ``big ⋈ small`` on column ``on`` with ``n_salts``-way
     salting of the big side. Returns the same columns as
-    ``big.join(small, on, how)``."""
+    ``big.join(small, on, how)``.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated once per salt, which is invisible to inner/left results
+    (every small row that matches, matches exactly the salts the big rows
+    carry) but would emit each UNMATCHED small-side row ``n_salts`` times
+    under right/full outer. Use AQE skew-join for outer flavors."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: the "
+            f"replicated small side would duplicate unmatched rows "
+            f"{n_salts}x under right/full outer joins"
+        )
     salt = (F.abs(F.xxhash64(*big.columns)) % n_salts).cast("int")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(

@@ -152,12 +152,14 @@ _BAND_ORACLE = f"""
     """
 
 
-@register("join_range_band_theta", oracle=_BAND_ORACLE)
 def join_range_band_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band join, literal form: inequality predicates against the
     broadcast band table (BroadcastNestedLoopJoin — acceptable ONLY
     because the band side is ~10 rows; the plan shape to avoid on two
-    large sides)."""
+    large sides). NOT registered in the catalog: kept as the test-only
+    contrast for join_range_band_bucketed
+    (tests/test_plans.py::test_band_join_bucketed_form_is_equi_hash_join)
+    so the catalog itself contains no BNLJ outside 1-row-side probes."""
     p = load_table(spark, sf_dir, "part")
     b = price_bands(spark)
     return (

@@ -93,13 +93,13 @@ def drain_user_profiles(spark: SparkSession, events: DataFrame) -> DataFrame:
     sink; with update output the LAST emission per user is the final
     profile — deduped here by (user_id, n_events DESC) since n_events is
     monotone in batch order."""
-    from .windows import STREAM_SHUFFLE_PARTITIONS
+    from .windows import stream_shuffle_partitions
 
     name = f"user_profiles_{next(_counter)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    # see windows.STREAM_SHUFFLE_PARTITIONS: state-store count = shuffle
+    # see windows.stream_shuffle_partitions: state-store count = shuffle
     # partition count; fixed per-store commit cost dwarfs the work here
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle_partitions()))
     try:
         q = (
             user_profile_stream(events)

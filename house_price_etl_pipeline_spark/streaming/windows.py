@@ -51,8 +51,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state store whose per-batch commit/snapshot overhead is FIXED cost —
 # 32 stores for 1.5k keys is 4-5x slower than 8 on local[32] (measured:
 # 13.1 s → 2.5 s for the user-profile query at sf0.1). On a real cluster
-# this is sized to key cardinality x update rate, not to core count.
-STREAM_SHUFFLE_PARTITIONS = 8
+# this is sized to key cardinality x update rate, not to core count —
+# override via SPARK_GRAFT_STREAM_PARTITIONS (read at call time, SCALE.md).
+def stream_shuffle_partitions() -> int:
+    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
 
 def _drain(agg: DataFrame, spark: SparkSession,
@@ -63,7 +65,7 @@ def _drain(agg: DataFrame, spark: SparkSession,
     the batch answer."""
     name = f"stream_out_{next(_counter)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_shuffle_partitions()))
     try:
         q = (
             agg.writeStream.outputMode(output_mode)

@@ -1,0 +1,50 @@
+"""Deploy-knob tests: the pair-scale shuffle sizings must be overridable
+via environment (SCALE.md) — the 100 TB claim is only actionable if a
+cluster deployment can size them without code changes."""
+
+from __future__ import annotations
+
+from house_price_etl_pipeline_spark.operators.dedup import (
+    dedup_shuffle_partitions,
+)
+from house_price_etl_pipeline_spark.plans.catalog import REGISTRY, load_all
+from house_price_etl_pipeline_spark.streaming.windows import (
+    stream_shuffle_partitions,
+)
+
+load_all()
+
+
+def test_knobs_default_and_env_override(monkeypatch):
+    assert dedup_shuffle_partitions() == 8
+    assert stream_shuffle_partitions() == 8
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PARTITIONS", "12")
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "5")
+    assert dedup_shuffle_partitions() == 12
+    assert stream_shuffle_partitions() == 5
+
+
+def test_dedup_correct_at_non_default_partitioning(monkeypatch, spark, sf_dir):
+    """Results must be partitioning-invariant: the same verified-pair set
+    at a non-default shuffle width."""
+    base = sorted(
+        map(tuple, REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DEDUP_PARTITIONS", "3")
+    got = sorted(
+        map(tuple, REGISTRY["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir).collect())
+    )
+    assert got == base
+
+
+def test_stream_correct_at_non_default_partitioning(monkeypatch, spark, sf_dir):
+    """A streaming windowed agg drains to the same result with a
+    different state-store count."""
+    base = sorted(
+        map(tuple, REGISTRY["stream_tumbling_hourly"].fn(spark, sf_dir).collect())
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "3")
+    got = sorted(
+        map(tuple, REGISTRY["stream_tumbling_hourly"].fn(spark, sf_dir).collect())
+    )
+    assert got == base

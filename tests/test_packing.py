@@ -31,10 +31,12 @@ def test_packing_conserves_tokens(spark, sf_dir):
 
 
 def test_encode_round_trips_through_vocab(spark, sf_dir):
-    """Decoding the id arrays through the inverted vocab must reproduce
-    the original text for every encoded doc."""
+    """Decoding the id sequences (CSV-serialized — catalog outputs are
+    scalar-only) through the inverted vocab must reproduce the original
+    text for every encoded doc."""
     v = {r.token_id: r.token for r in vocab(spark, sf_dir).collect()}
-    enc = {r.doc_id: r.ids for r in text_encode_ids(spark, sf_dir).collect()}
+    enc = {r.doc_id: [int(i) for i in r.ids.split(",")]
+           for r in text_encode_ids(spark, sf_dir).collect()}
     docs = dict(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300).select("doc_id", "text").collect())

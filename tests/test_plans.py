@@ -76,8 +76,6 @@ def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
 #
 # (a) one side is a 1-row (or fixed-tiny) relation, so the "nested loop"
 #     is really a broadcast map over the big side — linear at any scale:
-#   join_range_band_theta      documented BNLJ anti-pattern twin of the
-#                              width_bucket rewrite (~10-row band side)
 #   join_cross_region_pairs    explicit CROSS JOIN of two 5-row dims
 #   q11_important_nation_value global scalar-subquery threshold (1 row)
 #   q22_idle_balances          global scalar AVG subquery (1 row)
@@ -90,7 +88,7 @@ def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
 #   dedup_embedding_cosine_pairs  all-pairs exact cosine (the oracle for
 #                                 minhash/simhash/LSH, which ARE linear)
 _NESTED_LOOP_ALLOWED = {
-    "join_range_band_theta", "join_cross_region_pairs",
+    "join_cross_region_pairs",
     "q11_important_nation_value", "q22_idle_balances",
     "sim_bruteforce_topk", "sim_ann_ivf_topk", "sim_ann_lsh_topk",
     "dedup_embedding_cosine_pairs",
@@ -133,12 +131,24 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
 
 def test_band_join_bucketed_form_is_equi_hash_join(spark, sf_dir):
     """The width_bucket rewrite must eliminate the nested-loop join the
-    theta form pays: equi-join on band_id → BroadcastHashJoin."""
-    theta = _plan(spark, sf_dir, "join_range_band_theta")
+    theta form pays: equi-join on band_id → BroadcastHashJoin. The theta
+    form is test-only (demoted from the catalog — it was the one
+    registered BNLJ without a 1-row side); it must also stay
+    result-identical to the bucketed rewrite."""
+    from house_price_etl_pipeline_spark.operators.temporal import (
+        join_range_band_theta,
+    )
+
+    theta_df = join_range_band_theta(spark, sf_dir)
+    theta = theta_df._jdf.queryExecution().executedPlan().toString()
     bucketed = _plan(spark, sf_dir, "join_range_band_bucketed")
     assert "BroadcastNestedLoopJoin" in theta  # the shape being avoided
     assert "BroadcastNestedLoopJoin" not in bucketed
     assert "BroadcastHashJoin" in bucketed
+    got = sorted(map(tuple, theta_df.collect()))
+    want = sorted(map(tuple, REGISTRY["join_range_band_bucketed"]
+                      .fn(spark, sf_dir).collect()))
+    assert got == want
 
 
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):

@@ -62,6 +62,36 @@ def test_json_audit_writer_two_phase_commit(spark, tmp_path):
     assert back.count() == 300
 
 
+def test_json_audit_overwrite_sweeps_stale_shards(spark, tmp_path):
+    """Overwrite after a LARGER previous write must leave no stale
+    part-NNNNN shards (or orphaned staging files) behind — a naive
+    *.jsonl glob read must see exactly the new rows."""
+    import json
+    import os
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        register_jsonaudit_sink)
+
+    register_jsonaudit_sink(spark)
+    out = str(tmp_path / "audit_overwrite")
+    big = read_synthetic_events(spark, rows=400, partitions=4)
+    big.write.format("jsonaudit").option("path", out).mode("append").save()
+    # plant an orphan from a hypothetical crashed attempt
+    open(os.path.join(out, "_staging_deadbeef.tmp"), "w").write("{}\n")
+
+    small = read_synthetic_events(spark, rows=100, partitions=2)
+    small.write.format("jsonaudit").option("path", out).mode("overwrite").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(manifest.values()) == 100
+    files = sorted(os.listdir(out))
+    assert not any(f.startswith("_staging") for f in files)
+    shards = [f for f in files if f.endswith(".jsonl")]
+    assert sorted(shards) == sorted(manifest)  # no stale part files
+    back = spark.read.schema(small.schema).json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 100
+
+
 def test_stream_reader_drains_in_micro_batches_equal_to_batch(spark, tmp_path):
     """The connector's DataSourceStreamReader: offsets advance
     rows_per_batch ids per trigger, executors generate each range, and

@@ -20,6 +20,26 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert "_salt" not in salted_join(o, c, "o_custkey").columns
 
 
+def test_salted_join_left_matches_and_outer_flavors_rejected(spark, sf_dir):
+    """LEFT keeps unmatched big rows exactly once; right/full outer are
+    rejected — the replicated small side would emit unmatched small rows
+    n_salts times, so the construction is only sound for inner/left."""
+    import pytest
+
+    o = load_table(spark, sf_dir, "orders")
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 2 == 0)  # force unmatched big rows
+         .withColumnRenamed("c_custkey", "o_custkey"))
+    plain = o.join(c, "o_custkey", "left").groupBy("c_mktsegment").count()
+    salted = salted_join(o, c, "o_custkey", n_salts=8, how="left").groupBy(
+        "c_mktsegment").count()
+    key = lambda r: (r[0] is None, r[0], r[1])  # null group sorts first
+    assert sorted(plain.collect(), key=key) == sorted(salted.collect(), key=key)
+    for bad in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(o, c, "o_custkey", how=bad)
+
+
 def test_salted_join_spreads_a_hot_key(spark):
     """90%-hot-key input: every (key, salt) bucket must hold ~1/R of the
     hot key — the whole point of salting."""
