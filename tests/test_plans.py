@@ -82,6 +82,8 @@ def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
 #   sim_bruteforce_topk        every vector vs THE query vector (1 row)
 #   sim_ann_ivf_topk           probe-cell filter vs the query vector
 #   sim_ann_lsh_topk           candidate re-rank vs the query vector
+#   feature_equidepth_bins     global decile-boundary aggregate (1 row)
+#                              broadcast back for O(bins) bin assignment
 #
 # (b) deliberately exact-quadratic baseline, with the scale path next to
 #     it in the catalog:
@@ -91,6 +93,7 @@ _NESTED_LOOP_ALLOWED = {
     "join_cross_region_pairs",
     "q11_important_nation_value", "q22_idle_balances",
     "sim_bruteforce_topk", "sim_ann_ivf_topk", "sim_ann_lsh_topk",
+    "feature_equidepth_bins",
     "dedup_embedding_cosine_pairs",
 }
 
