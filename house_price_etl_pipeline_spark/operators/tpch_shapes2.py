@@ -570,3 +570,51 @@ def api_scalar_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "api_transpose_status_metrics",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             round({dec_sum_expr('o_totalprice')} / COUNT(*), 6) AS avg_price,
+             round(MAX(o_totalprice), 6) AS max_price
+      FROM orders GROUP BY 1
+    )
+    SELECT k.key,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN
+             CASE k.key WHEN 'n_orders' THEN n_orders
+                        WHEN 'avg_price' THEN avg_price
+                        ELSE max_price END END) AS "F",
+           MAX(CASE WHEN o_orderstatus = 'O' THEN
+             CASE k.key WHEN 'n_orders' THEN n_orders
+                        WHEN 'avg_price' THEN avg_price
+                        ELSE max_price END END) AS "O",
+           MAX(CASE WHEN o_orderstatus = 'P' THEN
+             CASE k.key WHEN 'n_orders' THEN n_orders
+                        WHEN 'avg_price' THEN avg_price
+                        ELSE max_price END END) AS "P"
+    FROM s CROSS JOIN (SELECT unnest(['n_orders', 'avg_price', 'max_price'])
+                       AS key) k
+    GROUP BY k.key ORDER BY k.key
+    """,
+)
+def api_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0+ API): a per-status metrics
+    block flipped so each metric becomes a row and each status a column
+    — the wide-summary presentation shape. Transpose requires a uniform
+    value type (all metrics cast to double) and uses the first column's
+    values as the new column names; the input is ordered by status so
+    the emitted columns are deterministic (F, O, P). The oracle spells
+    the same flip as a manual CASE pivot over the metric names."""
+    o = _t(spark, sf_dir, "orders")
+    s = (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").cast("double").alias("n_orders"),
+             F.round(dec_sum("o_totalprice") / F.count("*"), 6)
+             .alias("avg_price"),
+             F.round(F.max("o_totalprice"), 6).alias("max_price"))
+        .orderBy("o_orderstatus")
+    )
+    return s.transpose().orderBy("key")

@@ -1,0 +1,153 @@
+"""``foreachBatch`` incremental-upsert sink: the canonical pattern for
+maintaining a keyed state table on storage that only supports
+file-level writes (plain parquet — no DSv2 row-level MERGE needed).
+
+Each micro-batch is reduced to a per-key delta and merged into the
+current state snapshot with the same full-outer-join MERGE shape as
+``operators.curation.merge_upsert_accounting``; the merged snapshot is
+written as a NEW versioned directory and a pointer file is flipped last
+— so a crash mid-write never corrupts the readable state, and replays
+are idempotent (applied batch ids are journaled with the pointer; a
+re-delivered batch id is a no-op). This is exactly-once state
+maintenance on top of at-least-once batch delivery — the recipe Spark's
+own docs prescribe for idempotent ``foreachBatch`` sinks.
+
+Scale: per batch, ONE shuffle for the per-key delta aggregation and one
+key-equi-join against the snapshot (broadcast while the key space is
+small, shuffle when not — Catalyst's choice). Snapshot size is bounded
+by key cardinality, not stream length.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.pydatasource import (
+    _USER_MIX, _VALUE_MIX, register_synthetic_source)
+
+FB_ROWS, FB_PER_BATCH, FB_PARTS = 6000, 1500, 4
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, "_POINTER.json")
+
+
+def _load_pointer(root: str) -> dict:
+    p = _pointer_path(root)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"version": None, "applied": []}
+
+
+def upsert_batch(state_root: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Merge one micro-batch into the versioned state snapshot."""
+    ptr = _load_pointer(state_root)
+    if batch_id in ptr["applied"]:  # replayed batch: exactly-once no-op
+        return
+    spark = batch_df.sparkSession
+    delta = (
+        batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.max("event_id").alias("last_event_id"),
+             F.max_by("value", "event_id").alias("last_value"))
+    )
+    if ptr["version"] is not None:
+        prev = spark.read.parquet(os.path.join(state_root, f"v{ptr['version']}"))
+        p, d = prev.alias("p"), delta.alias("d")
+        delta_is_newer = (
+            F.col("p.last_event_id").isNull()
+            | (F.col("d.last_event_id") > F.col("p.last_event_id"))
+        )
+        merged = (
+            p.join(d, F.col("p.user_id") == F.col("d.user_id"), "full_outer")
+            .select(
+                F.coalesce("p.user_id", "d.user_id").alias("user_id"),
+                (F.coalesce("p.n_events", F.lit(0))
+                 + F.coalesce("d.n_events", F.lit(0))).alias("n_events"),
+                F.greatest("p.last_event_id", "d.last_event_id")
+                .alias("last_event_id"),
+                F.when(delta_is_newer, F.col("d.last_value"))
+                .otherwise(F.col("p.last_value")).alias("last_value"),
+            )
+        )
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"v{batch_id}"))
+    # flip the pointer LAST: readers only ever see a fully-written version
+    with open(_pointer_path(state_root), "w") as f:
+        json.dump({"version": batch_id,
+                   "applied": sorted(ptr["applied"] + [batch_id])}, f)
+
+
+def run_upsert_stream(spark: SparkSession, state_root: str,
+                      rows: int = FB_ROWS, per_batch: int = FB_PER_BATCH,
+                      partitions: int = FB_PARTS) -> DataFrame:
+    """Drain the synthetic-events stream through the foreachBatch upsert
+    and return the final state snapshot."""
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", str(rows))
+        .option("rows_per_batch", str(per_batch))
+        .option("partitions", str(partitions))
+        .load()
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(lambda df, bid: upsert_batch(state_root, df, bid))
+        .option("checkpointLocation", os.path.join(state_root, "_ckpt"))
+        .start()
+    )
+    # the custom stream reader advances one offset window per trigger, so
+    # drain by polling the journal until every batch has been applied
+    # (availableNow would stop after the FIRST offset window)
+    import time
+    n_batches = -(-rows // per_batch)
+    deadline = time.time() + 120
+    try:
+        while len(_load_pointer(state_root)["applied"]) < n_batches:
+            if time.time() > deadline:
+                raise TimeoutError("foreachBatch upsert stream did not drain")
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    ptr = _load_pointer(state_root)
+    return spark.read.parquet(os.path.join(state_root, f"v{ptr['version']}"))
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle=f"""
+    WITH gen AS (
+      SELECT CAST(i AS BIGINT) AS event_id,
+             (i * {_USER_MIX}) % 150 AS user_id,
+             CAST(((i * {_VALUE_MIX} + 12345) % 1000) / 10.0 AS DOUBLE) AS value
+      FROM (SELECT unnest(range(0, {FB_ROWS})) AS i)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(event_id) AS BIGINT) AS last_event_id,
+           CAST(((MAX(event_id) * {_VALUE_MIX} + 12345) % 1000) / 10.0
+                AS DOUBLE) AS last_value
+    FROM gen GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed state table maintained across micro-batches by the
+    foreachBatch MERGE sink ({FB_ROWS} synthetic events in
+    {FB_ROWS // FB_PER_BATCH} batches). The final snapshot must equal
+    the batch keep-latest-plus-count over the whole generator range —
+    which is what the oracle computes directly from the generator's
+    integer-mixing formulas (event_id is monotone, so latest = max id)."""
+    state_root = tempfile.mkdtemp(prefix="fb_upsert_")
+    out = run_upsert_stream(spark, state_root)
+    return out.select("user_id", "n_events", "last_event_id", "last_value") \
+              .orderBy("user_id")
