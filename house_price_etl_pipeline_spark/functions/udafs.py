@@ -89,3 +89,124 @@ def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("wavg_price"))
         .orderBy("l_returnflag")
     )
+
+
+# --- grouped-map applyInPandas ---------------------------------------------
+
+@register(
+    "pandas_mad_by_flag",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(ANY_VALUE(med.m), 6) AS median_price,
+           round(quantile_cont(abs(l.l_extendedprice - med.m), 0.5), 6)
+             AS mad_price
+    FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def pandas_mad_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group via **grouped-map
+    ``applyInPandas``** (the batch grouped-map surface; the stateful twin
+    lives in streaming/stateful.py). One shuffle on the group key, each
+    group materialized as a pandas frame in the worker — the contract is
+    bounded groups, same as any grouped map; for billion-row groups the
+    two-pass percentile composition (see clean_winsorize_prices) is the
+    shape that scales. numpy's interpolated median == DuckDB
+    quantile_cont(0.5), so the kernel is value-hash checkable — rare for
+    a Python-path operator."""
+    import numpy as np
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"].to_numpy(dtype="float64")
+        m = float(np.median(x))
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n_rows": [len(x)],
+            "median_price": [round(m, 6)],
+            "mad_price": [round(float(np.median(np.abs(x - m))), 6)],
+        })
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(
+            mad,
+            "l_returnflag string, n_rows bigint, "
+            "median_price double, mad_price double")
+        .orderBy("l_returnflag")
+    )
+
+
+# --- cogrouped applyInPandas -----------------------------------------------
+
+@register(
+    "pandas_cogroup_conversion_lag",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN c.ts IS NULL THEN 0
+                    ELSE epoch_us(p.ts) - epoch_us(c.ts) END)
+                AS BIGINT) AS total_lag_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+)
+def pandas_cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution lag via **cogrouped ``applyInPandas``**
+    (``groupBy(...).cogroup(...)``): both sides shuffle once on user_id,
+    and each user's click/purchase frames arrive together in one worker
+    call — the two-sided grouped-map surface. The kernel is
+    ``pd.merge_asof`` (backward search = latest click at-or-before each
+    purchase), the per-key micro-batch twin of the engine's native as-of
+    join (operators/temporal.py, which remains the 100 TB path — this
+    entry pins the cogroup API itself under the value-hash gate, lag
+    sums in exact integer microseconds)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts")
+
+    def lag(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=["user_id", "n_purchases", "n_attributed",
+                         "total_lag_us"])
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        cdf = cdf.sort_values("ts", kind="mergesort")
+        if cdf.empty:
+            matched = pdf.assign(click_ts=pd.NaT)
+        else:
+            matched = pd.merge_asof(
+                pdf, cdf.rename(columns={"ts": "click_ts"}),
+                left_on="ts", right_on="click_ts",
+                by="user_id", direction="backward")
+        # exact integer microseconds (timedelta floordiv runs on int64
+        # nanoseconds — no float round-trip, any lag magnitude)
+        lag_us = ((matched["ts"] - matched["click_ts"])
+                  // pd.Timedelta(microseconds=1))
+        attributed = matched["click_ts"].notna()
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "n_purchases": [len(pdf)],
+            "n_attributed": [int(attributed.sum())],
+            "total_lag_us": [int(lag_us.fillna(0).sum())],
+        })
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            lag,
+            "user_id bigint, n_purchases bigint, n_attributed bigint, "
+            "total_lag_us bigint")
+        .orderBy("user_id")
+    )
