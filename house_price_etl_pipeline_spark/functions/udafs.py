@@ -171,27 +171,32 @@ def pandas_cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame
     entry pins the cogroup API itself under the value-hash gate, lag
     sums in exact integer microseconds)."""
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    # the two sides carry DISTINCT column names: with both named `ts`,
+    # Spark's column pruning over FlatMapCoGroupsInPandas can drop the
+    # right side's ts (same-name attribute dedup) — observed, not just
+    # theoretical
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts")
+        "user_id", F.col("ts").alias("purchase_ts"))
 
     def lag(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(
                 columns=["user_id", "n_purchases", "n_attributed",
                          "total_lag_us"])
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        cdf = cdf.sort_values("ts", kind="mergesort")
+        pdf = pdf.sort_values("purchase_ts", kind="mergesort")
+        cdf = cdf.sort_values("click_ts", kind="mergesort")
         if cdf.empty:
             matched = pdf.assign(click_ts=pd.NaT)
         else:
             matched = pd.merge_asof(
-                pdf, cdf.rename(columns={"ts": "click_ts"}),
-                left_on="ts", right_on="click_ts",
+                pdf, cdf,
+                left_on="purchase_ts", right_on="click_ts",
                 by="user_id", direction="backward")
         # exact integer microseconds (timedelta floordiv runs on int64
         # nanoseconds — no float round-trip, any lag magnitude)
-        lag_us = ((matched["ts"] - matched["click_ts"])
+        lag_us = ((matched["purchase_ts"] - matched["click_ts"])
                   // pd.Timedelta(microseconds=1))
         attributed = matched["click_ts"].notna()
         return pd.DataFrame({
