@@ -1,0 +1,294 @@
+"""Corpus-construction operators (training-data-pipeline extensions,
+round 2): benchmark decontamination (exact + n-gram), document chunking
+with overlap, and bigram-collocation (PMI) mining.
+
+These are the steps between "deduplicated documents" and "training
+tokens" in an LLM data pipeline, each expressed as the Spark plan that
+survives 100 TB:
+
+- **Exact decontamination** = anti-join of the corpus against the
+  benchmark fingerprint set. Eval suites are tiny (thousands of docs)
+  next to a corpus, so the fingerprints BROADCAST: the corpus never
+  shuffles, the whole operator is a map-side hash-probe over the scan.
+- **N-gram decontamination** = the fuzzy version: a doc is flagged when
+  it shares ≥1 distinct n-gram with any benchmark doc. Benchmark
+  n-grams explode to a still-small distinct set → broadcast inner join
+  against the corpus's per-doc distinct n-grams → count per doc. The
+  corpus side explodes but never shuffles on text; the one shuffle is
+  the per-doc overlap count on doc_id. GRAM_N here is 3 because the
+  synthetic corpus has a 31-token vocabulary (8-grams almost never
+  collide on random token soup); production uses 8-13 — the plan is
+  unchanged by N.
+- **Chunking** = per-row sequence(start, n, stride) + slice — pure
+  narrow expressions (posexplode of a computed starts array), zero
+  shuffle, zero Python: the shape that turns documents into
+  fixed-window training samples at scan speed.
+- **PMI collocations** = two token-count aggregations (unigram, bigram)
+  + two BROADCAST joins of the bigram relation against the (vocab-sized)
+  unigram relation + a 1-row totals broadcast. At 100 TB the unigram
+  relation is still vocab-sized; only the bigram count agg shuffles.
+
+Reference parity note: the reference (586-LoC GCP ETL) has no corpus
+operators at all — this family is part of the north-star "LLM
+training-data pipeline" extension mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.catalog import register
+from ..sources.tables import load_table
+
+# Benchmark membership: a synthetic "eval suite" carved deterministically
+# from the corpus itself (1-in-97 docs by key) so the operator is
+# oracle-checkable on the driver's fixed tables.
+BENCH_MOD = 97
+GRAM_N = 3          # production: 8-13; see module docstring
+CHUNK_TOKENS = 16   # chunk window (tokens)
+CHUNK_STRIDE = 12   # overlap = CHUNK_TOKENS - CHUNK_STRIDE
+PMI_TOP_K = 50
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _is_bench() -> Column:
+    return F.col("doc_id") % BENCH_MOD == 0
+
+
+@register(
+    "corpus_decontaminate_exact",
+    oracle=f"""
+    SELECT doc_id, md5(text) AS text_md5
+    FROM documents
+    WHERE md5(text) NOT IN
+          (SELECT md5(text) FROM documents WHERE doc_id % {BENCH_MOD} = 0)
+    ORDER BY doc_id
+    """,
+)
+def corpus_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact benchmark decontamination: drop every document whose full
+    text matches an eval-suite document. Broadcast anti-join on the md5
+    fingerprint — the corpus side is a single scan with a map-side hash
+    probe, no shuffle at any corpus size (the broadcast side is the
+    benchmark, which is small by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    bench = d.filter(_is_bench()).select(fp.alias("bench_md5")).distinct()
+    return (
+        d.select("doc_id", fp.alias("text_md5"))
+        .join(F.broadcast(bench),
+              F.col("text_md5") == F.col("bench_md5"), "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def _grams(tokens: Column, n: int = GRAM_N) -> Column:
+    """All n-grams of a token array as 'w1 w2 ... wn' strings; empty
+    array for docs shorter than n (sequence(1,0) would count DOWN in
+    Spark — the when-guard is load-bearing)."""
+    size = F.size(tokens)
+    starts = F.when(
+        size >= n, F.sequence(F.lit(1), size - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+
+@register(
+    "corpus_decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT DISTINCT array_to_string(t[i:i+{GRAM_N - 1}], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-{GRAM_N - 1})) AS s(i)
+           WHERE doc_id % {BENCH_MOD} = 0),
+    dg AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+{GRAM_N - 1}], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-{GRAM_N - 1})) AS s(i)
+           WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM dg JOIN bg USING (g)
+    GROUP BY dg.doc_id
+    ORDER BY dg.doc_id
+    """,
+)
+def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram benchmark contamination report: per non-benchmark doc, how
+    many DISTINCT benchmark n-grams it contains (>0 rows only — the
+    docs a pipeline would quarantine). The benchmark's distinct n-gram
+    set broadcasts; the corpus side computes its per-doc distinct grams
+    with narrow expressions (array_distinct before explode bounds the
+    explode fan-out) and probes the broadcast — one shuffle total, the
+    per-doc count on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = _grams(_toks())
+    bench_grams = (
+        d.filter(_is_bench())
+        .select(F.explode(F.array_distinct(grams)).alias("g"))
+        .distinct()
+    )
+    doc_grams = (
+        d.filter(~_is_bench())
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST((i - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(t[i:i+{CHUNK_TOKENS - 1}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(t[i:i+{CHUNK_TOKENS - 1}], ' ')) AS chunk_md5
+    FROM toks, UNNEST(generate_series(1, len(t), {CHUNK_STRIDE})) AS s(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (window CHUNK_TOKENS, stride
+    CHUNK_STRIDE): the document→training-sample shredder. Starts are a
+    per-row sequence(1, n_tokens, stride); each chunk is a slice —
+    all narrow whole-stage-codegen expressions, no shuffle, no Python.
+    Chunk text is fingerprinted (md5) rather than carried verbatim so
+    the output stays narrow; a real pipeline would write the text
+    column instead — same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(CHUNK_STRIDE))
+    chunk = F.slice(F.col("t"), F.col("start"), CHUNK_TOKENS)
+    return (
+        d.select("doc_id", toks.alias("t"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int")
+            .alias("chunk_idx"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "corpus_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT u.tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks, UNNEST(t) AS u(tok) GROUP BY u.tok),
+    big AS (SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM toks, UNNEST(generate_series(1, len(t)-1)) AS s(i)
+            GROUP BY t[i], t[i+1]),
+    tot AS (SELECT (SELECT SUM(n) FROM uni) AS n_uni,
+                   (SELECT SUM(n_ab) FROM big) AS n_big)
+    SELECT w1, w2, n_ab,
+           round(ln((n_ab / n_big) /
+                    ((u1.n / n_uni) * (u2.n / n_uni))), 6) AS pmi
+    FROM big
+    CROSS JOIN tot
+    JOIN uni u1 ON big.w1 = u1.tok
+    JOIN uni u2 ON big.w2 = u2.tok
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information —
+    PMI = ln(p(ab) / (p(a)·p(b))) over corpus token streams. Two count
+    aggregations (the bigram one is the only corpus-scale shuffle), then
+    the bigram relation joins the vocab-sized unigram relation twice via
+    BROADCAST and the 1-row totals relation via broadcast cross join
+    (allowlisted 1-row BNLJ class in tests/test_plans.py). The arithmetic
+    is ordered identically to the oracle so the doubles agree."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    uni = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pairs = F.transform(
+        F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    tot = (
+        uni.agg(F.sum("n").alias("n_uni"))
+        .crossJoin(big.agg(F.sum("n_ab").alias("n_big")))
+    )
+    u1 = uni.select(F.col("tok").alias("tok1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("tok2"), F.col("n").alias("n2"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab") / F.col("n_big"))
+            / ((F.col("n1") / F.col("n_uni")) * (F.col("n2") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        big.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), F.col("w1") == F.col("tok1"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("tok2"))
+        .select("w1", "w2", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+@register(
+    "corpus_source_composition",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens,
+             round(AVG(n_chars), 6) AS avg_chars
+      FROM documents GROUP BY source, lang
+    ), tot AS (SELECT SUM(total_tokens) AS corpus_tokens FROM per)
+    SELECT source, lang, n_docs, total_tokens, avg_chars,
+           round(total_tokens / corpus_tokens, 6) AS token_share
+    FROM per CROSS JOIN tot
+    ORDER BY source, lang
+    """,
+)
+def corpus_source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per (source, lang) doc counts, token
+    totals, and each cell's share of all corpus tokens — the mixing
+    table a data pipeline tunes sampling weights against. One group-by
+    shuffle; the share denominator is a 1-row re-aggregate of the
+    already-tiny report, broadcast back (allowlisted 1-row class)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(_toks())).cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+    tot = per.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "lang", "n_docs", "total_tokens", "avg_chars",
+            F.round(F.col("total_tokens") / F.col("corpus_tokens"), 6)
+            .alias("token_share"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -84,6 +84,10 @@ def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
 #   sim_ann_lsh_topk           candidate re-rank vs the query vector
 #   feature_equidepth_bins     global decile-boundary aggregate (1 row)
 #                              broadcast back for O(bins) bin assignment
+#   corpus_bigram_pmi          1-row corpus-totals relation broadcast
+#                              into the PMI arithmetic
+#   corpus_source_composition  1-row corpus-token-total broadcast back
+#                              over the tiny per-(source,lang) report
 #
 # (b) deliberately exact-quadratic baseline, with the scale path next to
 #     it in the catalog:
@@ -94,6 +98,7 @@ _NESTED_LOOP_ALLOWED = {
     "q11_important_nation_value", "q22_idle_balances",
     "sim_bruteforce_topk", "sim_ann_ivf_topk", "sim_ann_lsh_topk",
     "feature_equidepth_bins",
+    "corpus_bigram_pmi", "corpus_source_composition",
     "dedup_embedding_cosine_pairs",
 }
 
