@@ -140,3 +140,46 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("double"), 6).alias("sum_price"))
         .orderBy("bucket")
     )
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+@register(
+    "sample_weighted_topk",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           round(ln((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                     ::UBIGINT + 1) / 4294967297.0)
+                 / o_totalprice, 10) AS priority_key
+    FROM orders
+    ORDER BY priority_key DESC, o_orderkey
+    LIMIT {WEIGHTED_SAMPLE_K}
+    """,
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as a deterministic top-k:
+    the Efraimidis–Spirakis A-ES scheme. Each row gets a priority
+    u^(1/w) with u uniform from the row key — here in log space,
+    ln(u)/w, the same ordering with better float behavior — and the
+    sample is the k largest priorities. Because u derives from md5 of
+    the key (not an RNG), the sample is reproducible across engines,
+    re-runs, and repartitioning, and the whole operator is a narrow
+    per-row expression + TakeOrderedAndProject: no shuffle of the data,
+    no driver state, any corpus size. The u construction — first 8 md5
+    hex chars → uint32 → (h+1)/(2^32+1) ∈ (0,1] — is replayed verbatim
+    by the DuckDB oracle (hex→UBIGINT cast), so even the double
+    arithmetic agrees bit-for-bit at round(·, 10)."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 8),
+        16, 10,
+    ).cast("double")
+    priority = F.round(
+        F.log((h + 1) / 4294967297.0) / F.col("o_totalprice"), 10)
+    return (
+        o.select("o_orderkey", "o_totalprice", priority.alias("priority_key"))
+        .orderBy(F.col("priority_key").desc(), "o_orderkey")
+        .limit(WEIGHTED_SAMPLE_K)
+    )

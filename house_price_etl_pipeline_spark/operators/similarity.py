@@ -394,3 +394,81 @@ def emb_arrow_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_large").alias("n_large_components"))
         .orderBy("label")
     )
+
+
+# --- distributed k-means (Lloyd iterations) --------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _nearest_udf(C: "np.ndarray"):
+    """Arrow-batched nearest-centroid assignment for a FIXED centroid
+    matrix: argmin over squared L2 via the matmul identity
+    |x-c|² = |x|² - 2x·c + |c|² (ties → lowest cluster index, numpy
+    argmin semantics — deterministic). The centroid matrix rides to the
+    executors inside the UDF closure — k×dim doubles, the same
+    broadcast-a-small-side discipline as every dimension join."""
+    Ct = C.T.copy()                    # dim × k
+    c2 = (C * C).sum(axis=1)           # |c|² per cluster
+
+    @F.pandas_udf("struct<cluster:int, dist2:double>")
+    def nearest(emb: pd.Series) -> pd.DataFrame:
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        D = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ Ct) + c2
+        cl = np.argmin(D, axis=1)
+        return pd.DataFrame({
+            "cluster": cl.astype("int32"),
+            "dist2": np.maximum(D[np.arange(len(cl)), cl], 0.0),
+        })
+
+    return nearest
+
+
+@register("sim_kmeans_lloyd")  # iterative refinement → rows-only
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, KMEANS_ITERS Lloyd rounds: the trained
+    version of the IVF coarse quantizer above (whose centroids are
+    random by design — see _centroids). Each round is
+
+      1. ASSIGN — narrow Arrow-batched argmin map, zero shuffle; the
+         centroid matrix is closure-shipped (k×dim, broadcast-sized);
+      2. UPDATE — posexplode → groupBy (cluster, dim) mean: ONE shuffle
+         whose key space is k×dim (512 here), never rows, with
+         decimal-exact sums so centroids are partition-order-stable;
+      3. a k×dim-row collect of the new centroids — a bounded driver
+         scalar per round, the same class as dedup.py's convergence
+         counts (NOT a data collect; at 100 TB it is still 512 rows).
+
+    Init is deterministic: the K lowest-vec_id vectors. Iterative ⇒ no
+    single SQL oracle; tests/test_similarity.py replays the identical
+    algorithm in numpy and checks the full assignment vector."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = (e.orderBy("vec_id").limit(KMEANS_K)
+            .select("embedding").collect())
+    C = np.array([r.embedding for r in init], dtype=np.float64)
+
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select(
+            "vec_id", "embedding",
+            _nearest_udf(C)(F.col("embedding")).alias("a"))
+        upd = (
+            assigned.select(F.col("a.cluster").alias("cluster"),
+                            F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                  / F.count("*")).alias("c"))
+            .collect()
+        )
+        C = C.copy()
+        for r in upd:                   # empty clusters keep their centroid
+            C[r.cluster, r.pos] = r.c
+
+    final = e.select(
+        "vec_id", _nearest_udf(C)(F.col("embedding")).alias("a"))
+    return (
+        final.select(
+            "vec_id", F.col("a.cluster").alias("cluster"),
+            F.round(F.col("a.dist2"), 6).alias("dist2"))
+        .orderBy("vec_id")
+    )

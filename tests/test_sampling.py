@@ -50,3 +50,19 @@ def test_stratified_rebalances_rare_classes(spark, sf_dir):
     assert sampled["N"] / totals["N"] < 0.12
     for k in ("R", "A"):
         assert 0.3 < sampled[k] / totals[k] < 0.7
+
+
+def test_weighted_topk_overselects_heavy_rows(spark, sf_dir):
+    """A-ES with w = o_totalprice must pull the sample's mean price well
+    above the population mean, and be stable under repartitioning (pure
+    function of the key)."""
+    from house_price_etl_pipeline_spark.operators.sampling import (
+        sample_weighted_topk)
+
+    o = load_table(spark, sf_dir, "orders")
+    pop_mean = o.agg(F.avg("o_totalprice")).collect()[0][0]
+    samp = sample_weighted_topk(spark, sf_dir)
+    samp_mean = samp.agg(F.avg("o_totalprice")).collect()[0][0]
+    assert samp_mean > 1.2 * pop_mean
+    again = {r.o_orderkey for r in sample_weighted_topk(spark, sf_dir).collect()}
+    assert {r.o_orderkey for r in samp.collect()} == again

@@ -43,3 +43,37 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # nprobe=4 of 32 random cells on weak-structure data: assert a floor
     # well above the 12.5% a random 4-cell subset would give
     assert overlap >= 0.4, f"IVF recall@10 = {overlap:.2f}"
+
+
+def test_kmeans_lloyd_matches_numpy_replica(spark, sf_dir):
+    """Replay init + KMEANS_ITERS Lloyd rounds in numpy (same
+    deterministic init, same argmin tie rule) and compare the full
+    assignment vector. The engine's decimal-exact centroid means differ
+    from numpy float64 means by ~1e-13, so allow a one-in-500 near-tie
+    flip — in practice the match is exact."""
+    import numpy as np
+
+    from house_price_etl_pipeline_spark.operators.similarity import (
+        KMEANS_ITERS, KMEANS_K, sim_kmeans_lloyd)
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    rows = (load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding").orderBy("vec_id").collect())
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = X[:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(D, axis=1)
+        for k in range(KMEANS_K):
+            if (cl == k).any():
+                C[k] = X[cl == k].mean(axis=0)
+    D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expect = dict(zip(ids.tolist(), np.argmin(D, axis=1).tolist()))
+
+    got = {r.vec_id: r.cluster
+           for r in sim_kmeans_lloyd(spark, sf_dir).collect()}
+    assert len(got) == len(expect)
+    mismatches = sum(1 for v, c in got.items() if expect[v] != c)
+    assert mismatches <= len(expect) // 500
+    assert len(set(got.values())) == KMEANS_K  # no collapsed clusters
