@@ -259,3 +259,120 @@ def events_user_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("mu", 6).alias("mean_value"), "n_anomalies")
         .orderBy("user_id")
     )
+
+
+K_ANON = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING COUNT(*) < {K_ANON}
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over a quasi-identifier tuple: every equivalence
+    class with fewer than K members is a re-identification risk a privacy
+    pipeline must suppress or generalize before release. One group-by
+    shuffle on the quasi-identifier key; the report is the (tiny) set of
+    violating classes."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") < K_ANON)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS gts
+      FROM bounds
+    ),
+    ev AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value
+           FROM events WHERE user_id < 20 AND value IS NOT NULL),
+    p AS (
+      SELECT g.user_id, g.gts, e.value AS pv, epoch_us(e.ts) AS pt
+      FROM grid g ASOF LEFT JOIN ev e
+        ON g.user_id = e.user_id AND e.ts <= g.gts
+    ),
+    n AS (
+      SELECT g.user_id, g.gts, e.value AS nv, epoch_us(e.ts) AS nt
+      FROM grid g ASOF LEFT JOIN ev e
+        ON g.user_id = e.user_id AND e.ts > g.gts
+    )
+    SELECT p.user_id, CAST(p.gts AS VARCHAR) AS grid_ts,
+           round(CASE
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             WHEN epoch_us(p.gts) = pt THEN pv
+             ELSE pv + (nv - pv) * (epoch_us(p.gts) - pt) / (nt - pt)
+           END, 6) AS interp_value
+    FROM p JOIN n ON p.user_id = n.user_id AND p.gts = n.gts
+    ORDER BY p.user_id, p.gts
+    """,
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample onto the same 6-hour grid as ts_resample_forward_fill,
+    but fill gaps by LINEAR INTERPOLATION between the surrounding
+    observations (bfill/ffill at the edges). Same union+window as-of
+    technique, run in both directions over ONE shuffle on user_id:
+    forward frame carries (prev value, prev event time), backward frame
+    (next value, next event time); the interpolation weight is exact
+    integer microseconds. The grid row sorts AFTER a same-instant event
+    (side ordering), so an exact hit returns the observation itself —
+    mirrored by the oracle's gts = pt guard."""
+    e = (load_table(spark, sf_dir, "events")
+         .filter((F.col("user_id") < 20) & F.col("value").isNotNull()))
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS")))
+        .alias("gts"))
+
+    left = grid.select(F.lit(1).alias("_side"), "user_id",
+                       F.col("gts").alias("t"),
+                       F.lit(None).cast("double").alias("_v"))
+    right = e.select(F.lit(0).alias("_side"), "user_id",
+                     F.col("ts").alias("t"),
+                     F.col("value").cast("double").alias("_v"))
+    wf = (Window.partitionBy("user_id").orderBy("t", "_side")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wb = (Window.partitionBy("user_id").orderBy("t", "_side")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    ev_us = F.when(F.col("_v").isNotNull(), F.unix_micros(F.col("t")))
+    pv = F.last("_v", ignorenulls=True).over(wf)
+    pt = F.last(ev_us, ignorenulls=True).over(wf)
+    nv = F.first("_v", ignorenulls=True).over(wb)
+    nt = F.first(ev_us, ignorenulls=True).over(wb)
+    gt = F.unix_micros(F.col("t"))
+    interp = (
+        F.when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .when(gt == pt, pv)
+        .otherwise(pv + (nv - pv) * (gt - pt) / (nt - pt))
+    )
+    return (
+        left.unionByName(right)
+        .select("_side", "user_id", "t",
+                F.round(interp, 6).alias("interp_value"))
+        .filter(F.col("_side") == 1)
+        .select("user_id", F.col("t").cast("string").alias("grid_ts"),
+                "interp_value")
+        .orderBy("user_id", "grid_ts")
+    )
