@@ -35,7 +35,7 @@ training-data pipeline" extension mandated by BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import register
@@ -291,4 +291,54 @@ def corpus_source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("token_share"),
         )
         .orderBy("source", "lang")
+    )
+
+
+TOKEN_BUDGET = 3000  # per-language token cap (absolute, as in production)
+
+
+@register(
+    "corpus_token_budget_cap",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+               AS score
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    ORDER BY lang, doc_id
+    """,
+)
+def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection: rank each language's docs by
+    a quality proxy (token diversity) and keep the best until the
+    language's cumulative token count hits the budget — the mixing/
+    rebalancing step that follows the composition report above. One
+    shuffle keyed on lang; the running sum is a per-stratum window with
+    a deterministic (score, doc_id) order shared with the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks).cast("bigint")
+    score = F.round(
+        F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6)
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("score").desc(), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.select("lang", "doc_id", n_tokens.alias("n_tokens"),
+                 score.alias("score"))
+        .select("lang", "doc_id", "n_tokens",
+                F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .orderBy("lang", "doc_id")
     )

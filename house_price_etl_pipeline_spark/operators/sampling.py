@@ -22,7 +22,7 @@ distributions. Four sampling regimes, each the right tool somewhere:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.catalog import register
@@ -182,4 +182,47 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", "o_totalprice", priority.alias("priority_key"))
         .orderBy(F.col("priority_key").desc(), "o_orderkey")
         .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+STRATA_N = 50
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+    SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                            CAST(l_linenumber AS VARCHAR)),
+                        l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn <= {STRATA_N}
+    ORDER BY l_returnflag, l_orderkey, l_linenumber
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-N-per-stratum sampling, deterministic: rank each stratum's
+    rows by the md5 of their key and keep the first N — reproducible on
+    any engine (contrast `sample_stratified_returnflag`, whose sampleBy
+    fractions are Spark-RNG-bound and rows-only). One shuffle keyed on
+    the stratum. Scale note: with very few strata the window funnels each
+    stratum through one task; at 100 TB you'd pre-thin with a hash-prefix
+    band (keep md5 < bound covering ≫N expected rows) before the exact
+    rank — same plan shape, bounded task input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string")).cast("binary"))
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy(h, "l_orderkey", "l_linenumber"))
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= STRATA_N)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )
