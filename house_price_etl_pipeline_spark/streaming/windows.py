@@ -23,6 +23,9 @@ from ..plans.catalog import register
 
 _counter = itertools.count()
 
+# Legacy TIMESTAMP(NANOS) layout of the events table (ts as raw int64).
+# stream_events() now sniffs the footer; tests still craft fixtures in
+# this layout to exercise the nanos-as-long path end-to-end.
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
@@ -34,17 +37,28 @@ EVENTS_RAW_SCHEMA = T.StructType([
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet (nanos ts → µs TimestampType,
-    mirroring the batch loader)."""
+    """Streaming scan of the events parquet, mirroring the batch loader's
+    ts handling: the generator has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (read as raw int64 via nanosAsLong, then truncated to µs) and as plain
+    TIMESTAMP(MICROS). Derive the schema from the parquet footer instead
+    of hardcoding either encoding."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # footer-only read
     # file source needs a directory: scan sf_dir, glob-filtered to the
     # events file (same trick as the reference's *a.csv suffix filter)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks require TIMESTAMP (with local tz); the session tz is
+        # pinned to UTC (session.py:38) so this cast is value-identical.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 # Stateful-stream shuffle sizing: every shuffle partition carries its own
