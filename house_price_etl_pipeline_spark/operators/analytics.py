@@ -376,3 +376,95 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "interp_value")
         .orderBy("user_id", "grid_ts")
     )
+
+
+MB_TOP_K = 25
+
+
+@register(
+    "market_basket_part_pairs",
+    oracle=f"""
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM p a JOIN p b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT {MB_TOP_K}
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in the
+    most orders. NOT the classic self-join (which scans and shuffles
+    the fact twice): one groupBy(orderkey) collects each basket's
+    distinct parts, then the pair expansion is a narrow per-row
+    higher-order transform bounded by basket size squared — at 100 TB
+    baskets stay small (k≈7 here) while orders grow, so the expansion
+    is O(rows·k²) with ONE fact shuffle; the pair-count agg then
+    shuffles only the (much smaller) pair stream, and top-k is
+    TakeOrderedAndProject. The oracle states the same result as the
+    textbook self-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        l.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    parts = F.col("parts")
+    pairs = F.flatten(F.transform(
+        parts,
+        lambda x, i: F.transform(
+            F.slice(parts, i + 2, F.size(parts)),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")))))
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"),
+                 F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(MB_TOP_K)
+    )
+
+
+ROLLUP_CUTOFF = "1997-01-01"
+
+
+@register(
+    "rollup_incremental_maintenance",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM orders GROUP BY ym ORDER BY ym
+    """,
+)
+def rollup_incremental_maintenance(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the monthly revenue rollup is
+    kept as RE-AGGREGATABLE partials (count, decimal sum) so a delta
+    batch merges into the snapshot WITHOUT touching historical raw
+    data — union the snapshot partials with the delta's partials and
+    re-sum. Here both halves derive from the same table split at
+    ROLLUP_CUTOFF (so the DuckDB oracle is simply the full one-pass
+    rollup the merge must reproduce); in production the snapshot side
+    is a tiny stored table and only the delta is scanned — the 100 TB
+    point of the pattern. Partial sums are DECIMAL so merge order
+    cannot change a bit; the month key keeps partials mergeable (the
+    same contract as the HLL-sketch rollup, exact-sum edition)."""
+    o = load_table(spark, sf_dir, "orders")
+    ym = F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(ym).agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("ps"))
+
+    snapshot = partials(o.filter(F.col("o_orderdate") < ROLLUP_CUTOFF))
+    delta = partials(o.filter(F.col("o_orderdate") >= ROLLUP_CUTOFF))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("ym")
+        .agg(F.sum("pn").alias("n_orders"),
+             F.sum("ps").cast("double").alias("sum_price"))
+        .orderBy("ym")
+    )

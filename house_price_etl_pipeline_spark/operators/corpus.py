@@ -123,14 +123,19 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode fan-out) and probes the broadcast — one shuffle total, the
     per-doc count on doc_id."""
     d = load_table(spark, sf_dir, "documents")
-    grams = _grams(_toks())
+    # materialize tokens before _grams: the gram lambda slices the
+    # token array per start index — an inlined split would re-tokenize
+    # the doc per gram (O(n²) per row)
+    dt = d.select("doc_id", _is_bench().alias("is_bench"),
+                  _toks().alias("t"))
+    grams = _grams(F.col("t"))
     bench_grams = (
-        d.filter(_is_bench())
+        dt.filter("is_bench")
         .select(F.explode(F.array_distinct(grams)).alias("g"))
         .distinct()
     )
     doc_grams = (
-        d.filter(~_is_bench())
+        dt.filter(~F.col("is_bench"))
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
     )
     return (
@@ -209,9 +214,12 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (allowlisted 1-row BNLJ class in tests/test_plans.py). The arithmetic
     is ordered identically to the oracle so the doubles agree."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _toks()
+    # tokenize ONCE into a column — an inlined split inside the pair
+    # lambda re-splits the doc per element_at (O(n²) per row)
+    dt = d.select(_toks().alias("t"))
+    toks = F.col("t")
     uni = (
-        d.select(F.explode(toks).alias("tok"))
+        dt.select(F.explode(toks).alias("tok"))
         .groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
     )
     pairs = F.transform(
@@ -223,7 +231,7 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     big = (
-        d.select(F.explode(pairs).alias("p"))
+        dt.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n_ab"))
     )
@@ -327,7 +335,8 @@ def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed on lang; the running sum is a per-stratum window with
     a deterministic (score, doc_id) order shared with the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _toks()
+    dt = d.select("lang", "doc_id", _toks().alias("t"))  # tokenize once
+    toks = F.col("t")
     n_tokens = F.size(toks).cast("bigint")
     score = F.round(
         F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6)
@@ -335,8 +344,8 @@ def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
          .orderBy(F.col("score").desc(), "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        d.select("lang", "doc_id", n_tokens.alias("n_tokens"),
-                 score.alias("score"))
+        dt.select("lang", "doc_id", n_tokens.alias("n_tokens"),
+                  score.alias("score"))
         .select("lang", "doc_id", "n_tokens",
                 F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)

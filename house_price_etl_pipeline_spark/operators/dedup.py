@@ -56,16 +56,22 @@ def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFr
     )
 
 
-def shingle_expr(text_col, n: int = 3):
-    """Distinct word n-gram shingles of a text column (array<string>).
+def shingle_expr(tokens_col, n: int = 3):
+    """Distinct word n-gram shingles of a MATERIALIZED token-array
+    column (array<string>).
 
     Shingling (Broder '97) is what makes set-similarity dedup meaningful on
     natural text: unigram token SETS saturate on a small vocabulary (every
     doc shares the common words → Jaccard ≈ 1 corpus-wide, and LSH buckets
     degenerate to all-pairs), while n-gram sequences are near-unique unless
-    the docs genuinely share phrasing. Pure JVM expressions: split →
-    transform(sequence) → slice → concat_ws."""
-    ws = F.split(text_col, " ")
+    the docs genuinely share phrasing. Pure JVM expressions:
+    transform(sequence) → slice → concat_ws.
+
+    The argument must be a COLUMN holding the token array, not an
+    inline split(text) expression: the gram lambda slices it once per
+    start index, and an inlined split re-tokenizes the whole doc per
+    gram — O(n²) per row (measured 13x on the same-shaped bpe query)."""
+    ws = tokens_col
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
@@ -87,7 +93,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None,
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
     d = d.repartition(dedup_shuffle_partitions(), "doc_id")
-    return d.select("doc_id", F.explode(shingle_expr(F.col("text"), n)).alias("t"))
+    return (
+        d.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id",
+                F.explode(shingle_expr(F.col("ws"), n)).alias("t"))
+    )
 
 
 # --- exact dedup -----------------------------------------------------------

@@ -82,8 +82,11 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language scoring + deterministic argmax (first language
     in _LANG_ORDER wins ties — mirrored exactly in the oracle CASE)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
-    scored = d.select(
+    # tokenize ONCE: five per-language marker filters over an inlined
+    # split would re-tokenize the doc five times per row
+    dt = d.select("doc_id", _tokens().alias("tk"))
+    toks = F.col("tk")
+    scored = dt.select(
         "doc_id",
         *[_marker_hits(toks, m).alias(f"score_{lang}")
           for lang, m in LANG_MARKERS.items()],
@@ -130,7 +133,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / diversity / stopword-ratio features + a weighted quality
     score — the standard pre-training corpus filter shape."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _tokens()
+    dt = d.select("doc_id", "text", _tokens().alias("tk"))  # tokenize once
+    toks = F.col("tk")
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
     stop_ratio = F.round(_marker_hits(toks, STOPWORDS) / n_tokens.cast("double"), 6)
@@ -138,7 +142,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_len = F.round(
         (F.length("text") - n_tokens + 1) / n_tokens.cast("double"), 6
     )
-    base = d.select(
+    base = dt.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),

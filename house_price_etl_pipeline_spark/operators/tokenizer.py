@@ -92,7 +92,11 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair-count agg (map-side partials collapse each partition to
     its distinct pairs first); top-k is TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
-    t = _toks()
+    # materialize the token array BEFORE the index lambda: an inlined
+    # split(text) inside element_at re-tokenizes the whole doc per pair
+    # (O(n²) per row — measured 13.3 s vs 1.1 s at sf0.1)
+    dt = d.select(_toks().alias("t"))
+    t = F.col("t")
     # guard: sequence(1, 0) counts DOWN in Spark — 1-token docs must
     # yield an empty pair array, not a bogus descending range
     idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
@@ -100,7 +104,7 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.transform(idx, lambda i: F.concat_ws(
         " ", F.element_at(t, i), F.element_at(t, i + 1)))
     return (
-        d.select(F.explode(pairs).alias("pair"))
+        dt.select(F.explode(pairs).alias("pair"))
         .groupBy("pair").agg(F.count("*").alias("n_pairs"))
         .orderBy(F.col("n_pairs").desc(), "pair")
         .limit(BPE_TOP_K)
@@ -114,9 +118,7 @@ def _tok_bucket(tok: Column) -> Column:
                   16, 10).cast("long") % CDC_MOD
 
 
-@register(
-    "text_cdc_chunks",
-    oracle=f"""
+_CDC_MAIN_SQL = f"""
     WITH b AS (
       SELECT doc_id, string_split(text, ' ') AS t,
              list_filter(generate_series(1, len(string_split(text, ' '))),
@@ -136,28 +138,28 @@ def _tok_bucket(tok: Column) -> Column:
     FROM se, UNNEST(generate_series(1, len(starts))) AS u(i)
     WHERE starts[i] <= ends[i]
     ORDER BY doc_id, chunk_idx
-    """,
-)
-def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking: a token whose hash bucket is 0 ENDS a
-    chunk, so boundaries move with content (a one-token edit disturbs
-    at most one chunk — the property that makes chunk-level dedup
-    stable under small edits, vs fixed windows where one edit shifts
-    every downstream chunk). Emits (doc_id, chunk_idx, n_tokens,
-    chunk_md5). Entirely per-row higher-order functions — boundary
-    scan, slice, fingerprint — ZERO shuffle at any corpus size; the
-    orderBy exists only for the deterministic oracle compare.
-    Degenerate case kept explicit: a boundary on the last token makes
-    the trailing (start > end) pseudo-chunk empty — filtered, and the
-    raw chunk_idx numbering (with the gap) is replayed by the oracle."""
-    d = load_table(spark, sf_dir, "documents")
-    t = _toks()
-    bpos = F.filter(
-        F.sequence(F.lit(1), F.size(t)),
-        lambda i: _tok_bucket(F.element_at(t, i)) == 0)
-    starts = F.concat(F.array(F.lit(1)),
-                      F.transform(bpos, lambda x: x + 1))
-    ends = F.concat(bpos, F.array(F.size(t)))
+    """
+
+
+def _cdc_chunk_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_md5) — the shared CDC kernel
+    (see text_cdc_chunks for semantics). Each derived array (tokens,
+    boundary positions, starts/ends) is MATERIALIZED into a column
+    before the next lambda references it: inlining them would re-run
+    the md5 boundary scan per chunk element (O(n·chunks) per row)."""
+    dt = d.select("doc_id", _toks().alias("t"))
+    t = F.col("t")
+    db = dt.select(
+        "doc_id", "t",
+        F.filter(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: _tok_bucket(F.element_at(t, i)) == 0).alias("bpos"))
+    dse = db.select(
+        "doc_id", "t",
+        F.concat(F.array(F.lit(1)),
+                 F.transform("bpos", lambda x: x + 1)).alias("starts"),
+        F.concat(F.col("bpos"), F.array(F.size(t))).alias("ends"))
+    starts, ends = F.col("starts"), F.col("ends")
     chunks = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.size(starts)),
@@ -174,9 +176,84 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )),
         lambda c: c["n_tokens"] >= 1)
     return (
-        d.select("doc_id", F.explode(chunks).alias("c"))
+        dse.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_md5")
-        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register("text_cdc_chunks", oracle=_CDC_MAIN_SQL)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a token whose hash bucket is 0 ENDS a
+    chunk, so boundaries move with content (a one-token edit disturbs
+    at most one chunk — the property that makes chunk-level dedup
+    stable under small edits, vs fixed windows where one edit shifts
+    every downstream chunk). Emits (doc_id, chunk_idx, n_tokens,
+    chunk_md5). Entirely per-row higher-order functions — boundary
+    scan, slice, fingerprint — ZERO shuffle at any corpus size; the
+    orderBy exists only for the deterministic oracle compare.
+    Degenerate case kept explicit: a boundary on the last token makes
+    the trailing (start > end) pseudo-chunk empty — filtered, and the
+    raw chunk_idx numbering (with the gap) is replayed by the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return _cdc_chunk_rows(d).orderBy("doc_id", "chunk_idx")
+
+
+# DuckDB CTE producing the same chunk rows as _cdc_chunk_rows — shared
+# by the text_cdc_chunks and dedup_cdc_shared_chunks oracles.
+_CDC_CHUNKS_SQL = f"""
+    WITH b AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             list_filter(generate_series(1, len(string_split(text, ' '))),
+                         i -> ('0x' || substr(md5(string_split(text, ' ')[i]), 1, 4))::UBIGINT
+                              % {CDC_MOD} = 0) AS bpos
+      FROM documents
+    ),
+    se AS (
+      SELECT doc_id, t,
+             list_concat([1], list_transform(bpos, x -> x + 1)) AS starts,
+             list_concat(bpos, [len(t)]) AS ends
+      FROM b
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_tokens,
+             md5(array_to_string(t[starts[i]:ends[i]], ' ')) AS chunk_md5
+      FROM se, UNNEST(generate_series(1, len(starts))) AS u(i)
+      WHERE starts[i] <= ends[i]
+    )
+"""
+
+
+@register(
+    "dedup_cdc_shared_chunks",
+    oracle=_CDC_CHUNKS_SQL + """
+    SELECT chunk_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, chunk_md5
+    """,
+)
+def dedup_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup report: CDC chunks appearing in two or more
+    distinct documents — the scalable stand-in for suffix-array exact
+    substring dedup (boundaries are content-local, so a passage copied
+    between documents fingerprints identically even at different
+    offsets). Chunking itself is shuffle-free (_cdc_chunk_rows); the
+    one corpus-scale shuffle is the chunk_md5 count agg. At 100 TB the
+    output relation (shared chunks only) is the small side and feeds
+    an anti-join back onto the chunk stream to cut duplicated
+    passages."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _cdc_chunk_rows(d)
+        .groupBy("chunk_md5")
+        .agg(F.count_distinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(),
+                 F.col("n_occurrences").desc(), "chunk_md5")
     )
 
 
@@ -213,7 +290,8 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     agrees bit-for-bit across engines, while the displayed sigmoid is
     rounded to absorb libm's last-ulp exp differences."""
     d = load_table(spark, sf_dir, "documents")
-    t = _toks()
+    dt = d.select("doc_id", _toks().alias("t"))  # tokenize ONCE per row
+    t = F.col("t")
     n_tok = F.size(t).cast("double")
     n_uniq = F.size(F.array_distinct(t)).cast("double")
     n_stop = F.size(F.filter(
@@ -222,7 +300,7 @@ def quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
          + F.lit(QW_UNIQ) * (n_uniq / n_tok)
          + F.lit(QW_STOP) * (n_stop / n_tok))
     return (
-        d.select(
+        dt.select(
             "doc_id",
             F.round(1.0 / (1.0 + F.exp(-z)), 6).alias("quality_score"),
             (z >= 0.0).alias("kept"),

@@ -197,3 +197,47 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_in_session").alias("n_events"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_two_level_window",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE date_trunc('day', ts) < (SELECT date_trunc('day', MAX(ts))
+                                   FROM events)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming time-window aggregations (Spark 3.5+): hourly
+    partials re-aggregated to daily totals INSIDE one streaming query —
+    the streaming analog of the re-aggregatable-rollup pattern (second
+    level consumes window_time() of the first, so state stays bounded
+    at both levels and the daily rollup never sees raw events). Chained
+    aggs require APPEND mode, where a window only emits once the
+    watermark passes it: on this finite input the final day (watermark
+    stops 10 min short of max ts) is never finalized — the oracle
+    therefore states all COMPLETE days, which is exactly what the
+    stream emits."""
+    ev = stream_events(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(25,6)")).alias("s"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("window"), "1 day"))
+        .agg(F.sum("n").alias("n_events"),
+             F.sum("s").cast("double").alias("sum_value"))
+    )
+    out = _drain(daily, spark, output_mode="append")
+    return (
+        out.select(
+            F.col("window.start").cast("date").cast("string").alias("day"),
+            "n_events", "sum_value")
+        .orderBy("day")
+    )

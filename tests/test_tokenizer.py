@@ -128,3 +128,30 @@ def test_pq_codebook_vectors_quantize_to_themselves(spark):
            .filter(F.col("vec_id") < tok.PQ_K).collect())
     assert len(out) == tok.PQ_K * tok.PQ_M
     assert all(r.code == r.vec_id and r.dist2 == 0.0 for r in out)
+
+
+def test_incremental_rollup_is_cutoff_invariant(spark):
+    """The partial-merge rollup must equal the one-pass rollup for ANY
+    snapshot/delta split point — re-aggregatable state is associative."""
+    import house_price_etl_pipeline_spark.operators.analytics as an
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    full = {
+        r.ym: (r.n_orders, r.sum_price)
+        for r in o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("double").alias("sum_price")).collect()
+    }
+    for cutoff in ("1993-06-01", "1996-01-01", "1999-01-01"):
+        orig = an.ROLLUP_CUTOFF
+        an.ROLLUP_CUTOFF = cutoff
+        try:
+            merged = {r.ym: (r.n_orders, r.sum_price)
+                      for r in an.rollup_incremental_maintenance(
+                          spark, SF_DIR).collect()}
+        finally:
+            an.ROLLUP_CUTOFF = orig
+        assert merged == full, f"cutoff {cutoff} broke the merge"
