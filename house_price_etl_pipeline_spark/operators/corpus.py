@@ -351,3 +351,61 @@ def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .orderBy("lang", "doc_id")
     )
+
+
+MIX_ALPHA_SQRT = True  # temperature alpha = 0.5 (sqrt scaling)
+
+
+@register(
+    "corpus_mixture_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT source, n_tokens,
+                 CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(25,12)) AS pw
+          FROM s),
+    tot AS (SELECT SUM(pw) AS z, SUM(n_tokens) AS total_tokens FROM w)
+    SELECT source, n_tokens,
+           round(CAST(pw AS DOUBLE) / CAST(z AS DOUBLE), 10) AS weight,
+           CAST(round(CAST(pw AS DOUBLE) / CAST(z AS DOUBLE)
+                      * total_tokens, 0) AS BIGINT) AS target_tokens
+    FROM w CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture design (alpha = 0.5): each source's
+    sampling weight is n_tokens^alpha renormalized — the standard
+    rebalancing that upsamples small high-quality sources without
+    letting the biggest domain dominate. Per-source token counts are
+    the only corpus-scale shuffle (20 groups); the normalizer is a
+    1-row broadcast back over the source-sized relation. The sqrt
+    powers are cast to DECIMAL before summing so the denominator is
+    order-independent and bit-identical to the oracle — a raw double
+    SUM would vary with aggregation order."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (
+        d.select("source", F.size(_toks()).cast("bigint").alias("nt"))
+        .groupBy("source").agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    w = s.select(
+        "source", "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double"))
+        .cast("decimal(25,12)").alias("pw"))
+    tot = w.agg(F.sum("pw").alias("z"),
+                F.sum("n_tokens").alias("total_tokens"))
+    weight = F.round(
+        F.col("pw").cast("double") / F.col("z").cast("double"), 10)
+    target = F.round(
+        F.col("pw").cast("double") / F.col("z").cast("double")
+        * F.col("total_tokens"), 0).cast("bigint")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select("source", "n_tokens", weight.alias("weight"),
+                target.alias("target_tokens"))
+        .orderBy("source")
+    )

@@ -23,6 +23,8 @@ Scale/state notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -124,3 +126,50 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value")))
     out = _drain(agg, spark, output_mode="complete")
     return out.orderBy("c_mktsegment")
+
+
+@register(
+    "stream_decontaminate",
+    oracle=f"""
+    SELECT doc_id, md5(text) AS text_md5
+    FROM documents
+    WHERE md5(text) NOT IN
+          (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
+    ORDER BY doc_id
+    """,
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination: documents arriving as a
+    stream are anti-joined against the (static, broadcast) eval-suite
+    fingerprint set — the online version of corpus_decontaminate_exact,
+    the shape of a continuously-ingesting training-data pipeline. A
+    stream-static LEFT ANTI join is STATELESS (no watermark, no join
+    state): each micro-batch map-side probes the broadcast hash set and
+    emits immediately, so ingest throughput is scan-bound at any scale.
+    Drained over the finite source this equals the batch anti-join —
+    asserted by the oracle (same 1-in-97 benchmark rule as the corpus
+    family)."""
+    from ..operators.corpus import BENCH_MOD
+    from ..sources.tables import load_table
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("bench_md5"))
+        .distinct()
+    )
+    kept = (
+        docs.select("doc_id",
+                    F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .join(F.broadcast(bench),
+              F.col("text_md5") == F.col("bench_md5"), "left_anti")
+    )
+    out = _drain(kept, spark, output_mode="append")
+    return out.orderBy("doc_id")
