@@ -468,3 +468,94 @@ def rollup_incremental_maintenance(spark: SparkSession,
              F.sum("ps").cast("double").alias("sum_price"))
         .orderBy("ym")
     )
+
+
+@register(
+    "stats_chi2_lang_source",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (SELECT lang, SUM(o) AS rl FROM obs GROUP BY lang),
+    n AS (SELECT source, SUM(o) AS cs FROM obs GROUP BY source),
+    t AS (SELECT SUM(o) AS total FROM obs)
+    SELECT obs.lang, obs.source, o,
+           round(rl * cs / CAST(total AS DOUBLE), 6) AS expected,
+           round((o - rl * cs / CAST(total AS DOUBLE))
+                 * (o - rl * cs / CAST(total AS DOUBLE))
+                 / (rl * cs / CAST(total AS DOUBLE)), 6) AS chi2_term
+    FROM obs CROSS JOIN t
+    JOIN m ON obs.lang = m.lang
+    JOIN n ON obs.source = n.source
+    ORDER BY obs.lang, obs.source
+    """,
+)
+def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan (lang × source contingency): the
+    per-cell observed count, expected count under independence, and
+    chi² contribution — the data-audit that catches a language leaking
+    from one crawl source. ONE corpus-scale shuffle (the cell counts);
+    the row/column marginals are re-aggregates of the tiny cell
+    relation and broadcast back, never a second pass over the data —
+    the same re-aggregation discipline as the composition report. All
+    arithmetic is ordered identically to the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = (d.groupBy("lang", "source")
+           .agg(F.count("*").cast("bigint").alias("o")))
+    row_m = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    col_m = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    tot = obs.agg(F.sum("o").alias("total"))
+    exp = F.col("rl") * F.col("cs") / F.col("total").cast("double")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(row_m), "lang")
+        .join(F.broadcast(col_m), "source")
+        .select("lang", "source", "o",
+                F.round(exp, 6).alias("expected"),
+                F.round((F.col("o") - exp) * (F.col("o") - exp) / exp, 6)
+                .alias("chi2_term"))
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "agg_corr_matrix_lineitem",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS q,
+             CAST(l_extendedprice AS DOUBLE) AS p,
+             CAST(l_discount AS DOUBLE) AS d
+      FROM lineitem
+    )
+    SELECT 'quantity_extendedprice' AS pair, round(corr(q, p), 6) AS r
+    FROM s
+    UNION ALL
+    SELECT 'quantity_discount', round(corr(q, d), 6) FROM s
+    UNION ALL
+    SELECT 'extendedprice_discount', round(corr(p, d), 6) FROM s
+    ORDER BY pair
+    """,
+)
+def agg_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures, all pairs
+    in ONE aggregation pass (each corr is a sufficient-statistics
+    aggregate — sums, squares, cross-products — so k² pairs still cost
+    one shuffle of k-column partials, the same single-pass shape as
+    regr_*). Unpivoted to (pair, r) rows for the scalar-output gate.
+    Rounded to 6 — both engines compute textbook two-pass-free corr on
+    doubles; the round absorbs last-ulp aggregation-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    dd = F.col("l_discount").cast("double")
+    wide = li.agg(
+        F.round(F.corr(q, p), 6).alias("quantity_extendedprice"),
+        F.round(F.corr(q, dd), 6).alias("quantity_discount"),
+        F.round(F.corr(p, dd), 6).alias("extendedprice_discount"),
+    )
+    return (
+        wide.unpivot([], ["quantity_extendedprice", "quantity_discount",
+                          "extendedprice_discount"], "pair", "r")
+        .orderBy("pair")
+    )

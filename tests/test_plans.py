@@ -100,6 +100,9 @@ _NESTED_LOOP_ALLOWED = {
     "feature_equidepth_bins",
     "corpus_bigram_pmi", "corpus_source_composition",
     "dedup_embedding_cosine_pairs",
+    # 1-row totals relation broadcast back over a group-sized relation —
+    # the same reviewed scalar-denominator class as q11/q22/composition
+    "corpus_mixture_temperature", "stats_chi2_lang_source",
 }
 
 
