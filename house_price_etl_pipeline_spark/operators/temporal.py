@@ -35,15 +35,24 @@ from ..sources.tables import load_table
 # --------------------------------------------------------------------------
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
-              payload_cols: list[str]) -> DataFrame:
-    """Generic as-of join (left row ← latest right row with right.ts <=
-    left.ts, per key). Returns every left column plus ``payload_cols``
-    from the matched right row (NULL when no prior right row exists).
+              payload_cols: list[str],
+              direction: str = "backward") -> DataFrame:
+    """Generic as-of join. ``backward`` (default): left row ← latest
+    right row with right.ts <= left.ts, per key. ``forward``: left row
+    ← earliest right row with right.ts >= left.ts. Returns every left
+    column plus ``payload_cols`` from the matched right row (NULL when
+    no match exists on that side).
 
-    Implementation: union with a side marker; right rows sort before left
-    rows at equal timestamps (ties match, ASOF semantics); last_value
-    with ignorenulls carries the right payload forward within each key.
+    Implementation: union with a side marker — ONE shuffle on the key,
+    never an inequality join. Backward: right rows sort before left at
+    equal timestamps (ties match) and last_value(ignorenulls) over a
+    preceding frame carries the payload forward. Forward is the mirror:
+    left rows sort before right at equal timestamps and
+    first_value(ignorenulls) over a following frame pulls the next
+    payload back.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     lcols = left.columns
     l = left.select(
         F.lit(1).alias("_side"),
@@ -57,11 +66,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
           else F.col(c).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
     )
-    w = (Window.partitionBy(on).orderBy(F.col(ts), F.col("_side"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction == "backward":
+        w = (Window.partitionBy(on).orderBy(F.col(ts), F.col("_side"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = F.last
+    else:
+        w = (Window.partitionBy(on).orderBy(F.col(ts), F.col("_side").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = F.first
     carried = l.unionByName(r).select(
         "_side", *lcols,
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+        *[pick(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
           for c in payload_cols],
     )
     return (
@@ -105,6 +120,53 @@ def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = asof_join(clicks, purchases, on="user_id", ts="ts",
                        payload_cols=["pts", "pvalue"])
+    return (
+        joined.select(
+            "event_id", "user_id",
+            F.col("ts").cast("string").alias("click_ts"),
+            F.col("asof_pts").cast("string").alias("purchase_ts"),
+            F.round("asof_pvalue", 6).alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "join_asof_next_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id,
+           c.user_id,
+           CAST(c.ts AS VARCHAR) AS click_ts,
+           CAST(p.ts AS VARCHAR) AS purchase_ts,
+           round(p.pvalue, 6) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def join_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every click annotated with the user's NEXT
+    purchase at-or-after the click — time-to-conversion attribution's
+    building block. Same one-shuffle union+window machinery as the
+    backward direction (asof_join(direction='forward')), mirrored: ties
+    sort left-first so an equal-timestamp purchase matches."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue"))
+        .select("user_id", "ts", F.col("ts").alias("pts"), "pvalue")
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts="ts",
+                       payload_cols=["pts", "pvalue"], direction="forward")
     return (
         joined.select(
             "event_id", "user_id",

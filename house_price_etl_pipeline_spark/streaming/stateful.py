@@ -221,3 +221,55 @@ def drain_running_totals(spark, stream_df):
             w.partitionBy("user_id").orderBy(F.col("n_events").desc())))
         .filter(F.col("_rn") == 1).drop("_rn"))
     return latest
+
+
+# --------------------------------------------------------------------------
+# Timeout-closed sessions: the idle-timeout contract that bounds state.
+# --------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+])
+
+SESSION_IDLE_MS = 1  # any later micro-batch closes an untouched session
+
+
+def _session_with_timeout(key, pdfs, state: GroupState):
+    """Processing-time-timeout session kernel: data extends the session
+    (emits an 'open' row and re-arms the idle timer); a timeout fires on
+    the first batch AFTER the timer lapsed with no data for the key —
+    the kernel emits the final 'closed' row and REMOVES the state. This
+    removal is the 100 TB contract: idle keys leave the store instead of
+    accumulating forever."""
+    if state.hasTimedOut:
+        (n,) = state.get
+        state.remove()
+        yield pd.DataFrame({"user_id": [key[0]], "status": ["closed"],
+                            "n_events": [n]})
+        return
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    state.setTimeoutDuration(SESSION_IDLE_MS)
+    yield pd.DataFrame({"user_id": [key[0]], "status": ["open"],
+                        "n_events": [n]})
+
+
+def session_timeout_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_with_timeout,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

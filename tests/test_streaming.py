@@ -381,3 +381,42 @@ def test_stream_stream_left_outer_join_emits_nulls_after_expiry(spark, tmp_path)
     # clicks 1/9/11 matched eagerly; click 4 null-padded only after its
     # state expired (watermark past cts + 5m + 10m delay)
     assert rows == {1: 2, 4: None, 9: 10, 11: 12}
+
+
+def test_processing_time_timeout_closes_idle_sessions(spark, tmp_path):
+    """GroupStateTimeout.ProcessingTimeTimeout: a key untouched since a
+    prior batch times out on a later (possibly no-data) batch — the
+    kernel emits its final 'closed' row and REMOVES the state (idle keys
+    must leave the store; that is what bounds state at 100 TB). User 7
+    (batch 0 only) is closed by a later batch with its full count of 2;
+    user 8 closes on a subsequent no-data batch. NB: with
+    processing-time timers Spark keeps scheduling no-data batches, so
+    AvailableNow never self-terminates — the test polls for the
+    expected emissions and stops the query explicitly."""
+    import time
+
+    from house_price_etl_pipeline_spark.streaming.stateful import (
+        session_timeout_stream)
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+         (2, "2024-01-01 10:01:00", 7, "view", 1.0, "{}")],
+        [(3, "2024-01-01 10:02:00", 8, "view", 1.0, "{}")],
+    ]
+    stream = _write_event_batches(spark, tmp_path, batches, "timeout_src")
+    q = (session_timeout_stream(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("timeout_demo").trigger(availableNow=True).start())
+    try:
+        deadline = time.time() + 120
+        want = {(7, "closed", 2), (8, "closed", 1)}
+        got = set()
+        while time.time() < deadline and not want <= got:
+            time.sleep(1)
+            got = {(r.user_id, r.status, r.n_events)
+                   for r in spark.table("timeout_demo").collect()}
+    finally:
+        q.stop()
+    assert want <= got, got
+    # the open emissions preceded the closes with the same counts
+    assert (7, "open", 2) in got and (8, "open", 1) in got
