@@ -472,3 +472,60 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("a.dist2"), 6).alias("dist2"))
         .orderBy("vec_id")
     )
+
+
+MATRYOSHKA_DIM = 16
+
+
+@register(
+    "emb_matryoshka_truncate",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    t AS (SELECT vec_id, e[1:{MATRYOSHKA_DIM}] AS head,
+                 sqrt(list_reduce(list_transform(e[1:{MATRYOSHKA_DIM}],
+                                                 x -> x * x),
+                                  (a, b) -> a + b)) AS head_norm,
+                 sqrt(list_reduce(list_transform(e, x -> x * x),
+                                  (a, b) -> a + b)) AS full_norm
+          FROM v)
+    SELECT vec_id, round(head_norm, 6) AS head_norm,
+           round(head_norm / full_norm, 6) AS energy_ratio,
+           round(head[1] / head_norm, 6) AS u0
+    FROM t ORDER BY vec_id
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: keep the first MATRYOSHKA_DIM
+    dims of each embedding, re-normalize, and report how much of the
+    vector's energy the head retains — the cheap-retrieval/rerank-full
+    trade every MRL deployment measures. Narrow per-row arithmetic
+    (slice + left-fold sums replayed exactly by DuckDB list_reduce),
+    zero shuffle; u0 spot-checks the renormalized head's first
+    coordinate. NB list_reduce folds from the FIRST element (no init
+    accumulator), so the Spark fold seeds with element 1 and folds
+    2..n to keep the association order bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id",
+                 F.transform("embedding",
+                             lambda x: x.cast("double")).alias("e"))
+    head = F.slice(F.col("e"), 1, MATRYOSHKA_DIM)
+
+    def _sumsq(arr):
+        # left fold seeded with arr[1]^2, folding arr[2..] — DuckDB
+        # list_reduce's association order, replayed exactly
+        first = F.element_at(arr, 1)
+        rest = F.slice(arr, 2, F.size(arr) - 1)
+        return F.aggregate(rest, first * first,
+                           lambda acc, x: acc + x * x)
+
+    head_norm = F.sqrt(_sumsq(head))
+    full_norm = F.sqrt(_sumsq(F.col("e")))
+    return (
+        v.select(
+            "vec_id",
+            F.round(head_norm, 6).alias("head_norm"),
+            F.round(head_norm / full_norm, 6).alias("energy_ratio"),
+            F.round(F.element_at(head, 1) / head_norm, 6).alias("u0"))
+        .orderBy("vec_id")
+    )
