@@ -283,3 +283,31 @@ def test_hll_sketch_union_estimates_match_exact(spark, sf_dir):
     for r in li.groupBy("l_returnflag").agg(
             F.countDistinct("l_partkey").alias("n")).collect():
         assert abs(got[r.l_returnflag] - r.n) / r.n < 0.05
+
+
+def test_round2_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-2 families: the scale properties their
+    docstrings claim must be visible in the physical plan."""
+    # BPE pair mining: top-k never a global sort; ONE pair-count
+    # aggregation (partial+final of the same agg)
+    p = _plan(spark, sf_dir, "bpe_top_pairs")
+    assert "TakeOrderedAndProject" in p
+    # CDC chunking: zero shuffle — no Exchange anywhere before the
+    # orderBy the oracle needs (TakeOrdered/Sort allowed, no hash
+    # partitioning of the data)
+    p = _plan(spark, sf_dir, "text_cdc_chunks")
+    assert "hashpartitioning" not in p, "CDC chunking must not shuffle"
+    # PQ: the codebook side broadcasts; the argmin agg is the shuffle
+    p = _plan(spark, sf_dir, "emb_product_quantize")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # market basket: pair expansion is a per-row transform over the
+    # basket collect — the raw fact appears ONCE (no self-join scan x2)
+    p = _plan(spark, sf_dir, "market_basket_part_pairs")
+    assert p.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in p
+    # forward as-of: one shuffle on the key, never a join operator
+    p = _plan(spark, sf_dir, "join_asof_next_purchase")
+    assert "Join" not in p, "as-of must compile to union+window, not a join"
+    # streaming decontamination is exercised via its oracle (streaming
+    # plans materialize through a sink; not introspectable here)
