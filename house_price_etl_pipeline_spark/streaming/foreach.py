@@ -92,6 +92,8 @@ def run_upsert_stream(spark: SparkSession, state_root: str,
                       partitions: int = FB_PARTS) -> DataFrame:
     """Drain the synthetic-events stream through the foreachBatch upsert
     and return the final state snapshot."""
+    from .windows import stream_shuffle_partitions
+
     register_synthetic_source(spark)
     stream = (
         spark.readStream.format("synthetic_events")
@@ -100,6 +102,12 @@ def run_upsert_stream(spark: SparkSession, state_root: str,
         .option("partitions", str(partitions))
         .load()
     )
+    # per-batch merge shuffles (delta agg + full-outer join) carry a few
+    # hundred keys: size them like the other streaming state paths (fixed
+    # per-task cost dominates at 32 partitions x stages x batches)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(stream_shuffle_partitions()))
     q = (
         stream.writeStream
         .foreachBatch(lambda df, bid: upsert_batch(state_root, df, bid))
@@ -119,6 +127,7 @@ def run_upsert_stream(spark: SparkSession, state_root: str,
             time.sleep(0.2)
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     ptr = _load_pointer(state_root)
     return spark.read.parquet(os.path.join(state_root, f"v{ptr['version']}"))
 
