@@ -559,3 +559,80 @@ def agg_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "extendedprice_discount"], "pair", "r")
         .orderBy("pair")
     )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority")
+
+
+@register(
+    "dq_table_profile",
+    oracle="""
+    WITH t AS (SELECT * FROM orders)
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val FROM t
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM t
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR) FROM t
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM t
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM t
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(round(MIN(o_totalprice), 6) AS VARCHAR),
+           CAST(round(MAX(o_totalprice), 6) AS VARCHAR) FROM t
+    ORDER BY col
+    """,
+)
+def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-shaped profiler: per-column null count, exact
+    distinct count, and min/max, for every column of a table in a
+    SINGLE aggregation pass (one scan; the distincts are Spark's
+    Expand-based multi-distinct, still one shuffle round) — the stats
+    backbone of ingestion monitoring and CBO maintenance. At 100 TB
+    exact NDV becomes approx_count_distinct (the HLL rollup already in
+    the catalog); the plan shape is unchanged. Results unpivot to one
+    scalar row per column; min/max stringified so heterogeneous column
+    types share the schema (doubles rounded before the cast so both
+    engines print the same text)."""
+    o = load_table(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        mn, mx = F.min(col), F.max(col)
+        if c == "o_totalprice":
+            mn, mx = F.round(mn, 6), F.round(mx, 6)
+        aggs += [
+            (total - F.count(col)).alias(f"{c}__n_nulls"),
+            F.count_distinct(col).alias(f"{c}__n_distinct"),
+            mn.cast("string").alias(f"{c}__min_val"),
+            mx.cast("string").alias(f"{c}__max_val"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_nulls").cast("bigint").alias("n_nulls"),
+            F.col(f"{c}__n_distinct").cast("bigint").alias("n_distinct"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"))
+        for c in _PROFILE_COLS])
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.col", "r.n_nulls", "r.n_distinct", "r.min_val", "r.max_val")
+        .orderBy("col")
+    )
