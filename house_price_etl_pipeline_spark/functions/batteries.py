@@ -184,3 +184,76 @@ def nested_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sql_collation_casefold",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (WHERE lower(c_mktsegment) = 'building')
+                AS BIGINT) AS lcase_building_matches,
+           CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'building')
+                AS BIGINT) AS binary_building_matches
+    FROM customer GROUP BY c_mktsegment
+    HAVING COUNT(*) FILTER (WHERE lower(c_mktsegment) = 'building') > 0
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_collation_casefold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: the SAME equality predicate matches or
+    not depending on the column's collation — UTF8_LCASE folds case at
+    compare time (no lower() rewrite, so an index/stats on the column
+    stay usable), UTF8_BINARY does not. The oracle states the semantic
+    via explicit lower() since DuckDB compares binary by default. At
+    100 TB collation beats wrapping every comparison in lower():
+    the cast is once per scan batch, not a derived column that defeats
+    pushdown."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_lcase = F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.when(seg_lcase == F.lit("building"), 1))
+            .cast("bigint").alias("lcase_building_matches"),
+            F.count(F.when(F.col("c_mktsegment") == "building", 1))
+            .cast("bigint").alias("binary_building_matches"),
+        )
+        .filter(F.col("lcase_building_matches") > 0)
+        .select(F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+                "lcase_building_matches", "binary_building_matches")
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "sql_parameterized_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args=...)): the injection-safe
+    templating surface — parameters are BOUND AS LITERALS by the parser,
+    so Catalyst still constant-folds and pushes them into the scan
+    (same plan as hand-inlined literals; no string interpolation).
+    The oracle inlines the same values."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_quantity >= :min_qty
+          AND l_discount BETWEEN :lo_disc AND :hi_disc
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        args={"min_qty": 30, "lo_disc": 0.02, "hi_disc": 0.08},
+    )
