@@ -304,3 +304,75 @@ def feature_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max(x), 6).alias("hi_price"))
         .orderBy("bin_id")
     )
+
+
+DIFF_CUTOFF = "1997-06-01"
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_orderdate < '{DIFF_CUTOFF}'),
+    new AS (SELECT o_orderkey, o_orderstatus,
+                   o_totalprice * CASE WHEN o_orderkey % 13 = 0
+                                       THEN 1.1 ELSE 1.0 END AS o_totalprice
+            FROM orders WHERE o_orderkey % 17 <> 0),
+    j AS (SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                 old.o_orderkey IS NULL AS only_new,
+                 new.o_orderkey IS NULL AS only_old,
+                 COALESCE(old.o_totalprice <> new.o_totalprice
+                          OR old.o_orderstatus <> new.o_orderstatus,
+                          FALSE) AS changed
+          FROM old FULL OUTER JOIN new USING (o_orderkey))
+    SELECT CASE WHEN only_new THEN 'added'
+                WHEN only_old THEN 'removed'
+                WHEN changed THEN 'changed'
+                ELSE 'unchanged' END AS diff_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: row-level diff of two table versions
+    (added / removed / changed / unchanged) — the audit that validates
+    any migration or CDC replay. Derived here from one table (old =
+    pre-cutoff rows; new = all rows with a deterministic price bump on
+    1-in-13 keys) so the oracle can restate it; in production the two
+    sides are real snapshots — same single key-equi full-outer join,
+    comparing payload columns directly (a row-hash compare collapses
+    the payload to one column at 100 TB wide; equality on two columns
+    here keeps the oracle exact). The summary agg keeps output scalar;
+    the row-level diff is the pre-agg relation."""
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderdate") < DIFF_CUTOFF)
+           .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    new = o.filter(F.col("o_orderkey") % 17 != 0).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_totalprice")
+         * F.when(F.col("o_orderkey") % 13 == 0, 1.1).otherwise(1.0))
+        .alias("o_totalprice"))
+    oo, nn = old.alias("o"), new.alias("n")
+    j = oo.join(nn, F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+                "full_outer")
+    only_new = F.col("o.o_orderkey").isNull()
+    only_old = F.col("n.o_orderkey").isNull()
+    changed = F.coalesce(
+        (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+        F.lit(False))
+    kind = (F.when(only_new, "added")
+            .when(only_old, "removed")
+            .when(changed, "changed")
+            .otherwise("unchanged"))
+    key = F.coalesce("o.o_orderkey", "n.o_orderkey")
+    return (
+        j.select(kind.alias("diff_kind"), key.alias("k"))
+        .groupBy("diff_kind")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.min("k").cast("bigint").alias("min_key"),
+             F.max("k").cast("bigint").alias("max_key"))
+        .orderBy("diff_kind")
+    )

@@ -512,3 +512,53 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.t AS t
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+           UNNEST(ts) AS u(t)
+    ),
+    vocab AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t),
+    tot AS (SELECT SUM(n) AS total FROM vocab),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(-ln(vocab.n / CAST(total AS DOUBLE)) AS DECIMAL(25,12))
+               AS nll
+      FROM tok JOIN vocab USING (t) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the simplified CCNet shape): the
+    corpus's own token distribution is the model; each document scores
+    its average per-token negative log-probability — low = in-domain
+    text, high = unusual token mix; threshold it and you have LM-based
+    quality filtering. Plan: one vocab-count aggregation (vocab-sized
+    output), the 1-row total, then the token stream joins the
+    BROADCAST vocab and aggregates per doc — the doc_id shuffle is the
+    only corpus-scale exchange. Per-token -ln p values are summed as
+    DECIMAL so the per-doc total is aggregation-order-independent and
+    bit-identical to the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").cast("bigint").alias("n"))
+    tot = vocab.agg(F.sum("n").alias("total"))
+    nll = (-F.log(F.col("n") / F.col("total").cast("double"))
+           ).cast("decimal(25,12)")
+    return (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.round(F.sum(nll).cast("double") / F.count("*"), 6)
+             .alias("avg_neg_logprob"))
+        .orderBy("doc_id")
+    )

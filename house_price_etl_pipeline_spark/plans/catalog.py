@@ -70,6 +70,7 @@ _MODULES = (
     "house_price_etl_pipeline_spark.operators.corpus",
     "house_price_etl_pipeline_spark.operators.layout",
     "house_price_etl_pipeline_spark.operators.tokenizer",
+    "house_price_etl_pipeline_spark.operators.graph",
     "house_price_etl_pipeline_spark.streaming.windows",
     "house_price_etl_pipeline_spark.streaming.joins",
     "house_price_etl_pipeline_spark.streaming.stateful",

@@ -103,6 +103,7 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row totals relation broadcast back over a group-sized relation —
     # the same reviewed scalar-denominator class as q11/q22/composition
     "corpus_mixture_temperature", "stats_chi2_lang_source",
+    "text_unigram_logprob",  # 1-row corpus-token-total into -ln p(t)
 }
 
 
