@@ -312,3 +312,29 @@ def test_round2_operator_plan_shapes(spark, sf_dir):
     assert "Join" not in p, "as-of must compile to union+window, not a join"
     # streaming decontamination is exercised via its oracle (streaming
     # plans materialize through a sink; not introspectable here)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine surfaces physical join-strategy control: hints select
+    the join implementation without touching semantics (the escape
+    hatch when AQE's choice is wrong for a known workload)."""
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in merged._jdf.queryExecution() \
+        .executedPlan().toString()
+
+    shuffled = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in shuffled._jdf.queryExecution() \
+        .executedPlan().toString()
+
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution() \
+        .executedPlan().toString()
+
+    # all three strategies return identical rows
+    n = merged.count()
+    assert shuffled.count() == n and bcast.count() == n
