@@ -257,3 +257,41 @@ def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_qty": 30, "lo_disc": 0.02, "hi_disc": 0.08},
     )
+
+
+@register(
+    "scalar_try_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey + 1 AS BIGINT) AS t_add,
+           round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS t_div,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS t_num,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS t_prio_digit
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety battery: Spark 4 runs with ANSI ON, where plain
+    arithmetic/casts RAISE on overflow, bad input, or division by zero.
+    The try_* family is the null-on-error escape valve — this query
+    exercises try_add, try_divide (NULL at %3==0 keys), and try_to_number
+    on non-numeric text, mirrored by DuckDB's nullif/TRY_CAST. The
+    engine-wide discipline (try_cast/try_divide in every pipeline,
+    never bare casts) is what keeps 100 TB jobs from dying at hour 9
+    on one malformed row."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.try_add(F.col("o_orderkey"), F.lit(1)).alias("t_add"),
+            F.round(F.try_divide(F.col("o_totalprice"),
+                                 F.col("o_orderkey") % 3), 6).alias("t_div"),
+            F.col("o_orderpriority").try_cast("double").alias("t_num"),
+            F.substring("o_orderpriority", 1, 1).try_cast("bigint")
+            .alias("t_prio_digit"),
+        )
+        .orderBy("o_orderkey")
+    )

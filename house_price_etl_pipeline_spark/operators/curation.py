@@ -27,7 +27,7 @@ These are the snapshot-maintenance and feature-conditioning steps a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_sum, dec_sum_expr
@@ -375,4 +375,59 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("k").cast("bigint").alias("min_key"),
              F.max("k").cast("bigint").alias("max_key"))
         .orderBy("diff_kind")
+    )
+
+
+QN_GRID = 20  # quantile-normalization grid resolution
+
+
+@register(
+    "feature_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority AS grp, o_totalprice,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    ),
+    bounds AS (
+      SELECT quantile_cont(o_totalprice, [0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95, 1.0]) AS qs
+      FROM orders
+    )
+    SELECT o_orderkey, grp, o_totalprice,
+           round(qs[CAST(floor(pr * 20) AS BIGINT) + 1], 6)
+             AS normalized
+    FROM ranked CROSS JOIN bounds
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups: each row's value is
+    replaced by the GLOBAL quantile at its WITHIN-GROUP percent rank —
+    aligning every group's distribution to the corpus distribution (the
+    batch-effect correction / feature-alignment step; e.g. calibrating
+    per-source quality scores before a global threshold). Plan: one
+    shuffle for the within-group rank window; the global quantile grid
+    is ONE percentile aggregate (a (GRID+1)-element relation) broadcast
+    back, and grid lookup is an O(1) element_at on the snapped rank —
+    never a global sort of the data, never a per-row subquery.
+    Spark's percentile (exact, interpolating) and DuckDB's
+    quantile_cont agree on the grid values."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderkey", F.col("o_orderpriority").alias("grp"),
+        "o_totalprice", F.percent_rank().over(w).alias("pr"))
+    fracs = F.array(*[F.lit(i / QN_GRID) for i in range(QN_GRID + 1)])
+    grid = o.agg(F.percentile("o_totalprice", fracs).alias("qs"))
+    snapped = F.floor(F.col("pr") * QN_GRID).cast("int")
+    return (
+        ranked.filter(F.col("o_orderkey") <= 500)
+        .crossJoin(F.broadcast(grid))
+        .select("o_orderkey", "grp", "o_totalprice",
+                F.round(F.element_at(F.col("qs"), snapped + 1), 6)
+                .alias("normalized"))
+        .orderBy("o_orderkey")
     )

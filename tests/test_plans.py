@@ -104,6 +104,7 @@ _NESTED_LOOP_ALLOWED = {
     # the same reviewed scalar-denominator class as q11/q22/composition
     "corpus_mixture_temperature", "stats_chi2_lang_source",
     "text_unigram_logprob",  # 1-row corpus-token-total into -ln p(t)
+    "feature_quantile_normalize",  # 1-row global quantile grid broadcast
 }
 
 
