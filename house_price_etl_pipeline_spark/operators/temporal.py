@@ -363,3 +363,89 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
                 "n_events", "sum_value")
         .orderBy("user_id", "session_start")
     )
+
+
+SESS_GAP_H = 6    # idle gap that closes a session
+SESS_CAP_H = 24   # hard cap on session duration from its first event
+
+
+@register(
+    "sessionize_capped_duration",
+    oracle=f"""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, ts, rn, 1 AS session_no, ts AS session_start
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.ts, o.rn,
+             CASE WHEN o.ts - w.ts >= INTERVAL {SESS_GAP_H} HOUR
+                       OR o.ts - w.session_start >= INTERVAL {SESS_CAP_H} HOUR
+                  THEN w.session_no + 1 ELSE w.session_no END,
+             CASE WHEN o.ts - w.ts >= INTERVAL {SESS_GAP_H} HOUR
+                       OR o.ts - w.session_start >= INTERVAL {SESS_CAP_H} HOUR
+                  THEN o.ts ELSE w.session_start END
+      FROM ordered o JOIN walk w
+        ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS VARCHAR) AS start_ts,
+           CAST(MAX(ts) AS VARCHAR) AS end_ts
+    FROM walk GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def sessionize_capped_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-CAPPED sessionization: a session closes on an idle gap
+    (SESS_GAP_H) **or** when it has lasted SESS_CAP_H from its first
+    event. The cap makes the recurrence genuinely sequential — each
+    row's session depends on the running session START, which depends
+    on every earlier split — so no window/lag rewrite exists (the
+    gap-only variant has one: events_sessionization). This is the
+    operator-ladder case (b): a grouped ``applyInPandas`` kernel walks
+    each user's timeline once; groups are Arrow-batched, the single
+    shuffle is the user_id grouping, and the per-group walk is O(n) —
+    the same cost as the window rewrite would be. The DuckDB oracle
+    states the identical recurrence as a recursive CTE (row-at-a-time
+    per user), so the driver value-hash covers the Python kernel."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    # pandas datetime64 astype(int64) yields NANOSECONDS
+    gap_ns = SESS_GAP_H * 3_600_000_000_000
+    cap_ns = SESS_CAP_H * 3_600_000_000_000
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        t = pdf["ts"].astype("int64").to_numpy()  # ns since epoch
+        sess = []
+        no, start, prev = 0, None, None
+        for x in t:
+            if prev is None or x - prev >= gap_ns or x - start >= cap_ns:
+                no += 1
+                start = x
+            sess.append(no)
+            prev = x
+        out = pdf.assign(session_no=sess)
+        g = (out.groupby("session_no", as_index=False)
+             .agg(n_events=("ts", "size"), start_ts=("ts", "min"),
+                  end_ts=("ts", "max")))
+        g.insert(0, "user_id", pdf["user_id"].iloc[0])
+        return g
+
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            walk,
+            schema="user_id long, session_no long, n_events long, "
+                   "start_ts timestamp, end_ts timestamp")
+        .select("user_id", "session_no", "n_events",
+                F.col("start_ts").cast("string").alias("start_ts"),
+                F.col("end_ts").cast("string").alias("end_ts"))
+        .orderBy("user_id", "session_no")
+    )

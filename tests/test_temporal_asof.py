@@ -46,3 +46,32 @@ def test_asof_join_matches_pandas_merge_asof(spark, direction):
     want = {(int(r.lid), None if pd.isna(r.rid) else int(r.rid))
             for r in merged.itertuples()}
     assert got == want
+
+
+def test_capped_sessionization_enforces_both_rules(spark, tmp_path):
+    """Crafted timeline where ONLY the duration cap can split: events
+    every 5 h (below the 6 h idle gap) spanning 45 h. A gap-only rule
+    yields ONE session; the cap must split at 24 h boundaries measured
+    from each session START — the sequential recurrence no window/lag
+    rewrite can express."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.operators.temporal import (
+        sessionize_capped_duration)
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(hours=5 * i), 1, "view", 1.0, "{}")
+            for i in range(10)]  # 0h..45h
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    (spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+     .coalesce(1).write.parquet(str(sf / "events.parquet")))
+    out = sessionize_capped_duration(spark, str(sf)).collect()
+    # session 1: events at 0,5,10,15,20 h (25h would exceed the 24h cap
+    # from start=0); session 2 restarts at 25h: 25,30,35,40,45
+    assert [(r.session_no, r.n_events) for r in out] == [(1, 5), (2, 5)]
+    assert out[0].start_ts.startswith("2024-01-01 00:00")
+    assert out[1].start_ts.startswith("2024-01-02 01:00")
