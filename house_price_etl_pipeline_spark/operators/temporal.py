@@ -411,8 +411,16 @@ def sessionize_capped_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the user_id grouping, and the per-group walk is O(n) —
     the same cost as the window rewrite would be. The DuckDB oracle
     states the identical recurrence as a recursive CTE (row-at-a-time
-    per user), so the driver value-hash covers the Python kernel."""
+    per user), so the driver value-hash covers the Python kernel.
+
+    The grouping key is a HASH BUCKET of user_id, not user_id itself
+    (the round-2 cogroup lesson: per-group Python invocations carry
+    ~13 ms of fixed Arrow/pandas overhead, so keying on raw user_id
+    costs O(users) calls — 28 s at sf0.1; bucketing caps calls at
+    COGROUP_BUCKETS and the kernel walks each user inside one call)."""
     import pandas as pd
+
+    from ..functions.udafs import COGROUP_BUCKETS
 
     ev = load_table(spark, sf_dir, "events")
     # pandas datetime64 astype(int64) yields NANOSECONDS
@@ -420,26 +428,37 @@ def sessionize_capped_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap_ns = SESS_CAP_H * 3_600_000_000_000
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # ONE flat pass + ONE pandas aggregation per bucket call: a
+        # per-user groupby/agg/concat inside the kernel costs ~10 ms of
+        # pandas overhead per user (measured 19 s at sf0.1); the flat
+        # numpy walk + single agg is ~1 s for the same rows.
+        import numpy as np
+
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        u = pdf["user_id"].to_numpy()
         t = pdf["ts"].astype("int64").to_numpy()  # ns since epoch
-        sess = []
-        no, start, prev = 0, None, None
-        for x in t:
+        sess = np.empty(len(t), dtype=np.int64)
+        cur_u = no = start = prev = None
+        for i in range(len(t)):
+            if u[i] != cur_u:
+                cur_u, no, start, prev = u[i], 0, None, None
+            x = t[i]
             if prev is None or x - prev >= gap_ns or x - start >= cap_ns:
                 no += 1
                 start = x
-            sess.append(no)
+            sess[i] = no
             prev = x
-        out = pdf.assign(session_no=sess)
-        g = (out.groupby("session_no", as_index=False)
-             .agg(n_events=("ts", "size"), start_ts=("ts", "min"),
-                  end_ts=("ts", "max")))
-        g.insert(0, "user_id", pdf["user_id"].iloc[0])
-        return g
+        return (pdf.assign(session_no=sess)
+                .groupby(["user_id", "session_no"], as_index=False)
+                .agg(n_events=("ts", "size"), start_ts=("ts", "min"),
+                     end_ts=("ts", "max"))
+                [["user_id", "session_no", "n_events",
+                  "start_ts", "end_ts"]])
 
     return (
-        ev.select("user_id", "ts", "event_id")
-        .groupBy("user_id")
+        ev.select("user_id", "ts", "event_id",
+                  F.pmod(F.col("user_id"), F.lit(COGROUP_BUCKETS)).alias("sbucket"))
+        .groupBy("sbucket")
         .applyInPandas(
             walk,
             schema="user_id long, session_no long, n_events long, "
