@@ -51,6 +51,22 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions shuffle-summed by destination + the dangling mass
     (suppliers with no out-edges) redistributed uniformly via a 1-row
     broadcast. localCheckpoint per round keeps the plan flat."""
+    from .dedup import dedup_shuffle_partitions
+
+    # rank/contribution relations are node-sized (thousands of rows):
+    # per-round shuffles at the session's 32 partitions pay more fixed
+    # task cost than the work — size like the other pair-scale stages
+    # (env-overridable; a 1000-executor run sets this to node volume).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(dedup_shuffle_partitions()))
+    try:
+        return _pagerank_rounds(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = supplier_edges(spark, sf_dir).localCheckpoint()
     nodes = (load_table(spark, sf_dir, "supplier")
              .select(F.col("s_suppkey").alias("node")).distinct()
