@@ -256,3 +256,65 @@ def mm_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("nf").alias("n_frames"),
              (F.sum("nf") * FRAME_BYTES).alias("total_frame_bytes"))
     )
+
+
+AUDIO_WIN = 32  # samples per energy window (8-bit PCM reading of payload)
+
+
+@register(
+    "mm_audio_window_energy",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, text,
+             CAST(i AS INT) AS widx
+      FROM documents,
+           UNNEST(generate_series(0, CAST(strlen(text) // {AUDIO_WIN} AS BIGINT) - 1))
+             AS s(i)
+      WHERE strlen(text) >= {AUDIO_WIN}
+    )
+    SELECT doc_id, widx,
+           list_reduce(
+             list_transform(
+               generate_series(1, {AUDIO_WIN}),
+               j -> (ord(substr(text, widx * {AUDIO_WIN} + j, 1)) - 128.0)
+                    * (ord(substr(text, widx * {AUDIO_WIN} + j, 1)) - 128.0)),
+             (a, b) -> a + b) AS energy
+    FROM w ORDER BY doc_id, widx
+    """,
+)
+def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio kernel under the value-hash gate: the payload read as
+    unsigned 8-bit PCM, windowed into AUDIO_WIN-sample frames, per-frame
+    energy = Σ (s-128)² — the feature-extraction shape of every audio
+    curation pipeline (VAD gating, silence trimming, loudness
+    normalization), with the same honest-stub discipline as the image
+    kernels: numpy does real byte math in an Arrow-batched mapInPandas
+    partition flow, and the oracle replays the identical arithmetic from
+    the text bytes (ASCII corpus → ord == byte). Energies are integer
+    sums well under 2^53, so float64 equality is exact. Zero shuffle:
+    the kernel is a narrow per-partition map; the orderBy exists for the
+    deterministic compare."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_widx, out_energy = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(payload, dtype=np.uint8)
+                n_win = len(x) // AUDIO_WIN
+                if n_win == 0:
+                    continue
+                frames = (x[:n_win * AUDIO_WIN]
+                          .reshape(n_win, AUDIO_WIN).astype(np.float64))
+                energy = ((frames - 128.0) ** 2).sum(axis=1)
+                out_doc.extend([doc_id] * n_win)
+                out_widx.extend(range(n_win))
+                out_energy.extend(energy.tolist())
+            yield pd.DataFrame({"doc_id": out_doc, "widx": out_widx,
+                                "energy": out_energy})
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    return (
+        m.mapInPandas(kernel, schema="doc_id long, widx int, energy double")
+        .orderBy("doc_id", "widx")
+    )
