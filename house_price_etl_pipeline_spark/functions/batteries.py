@@ -295,3 +295,78 @@ def scalar_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "events_json_infer_typed",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_json_infer_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema INFERENCE for semi-structured ingest: schema_of_json reads
+    one sample row to derive the struct type, and that inferred schema
+    drives a typed from_json over the whole column — the two-step every
+    JSON lake ingestion does (infer once on a sample, parse typed at
+    scale; never schema-per-row). The driver-side inference cost is one
+    1-row query; the corpus-scale parse is a JVM expression with the
+    aggregate pushing through it."""
+    ev = load_table(spark, sf_dir, "events")
+    sample = ev.select("props").first()["props"]
+    schema_str = spark.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")).first()["s"]
+    parsed = ev.select(
+        "event_id", F.from_json("props", schema_str).alias("p"))
+    return (
+        parsed.groupBy(F.col("p.k").cast("bigint").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.min("event_id").cast("bigint").alias("first_event"))
+        .orderBy("k")
+    )
+
+
+@register(
+    "setop_union_evolved_schemas",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderdate < '1995-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderdate >= '1995-01-01'
+    ),
+    u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+    SELECT COALESCE(o_orderpriority, '<pre-schema>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def setop_union_evolved_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolved union: an OLD snapshot written before a column
+    existed unions with the NEW schema via
+    unionByName(allowMissingColumns=True) — absent columns null-fill,
+    by NAME, not position (the positional union trap corrupts silently
+    when column order drifts). The query rolls the union up by the
+    evolved column with a sentinel for pre-schema rows — the
+    read-old-and-new-together shape every evolving lake table needs."""
+    o = load_table(spark, sf_dir, "orders")
+    old = (o.filter(F.col("o_orderdate") < "1995-01-01")
+           .select("o_orderkey", "o_totalprice"))  # pre-evolution schema
+    new = (o.filter(F.col("o_orderdate") >= "1995-01-01")
+           .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+    u = old.unionByName(new, allowMissingColumns=True)
+    return (
+        u.groupBy(F.coalesce("o_orderpriority", F.lit("<pre-schema>"))
+                  .alias("priority"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("double").alias("sum_price"))
+        .orderBy("priority")
+    )
