@@ -170,16 +170,37 @@ def agg_distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # approx → rows-only check by design
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tolerance
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — THE scale path for distinct
-    counts at 100 TB (fixed-size sketch, no expansion shuffle). Not
-    oracle-checked (DuckDB's approx differs); accuracy asserted in
-    tests/test_relational.py against the exact count."""
+    counts at 100 TB (fixed-size sketch, no expansion shuffle).
+
+    Oracle strategy (sketch values are engine-internal, so the approx
+    number itself can't hash-match DuckDB): the plan computes BOTH the
+    HLL++ estimate and the exact count, emits the exact count plus an
+    in-plan ``within_tolerance`` boolean (|approx-exact|/exact <= 10%,
+    5x the sketch's 2% rsd), and the oracle reproduces the exact side
+    and asserts TRUE. The sketch path stays exercised — a broken
+    approx_count_distinct flips the boolean and fails the hash."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+             F.countDistinct("l_partkey").alias("exact_parts"))
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+             / F.col("exact_parts") <= F.lit(0.10)).alias("within_tolerance"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -733,24 +754,46 @@ def agg_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_quantiles_approx")  # sketch-based → rows-only by design
+@register(
+    "agg_quantiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS exact_q25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS exact_median,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS exact_q75,
+           TRUE AS within_tolerance
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): the quantile that scales —
-    partial sketches merge map-side, no global sort. Values are
-    accuracy-bounded, not exact → no value-hash oracle."""
+    partial sketches merge map-side, no global sort.
+
+    Oracle strategy: sketch outputs are accuracy-bounded, not exact, so
+    the plan computes BOTH the sketch quantiles and the exact
+    interpolated ones, emits the exact triple plus an in-plan
+    ``within_tolerance`` boolean (relative error <= 5% on each of
+    q25/median/q75 — the accuracy-10000 sketch's rank error on this
+    data is orders of magnitude tighter), and the oracle reproduces the
+    exact side (quantile_cont) and asserts TRUE."""
     li = _t(spark, sf_dir, "lineitem")
-    # one array-percentile sketch, unpacked to scalar columns — catalog
-    # outputs are scalar-only (driver's canonicalizer can't hash arrays)
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    grouped = li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", ps, F.lit(10000)).alias("aq"),
+        F.percentile("l_extendedprice", ps).alias("eq"),
+    )
+
+    def _ok(i: int):
+        return (F.abs(F.col("aq")[i] - F.col("eq")[i])
+                / F.abs(F.col("eq")[i]) <= F.lit(0.05))
+
     return (
-        li.groupBy("l_returnflag")
-        .agg(F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-            F.lit(10000)).alias("qs"))
-        .select(
+        grouped.select(
             "l_returnflag",
-            F.round(F.col("qs")[0], 6).alias("approx_q25"),
-            F.round(F.col("qs")[1], 6).alias("approx_median"),
-            F.round(F.col("qs")[2], 6).alias("approx_q75"),
+            F.round(F.col("eq")[0], 6).alias("exact_q25"),
+            F.round(F.col("eq")[1], 6).alias("exact_median"),
+            F.round(F.col("eq")[2], 6).alias("exact_q75"),
+            (_ok(0) & _ok(1) & _ok(2)).alias("within_tolerance"),
         )
         .orderBy("l_returnflag")
     )
@@ -1162,22 +1205,62 @@ def arrays_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_freq_items")  # sketch-based (false positives) → rows-only
+@register(
+    "agg_freq_items",
+    oracle="""
+    WITH p AS (
+      SELECT COALESCE(string_agg(v, ',' ORDER BY v), '') AS s FROM (
+        SELECT o_orderpriority AS v FROM orders GROUP BY o_orderpriority
+        HAVING COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders) > 0.2)),
+    s AS (
+      SELECT COALESCE(string_agg(v, ',' ORDER BY v), '') AS s FROM (
+        SELECT o_orderstatus AS v FROM orders GROUP BY o_orderstatus
+        HAVING COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders) > 0.2))
+    SELECT p.s AS exact_frequent_priorities,
+           s.s AS exact_frequent_statuses,
+           TRUE AS contains_all_exact
+    FROM p, s
+    """,
+)
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters (Karp-Papadimitriou-Shenker counters via
     DataFrame.stat.freqItems): one pass, fixed memory — the 100 TB
     replacement for exact GROUP BY + ORDER BY count when only "which
-    values are frequent" matters. May over-report (never under-report)
-    → no value oracle; the planted-frequency test lives in
-    tests/test_plans.py::test_freq_items_finds_planted_heavy_hitter."""
+    values are frequent" matters.
+
+    Oracle strategy: freqItems may over-report but never under-reports
+    values whose true frequency exceeds the support, so the plan also
+    computes the exact heavy-hitter sets (tiny post-agg relations) and
+    emits them plus ``contains_all_exact`` = every exact heavy hitter
+    appears in the sketch output. DuckDB reproduces the exact sets and
+    asserts TRUE. The two 1-row crossJoins are the reviewed
+    broadcast-scalar class (tests/test_plans.py allowlist)."""
     o = _t(spark, sf_dir, "orders")
     freq = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
-    # CSV-serialized (sorted) so the output schema is scalar-only
-    return freq.select(
-        F.concat_ws(",", F.sort_array("o_orderpriority_freqItems"))
-        .alias("frequent_priorities"),
-        F.concat_ws(",", F.sort_array("o_orderstatus_freqItems"))
-        .alias("frequent_statuses"),
+
+    def exact_hh(col: str, alias: str) -> DataFrame:
+        counts = o.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.partitionBy()  # global window over a ≤5-row post-agg
+        return (
+            counts.withColumn("n", F.sum("c").over(w))
+            .filter(F.col("c") * F.lit(1.0) / F.col("n") > F.lit(0.2))
+            .agg(F.array_sort(F.collect_list(col)).alias(alias))
+        )
+
+    def contains_all(exact_col: str, approx_col: str):
+        return F.forall(F.col(exact_col),
+                        lambda x: F.array_contains(F.col(approx_col), x))
+
+    return (
+        freq.crossJoin(exact_hh("o_orderpriority", "exact_p"))
+        .crossJoin(exact_hh("o_orderstatus", "exact_s"))
+        .select(
+            F.concat_ws(",", "exact_p").alias("exact_frequent_priorities"),
+            F.concat_ws(",", "exact_s").alias("exact_frequent_statuses"),
+            (contains_all("exact_p", "o_orderpriority_freqItems")
+             & contains_all("exact_s", "o_orderstatus_freqItems"))
+            .alias("contains_all_exact"),
+        )
     )
 
 
@@ -1402,26 +1485,55 @@ def agg_misc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_union")  # sketch bytes are engine-internal → rows-only
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tolerance
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_tolerance
+    FROM lineitem
+    ORDER BY l_returnflag
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reusable distinct-count sketches (Apache DataSketches HLL): build
     one sketch per group, then UNION the sketches for the rollup —
     the store-sketches/merge-later pattern that gives mergeable distinct
     counts across partitions, days, or tables without re-scanning rows.
-    Estimate accuracy vs exact is asserted in tests/test_plans.py."""
+
+    Oracle strategy: sketch bytes/estimates are engine-internal, so each
+    row carries the exact distinct count plus ``within_tolerance`` =
+    |estimate − exact| / exact ≤ 10% computed in-plan (the ALL row's
+    exact side can't be derived from per-group exacts — partkeys overlap
+    across flags — so it is its own countDistinct). DuckDB reproduces
+    the exact sides and asserts TRUE; a broken sketch union flips the
+    boolean. The 1-row crossJoin is the reviewed broadcast-scalar
+    class."""
     li = _t(spark, sf_dir, "lineitem")
+    tol = F.lit(0.10)
     per_flag = (
         li.groupBy("l_returnflag")
         .agg(F.hll_sketch_agg("l_partkey").alias("sk"),
-             F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey"))
-             .alias("approx_parts"))
+             F.countDistinct("l_partkey").alias("exact_parts"))
+        .withColumn("approx_parts", F.hll_sketch_estimate("sk"))
     )
-    total = per_flag.agg(
-        F.lit("ALL").alias("l_returnflag"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"))
+    total = (
+        per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"))
+        .crossJoin(li.agg(F.countDistinct("l_partkey").alias("exact_parts")))
+        .select(F.lit("ALL").alias("l_returnflag"), "exact_parts",
+                "approx_parts")
+    )
+    ok = (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+          / F.col("exact_parts") <= tol).alias("within_tolerance")
     return (
-        per_flag.select("l_returnflag", "approx_parts")
-        .unionByName(total)
+        per_flag.select("l_returnflag", "exact_parts", ok)
+        .unionByName(total.select("l_returnflag", "exact_parts", ok))
         .orderBy("l_returnflag")
     )
 
