@@ -3,8 +3,7 @@ maintaining a keyed state table on storage that only supports
 file-level writes (plain parquet — no DSv2 row-level MERGE needed).
 
 Each micro-batch is reduced to a per-key delta and merged into the
-current state snapshot with the same full-outer-join MERGE shape as
-``operators.curation.merge_upsert_accounting``; the merged snapshot is
+current state snapshot; the merged snapshot is
 written as a NEW versioned directory and a pointer file is flipped last
 — so a crash mid-write never corrupts the readable state, and replays
 are idempotent (applied batch ids are journaled with the pointer; a
@@ -12,10 +11,13 @@ re-delivered batch id is a no-op). This is exactly-once state
 maintenance on top of at-least-once batch delivery — the recipe Spark's
 own docs prescribe for idempotent ``foreachBatch`` sinks.
 
-Scale: per batch, ONE shuffle for the per-key delta aggregation and one
-key-equi-join against the snapshot (broadcast while the key space is
-small, shuffle when not — Catalyst's choice). Snapshot size is bounded
-by key cardinality, not stream length.
+Merge shape: the per-key state (count-sum, max id, value-at-max-id) is
+a commutative monoid, so snapshot ∪ delta re-aggregates with ONE hash
+shuffle — `unionByName` + `groupBy` — instead of the full-outer-join
+MERGE (`operators.curation.merge_upsert_accounting` keeps that shape
+for non-monoid payloads): full outer can never broadcast, so the join
+form pays a sort-merge shuffle of BOTH sides every batch. Snapshot size
+is bounded by key cardinality, not stream length.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from ..plans.catalog import register
 from ..sources.pydatasource import (
     _USER_MIX, _VALUE_MIX, register_synthetic_source)
 
-FB_ROWS, FB_PER_BATCH, FB_PARTS = 6000, 1500, 4
+FB_ROWS, FB_PER_BATCH, FB_PARTS = 6000, 3000, 2
 
 
 def _pointer_path(root: str) -> str:
@@ -59,27 +61,23 @@ def upsert_batch(state_root: str, batch_df: DataFrame, batch_id: int) -> None:
              F.max_by("value", "event_id").alias("last_value"))
     )
     if ptr["version"] is not None:
+        # snapshot ∪ delta re-aggregated: the state is a monoid
+        # (sum, max, arg-max), so this is ONE hash-agg shuffle; the
+        # full-outer-join MERGE form can never broadcast (full outer
+        # forces sort-merge of both sides) and pays 2x per batch.
         prev = spark.read.parquet(os.path.join(state_root, f"v{ptr['version']}"))
-        p, d = prev.alias("p"), delta.alias("d")
-        delta_is_newer = (
-            F.col("p.last_event_id").isNull()
-            | (F.col("d.last_event_id") > F.col("p.last_event_id"))
-        )
         merged = (
-            p.join(d, F.col("p.user_id") == F.col("d.user_id"), "full_outer")
-            .select(
-                F.coalesce("p.user_id", "d.user_id").alias("user_id"),
-                (F.coalesce("p.n_events", F.lit(0))
-                 + F.coalesce("d.n_events", F.lit(0))).alias("n_events"),
-                F.greatest("p.last_event_id", "d.last_event_id")
-                .alias("last_event_id"),
-                F.when(delta_is_newer, F.col("d.last_value"))
-                .otherwise(F.col("p.last_value")).alias("last_value"),
-            )
+            prev.unionByName(delta)
+            .groupBy("user_id")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.max("last_event_id").alias("last_event_id"),
+                 F.max_by("last_value", "last_event_id").alias("last_value"))
         )
     else:
         merged = delta
-    merged.write.mode("overwrite").parquet(
+    # snapshot cardinality = key count (150 here): one output file; at
+    # real scale drop the coalesce and let AQE size the write
+    merged.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_root, f"v{batch_id}"))
     # flip the pointer LAST: readers only ever see a fully-written version
     with open(_pointer_path(state_root), "w") as f:
@@ -114,20 +112,21 @@ def run_upsert_stream(spark: SparkSession, state_root: str,
         .option("checkpointLocation", os.path.join(state_root, "_ckpt"))
         .start()
     )
-    # the custom stream reader advances one offset window per trigger, so
-    # drain by polling the journal until every batch has been applied
-    # (availableNow would stop after the FIRST offset window)
-    import time
-    n_batches = -(-rows // per_batch)
-    deadline = time.time() + 120
+    # the custom stream reader advances one offset window per trigger
+    # (availableNow latches the FIRST window and stops — measured), so
+    # drain with processAllAvailable(): the JVM blocks until a trigger
+    # finds no new data, i.e. the cursor reached `rows` — no driver-side
+    # sleep quantization, batches run back-to-back under the default
+    # ProcessingTime(0) trigger.
     try:
-        while len(_load_pointer(state_root)["applied"]) < n_batches:
-            if time.time() > deadline:
-                raise TimeoutError("foreachBatch upsert stream did not drain")
-            time.sleep(0.2)
+        q.processAllAvailable()
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    n_batches = -(-rows // per_batch)
+    applied = _load_pointer(state_root)["applied"]
+    if len(applied) < n_batches:  # defensive: drain contract violated
+        raise RuntimeError(f"expected {n_batches} applied batches, got {applied}")
     ptr = _load_pointer(state_root)
     return spark.read.parquet(os.path.join(state_root, f"v{ptr['version']}"))
 
@@ -151,8 +150,9 @@ def run_upsert_stream(spark: SparkSession, state_root: str,
 )
 def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed state table maintained across micro-batches by the
-    foreachBatch MERGE sink ({FB_ROWS} synthetic events in
-    {FB_ROWS // FB_PER_BATCH} batches). The final snapshot must equal
+    foreachBatch MERGE sink (FB_ROWS synthetic events in
+    ceil(FB_ROWS / FB_PER_BATCH) = 2 batches; accumulation across more
+    merges is pinned by tests/test_foreach.py). The final snapshot must equal
     the batch keep-latest-plus-count over the whole generator range —
     which is what the oracle computes directly from the generator's
     integer-mixing formulas (event_id is monotone, so latest = max id)."""
