@@ -147,14 +147,69 @@ def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram (token-set) Jaccard via inverted index -------------------------
 
+# Document slice the oracle-checked Jaccard queries bound themselves to.
+JACCARD_DOC_SLICE = 300
+
+
+def jaccard_df_cap() -> int:
+    """Document-frequency cap applied to tokens before the inverted-index
+    self-join: a token shared by m docs yields m² join rows, so one
+    corpus-wide stop-token is a quadratic hot bucket at scale. Tokens
+    with df > cap are dropped from BOTH the intersection and the union
+    (sizes are computed post-cap), so "capped Jaccard" is a well-defined
+    metric both engines compute identically — the oracle mirrors the cap.
+
+    Default = JACCARD_DOC_SLICE, i.e. >= any possible df in the bounded
+    slice → provably a no-op locally (df <= n_docs always). At corpus
+    scale set SPARK_GRAFT_JACCARD_DF_CAP to an absolute bound (stop
+    tokens contribute ~0 evidence to Jaccard >= 0.6 pairs; standard
+    practice in near-dup mining)."""
+    return int(os.environ.get("SPARK_GRAFT_JACCARD_DF_CAP",
+                              str(JACCARD_DOC_SLICE)))
+
+
+def ngram_jaccard_pairs(tok: DataFrame, threshold: float,
+                        df_cap: int) -> DataFrame:
+    """Exact capped-Jaccard >= threshold pairs from a (doc_id, t) distinct
+    token relation, via inverted index: df-cap → self-join on token →
+    count intersections → |A∪B| from the post-cap size table. No
+    all-pairs materialization; the token join is the only pair-scale
+    shuffle, and the cap bounds its per-token fan-out to df_cap²."""
+    df_counts = tok.groupBy("t").agg(F.count("*").alias("df"))
+    kept = (
+        tok.join(df_counts.filter(F.col("df") <= df_cap).select("t"), "t")
+        .cache()
+    )
+    kept.count()  # eager fill: 3 branches below would race the cold cache
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
 @register(
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
-    WITH tok AS (
+    WITH tok0 AS (
       SELECT DISTINCT doc_id, t
       FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
-      WHERE doc_id < 300
+      WHERE doc_id < {JACCARD_DOC_SLICE}
     ),
+    kept AS (SELECT t FROM tok0 GROUP BY t
+             HAVING COUNT(*) <= {jaccard_df_cap()}),
+    tok AS (SELECT tok0.doc_id, tok0.t FROM tok0 JOIN kept USING (t)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -171,29 +226,13 @@ def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard ≥ t via inverted index: explode → self-join
-    on token → count intersections → |A∪B| from the size table. No
-    all-pairs materialization; the token join is the only shuffle. This is
-    also the exact-verify stage the LSH pipeline reuses."""
-    tok = _doc_tokens(spark, sf_dir, 300).cache()
-    tok.count()  # eager fill: 3 branches below would race the cold cache
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.t") == F.col("b.t"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    """Exact token-set Jaccard ≥ t via inverted index, with a document-
+    frequency cap on the self-join (see jaccard_df_cap: the cap is the
+    scale guard against quadratic stop-token buckets; at the local slice
+    it is provably a no-op and the oracle mirrors it). This is also the
+    exact-verify stage the LSH pipeline reuses."""
+    tok = _doc_tokens(spark, sf_dir, JACCARD_DOC_SLICE)
+    return ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, jaccard_df_cap())
 
 
 # --- MinHash + LSH ---------------------------------------------------------

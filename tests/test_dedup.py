@@ -160,3 +160,53 @@ def test_connected_components_random_graphs_match_union_find(spark):
     got = {r.node: r.label for r in
            connected_components(pairs, max_iter=60).collect()}
     assert got == expected
+
+
+def test_df_cap_drops_stop_token_and_preserves_pairs(spark):
+    """A corpus-wide stop-token must not change the reported pairs when
+    the df cap excludes it: capped pairs over (corpus + planted universal
+    token) == uncapped pairs over the original corpus, and the capped
+    join input is provably smaller (the stop-token's quadratic bucket is
+    gone). The corpus here has every ORGANIC token at df <= 2, so the
+    cap isolates exactly the planted token."""
+    from house_price_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    rows = []
+    for i in range(40):
+        base = [f"tok{i}_{j}" for j in range(20)]
+        rows.append((i, " ".join(base)))
+        rows.append((i + 1000, " ".join(base[:-1] + [f"alt{i}"])))  # 19/21
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = _tok(docs)
+    n_docs = docs.count()
+
+    planted_docs = docs.select(
+        "doc_id", F.concat_ws(" ", "text", F.lit("the")).alias("text"))
+    tok_planted = _tok(planted_docs)
+
+    # cap = n_docs - 1 excludes ONLY the planted universal token (every
+    # organic token has df <= 2 in this corpus)
+    want = sorted(map(tuple,
+        ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, n_docs).collect()))
+    got = sorted(map(tuple,
+        ngram_jaccard_pairs(tok_planted, JACCARD_THRESHOLD,
+                            n_docs - 1).collect()))
+    assert got == want and len(got) > 0
+
+    # bounded join input: the capped token relation is exactly the
+    # original one (stop-token rows gone), n_docs rows smaller
+    df_counts = tok_planted.groupBy("t").agg(F.count("*").alias("df"))
+    kept_rows = (tok_planted.join(
+        df_counts.filter(F.col("df") <= n_docs - 1).select("t"), "t").count())
+    assert kept_rows == tok_planted.count() - n_docs
+
+
+def test_df_cap_default_is_noop_on_doc_slice(spark, sf_dir):
+    """The default cap equals the bounded doc-slice size, so df <= cap
+    always holds — the catalog query's results are identical to the
+    uncapped round-2 form by construction."""
+    from house_price_etl_pipeline_spark.operators.dedup import (
+        JACCARD_DOC_SLICE, jaccard_df_cap)
+
+    assert jaccard_df_cap() == JACCARD_DOC_SLICE
