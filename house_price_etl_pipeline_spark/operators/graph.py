@@ -31,16 +31,25 @@ PR_DAMPING = 0.85
 
 def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed co-occurrence edges (src, dst), deduped: s1→s2 iff some
-    order contains lineitems from both."""
-    li = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_suppkey").distinct())
-    a = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_suppkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("k"),
-                  F.col("l_suppkey").alias("dst"))
-    return (a.join(b, "k")
-            .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst").distinct())
+    order contains lineitems from both.
+
+    Shape: ONE groupBy(order) → collect_set(supplier) shuffle, then a
+    narrow per-order pair explode, then the edge-level distinct — two
+    shuffles total. (The equivalent self-join form pays three: distinct
+    on (order, supp), the join re-shuffle on order, and the final edge
+    distinct.) Per-order fan-out is bounded by order size (≤7 lineitems
+    in TPC-H shapes), so the explode is O(orders · k²), never all-pairs
+    of suppliers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.collect_set("l_suppkey").alias("ss")))
+    return (
+        per_order
+        .select(F.explode("ss").alias("src"), "ss")
+        .select("src", F.explode("ss").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
 
 
 @register("graph_pagerank_suppliers")  # rows-only: iterative
@@ -53,50 +62,66 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. localCheckpoint per round keeps the plan flat."""
     from .dedup import dedup_shuffle_partitions
 
-    # rank/contribution relations are node-sized (thousands of rows):
-    # per-round shuffles at the session's 32 partitions pay more fixed
-    # task cost than the work — size like the other pair-scale stages
+    # Edge construction is a data-scale stage — leave it at the session's
+    # shuffle sizing. The ROUNDS operate on node-sized relations
+    # (thousands of rows) where 32-way shuffles pay more fixed task cost
+    # than the work — size those like the other pair-scale stages
     # (env-overridable; a 1000-executor run sets this to node volume).
+    edges = supplier_edges(spark, sf_dir).localCheckpoint()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(dedup_shuffle_partitions()))
     try:
-        return _pagerank_rounds(spark, sf_dir)
+        return _pagerank_rounds(spark, sf_dir, edges)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _pagerank_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = supplier_edges(spark, sf_dir).localCheckpoint()
+def _pagerank_rounds(spark: SparkSession, sf_dir: str,
+                     edges: DataFrame) -> DataFrame:
+    # checkpointed inputs: edges once (passed in), out-degrees once
+    # (reused every round — recomputing the groupBy per round is pure
+    # waste), node set once. After localCheckpoint Catalyst loses size
+    # stats (LogicalRDD defaults to "huge"), so every node-sized join
+    # below carries an EXPLICIT broadcast hint — without them each round
+    # silently planned sort-merge shuffles of thousands-row relations
+    # (measured ~2x).
     nodes = (load_table(spark, sf_dir, "supplier")
              .select(F.col("s_suppkey").alias("node")).distinct()
              .localCheckpoint())
     n_nodes = nodes.count()  # driver scalar: one distributed count
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    outdeg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
+              .localCheckpoint())
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(PR_ITERS):
+    for i in range(PR_ITERS):
         r = ranks.alias("r")
+        # per round: ONE shuffle (contributions summed by destination);
+        # rank and degree sides ride in as broadcasts
         contribs = (
-            edges.join(r, F.col("src") == F.col("r.node"))
-            .join(outdeg, "src")
+            edges.join(F.broadcast(r), F.col("src") == F.col("r.node"))
+            .join(F.broadcast(outdeg), "src")
             .select(F.col("dst").alias("node"),
                     (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node").agg(F.sum("c").alias("in_mass"))
         )
         # dangling = rank mass sitting on nodes without out-edges
         dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            ranks.join(F.broadcast(outdeg), ranks.node == outdeg.src,
+                       "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(F.broadcast(contribs), "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (F.lit((1.0 - PR_DAMPING) / n_nodes)
                  + PR_DAMPING * (F.coalesce(F.col("in_mass"), F.lit(0.0))
                                  + F.col("dm") / n_nodes)).alias("rank"))
+            # one materialization per round: `ranks` feeds BOTH next
+            # round's contribution join and the dangling aggregate, so
+            # uncheckpointed lineage doubles per round (2^k recompute)
             .localCheckpoint()
         )
     return (
