@@ -636,3 +636,85 @@ def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.col", "r.n_nulls", "r.n_distinct", "r.min_val", "r.max_val")
         .orderBy("col")
     )
+
+
+@register(
+    "dq_table_profile_approx",
+    oracle="""
+    WITH t AS (SELECT * FROM orders)
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val,
+           TRUE AS ndv_sane FROM t
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR),
+           TRUE FROM t
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR),
+           TRUE FROM t
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR),
+           TRUE FROM t
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR),
+           TRUE FROM t
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(round(MIN(o_totalprice), 6) AS VARCHAR),
+           CAST(round(MAX(o_totalprice), 6) AS VARCHAR), TRUE FROM t
+    ORDER BY col
+    """,
+)
+def dq_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of dq_table_profile: NDV via approx_count_distinct
+    (HLL++, a regular single-pass aggregate) instead of exact
+    count_distinct, whose Expand-based multi-distinct multiplies the
+    scan by |profiled columns|+1 before the shuffle. One scan, one
+    1-row aggregation, NO Expand (plan-asserted in tests/test_plans.py).
+
+    Oracle strategy: nulls/min/max are exact and hash-checked; the HLL
+    estimate itself is engine-internal, so the output carries an in-plan
+    ``ndv_sane`` bound check (1 ≤ estimate ≤ non-null count when the
+    column has values) and the 2%-rsd estimate is accuracy-pinned
+    against the exact sibling query in
+    tests/test_plans.py::test_table_profile_approx_matches_exact."""
+    o = load_table(spark, sf_dir, "orders")
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        mn, mx = F.min(col), F.max(col)
+        if c == "o_totalprice":
+            mn, mx = F.round(mn, 6), F.round(mx, 6)
+        aggs += [
+            (total - F.count(col)).alias(f"{c}__n_nulls"),
+            F.count(col).alias(f"{c}__n_vals"),
+            F.approx_count_distinct(col, 0.02).alias(f"{c}__approx_ndv"),
+            mn.cast("string").alias(f"{c}__min_val"),
+            mx.cast("string").alias(f"{c}__max_val"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n_nulls").cast("bigint").alias("n_nulls"),
+            F.col(f"{c}__min_val").alias("min_val"),
+            F.col(f"{c}__max_val").alias("max_val"),
+            F.when(F.col(f"{c}__n_vals") == 0,
+                   F.col(f"{c}__approx_ndv") == 0)
+            # upper bound carries the sketch tolerance: HLL may
+            # over-estimate a unique column past the true count
+            .otherwise((F.col(f"{c}__approx_ndv") >= 1)
+                       & (F.col(f"{c}__approx_ndv")
+                          <= F.ceil(F.col(f"{c}__n_vals") * 1.1)))
+            .alias("ndv_sane"))
+        for c in _PROFILE_COLS])
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.col", "r.n_nulls", "r.min_val", "r.max_val", "r.ndv_sane")
+        .orderBy("col")
+    )

@@ -300,6 +300,36 @@ def test_hll_sketch_union_estimates_match_exact(spark, sf_dir):
         assert got[r.l_returnflag].within_tolerance
 
 
+def test_table_profile_approx_matches_exact(spark, sf_dir):
+    """The approx profiler must agree with the exact one on the oracled
+    columns, carry a TRUE sanity bound everywhere, plan NO Expand (the
+    whole point: single-pass, no multi-distinct scan multiplication),
+    and its HLL estimates must land within 10% of exact NDV."""
+    exact = {r.col: r for r in
+             REGISTRY["dq_table_profile"].fn(spark, sf_dir).collect()}
+    approx = {r.col: r for r in
+              REGISTRY["dq_table_profile_approx"].fn(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for c, r in approx.items():
+        assert (r.n_nulls, r.min_val, r.max_val) == (
+            exact[c].n_nulls, exact[c].min_val, exact[c].max_val), c
+        assert r.ndv_sane, c
+    plan = _plan(spark, sf_dir, "dq_table_profile_approx")
+    assert "Expand" not in plan
+    assert "Expand" in _plan(spark, sf_dir, "dq_table_profile")
+    # estimate accuracy (not part of the hash-checked output): re-run the
+    # wide aggregation directly
+    from house_price_etl_pipeline_spark.operators.analytics import (
+        _PROFILE_COLS)
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    est = o.agg(*[F.approx_count_distinct(c, 0.02).alias(c)
+                  for c in _PROFILE_COLS]).first()
+    for c in _PROFILE_COLS:
+        assert abs(est[c] - exact[c].n_distinct) / exact[c].n_distinct <= 0.1, c
+
+
 def test_round2_operator_plan_shapes(spark, sf_dir):
     """Plan pins for the round-2 families: the scale properties their
     docstrings claim must be visible in the physical plan."""
