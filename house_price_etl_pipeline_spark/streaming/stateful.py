@@ -28,8 +28,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .._vendor.protobuf_compat import ensure_protobuf
 from ..plans.catalog import register
 from .windows import stream_events
+
+# Module-import side effect, deliberate: every Spark python worker that
+# unpickles a StatefulProcessor from this module imports the module
+# first, and transformWithState's protobuf imports are lazy — so running
+# the shim here guarantees google.protobuf resolves (and the gencode
+# version gate is relaxed) in the driver, the driver-side schema worker,
+# and every executor worker, with no environment plumbing.
+HAVE_PROTOBUF = ensure_protobuf()
 
 _counter = itertools.count()
 
@@ -163,29 +172,35 @@ class RunningTotalsProcessor(StatefulProcessor):
     (a closure-local ``type(...)`` subclass crashes that worker).
 
     Runtime note: the transformWithState state-server protocol speaks
-    protobuf; in environments without ``google.protobuf`` the query
-    cannot start (the driver-side schema worker dies on import). The
-    companion test skips in that case; ``applyInPandasWithState``
-    (above) covers stateful streaming without that dependency."""
+    protobuf; ``_vendor.protobuf_compat.ensure_protobuf`` (run at this
+    module's import) resolves the runtime from the container's Cloud SDK
+    when no pip protobuf exists. Where neither is available the
+    companion test skips and the catalog entry is not registered;
+    ``applyInPandasWithState`` (above) covers stateful streaming without
+    the dependency."""
 
     def init(self, handle) -> None:
+        # integer cents, not a float accumulator: the input values are
+        # 2-decimal doubles, so per-element x*100 rounds exactly and the
+        # running sum is EXACT across any batch split — which is what
+        # lets the DuckDB oracle hash-match the drained totals
         self.totals = handle.getValueState(
-            "totals", "n_events long, sum_value double")
+            "totals", "n_events long, sum_cents long")
 
     def handleInputRows(self, key, rows, timerValues):
-        n, s = 0, 0.0
+        n, c = 0, 0
         for pdf in rows:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            c += int((pdf["value"] * 100).round().sum())
         prev = self.totals.get()
         if prev is not None:
             n += prev[0]
-            s += prev[1]
-        self.totals.update((n, s))
+            c += prev[1]
+        self.totals.update((n, c))
         yield pd.DataFrame({
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [round(s, 6)],
+            "sum_value": [c / 100.0],
         })
 
     def close(self) -> None:
@@ -207,13 +222,26 @@ def drain_running_totals(spark, stream_df):
     )
     name = "twstate_out"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    store_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_store = spark.conf.get(store_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # transformWithState keeps each typed state variable in its own
+    # column family — only the RocksDB provider supports that (the
+    # HDFS-backed default refuses); Spark bundles the RocksDB JNI.
+    spark.conf.set(
+        store_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
     try:
         q = (result.writeStream.outputMode("append").format("memory")
              .queryName(name).trigger(availableNow=True).start())
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_store is None:
+            spark.conf.unset(store_key)
+        else:
+            spark.conf.set(store_key, prev_store)
     out = spark.table(name)
     w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
     latest = (out.withColumn(
@@ -221,6 +249,34 @@ def drain_running_totals(spark, stream_df):
             w.partitionBy("user_id").orderBy(F.col("n_events").desc())))
         .filter(F.col("_rn") == 1).drop("_rn"))
     return latest
+
+
+if HAVE_PROTOBUF:
+    @register(
+        "stream_transform_with_state",
+        oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    )
+    def stream_transform_with_state(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        """transformWithStateInPandas running totals over the finite
+        events stream: the drained final typed-ValueState per user must
+        equal the batch GROUP BY. Cent-exact accumulation (see
+        RunningTotalsProcessor.init) makes the double output
+        bit-identical to the oracle's integer-cents form. Registered
+        only where a google.protobuf runtime exists (the state-server
+        wire protocol; resolved from the container's Cloud SDK by
+        _vendor.protobuf_compat)."""
+        final = drain_running_totals(spark, stream_events(spark, sf_dir))
+        return (
+            final.select("user_id", "n_events", "sum_value")
+            .orderBy("user_id")
+        )
 
 
 # --------------------------------------------------------------------------

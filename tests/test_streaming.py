@@ -292,10 +292,13 @@ def test_transform_with_state_carries_typed_state(spark, tmp_path):
     """transformWithStateInPandas (Spark 4): the typed ValueState must
     accumulate ACROSS micro-batches — final running totals equal the
     union's batch aggregate. Requires google.protobuf (the state-server
-    wire protocol); skipped where it isn't installed."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state server requires protobuf")
+    wire protocol); the shim resolves it from the container's Cloud SDK
+    — skipped only where neither a pip install nor the SDK exists."""
+    from house_price_etl_pipeline_spark._vendor.protobuf_compat import (
+        ensure_protobuf)
+
+    if not ensure_protobuf():
+        pytest.skip("no google.protobuf runtime available")
     from house_price_etl_pipeline_spark.streaming.stateful import (
         drain_running_totals)
 
