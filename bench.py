@@ -114,6 +114,13 @@ def main() -> None:
     retry_budget = 30
 
     def _stall_suspect(name: str, t: float) -> bool:
+        if name not in minima and minima:
+            # a query missing from bench_minima.json is governed by the
+            # 2.0s default — surface it so the minima file gets
+            # refreshed in the same commit that adds queries (otherwise
+            # the default quietly decides new entries' retry behavior)
+            print(f"minima-fallback {name}: no committed minimum, "
+                  f"using 2.0s default", file=sys.stderr)
         base = minima.get(name, 2.0)
         return t > max(1.5 * base, base + 1.0)
 

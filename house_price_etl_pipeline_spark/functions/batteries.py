@@ -308,19 +308,22 @@ def scalar_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_json_infer_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema INFERENCE for semi-structured ingest: schema_of_json reads
-    one sample row to derive the struct type, and that inferred schema
+    """Schema INFERENCE for semi-structured ingest: the struct type is
+    inferred from the UNION of a bounded sample (spark.read.json merges
+    per-row schemas, so a key absent or differently typed in any single
+    row still lands in the inferred struct — one arbitrary first() row
+    would silently NULL such keys corpus-wide), and that inferred schema
     drives a typed from_json over the whole column — the two-step every
     JSON lake ingestion does (infer once on a sample, parse typed at
     scale; never schema-per-row). The driver-side inference cost is one
-    1-row query; the corpus-scale parse is a JVM expression with the
-    aggregate pushing through it."""
+    bounded-sample query; the corpus-scale parse is a JVM expression
+    with the aggregate pushing through it."""
     ev = load_table(spark, sf_dir, "events")
-    sample = ev.select("props").first()["props"]
-    schema_str = spark.range(1).select(
-        F.schema_of_json(F.lit(sample)).alias("s")).first()["s"]
+    samples = [r["props"] for r in ev.select("props").limit(64).collect()]
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(samples, 1)).schema
     parsed = ev.select(
-        "event_id", F.from_json("props", schema_str).alias("p"))
+        "event_id", F.from_json("props", inferred).alias("p"))
     return (
         parsed.groupBy(F.col("p.k").cast("bigint").alias("k"))
         .agg(F.count("*").cast("bigint").alias("n"),

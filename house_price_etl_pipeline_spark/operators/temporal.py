@@ -50,21 +50,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
     left rows sort before right at equal timestamps and
     first_value(ignorenulls) over a following frame pulls the next
     payload back.
+
+    The payload travels as ONE wrapped struct, non-null iff a right row
+    exists: picking each payload column independently with ignorenulls
+    would skip a genuinely-matched right row whose payload value is
+    NULL (returning an older/newer row's value instead — diverging from
+    true as-of / pandas merge_asof semantics) and could even mix
+    columns from different right rows. The struct is atomic, so the
+    matched row's payload arrives whole, NULL fields included.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    payload_t = T.StructType([right.schema[c] for c in payload_cols])
     l = left.select(
         F.lit(1).alias("_side"),
         *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in payload_cols],
+        F.lit(None).cast(payload_t).alias("_r_payload"),
     )
     r = right.select(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != on and c != ts
           else F.col(c).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+        F.struct(*payload_cols).alias("_r_payload"),
     )
     if direction == "backward":
         w = (Window.partitionBy(on).orderBy(F.col(ts), F.col("_side"))
@@ -76,12 +86,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
         pick = F.first
     carried = l.unionByName(r).select(
         "_side", *lcols,
-        *[pick(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-          for c in payload_cols],
+        pick("_r_payload", ignorenulls=True).over(w).alias("_r_payload"),
     )
     return (
         carried.filter(F.col("_side") == 1)
-        .select(*lcols, *[F.col(f"_r_{c}").alias(f"asof_{c}") for c in payload_cols])
+        .select(*lcols, *[F.col(f"_r_payload.{c}").alias(f"asof_{c}")
+                          for c in payload_cols])
     )
 
 

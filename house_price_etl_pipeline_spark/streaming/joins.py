@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.corpus import BENCH_MOD
 from ..plans.catalog import register
 from .windows import _drain, stream_events
 
@@ -134,7 +135,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, md5(text) AS text_md5
     FROM documents
     WHERE md5(text) NOT IN
-          (SELECT md5(text) FROM documents WHERE doc_id % 97 = 0)
+          (SELECT md5(text) FROM documents WHERE doc_id % {BENCH_MOD} = 0)
     ORDER BY doc_id
     """,
 )
@@ -149,7 +150,6 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Drained over the finite source this equals the batch anti-join —
     asserted by the oracle (same 1-in-97 benchmark rule as the corpus
     family)."""
-    from ..operators.corpus import BENCH_MOD
     from ..sources.tables import load_table
 
     path = os.path.join(sf_dir, "documents.parquet")

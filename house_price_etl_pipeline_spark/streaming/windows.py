@@ -206,8 +206,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
     FROM events
-    WHERE date_trunc('day', ts) < (SELECT date_trunc('day', MAX(ts))
-                                   FROM events)
+    -- a day emits only once the watermark (max ts - 10 min) passes its
+    -- END: stating the actual cutoff instead of "every day before the
+    -- final calendar day" keeps the oracle correct even when max(ts)
+    -- falls within 10 minutes after midnight
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+          < (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM events)
     GROUP BY 1 ORDER BY 1
     """,
 )

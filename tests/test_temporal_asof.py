@@ -75,3 +75,22 @@ def test_capped_sessionization_enforces_both_rules(spark, tmp_path):
     assert [(r.session_no, r.n_events) for r in out] == [(1, 5), (2, 5)]
     assert out[0].start_ts.startswith("2024-01-01 00:00")
     assert out[1].start_ts.startswith("2024-01-02 01:00")
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_null_payload_is_not_skipped(spark, direction):
+    """A genuinely-matched right row whose payload value is NULL must be
+    returned AS the match (payload NULL), not skipped in favor of an
+    older/newer row — the struct-wrapped carry pins true as-of
+    semantics on NULL payloads."""
+    left = spark.createDataFrame([(1, 50, 0)], ["k", "t", "lid"])
+    # two right rows: the nearer one has a NULL payload value
+    if direction == "backward":
+        rrows = [(1, 10, 111), (1, 40, None)]   # match: t=40, payload NULL
+    else:
+        rrows = [(1, 60, None), (1, 90, 111)]   # match: t=60, payload NULL
+    right = spark.createDataFrame(rrows, "k long, t long, rid long")
+    out = asof_join(left, right, on="k", ts="t",
+                    payload_cols=["rid"], direction=direction).collect()
+    assert len(out) == 1
+    assert out[0].asof_rid is None
