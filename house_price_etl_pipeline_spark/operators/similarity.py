@@ -529,3 +529,104 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at(head, 1) / head_norm, 6).alias("u0"))
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Batch ANN join: MANY query vectors against the corpus in one pass —
+# the retrieval shape of a RAG / nearest-neighbor-annotation pipeline
+# (the sim_* queries above serve ONE query vector; serving a batch by
+# looping them would rescan the corpus per query).
+# --------------------------------------------------------------------------
+
+ANN_BATCH_QUERIES = 8   # vec_id < 8 are the query batch
+ANN_BATCH_K = 3
+
+_CAST_DOUBLE = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "sim_ann_batch_topk_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_CAST_DOUBLE.format(v='embedding')} AS e
+      FROM embeddings WHERE vec_id < {ANN_BATCH_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id, {_CAST_DOUBLE.format(v='embedding')} AS e
+      FROM embeddings WHERE vec_id >= {ANN_BATCH_QUERIES}
+    ),
+    s AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS cos
+      FROM q, c
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, vec_id) AS rnk
+      FROM s
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           round(cos, 6) AS cos_sim
+    FROM r WHERE rnk <= {ANN_BATCH_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_ann_batch_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch top-k cosine join: ANN_BATCH_QUERIES query vectors ×
+    the corpus, top ANN_BATCH_K neighbors each, in ONE corpus pass.
+
+    Scale shape: the query matrix is driver-collected (queries are the
+    SMALL side by construction — an eval set, a user batch) and closes
+    over an Arrow ``mapInPandas`` kernel that scores every corpus batch
+    against ALL queries with one float64 matmul, then prunes to a
+    per-partition per-query top-k (keeping boundary ties) — so the only
+    shuffle carries O(partitions · queries · k) candidate rows, never
+    corpus-scale data. The final per-query rank is a window over that
+    tiny candidate relation. Both engines do float64 math; the output
+    rounds AFTER ranking, so order is decided at full precision."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (e.filter(F.col("vec_id") < ANN_BATCH_QUERIES)
+             .select("vec_id", "embedding").collect())
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    k = ANN_BATCH_K
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.sqrt((E * E).sum(axis=1))
+            sims = (E @ qm.T) / (norms[:, None] * qnorm[None, :])
+            for j in range(len(qids)):
+                s = sims[:, j]
+                if len(s) > k:
+                    # keep every row tied with the kth score so the
+                    # global (cos desc, vec_id) tiebreak stays exact
+                    thresh = np.sort(s)[::-1][k - 1]
+                    keep = np.flatnonzero(s >= thresh)
+                else:
+                    keep = np.arange(len(s))
+                yield pd.DataFrame({
+                    "query_id": qids[j],
+                    "vec_id": pdf["vec_id"].iloc[keep].to_numpy(),
+                    "cos": s[keep],
+                })
+
+    cand = (
+        e.filter(F.col("vec_id") >= ANN_BATCH_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(kernel, "query_id long, vec_id long, cos double")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("rnk").cast("bigint").alias("rnk"),
+                "vec_id", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("query_id", "rnk")
+    )
