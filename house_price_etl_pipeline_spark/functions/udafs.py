@@ -242,3 +242,78 @@ def pandas_cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_lag_us bigint")
         .orderBy("user_id")
     )
+
+
+@register(
+    "udtf_analyze_numeric_profile",
+    oracle="""
+    SELECT l_returnflag AS key_l_returnflag,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_l_quantity,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_l_extendedprice
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def udtf_analyze_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): ``analyze()`` derives the
+    output schema from the input TABLE's schema at plan time — string
+    columns become ``key_<name>``, numeric columns become
+    ``sum_<name>`` — so ONE table function profiles any table shape
+    (the static-returnType UDTF next door, text_udtf_positional_tokens,
+    cannot). Consumed as ``FROM profile(TABLE(...) PARTITION BY ...)``:
+    Spark shuffles on the partition key and runs one UDTF instance per
+    partition; eval() folds rows, terminate() emits the partition
+    summary. Numeric sums accumulate in integer cents (inputs are
+    2-decimal doubles) so the emitted doubles are bit-identical to the
+    oracle's integer-cents form — no float-order drift across engines.
+
+    A UDTF here is the API demonstration; the hot-path form of this
+    exact query is a plain groupBy().agg() (what the oracle runs)."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import DoubleType, StringType, StructType
+
+    _NUMERIC = {"double", "float", "long", "integer", "short", "decimal"}
+
+    class NumericProfile:
+        @staticmethod
+        def analyze(tbl: AnalyzeArgument) -> AnalyzeResult:
+            out = StructType()
+            for f in tbl.dataType.fields:
+                if f.dataType.typeName() in _NUMERIC:
+                    out = out.add(f"sum_{f.name}", DoubleType())
+                else:
+                    out = out.add(f"key_{f.name}", StringType())
+            return AnalyzeResult(schema=out)
+
+        def __init__(self):
+            self.fields: list[tuple[str, bool]] | None = None
+            self.acc: dict[str, object] = {}
+
+        def eval(self, row):
+            d = row.asDict()
+            if self.fields is None:
+                self.fields = [(k, isinstance(v, (int, float)))
+                               for k, v in d.items()]
+                self.acc = {k: (0 if num else None)
+                            for k, num in self.fields}
+            for k, num in self.fields:
+                if num:
+                    self.acc[k] += int(round(d[k] * 100))
+                else:
+                    self.acc[k] = d[k]  # partition key: constant here
+
+        def terminate(self):
+            if self.fields is not None:
+                yield tuple(self.acc[k] / 100.0 if num else self.acc[k]
+                            for k, num in self.fields)
+
+    spark.udtf.register("numeric_profile", udtf(NumericProfile))
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT * FROM numeric_profile(
+          TABLE(SELECT l_returnflag, l_quantity, l_extendedprice
+                FROM lineitem)
+          PARTITION BY l_returnflag)
+        ORDER BY key_l_returnflag
+    """)

@@ -146,6 +146,74 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_N = 2        # bigram containment (looser than GRAM_N on purpose)
+CONTAIN_TOP_K = 20
+
+
+@register(
+    "corpus_containment_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (SELECT DISTINCT doc_id AS bench_id,
+                  array_to_string(t[i:i+{CONTAIN_N - 1}], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-{CONTAIN_N - 1})) AS s(i)
+           WHERE doc_id % {BENCH_MOD} = 0),
+    bs AS (SELECT bench_id, COUNT(*) AS nb FROM bg GROUP BY 1),
+    dg AS (SELECT DISTINCT doc_id,
+                  array_to_string(t[i:i+{CONTAIN_N - 1}], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-{CONTAIN_N - 1})) AS s(i)
+           WHERE doc_id % {BENCH_MOD} <> 0),
+    ov AS (SELECT bg.bench_id, dg.doc_id, COUNT(*) AS c
+           FROM bg JOIN dg USING (g) GROUP BY 1, 2)
+    SELECT bench_id, doc_id,
+           round(c * 1.0 / nb, 6) AS containment
+    FROM ov JOIN bs USING (bench_id)
+    ORDER BY c * 1.0 / nb DESC, bench_id, doc_id
+    LIMIT {CONTAIN_TOP_K}
+    """,
+)
+def corpus_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair n-gram CONTAINMENT score (|bench ∩ doc| / |bench| —
+    asymmetric, the standard contamination metric: 'how much of this
+    eval document appears inside that training document', which Jaccard
+    under-reports when the training doc is much longer), reported as
+    the top-CONTAIN_TOP_K most-contaminating (bench, doc) pairs.
+
+    Scale shape: the benchmark gram index is broadcast (small by
+    construction); the corpus side is one explode + map-side hash probe,
+    and the only pair-scale relation is the overlap aggregation, whose
+    size is bounded by actually-overlapping pairs — never
+    |bench| × |corpus|. Top-k via TakeOrderedAndProject, no global
+    sort; ranking at full precision with a total (score, bench_id,
+    doc_id) order so boundary ties are deterministic in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", _is_bench().alias("is_bench"), _toks().alias("t"))
+    grams = F.array_distinct(_grams(F.col("t"), CONTAIN_N))
+    bench_grams = (
+        dt.filter("is_bench")
+        .select(F.col("doc_id").alias("bench_id"),
+                F.explode(grams).alias("g"))
+    )
+    bench_sizes = bench_grams.groupBy("bench_id").agg(
+        F.count("*").alias("nb"))
+    doc_grams = (
+        dt.filter(~F.col("is_bench"))
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("bench_id", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    score = F.col("c") * F.lit(1.0) / F.col("nb")
+    return (
+        overlap.join(F.broadcast(bench_sizes), "bench_id")
+        .orderBy(score.desc(), "bench_id", "doc_id")
+        .limit(CONTAIN_TOP_K)
+        .select("bench_id", "doc_id", F.round(score, 6).alias("containment"))
+    )
+
+
 @register(
     "corpus_chunk_overlap",
     oracle=f"""

@@ -113,7 +113,8 @@ _NESTED_LOOP_ALLOWED = {
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_python_udf_outside_pandas_operators(spark, sf_dir, name):
-    if name.startswith("mm_decode") or name == "text_udtf_positional_tokens":
+    if name.startswith("mm_decode") or name in (
+            "text_udtf_positional_tokens", "udtf_analyze_numeric_profile"):
         pytest.skip("mapInPandas / UDTF operator: Python is the point")
     if name.startswith("stream_"):
         pytest.skip("streaming plans materialize through a sink")
