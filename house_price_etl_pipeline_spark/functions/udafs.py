@@ -252,7 +252,8 @@ def pandas_cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame
              AS sum_l_quantity,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
              / 100 AS sum_l_extendedprice
-    FROM lineitem GROUP BY 1 ORDER BY 1
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    GROUP BY 1 ORDER BY 1
     """,
 )
 def udtf_analyze_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,8 +269,10 @@ def udtf_analyze_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-decimal doubles) so the emitted doubles are bit-identical to the
     oracle's integer-cents form — no float-order drift across engines.
 
-    A UDTF here is the API demonstration; the hot-path form of this
-    exact query is a plain groupBy().agg() (what the oracle runs)."""
+    A UDTF here is the API demonstration — eval() is row-at-a-time
+    Python, so the input is bounded to a 1-in-20 order slice (like the
+    sibling UDTF bounds its doc range); the hot-path form of this exact
+    query is a plain groupBy().agg() (what the oracle runs)."""
     from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
     from pyspark.sql.types import DoubleType, StringType, StructType
 
@@ -313,7 +316,7 @@ def udtf_analyze_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT * FROM numeric_profile(
           TABLE(SELECT l_returnflag, l_quantity, l_extendedprice
-                FROM lineitem)
+                FROM lineitem WHERE l_orderkey % 20 = 0)
           PARTITION BY l_returnflag)
         ORDER BY key_l_returnflag
     """)
