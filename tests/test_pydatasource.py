@@ -127,3 +127,36 @@ def test_stream_reader_drains_in_micro_batches_equal_to_batch(spark, tmp_path):
     batch = read_synthetic_events(spark, rows=n, partitions=4)
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_writer_replayed_batch_is_noop(tmp_path):
+    """JsonAuditStreamWriter.commit must skip a batch id already in the
+    stream manifest (replay after failure) and clean the replay's
+    staged shards — per-batch exactly-once without engine support."""
+    import json
+    import os
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        JsonAuditStreamWriter, _ShardCommit)
+
+    root = str(tmp_path / "sink")
+    os.makedirs(os.path.join(root, "_staging"))
+    w = JsonAuditStreamWriter({"path": root})
+
+    def stage(content):
+        p = os.path.join(root, "_staging", f"{content}.tmp")
+        with open(p, "w") as f:
+            f.write('{"x": 1}\n')
+        return _ShardCommit(p, 1)
+
+    w.commit([stage("a")], batchId=0)
+    manifest = json.load(open(os.path.join(root, "_STREAM_MANIFEST.json")))
+    assert manifest["batches"] == {"0": 1}
+    files = sorted(os.listdir(os.path.join(root, "batch-0")))
+
+    replay = stage("b")  # a re-delivered batch 0 with fresh staging
+    w.commit([replay], batchId=0)
+    manifest = json.load(open(os.path.join(root, "_STREAM_MANIFEST.json")))
+    assert manifest["batches"] == {"0": 1}          # unchanged
+    assert sorted(os.listdir(os.path.join(root, "batch-0"))) == files
+    assert not os.path.exists(replay.shard)          # staging swept
