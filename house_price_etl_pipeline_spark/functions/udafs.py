@@ -320,3 +320,52 @@ def udtf_analyze_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY l_returnflag)
         ORDER BY key_l_returnflag
     """)
+
+
+@register(
+    "arrow_grouped_price_profile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MIN(l_extendedprice), 2) AS min_price,
+           round(MAX(l_extendedprice), 2) AS max_price,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS sum_price
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def arrow_grouped_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` exemplar — the grouped zero-copy Arrow
+    entry point (completes the Python-kernel matrix next to mapInPandas
+    / mapInArrow / applyInPandas / cogroup / the stateful pair): the
+    kernel receives one pyarrow.Table per group and answers with
+    pyarrow.compute aggregations — no pandas boxing anywhere. Sum
+    accumulates in integer cents (2-decimal inputs) so the emitted
+    double is bit-identical to the oracle. The hot-path form of this
+    query is plain groupBy().agg(); the Arrow route exists for kernels
+    that genuinely need whole-group array access."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def profile(table: "pa.Table") -> "pa.Table":
+        price = table.column("l_extendedprice")
+        cents = pc.cast(pc.round(pc.multiply(price, pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({
+            "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+            "n_rows": [table.num_rows],
+            "min_price": [round(pc.min(price).as_py(), 2)],
+            "max_price": [round(pc.max(price).as_py(), 2)],
+            "sum_price": [pc.sum(cents).as_py() / 100.0],
+        })
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInArrow(
+            profile,
+            "l_returnflag string, n_rows bigint, min_price double, "
+            "max_price double, sum_price double")
+        .orderBy("l_returnflag")
+    )
