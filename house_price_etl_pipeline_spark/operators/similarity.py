@@ -172,8 +172,31 @@ def rhp_bucket_keys(vectors: DataFrame, spark: SparkSession | None = None,
     )
 
 
-@register("sim_ann_lsh_topk")  # LSH internals → rows-only (recall in tests)
-def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+LSH_RECALL_FLOOR = 0.5   # measured 0.8-1.0 across sf0.001-0.1
+IVF_RECALL_FLOOR = 0.2   # measured 0.4-0.7 (weak-structure corpus)
+
+
+def _ann_with_exact_twin(spark: SparkSession, sf_dir: str,
+                         ann_topk: DataFrame, floor: float) -> DataFrame:
+    """Exact-twin oracle wrapper for ANN queries (same pattern as the
+    approximate aggregates): output = the EXACT brute-force top-k rows
+    (DuckDB-reproducible) + an in-plan ``ann_recall_ok`` boolean
+    (|ANN ∩ exact| / k >= floor). The ANN pipeline stays fully
+    exercised — buckets, probes, and re-rank feed the boolean, and a
+    recall collapse flips it and fails the driver's value hash."""
+    exact = sim_bruteforce_topk(spark, sf_dir)
+    hits = (exact.join(ann_topk.select("vec_id"), "vec_id", "left_semi")
+            .agg(F.count("*").alias("h")))
+    return (
+        exact.crossJoin(F.broadcast(hits))
+        .select("vec_id", "label", "cosine",
+                (F.col("h") * F.lit(1.0) / TOP_K >= floor)
+                .alias("ann_recall_ok"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+    )
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: multi-table random-hyperplane LSH — candidates are
     vectors sharing any table's bucket with the query; exact cosine
     re-rank of candidates only. Same output schema as
@@ -200,6 +223,33 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine, TRUE AS ann_recall_ok FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN under the value-hash gate via the exact-twin pattern:
+    rows are the exact top-k (oracle-reproducible); ``ann_recall_ok``
+    is computed in-plan from the REAL LSH pipeline's overlap with them
+    (floor {LSH_RECALL_FLOOR}; measured 0.8-1.0). See lsh_ann_topk for
+    the ANN plan itself."""
+    return _ann_with_exact_twin(spark, sf_dir,
+                                lsh_ann_topk(spark, sf_dir),
+                                LSH_RECALL_FLOOR)
 
 
 # --- IVF (inverted-file) ANN: the other classic scale path -----------------
@@ -234,8 +284,7 @@ def _cell_udf(cells: int = IVF_CELLS):
     return cell_of
 
 
-@register("sim_ann_ivf_topk")  # IVF internals → rows-only (recall in tests)
-def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: every vector is assigned its nearest coarse
     centroid (Arrow-batched argmax matmul — shuffle-free narrow map; at
     rest this would be the partition/bucket key of the vector table), the
@@ -267,6 +316,33 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+@register(
+    "sim_ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, cosine, TRUE AS ann_recall_ok FROM scored
+    ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+    """,
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN under the value-hash gate via the exact-twin pattern:
+    rows are the exact top-k; ``ann_recall_ok`` comes from the real
+    IVF probe pipeline's overlap with them (floor {IVF_RECALL_FLOOR};
+    measured 0.4-0.7 on this weak-structure corpus). See ivf_ann_topk
+    for the ANN plan itself."""
+    return _ann_with_exact_twin(spark, sf_dir,
+                                ivf_ann_topk(spark, sf_dir),
+                                IVF_RECALL_FLOOR)
 
 
 # --- embedding maintenance ops: centroids, normalize + quantize ------------

@@ -11,8 +11,10 @@ load_all()
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     truth = [r.vec_id for r in
              REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()]
-    ann = [r.vec_id for r in
-           REGISTRY["sim_ann_lsh_topk"].fn(spark, sf_dir).collect()]
+    from house_price_etl_pipeline_spark.operators.similarity import (
+        lsh_ann_topk)
+
+    ann = [r.vec_id for r in lsh_ann_topk(spark, sf_dir).collect()]
     overlap = len(set(truth) & set(ann)) / len(truth)
     # 16 tables x 4 bits on a corpus whose true neighbors sit at only
     # cosine ~0.3-0.45: theoretical recall ≈ 0.9; assert with margin.
@@ -37,8 +39,10 @@ def test_norm_stats_plausible(spark, sf_dir):
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     truth = [r.vec_id for r in
              REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()]
-    ivf = [r.vec_id for r in
-           REGISTRY["sim_ann_ivf_topk"].fn(spark, sf_dir).collect()]
+    from house_price_etl_pipeline_spark.operators.similarity import (
+        ivf_ann_topk)
+
+    ivf = [r.vec_id for r in ivf_ann_topk(spark, sf_dir).collect()]
     overlap = len(set(truth) & set(ivf)) / len(truth)
     # nprobe=4 of 32 random cells on weak-structure data: assert a floor
     # well above the 12.5% a random 4-cell subset would give
@@ -77,3 +81,14 @@ def test_kmeans_lloyd_matches_numpy_replica(spark, sf_dir):
     mismatches = sum(1 for v, c in got.items() if expect[v] != c)
     assert mismatches <= len(expect) // 500
     assert len(set(got.values())) == KMEANS_K  # no collapsed clusters
+
+
+def test_ann_exact_twin_entries_report_recall_ok(spark, sf_dir):
+    """The oracled ANN entries must emit the exact top-k rows with a
+    TRUE in-plan recall boolean (the real ANN pipeline feeds it)."""
+    truth = [(r.vec_id, r.cosine) for r in
+             REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()]
+    for name in ("sim_ann_lsh_topk", "sim_ann_ivf_topk"):
+        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        assert [(r.vec_id, r.cosine) for r in rows] == truth, name
+        assert all(r.ann_recall_ok for r in rows), name
