@@ -90,28 +90,94 @@ def sample_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_bernoulli_seeded")  # Spark-internal RNG → rows-only
-def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli row sample (scan-time coin flip, no shuffle).
     Reproducible for a fixed seed within Spark — but the RNG stream is
-    engine-internal, so no cross-engine oracle. Determinism + fraction
-    tolerance pinned in tests/test_sampling.py."""
+    engine-internal, so the sampled ROW SET has no cross-engine oracle.
+    Determinism + fraction tolerance pinned in tests/test_sampling.py."""
     o = load_table(spark, sf_dir, "orders")
     return (o.sample(fraction=0.1, seed=42)
             .select("o_orderkey", "o_totalprice")
             .orderBy("o_orderkey"))
 
 
-@register("sample_stratified_returnflag")  # Spark-internal RNG → rows-only
-def sample_stratified_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample with per-stratum fractions (the class-rebalance
-    primitive): keep 5% of 'N' rows but 50% of the rarer 'R'/'A' rows.
-    sampleBy = scan-time filter against per-key thresholds — no shuffle."""
+@register(
+    "sample_bernoulli_seeded",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS size_ok, TRUE AS mean_ok
+    FROM orders
+    """,
+)
+def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample under the value-hash gate (exact-twin
+    pattern: the RNG stream is engine-internal, so the oracle checks
+    exact population facts plus in-plan statistical-soundness booleans
+    the REAL sample feeds): ``size_ok`` = sample size within 5 binomial
+    σ of n·p; ``mean_ok`` = sample mean of o_totalprice within 5
+    standard errors of the population mean (unbiasedness). A broken
+    sampler — wrong fraction, value-correlated selection — flips a
+    boolean and fails the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    pop = o.agg(F.count("*").alias("n"),
+                F.avg("o_totalprice").alias("mu"),
+                F.stddev_pop("o_totalprice").alias("sd"))
+    smp = (bernoulli_sample(spark, sf_dir)
+           .agg(F.count("*").alias("ns"), F.avg("o_totalprice").alias("ms")))
+    p = F.lit(0.1)
+    size_tol = F.lit(5.0) * F.sqrt(F.col("n") * p * (1 - p))
+    mean_tol = F.lit(5.0) * F.col("sd") / F.sqrt(F.col("ns"))
+    return pop.crossJoin(F.broadcast(smp)).select(
+        F.col("n").cast("bigint").alias("n_total"),
+        (F.abs(F.col("ns") - F.col("n") * p) <= size_tol).alias("size_ok"),
+        (F.abs(F.col("ms") - F.col("mu")) <= mean_tol).alias("mean_ok"),
+    )
+
+
+STRAT_FRACTIONS = {"N": 0.05, "R": 0.5, "A": 0.5}
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampleBy counts (the class-rebalance primitive):
+    scan-time filter against per-key thresholds — no shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    sampled = li.sampleBy("l_returnflag", {"N": 0.05, "R": 0.5, "A": 0.5}, seed=42)
+    sampled = li.sampleBy("l_returnflag", STRAT_FRACTIONS, seed=42)
     return (
         sampled.groupBy("l_returnflag")
         .agg(F.count("*").alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sample_stratified_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS frac_ok
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def sample_stratified_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampleBy under the value-hash gate (exact-twin
+    pattern): per stratum, the exact population count plus an in-plan
+    ``frac_ok`` boolean — the seeded sample's size within 5 binomial σ
+    of n·p for THAT stratum's fraction (5% of 'N', 50% of 'R'/'A').
+    Wrong per-stratum thresholds flip the boolean and fail the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = li.groupBy("l_returnflag").agg(F.count("*").alias("n_total"))
+    frac = F.create_map(*[F.lit(x)
+                          for kv in STRAT_FRACTIONS.items() for x in kv])
+    p = F.element_at(frac, F.col("l_returnflag"))
+    tol = F.lit(5.0) * F.sqrt(F.col("n_total") * p * (1 - p))
+    return (
+        totals.join(stratified_sample_counts(spark, sf_dir),
+                    "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (F.abs(F.coalesce("n_sampled", F.lit(0)) - F.col("n_total") * p)
+             <= tol).alias("frac_ok"))
         .orderBy("l_returnflag")
     )
 

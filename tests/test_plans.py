@@ -108,6 +108,8 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row sketch relation × 1-row exact-twin relation (the oracle
     # pattern for approximate aggregates — see their docstrings)
     "agg_freq_items", "agg_hll_sketch_union",
+    # 1-row population-stats × 1-row sample-stats (seeded-sample twin)
+    "sample_bernoulli_seeded",
 }
 
 

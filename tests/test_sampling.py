@@ -9,22 +9,24 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from house_price_etl_pipeline_spark.operators.sampling import (
+    bernoulli_sample,
     hash_split_col,
     sample_bernoulli_seeded,
     sample_stratified_returnflag,
+    stratified_sample_counts,
 )
 from house_price_etl_pipeline_spark.sources.tables import load_table
 
 
 def test_bernoulli_seeded_is_reproducible(spark, sf_dir):
-    a = sample_bernoulli_seeded(spark, sf_dir).collect()
-    b = sample_bernoulli_seeded(spark, sf_dir).collect()
+    a = bernoulli_sample(spark, sf_dir).collect()
+    b = bernoulli_sample(spark, sf_dir).collect()
     assert a == b  # same seed, same partitioning → identical sample
 
 
 def test_bernoulli_fraction_within_tolerance(spark, sf_dir):
     n_total = load_table(spark, sf_dir, "orders").count()
-    n_sample = sample_bernoulli_seeded(spark, sf_dir).count()
+    n_sample = bernoulli_sample(spark, sf_dir).count()
     frac = n_sample / n_total
     assert 0.05 < frac < 0.15  # 10% ± sampling noise at sf0.001
 
@@ -44,7 +46,7 @@ def test_stratified_rebalances_rare_classes(spark, sf_dir):
     totals = dict(li.groupBy("l_returnflag").count().collect())
     sampled = dict(
         (r["l_returnflag"], r["n_sampled"])
-        for r in sample_stratified_returnflag(spark, sf_dir).collect()
+        for r in stratified_sample_counts(spark, sf_dir).collect()
     )
     # N sampled at ~5%, R/A at ~50% — rates must be in disjoint ranges
     assert sampled["N"] / totals["N"] < 0.12
@@ -66,3 +68,12 @@ def test_weighted_topk_overselects_heavy_rows(spark, sf_dir):
     assert samp_mean > 1.2 * pop_mean
     again = {r.o_orderkey for r in sample_weighted_topk(spark, sf_dir).collect()}
     assert {r.o_orderkey for r in samp.collect()} == again
+
+
+def test_seeded_sample_twin_entries_report_ok(spark, sf_dir):
+    """The oracled sample entries must report TRUE statistical-soundness
+    booleans alongside the exact population facts."""
+    r = sample_bernoulli_seeded(spark, sf_dir).collect()[0]
+    assert r.size_ok and r.mean_ok and r.n_total > 0
+    for row in sample_stratified_returnflag(spark, sf_dir).collect():
+        assert row.frac_ok, row
