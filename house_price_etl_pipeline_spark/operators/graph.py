@@ -12,9 +12,11 @@ self-joined on the order key — co-occurrence fan-out is bounded by
 order size (≤7 lineitems in TPC-H shapes), so edges = O(orders · k²),
 never all-pairs of suppliers. Each PageRank round is one shuffle
 (contributions summed by destination) plus a broadcast of the 1-row
-dangling-mass aggregate. Rows-only in the driver gate (iterative, not
-SQL-expressible); tests/test_graph.py replays the identical algorithm
-in numpy on the collected edge list and checks the full rank vector.
+dangling-mass aggregate. Under the driver's value-hash gate: the fixed
+round count makes the iteration SQL-expressible after all — the oracle
+unrolls the 5 rounds as chained DuckDB CTEs (_pagerank_oracle);
+tests/test_graph.py additionally replays the identical algorithm in
+numpy on the collected edge list and checks the full rank vector.
 """
 
 from __future__ import annotations
@@ -27,6 +29,42 @@ from ..sources.tables import load_table
 
 PR_ITERS = 5
 PR_DAMPING = 0.85
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, d: float = PR_DAMPING) -> str:
+    """DuckDB oracle: the SAME 5 synchronous PageRank rounds, unrolled
+    as chained CTEs (one contribution-sum + dangling-mass + update
+    layer per round). Both engines do float64 arithmetic with the same
+    constants ((1 - d)/n computed in-engine as doubles); summation
+    order differs, but accumulated drift over 5 rounds is ~1e-12, far
+    inside the round-to-6 output. This puts an ITERATIVE algorithm
+    under the driver's value-hash gate — the numpy replica test remains
+    the algorithmic cross-check."""
+    parts = [f"""WITH li AS (
+      SELECT DISTINCT l_orderkey AS k, l_suppkey AS s FROM lineitem),
+    edges AS (SELECT DISTINCT a.s AS src, b.s AS dst
+              FROM li a JOIN li b ON a.k = b.k AND a.s <> b.s),
+    nodes AS (SELECT DISTINCT s_suppkey AS node FROM supplier),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(f"""c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank / dg.deg) AS m
+      FROM edges e JOIN {prev} r ON e.src = r.node
+      JOIN deg dg ON e.src = dg.src GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM {prev}
+             WHERE node NOT IN (SELECT src FROM deg)),
+    r{i} AS (
+      SELECT nodes.node,
+             (1 - {d}) / (SELECT n FROM nn)
+             + {d} * (COALESCE(c{i}.m, 0)
+                      + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    return (",\n".join(parts)
+            + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+            " ORDER BY node")
 
 
 def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +90,7 @@ def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank_suppliers")  # rows-only: iterative
+@register("graph_pagerank_suppliers", oracle=_pagerank_oracle())
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-supplier graph: PR_ITERS synchronous rounds,
     damping PR_DAMPING, uniform teleport over ALL suppliers (including
@@ -125,6 +163,6 @@ def _pagerank_rounds(spark: SparkSession, sf_dir: str,
             .localCheckpoint()
         )
     return (
-        ranks.select("node", F.round("rank", 10).alias("rank"))
+        ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy("node")
     )
