@@ -541,8 +541,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     return labels
 
 
-@register("dedup_clusters")  # iterative algorithm → rows-only by nature
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the MinHash+LSH pair list: every clustered
     doc with its canonical (min-id) representative and the cluster size —
     the decision table a dedup pipeline keeps for provenance. Label
@@ -562,6 +561,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"),
                 F.col("label").alias("keep_doc_id"),
                 "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+CLUSTER_AGREE_FLOOR = 0.7  # measured ≥0.9 (one missed LSH pair splits
+                           # at most one cluster's labels)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT i.doc_a, i.doc_b
+              FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+              JOIN sizes sb ON i.doc_b = sb.doc_id
+              WHERE i.c / CAST(sa.n + sb.n - i.c AS DOUBLE)
+                    >= {JACCARD_THRESHOLD}),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN sym e ON w.node = e.a),
+    labels AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node),
+    csize AS (SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+    SELECT l.node AS doc_id, l.label AS keep_doc_id, c.cluster_size,
+           TRUE AS lsh_agree_ok
+    FROM labels l JOIN csize c ON l.label = c.label
+    ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution under the value-hash gate: rows are
+    the components of the EXACT shingle-Jaccard pair set (min-id labels
+    — the oracle reproduces them with a recursive-CTE reachability
+    closure, feasible because near-dup components are tiny), computed
+    by the SAME distributed min-label-propagation routine the LSH path
+    uses; ``lsh_agree_ok`` compares the LSH-derived clustering against
+    it in-plan — the fraction of exactly-clustered docs to which the
+    LSH pipeline assigns the same canonical representative must be
+    ≥ {CLUSTER_AGREE_FLOOR}. So BOTH iterative paths run, and either a
+    broken label propagation (wrong rows) or an LSH recall collapse
+    (false boolean) fails the hash."""
+    tok = _doc_shingles(spark, sf_dir, None)
+    exact_pairs = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, 1 << 31)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(dedup_shuffle_partitions()))
+    try:
+        cc = connected_components(exact_pairs).cache()
+        cc.count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sizes = cc.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    exact_clusters = (
+        cc.join(sizes, "label")
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("keep_doc_id"), "cluster_size")
+    )
+    lsh = (lsh_clusters(spark, sf_dir)
+           .select("doc_id", F.col("keep_doc_id").alias("lsh_keep")))
+    agree = (
+        exact_clusters.join(lsh, "doc_id", "left")
+        .agg((F.sum(F.when(F.col("lsh_keep") == F.col("keep_doc_id"), 1)
+                    .otherwise(0)) * F.lit(1.0)
+              / F.greatest(F.count("*"), F.lit(1))
+              >= CLUSTER_AGREE_FLOOR).alias("lsh_agree_ok"))
+    )
+    return (
+        exact_clusters.crossJoin(F.broadcast(agree))
         .orderBy("doc_id")
     )
 

@@ -110,9 +110,9 @@ _NESTED_LOOP_ALLOWED = {
     "agg_freq_items", "agg_hll_sketch_union",
     # 1-row population-stats × 1-row sample-stats (seeded-sample twin)
     "sample_bernoulli_seeded",
-    # 1-row recall-counts relation broadcast over the exact pair rows
-    # (LSH exact-twin — see dedup_minhash_lsh docstring)
-    "dedup_minhash_lsh",
+    # 1-row recall/agreement relation broadcast over the exact rows
+    # (LSH exact-twins — see dedup_minhash_lsh / dedup_clusters)
+    "dedup_minhash_lsh", "dedup_clusters",
 }
 
 
