@@ -378,8 +378,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------------
 
-@register("dedup_simhash")  # engine-internal hash → rows-only
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash (Charikar '02): per-token xxhash64, signed bit-vote
     sum, sign → fingerprint; near-dups = Hamming ≤ 3 found via the
     4x16-bit chunk pigeonhole (distance ≤ 3 ⇒ ≥1 chunk equal), so
@@ -433,6 +432,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_PRECISION_FLOOR = 0.9  # measured 1.00 across sf0.001-0.1
+SIMHASH_RECALL_FLOOR = 0.3     # measured 0.48-0.61 (hamming<=3 is a
+                               # stricter similarity than jaccard>=0.6)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           round(i.c / CAST(sa.n + sb.n - i.c AS DOUBLE), 6) AS jaccard,
+           TRUE AS simhash_precision_ok, TRUE AS simhash_recall_ok
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.c / CAST(sa.n + sb.n - i.c AS DOUBLE) >= {{JACCARD_THRESHOLD}}
+    ORDER BY doc_a, doc_b
+    """.format(JACCARD_THRESHOLD=JACCARD_THRESHOLD),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash under the value-hash gate (exact-twin pattern: xxhash64
+    fingerprints are Spark-internal): rows are the exact shingle-Jaccard
+    >= t pairs, and the REAL SimHash chunk-pigeonhole pipeline feeds two
+    in-plan booleans — ``simhash_precision_ok`` (every hamming<=3 pair
+    is a true near-dup; measured 1.00) and ``simhash_recall_ok``
+    (fraction of true pairs found; hamming<=3 is deliberately stricter
+    than jaccard>=0.6, measured 0.48-0.61, floor 0.3). A bit-vote or
+    pigeonhole bug floods false positives or collapses recall — either
+    flips a boolean and fails the hash."""
+    tok = _doc_shingles(spark, sf_dir, None)
+    exact = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, 1 << 31).cache()
+    exact.count()  # three consumer branches below
+    found = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    n_found = found.count()  # also fills the cache
+    ep = exact.select("doc_a", "doc_b")
+    stats = (
+        ep.join(found, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").alias("hit"))
+        .crossJoin(ep.agg(F.count("*").alias("total")))
+    )
+    prec_ok = ((F.lit(n_found) == 0)
+               | (F.col("hit") * F.lit(1.0) / F.lit(max(n_found, 1))
+                  >= SIMHASH_PRECISION_FLOOR))
+    rec_ok = (F.col("hit") * F.lit(1.0) / F.greatest("total", F.lit(1))
+              >= SIMHASH_RECALL_FLOOR)
+    flags = stats.select(prec_ok.alias("simhash_precision_ok"),
+                         rec_ok.alias("simhash_recall_ok"))
+    return (
+        exact.crossJoin(F.broadcast(flags))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -111,8 +111,8 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row population-stats × 1-row sample-stats (seeded-sample twin)
     "sample_bernoulli_seeded",
     # 1-row recall/agreement relation broadcast over the exact rows
-    # (LSH exact-twins — see dedup_minhash_lsh / dedup_clusters)
-    "dedup_minhash_lsh", "dedup_clusters",
+    # (hash-sketch exact-twins — see their docstrings)
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
 }
 
 
