@@ -124,12 +124,34 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-@register("mm_decode_features")  # Pandas-UDF path → rows-only check
+@register(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+           CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+           concat_ws(',',
+             CAST(length(text) AS VARCHAR),
+             CAST(ascii(substring(text, 1, 1)) AS VARCHAR),
+             CAST(ascii(substring(text, length(text), 1)) AS VARCHAR),
+             CAST(list_sum(list_transform(
+                    range(1, LEAST(length(text), 16) + 1),
+                    i -> ascii(substring(text, i, 1)))) % 256 AS VARCHAR)
+           ) AS feature_csv
+    FROM documents ORDER BY doc_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode stub over the media table; deterministic fake features so
-    the rows-only check is stable round-to-round. The feature vector is
-    integral-valued by construction, so it CSV-serializes exactly
-    (catalog outputs are scalar-only — the driver can't hash arrays)."""
+    """Decode stub over the media table, under the value-hash gate: the
+    deterministic fake kernel's features are pure byte arithmetic
+    (length, first/last byte, capped prefix sum), which DuckDB replays
+    as character arithmetic — valid because the corpus is ASCII and
+    non-empty (verified: octet_length == length for every doc at every
+    SF). The mapInPandas plumbing (Arrow batches, schema, 1→1 rows) is
+    exactly what a real PIL/ffmpeg kernel would ride; the oracle now
+    hash-checks its output end-to-end. Integral-valued features
+    CSV-serialize exactly (catalog outputs are scalar-only)."""
     return (
         decode_media(media_table(spark, sf_dir))
         .select(
