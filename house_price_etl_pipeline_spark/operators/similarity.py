@@ -501,7 +501,60 @@ def _nearest_udf(C: "np.ndarray"):
     return nearest
 
 
-@register("sim_kmeans_lloyd")  # iterative refinement → rows-only
+def _kmeans_oracle(k: int = None, iters: int = None) -> str:
+    """DuckDB oracle for Lloyd k-means, rounds unrolled as chained CTEs
+    (same recipe as graph._pagerank_oracle). Parity holds because the
+    UPDATE step is decimal-exact in BOTH engines (sum(DECIMAL)/count →
+    identical centroid bits given identical assignments), the ASSIGN
+    step mirrors the kernel's |x|²−2x·c+|c|² identity with the same
+    0-clamp and lowest-index tie rule, and float drift between the
+    engines (~1e-14, summation order) only matters on exact-tie
+    distances, which the shared tie rule resolves identically."""
+    k = KMEANS_K if k is None else k
+    iters = KMEANS_ITERS if iters is None else iters
+    parts = [f"""WITH ev AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)),
+    x2 AS (SELECT vec_id, SUM(x * x) AS x2 FROM ev GROUP BY 1),
+    c0 AS (
+      SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cluster, pos, x AS c
+      FROM ev WHERE vec_id IN
+        (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""]
+    for i in range(1, iters + 2):  # iters updates + 1 final assignment
+        prev = f"c{i - 1}"
+        parts.append(f"""cs{i} AS (
+      SELECT cluster, SUM(c * c) AS c2 FROM {prev} GROUP BY 1),
+    d{i} AS (
+      SELECT e.vec_id, c.cluster,
+             GREATEST(x2.x2 - 2 * SUM(e.x * c.c)
+                      + ANY_VALUE(cs.c2), 0) AS dist2
+      FROM ev e JOIN {prev} c ON e.pos = c.pos
+      JOIN x2 ON e.vec_id = x2.vec_id
+      JOIN cs{i} cs ON c.cluster = cs.cluster
+      GROUP BY e.vec_id, c.cluster, x2.x2),
+    a{i} AS (
+      SELECT vec_id, cluster, dist2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cluster) AS rn
+      FROM d{i})""")
+        if i <= iters:
+            parts.append(f"""m{i} AS (
+      SELECT s.cluster, e.pos,
+             CAST(SUM(CAST(e.x AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM (SELECT vec_id, cluster FROM a{i} WHERE rn = 1) s
+      JOIN ev e ON s.vec_id = e.vec_id GROUP BY 1, 2),
+    c{i} AS (
+      SELECT p.cluster, p.pos, COALESCE(m.c, p.c) AS c
+      FROM {prev} p LEFT JOIN m{i} m
+        ON p.cluster = m.cluster AND p.pos = m.pos)""")
+    last = iters + 1
+    return (",\n".join(parts)
+            + f"""\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       round(dist2, 6) AS dist2
+FROM a{last} WHERE rn = 1 ORDER BY vec_id""")
+
+
+@register("sim_kmeans_lloyd", oracle=_kmeans_oracle())
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means, KMEANS_ITERS Lloyd rounds: the trained
     version of the IVF coarse quantizer above (whose centroids are
