@@ -133,6 +133,16 @@ def test_no_python_udf_outside_pandas_operators(spark, sf_dir, name):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian"
 
 
+def test_every_catalog_query_is_oracled():
+    """Round-3 invariant: EVERY registered query carries a DuckDB
+    value-hash oracle — approximate, seeded, and iterative operators
+    included (exact-twin pattern / unrolled-CTE oracles). A new
+    rows-only registration is a deliberate decision: remove it from
+    this assertion with a written reason, not silently."""
+    missing = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+    assert missing == [], f"rows-only entries crept in: {missing}"
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes the plan only on execution
