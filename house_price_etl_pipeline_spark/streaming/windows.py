@@ -245,3 +245,48 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", "sum_value")
         .orderBy("day")
     )
+
+
+@register(
+    "stream_union_two_feeds",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           feed,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT ts, 'engagement' AS feed FROM events
+      WHERE event_type IN ('click', 'view')
+      UNION ALL
+      SELECT ts, 'revenue' AS feed FROM events
+      WHERE event_type = 'purchase'
+    ) GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_union_two_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE streaming: two independent streaming feeds (an
+    engagement feed and a revenue feed — here two readStream scans of
+    the same finite source with disjoint filters, exactly how two Kafka
+    topics or two landing prefixes would arrive) are unionByName'd into
+    ONE streaming query, sharing a single watermark and windowed
+    aggregation. Spark tracks each source's offsets independently in
+    the same checkpoint; the watermark is the MIN across sources — the
+    semantics a multi-topic ingest pipeline depends on. Drained over
+    finite input this equals the batch union GROUP BY."""
+    feed_a = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type").isin("click", "view"))
+              .select("ts", F.lit("engagement").alias("feed")))
+    feed_b = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "purchase")
+              .select("ts", F.lit("revenue").alias("feed")))
+    agg = (
+        feed_a.unionByName(feed_b)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "feed")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _drain(agg, spark)
+    return (
+        out.select(F.col("window.start").cast("string").alias("window_start"),
+                   "feed", "n_events")
+        .orderBy("window_start", "feed")
+    )
