@@ -398,3 +398,37 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     # all three strategies return identical rows
     n = merged.count()
     assert shuffled.count() == n and bcast.count() == n
+
+
+def test_round3_operator_plan_shapes(spark, sf_dir):
+    """Plan pins for the round-3 families: the scale properties their
+    docstrings claim must be visible in the physical plan."""
+    # batch ANN join: the Arrow matmul kernel is a narrow MapInPandas;
+    # the only Exchange carries candidate rows (for the window rank) —
+    # and there is no join operator at all
+    p = _plan(spark, sf_dir, "sim_ann_batch_topk_join")
+    assert "MapInPandas" in p
+    assert "Join" not in p.replace("MapInPandas", "")
+    # containment: the benchmark gram index rides in as broadcasts; the
+    # top-k is TakeOrderedAndProject, never a global sort
+    p = _plan(spark, sf_dir, "corpus_containment_topk")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # approx profiler: single aggregation pass, NO Expand (asserted in
+    # its dedicated test too — kept here so the family reads together)
+    assert "Expand" not in _plan(spark, sf_dir, "dq_table_profile_approx")
+    # seeded-sample twins: the sample is a scan-time Sample operator
+    # (no shuffle introduced by sampling itself)
+    assert "Sample" in _plan(spark, sf_dir, "sample_bernoulli_seeded")
+
+
+def test_ann_twin_rows_equal_bruteforce(spark, sf_dir):
+    """The ANN exact-twin entries' row content must be EXACTLY the
+    brute-force top-k (the boolean is the only ANN-dependent part) —
+    guards against the twin accidentally shipping ANN rows."""
+    truth = [(r.vec_id, r.label, r.cosine) for r in
+             REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()]
+    for name in ("sim_ann_lsh_topk", "sim_ann_ivf_topk"):
+        got = [(r.vec_id, r.label, r.cosine) for r in
+               REGISTRY[name].fn(spark, sf_dir).collect()]
+        assert got == truth, name
