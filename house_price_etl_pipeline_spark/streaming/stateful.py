@@ -220,11 +220,14 @@ def drain_running_totals(spark, stream_df):
             timeMode="none",
         )
     )
+    from .windows import stream_shuffle_partitions
+
     name = "twstate_out"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     store_key = "spark.sql.streaming.stateStore.providerClass"
     prev_store = spark.conf.get(store_key, None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(stream_shuffle_partitions()))
     # transformWithState keeps each typed state variable in its own
     # column family — only the RocksDB provider supports that (the
     # HDFS-backed default refuses); Spark bundles the RocksDB JNI.
