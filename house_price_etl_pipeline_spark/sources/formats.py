@@ -111,3 +111,47 @@ def format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(c, "parquet").unionByName(agg(c_xml, "xml")).orderBy("fmt")
+
+
+# Fixed landing dir for the binaryFile source demo: the source's point
+# is FILE-level ingest (media corpora land as opaque files before any
+# decode), so the query scans a fixed small drop rather than the
+# sf-parameterized tables (same fixed-input precedent as the
+# synthetic-source streaming entries).
+BINARYFILE_DIR = "/root/testdata/sf0.001"
+
+
+@register(
+    "format_binaryfile_listing",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(size AS BIGINT) AS n_bytes,
+           TRUE AS content_sized_ok
+    FROM read_blob('{BINARYFILE_DIR}/*.parquet')
+    ORDER BY fname
+    """,
+)
+def format_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the standard media-corpus ingest entry
+    point (one row per file: path, modificationTime, length, content
+    bytes; the layer below operators/multimodal.py's decode kernels).
+    The oracle lists the same files via DuckDB's read_blob and checks
+    name + size exactly; ``content_sized_ok`` asserts in-plan that the
+    loaded content's octet_length equals the filesystem length (i.e.
+    the bytes really arrived — a truncated read flips it). At 100 TB
+    this source partitions by file and supports pathGlobFilter +
+    recursiveFileLookup; content stays columnar binary end-to-end."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(BINARYFILE_DIR)
+    )
+    return (
+        files.select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            (F.octet_length("content") == F.col("length"))
+            .alias("content_sized_ok"),
+        )
+        .orderBy("fname")
+    )
