@@ -210,3 +210,49 @@ def test_df_cap_default_is_noop_on_doc_slice(spark, sf_dir):
         JACCARD_DOC_SLICE, jaccard_df_cap)
 
     assert jaccard_df_cap() == JACCARD_DOC_SLICE
+
+
+def test_ngram_jaccard_pairs_matches_python_oracle(spark):
+    """Randomized corpus: the inverted-index capped-Jaccard pairs must
+    equal a brute-force python computation of the same metric (seeded,
+    failures reproduce)."""
+    import random
+
+    from house_price_etl_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {i: set(rng.sample(vocab, rng.randint(3, 12))) for i in range(60)}
+    # plant a few high-overlap pairs
+    for a, b in ((100, 101), (102, 103)):
+        base = set(rng.sample(vocab, 10))
+        docs[a] = base
+        docs[b] = base | {f"x{a}"}
+
+    cap = 30
+    thr = 0.5
+
+    def df_of(tokset):
+        c = {}
+        for s in tokset.values():
+            for t in s:
+                c[t] = c.get(t, 0) + 1
+        return c
+
+    dfc = df_of(docs)
+    kept = {d: {t for t in s if dfc[t] <= cap} for d, s in docs.items()}
+    want = set()
+    for a in kept:
+        for b in kept:
+            if a < b and (kept[a] or kept[b]):
+                inter = len(kept[a] & kept[b])
+                union = len(kept[a] | kept[b])
+                if union and inter / union >= thr:
+                    want.add((a, b, round(inter / union, 6)))
+
+    tok = spark.createDataFrame(
+        [(d, t) for d, s in docs.items() for t in s], "doc_id long, t string")
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in ngram_jaccard_pairs(tok, thr, cap).collect()}
+    assert got == want and len(want) >= 2
