@@ -173,3 +173,141 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain(kept, spark, output_mode="append")
     return out.orderBy("doc_id")
+
+
+# --- ingest-time streaming near-dup detection ------------------------------
+
+ARRIVING_MOD = 5  # doc_id % 5 == 0 plays the "newly arriving" feed
+
+
+def _rowwise_band_keys(df):
+    """Per-ROW MinHash banding as pure JVM expressions — the stateless
+    form the streaming side needs (no groupBy): shingle the doc into an
+    array column, take min(xxhash64(seed_i, shingle)) per permutation
+    over THAT array (array_min ∘ transform — same values as the batch
+    minhash_signatures' min-over-exploded-rows, computed without a
+    shuffle), then hash each 4-row band. One narrow map per row."""
+    from ..operators.dedup import (
+        LSH_BANDS, LSH_ROWS, MINHASH_K, shingle_expr)
+
+    sh = F.array_distinct(shingle_expr(F.col("ws"), 3))
+    sigs = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        .alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    with_sig = df.select("doc_id", *sigs)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"h{b * LSH_ROWS + r}")
+                         for r in range(LSH_ROWS)]).alias("band_hash"))
+        for b in range(LSH_BANDS)
+    ])
+    return (with_sig.select("doc_id", F.explode(bands).alias("band"))
+            .select("doc_id", "band.band_id", "band.band_hash"))
+
+
+@register(
+    "stream_dedup_ingest",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+                     COUNT(*) AS c
+              FROM sh a JOIN sh b
+                ON a.g = b.g AND a.doc_id % {ARRIVING_MOD} = 0
+               AND b.doc_id % {ARRIVING_MOD} <> 0
+              GROUP BY 1, 2)
+    SELECT i.new_doc, i.corpus_doc,
+           round(i.c / CAST(sa.n + sb.n - i.c AS DOUBLE), 6) AS jaccard,
+           TRUE AS stream_recall_ok
+    FROM inter i JOIN sizes sa ON i.new_doc = sa.doc_id
+    JOIN sizes sb ON i.corpus_doc = sb.doc_id
+    WHERE i.c / CAST(sa.n + sb.n - i.c AS DOUBLE) >= 0.6
+    ORDER BY new_doc, corpus_doc
+    """,
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME near-dup detection: newly-arriving documents (a
+    stream) are MinHash-banded per row with pure JVM expressions (no
+    aggregation — stateless narrow map) and bucket-joined against the
+    STATIC corpus LSH index — the stream-static equi-join form of the
+    batch LSH pipeline, which is how a continuously-ingesting
+    training-data pipeline rejects duplicates at the door (candidates
+    at ingest, exact verification offline).
+
+    Exact-twin oracle: rows are the exact shingle-Jaccard ≥ t
+    (arriving × corpus) pairs; ``stream_recall_ok`` is fed by the
+    streaming path — the drained candidate set must cover ≥ 0.7 of
+    them (same floors/behavior as the batch LSH twin; verification
+    makes false positives impossible on the emitted rows)."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD, _doc_shingles, dedup_shuffle_partitions,
+        ngram_jaccard_pairs)
+    from ..sources.tables import load_table
+
+    arriving_filter = F.col("doc_id") % ARRIVING_MOD == 0
+
+    # static side: corpus band index (batch, reused across batches)
+    corpus = (load_table(spark, sf_dir, "documents")
+              .filter(~arriving_filter)
+              .select("doc_id", F.split("text", " ").alias("ws")))
+    corpus_bands = (_rowwise_band_keys(corpus)
+                    .withColumnRenamed("doc_id", "corpus_doc")
+                    .localCheckpoint(eager=True))
+
+    # streaming side: arriving docs → per-row banding → bucket join
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    docs_stream = (spark.readStream.schema(schema)
+                   .option("pathGlobFilter", "documents.parquet")
+                   .parquet(sf_dir)
+                   .filter(arriving_filter)
+                   .select("doc_id", F.split("text", " ").alias("ws")))
+    new_bands = _rowwise_band_keys(docs_stream)
+    cand_stream = (
+        new_bands.join(F.broadcast(corpus_bands), ["band_id", "band_hash"])
+        .select(F.col("doc_id").alias("new_doc"), "corpus_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    name = "stream_dedup_ingest_out"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(dedup_shuffle_partitions()))
+    try:
+        q = (cand_stream.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    found = spark.table(name).localCheckpoint(eager=True)
+
+    # exact twin (batch): arriving x corpus exact pairs + recall boolean
+    tok = _doc_shingles(spark, sf_dir, None)
+    all_pairs = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, 1 << 31)
+    exact = (
+        all_pairs.select(
+            F.when(F.col("doc_a") % ARRIVING_MOD == 0, F.col("doc_a"))
+            .otherwise(F.col("doc_b")).alias("new_doc"),
+            F.when(F.col("doc_a") % ARRIVING_MOD == 0, F.col("doc_b"))
+            .otherwise(F.col("doc_a")).alias("corpus_doc"),
+            "jaccard")
+        .filter((F.col("new_doc") % ARRIVING_MOD == 0)
+                & (F.col("corpus_doc") % ARRIVING_MOD != 0))
+        .cache()
+    )
+    exact.count()
+    counts = (
+        exact.join(found, ["new_doc", "corpus_doc"], "left_semi")
+        .agg(F.count("*").alias("hit"))
+        .crossJoin(exact.agg(F.count("*").alias("total")))
+    )
+    ok = (F.col("hit") * F.lit(1.0)
+          / F.greatest("total", F.lit(1)) >= 0.7)
+    return (
+        exact.crossJoin(F.broadcast(counts.select(ok.alias("stream_recall_ok"))))
+        .orderBy("new_doc", "corpus_doc")
+    )
