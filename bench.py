@@ -16,7 +16,13 @@ Methodology:
 - one untimed warmup query amortizes session/JVM/codegen startup so the
   numbers measure the plans, not Spark boot;
 - a failing query records ``-1.0`` and the run continues (the driver
-  still gets a complete line).
+  still gets a complete line);
+- ``SPARK_GRAFT_EXACT_TWIN=0 python bench.py`` benches the PRODUCTION
+  plans: the exact-twin queries (approx aggregates, LSH/SimHash dedup,
+  ANN, stream ingest dedup) run sketch-only, no exact sibling in-plan
+  (see config.exact_twin_enabled; results recorded in BASELINE.md
+  §Production-mode bench). Per-query timings then go to
+  bench_queries_production.json so the gate-mode file isn't clobbered.
 """
 
 from __future__ import annotations
@@ -158,9 +164,12 @@ def main() -> None:
     # must stay SHORT (r01's single ~6 KB line came back "parsed": null).
     # Full per-query timings go to a file + stderr; the final JSON line
     # carries the total plus only the top-10 slowest queries (~bounded).
-    with open("bench_queries.json", "w") as f:
+    from house_price_etl_pipeline_spark.config import exact_twin_enabled
+    out_name = ("bench_queries.json" if exact_twin_enabled()
+                else "bench_queries_production.json")
+    with open(out_name, "w") as f:
         json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
-    print("per-query timings -> bench_queries.json", file=sys.stderr)
+    print(f"per-query timings -> {out_name}", file=sys.stderr)
     print(json.dumps({"per_query": timings}), file=sys.stderr)
     top10 = dict(sorted(((n, t) for n, t in timings.items() if t >= 0),
                         key=lambda kv: -kv[1])[:10])

@@ -1,0 +1,25 @@
+"""Engine-wide runtime knobs (env-driven, no code changes to deploy).
+
+SPARK_GRAFT_EXACT_TWIN (default "1"): several approximate/sketch queries
+(HLL distinct, approx percentiles, freqItems, MinHash/SimHash near-dup,
+LSH/IVF ANN, streaming ingest dedup) follow the *exact-twin oracle*
+pattern — the plan computes BOTH the production sketch path and its
+exact ground truth, emits the DuckDB-reproducible exact rows plus an
+in-plan quality boolean fed by the sketch path. That is the correctness
+gate's shape, but the exact side is deliberately 100 TB-hostile (full
+count-distinct expansion, uncapped inverted-index self-joins, brute-force
+scoring). Setting SPARK_GRAFT_EXACT_TWIN=0 switches every such query to
+its PRODUCTION plan: sketch/ANN/LSH output only, no exact sibling in the
+plan — the mode a real deployment runs and the one `bench.py --production`
+measures (BASELINE.md "production-mode bench").
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def exact_twin_enabled() -> bool:
+    """True (default) → twin-on: exact-ground-truth rows + in-plan quality
+    boolean (the driver's value-hash gate). False → production plans."""
+    return os.environ.get("SPARK_GRAFT_EXACT_TWIN", "1") != "0"

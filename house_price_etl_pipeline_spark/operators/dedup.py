@@ -24,6 +24,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import exact_twin_enabled
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -271,6 +272,33 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
     )
 
 
+def verify_candidate_pairs(cand: DataFrame, tok: DataFrame,
+                           a_col: str = "doc_a", b_col: str = "doc_b",
+                           threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact Jaccard verification of CANDIDATE pairs only — the stage
+    after any LSH/banding scheme: join each candidate pair back to the
+    (doc_id, t) shingle relation, count intersections, compute
+    |A∪B| from per-doc sizes. All joins are candidate-sized; the only
+    corpus-scale pass is the linear size aggregation."""
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        cand.join(a, cand[a_col] == F.col("a.doc_id"))
+        .join(b, (cand[b_col] == F.col("b.doc_id"))
+              & (F.col("a.t") == F.col("b.t")))
+        .groupBy(a_col, b_col)
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias(a_col), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias(b_col), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    return (
+        inter.join(sa, a_col).join(sb, b_col)
+        .filter(jac >= threshold)
+        .select(a_col, b_col, F.round(jac, 6).alias("jaccard"))
+    )
+
+
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _EXACT_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
@@ -314,23 +342,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recompute the full explode (measured: 6 parallel 3 s stages)
         tok.count()
         cand = lsh_candidate_pairs(minhash_signatures(tok))
-        sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-        a, b = tok.alias("a"), tok.alias("b")
-        inter = (
-            cand.join(a, cand.doc_a == F.col("a.doc_id"))
-            .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("a.t") == F.col("b.t")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("c"))
-        )
-        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-        jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
-        verified = (
-            inter.join(sa, "doc_a").join(sb, "doc_b")
-            .filter(jac >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-            .cache()
-        )
+        verified = verify_candidate_pairs(cand, tok).cache()
         verified.count()  # materialize under the pair-scale shuffle conf
         tok.unpersist()
     finally:
@@ -373,7 +385,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.93-1.0; verification guarantees zero false positives). A
     recall collapse — broken banding, broken signatures — flips the
     boolean and fails the hash. The raw LSH pair list remains
-    available as lsh_verified_pairs (tests drive it directly)."""
+    available as lsh_verified_pairs (tests drive it directly).
+    SPARK_GRAFT_EXACT_TWIN=0 → the production pipeline's own verified
+    pairs (no full-corpus exact self-join in-plan)."""
+    if not exact_twin_enabled():
+        return lsh_verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
     exact = exact_shingle_pairs(spark, sf_dir)
     found = lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     counts = (
@@ -483,7 +499,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fraction of true pairs found; hamming<=3 is deliberately stricter
     than jaccard>=0.6, measured 0.48-0.61, floor 0.3). A bit-vote or
     pigeonhole bug floods false positives or collapses recall — either
-    flips a boolean and fails the hash."""
+    flips a boolean and fails the hash.
+    SPARK_GRAFT_EXACT_TWIN=0 → the SimHash pipeline's own
+    (doc_a, doc_b, hamming) pairs, no exact sibling in-plan."""
+    if not exact_twin_enabled():
+        return simhash_pairs(spark, sf_dir)
     exact = exact_shingle_pairs(spark, sf_dir)
     found = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     n_found = found.count()  # also fills the cache
@@ -679,7 +699,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH pipeline assigns the same canonical representative must be
     ≥ {CLUSTER_AGREE_FLOOR}. So BOTH iterative paths run, and either a
     broken label propagation (wrong rows) or an LSH recall collapse
-    (false boolean) fails the hash."""
+    (false boolean) fails the hash.
+    SPARK_GRAFT_EXACT_TWIN=0 → the LSH pipeline's own clustering (label
+    propagation over the LSH-verified pairs only)."""
+    if not exact_twin_enabled():
+        return lsh_clusters(spark, sf_dir)
     exact_pairs = exact_shingle_pairs(spark, sf_dir)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",

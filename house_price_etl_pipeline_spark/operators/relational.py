@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..config import exact_twin_enabled
 from ..functions.numeric import dec_avg, dec_avg_expr, dec_sum, dec_sum_expr
 from ..plans.catalog import register
 from ..sources.tables import load_table
@@ -189,8 +190,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-plan ``within_tolerance`` boolean (|approx-exact|/exact <= 10%,
     5x the sketch's 2% rsd), and the oracle reproduces the exact side
     and asserts TRUE. The sketch path stays exercised — a broken
-    approx_count_distinct flips the boolean and fails the hash."""
+    approx_count_distinct flips the boolean and fails the hash.
+    SPARK_GRAFT_EXACT_TWIN=0 → sketch-only production plan (no exact
+    count-distinct expansion in-plan)."""
     li = _t(spark, sf_dir, "lineitem")
+    if not exact_twin_enabled():
+        return (
+            li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", 0.02)
+                 .alias("approx_parts"))
+            .orderBy("l_returnflag")
+        )
     return (
         li.groupBy("l_returnflag")
         .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
@@ -775,9 +785,22 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``within_tolerance`` boolean (relative error <= 5% on each of
     q25/median/q75 — the accuracy-10000 sketch's rank error on this
     data is orders of magnitude tighter), and the oracle reproduces the
-    exact side (quantile_cont) and asserts TRUE."""
+    exact side (quantile_cont) and asserts TRUE.
+    SPARK_GRAFT_EXACT_TWIN=0 → sketch-only production plan (no exact
+    percentile sort in-plan)."""
     li = _t(spark, sf_dir, "lineitem")
     ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    if not exact_twin_enabled():
+        return (
+            li.groupBy("l_returnflag")
+            .agg(F.approx_percentile("l_extendedprice", ps, F.lit(10000))
+                 .alias("aq"))
+            .select("l_returnflag",
+                    F.round(F.col("aq")[0], 6).alias("approx_q25"),
+                    F.round(F.col("aq")[1], 6).alias("approx_median"),
+                    F.round(F.col("aq")[2], 6).alias("approx_q75"))
+            .orderBy("l_returnflag")
+        )
     grouped = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", ps, F.lit(10000)).alias("aq"),
         F.percentile("l_extendedprice", ps).alias("eq"),
@@ -1234,9 +1257,18 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits them plus ``contains_all_exact`` = every exact heavy hitter
     appears in the sketch output. DuckDB reproduces the exact sets and
     asserts TRUE. The two 1-row crossJoins are the reviewed
-    broadcast-scalar class (tests/test_plans.py allowlist)."""
+    broadcast-scalar class (tests/test_plans.py allowlist).
+    SPARK_GRAFT_EXACT_TWIN=0 → sketch-only production plan (the single
+    one-pass freqItems scan; no exact heavy-hitter group-bys)."""
     o = _t(spark, sf_dir, "orders")
     freq = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.2)
+    if not exact_twin_enabled():
+        return freq.select(
+            F.concat_ws(",", F.array_sort("o_orderpriority_freqItems"))
+            .alias("approx_frequent_priorities"),
+            F.concat_ws(",", F.array_sort("o_orderstatus_freqItems"))
+            .alias("approx_frequent_statuses"),
+        )
 
     def exact_hh(col: str, alias: str) -> DataFrame:
         counts = o.groupBy(col).agg(F.count("*").alias("c"))
@@ -1513,8 +1545,23 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     across flags — so it is its own countDistinct). DuckDB reproduces
     the exact sides and asserts TRUE; a broken sketch union flips the
     boolean. The 1-row crossJoin is the reviewed broadcast-scalar
-    class."""
+    class. SPARK_GRAFT_EXACT_TWIN=0 → sketch-only production plan (build
+    sketches once, estimate per group, merge for the rollup; no exact
+    count-distinct anywhere)."""
     li = _t(spark, sf_dir, "lineitem")
+    if not exact_twin_enabled():
+        per_flag = (
+            li.groupBy("l_returnflag")
+            .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+            .withColumn("approx_parts",
+                        F.hll_sketch_estimate("sk").cast("long"))
+        )
+        total = per_flag.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long")
+            .alias("approx_parts")).select(
+            F.lit("ALL").alias("l_returnflag"), "approx_parts")
+        return (per_flag.select("l_returnflag", "approx_parts")
+                .unionByName(total).orderBy("l_returnflag"))
     tol = F.lit(0.10)
     per_flag = (
         li.groupBy("l_returnflag")

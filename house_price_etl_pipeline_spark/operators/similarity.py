@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import exact_twin_enabled
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -246,7 +247,10 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are the exact top-k (oracle-reproducible); ``ann_recall_ok``
     is computed in-plan from the REAL LSH pipeline's overlap with them
     (floor {LSH_RECALL_FLOOR}; measured 0.8-1.0). See lsh_ann_topk for
-    the ANN plan itself."""
+    the ANN plan itself. SPARK_GRAFT_EXACT_TWIN=0 → the LSH ANN plan's
+    own top-k (no brute-force exact scoring in-plan)."""
+    if not exact_twin_enabled():
+        return lsh_ann_topk(spark, sf_dir)
     return _ann_with_exact_twin(spark, sf_dir,
                                 lsh_ann_topk(spark, sf_dir),
                                 LSH_RECALL_FLOOR)
@@ -339,7 +343,10 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows are the exact top-k; ``ann_recall_ok`` comes from the real
     IVF probe pipeline's overlap with them (floor {IVF_RECALL_FLOOR};
     measured 0.4-0.7 on this weak-structure corpus). See ivf_ann_topk
-    for the ANN plan itself."""
+    for the ANN plan itself. SPARK_GRAFT_EXACT_TWIN=0 → the IVF probe
+    plan's own top-k (no brute-force exact scoring in-plan)."""
+    if not exact_twin_enabled():
+        return ivf_ann_topk(spark, sf_dir)
     return _ann_with_exact_twin(spark, sf_dir,
                                 ivf_ann_topk(spark, sf_dir),
                                 IVF_RECALL_FLOOR)

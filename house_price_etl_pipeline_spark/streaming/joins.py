@@ -243,10 +243,14 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (arriving × corpus) pairs; ``stream_recall_ok`` is fed by the
     streaming path — the drained candidate set must cover ≥ 0.7 of
     them (same floors/behavior as the batch LSH twin; verification
-    makes false positives impossible on the emitted rows)."""
+    makes false positives impossible on the emitted rows).
+    SPARK_GRAFT_EXACT_TWIN=0 → production plan: the streamed candidate
+    pairs get a candidate-only exact verification (the 'verify offline'
+    half of the ingest design) — no full-corpus self-join anywhere."""
+    from ..config import exact_twin_enabled
     from ..operators.dedup import (
         JACCARD_THRESHOLD, _doc_shingles, dedup_shuffle_partitions,
-        ngram_jaccard_pairs)
+        ngram_jaccard_pairs, verify_candidate_pairs)
     from ..sources.tables import load_table
 
     arriving_filter = F.col("doc_id") % ARRIVING_MOD == 0
@@ -284,6 +288,14 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     found = spark.table(name).localCheckpoint(eager=True)
+
+    if not exact_twin_enabled():
+        tok = _doc_shingles(spark, sf_dir, None)
+        return (
+            verify_candidate_pairs(found, tok, a_col="new_doc",
+                                   b_col="corpus_doc")
+            .orderBy("new_doc", "corpus_doc")
+        )
 
     # exact twin (batch): arriving x corpus exact pairs + recall boolean
     tok = _doc_shingles(spark, sf_dir, None)
