@@ -1,0 +1,47 @@
+"""Crash-safe local-filesystem publication primitives.
+
+Every state/manifest/pointer file the streaming sinks maintain follows
+the same rule: build the new content OFF to the side, then publish with
+one atomic ``rename`` — a crash at any instant leaves either the old
+complete state or the new complete state, never a truncated file or a
+half-swapped directory. (On a real deployment the same role is played by
+the table format's commit protocol — Delta/Iceberg log append — or the
+object store's atomic PUT; these helpers are the local-fs analog.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """Write JSON to ``path`` atomically: temp file in the same directory
+    (same filesystem → rename is atomic), fsync, then ``os.replace``."""
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=".tmp_", suffix=".json", dir=d)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def atomic_symlink_swap(link_path: str, target: str) -> None:
+    """Point ``link_path`` at ``target`` atomically (create a temp
+    symlink next to it, then ``os.replace`` over the link). Readers
+    resolving the link see the old or the new target, never neither."""
+    d = os.path.dirname(os.path.abspath(link_path))
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp_link_{os.getpid()}_{id(target)}")
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(target, tmp)
+    os.replace(tmp, link_path)

@@ -29,6 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsutil import atomic_write_json
 from ..plans.catalog import register
 from ..sources.pydatasource import (
     _USER_MIX, _VALUE_MIX, register_synthetic_source)
@@ -79,10 +80,11 @@ def upsert_batch(state_root: str, batch_df: DataFrame, batch_id: int) -> None:
     # real scale drop the coalesce and let AQE size the write
     merged.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_root, f"v{batch_id}"))
-    # flip the pointer LAST: readers only ever see a fully-written version
-    with open(_pointer_path(state_root), "w") as f:
-        json.dump({"version": batch_id,
-                   "applied": sorted(ptr["applied"] + [batch_id])}, f)
+    # flip the pointer LAST, atomically (temp + rename): readers only
+    # ever see a fully-written version referenced by fully-written JSON
+    atomic_write_json(_pointer_path(state_root),
+                      {"version": batch_id,
+                       "applied": sorted(ptr["applied"] + [batch_id])})
 
 
 def run_upsert_stream(spark: SparkSession, state_root: str,
