@@ -1,14 +1,20 @@
-"""Multimodal plumbing tests: media schema, content addressing, the
-mapInPandas decode path (stubbed kernel, real batch/schema/partition
-flow), and the real-path NotImplementedError gate."""
+"""Multimodal tests: media schema, content addressing, and the REAL
+BMP/WAV codecs — local encode/decode roundtrips (including layout cases
+the generator never produces, so the parser is exercised as a parser,
+not an inverse function) plus the Spark mapInPandas decode flow."""
 
 from __future__ import annotations
 
+import struct
+
+import numpy as np
 import pandas as pd
 import pytest
 
 from house_price_etl_pipeline_spark.operators.multimodal import (
-    FEATURE_SCHEMA, _decode_batch, decode_media, media_table)
+    BMP_FEATURE_SCHEMA, WAV_SAMPLE_RATE, _bmp_dims, _encode_bmp,
+    _encode_wav, _parse_bmp, _parse_wav, decode_bmp_features,
+    decode_wav_features, media_table, wrap_media)
 
 
 def test_media_table_schema_and_content_addressing(spark, sf_dir):
@@ -21,25 +27,86 @@ def test_media_table_schema_and_content_addressing(spark, sf_dir):
     assert row.meta.sha256 == hashlib.sha256(bytes(row.payload)).hexdigest()
 
 
-def test_decode_media_batch_flow(spark, sf_dir):
-    feats = decode_media(media_table(spark, sf_dir))
-    assert feats.schema == FEATURE_SCHEMA
-    rows = feats.orderBy("doc_id").limit(5).collect()
-    assert len(rows) == 5
+def test_bmp_roundtrip_local():
+    data = bytes(range(256)) * 3
+    blob = _encode_bmp(data)
+    w, h = _bmp_dims(len(data))
+    pw, ph, pix = _parse_bmp(blob)
+    assert (pw, ph) == (w, h)
+    expect = np.frombuffer(data, dtype=np.uint8)[
+        np.arange(w * h * 3) % len(data)]
+    assert np.array_equal(pix, expect)
+
+
+def test_bmp_parser_handles_topdown_and_padding():
+    """The parser must honor a NEGATIVE height (top-down row order) and
+    non-trivial stride padding — layouts our encoder never emits."""
+    w, h = 3, 2  # row_bytes=9 → stride 12: 3 pad bytes per row
+    pix = np.arange(w * h * 3, dtype=np.uint8)  # top-down BGR stream
+    stride = (w * 3 + 3) & ~3
+    rows = np.full((h, stride), 0xEE, dtype=np.uint8)
+    rows[:, :w * 3] = pix.reshape(h, w * 3)
+    body = rows.tobytes()  # stored top-down ⇒ height is negative
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    pw, ph, parsed = _parse_bmp(header + dib + body)
+    assert (pw, ph) == (w, h)
+    assert np.array_equal(parsed, pix)
+
+
+def test_wav_roundtrip_and_chunk_order():
+    data = b"hello wav world"
+    rate, samples = _parse_wav(_encode_wav(data))
+    assert rate == WAV_SAMPLE_RATE
+    assert bytes(samples) == data
+    # parser must walk chunks, not assume layout: LIST chunk before fmt
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 44100, 1, 8)
+    dat = b"data" + struct.pack("<I", 3) + b"abc" + b"\0"  # word-aligned
+    blob = b"RIFF" + struct.pack("<I", 4 + len(extra + fmt + dat)) + b"WAVE" \
+        + extra + fmt + dat
+    rate, samples = _parse_wav(blob)
+    assert rate == 44100 and bytes(samples) == b"abc"
+
+
+def test_decoders_reject_garbage():
+    with pytest.raises(ValueError, match="not a BMP"):
+        _parse_bmp(b"xxxx")
+    with pytest.raises(ValueError, match="not a WAV"):
+        _parse_wav(b"RIFXbad")
+    # 16-bit stereo must be refused, not silently mis-read
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(fmt)) + b"WAVE" + fmt
+    with pytest.raises(ValueError, match="8-bit mono"):
+        _parse_wav(blob)
+
+
+def test_decode_bmp_spark_flow(spark, sf_dir):
+    media = media_table(spark, sf_dir).limit(20)
+    feats = decode_bmp_features(wrap_media(media, "bmp"))
+    assert feats.schema == BMP_FEATURE_SCHEMA
+    rows = feats.orderBy("doc_id").collect()
+    assert len(rows) == 20
+    texts = {r.doc_id: bytes(r.payload)
+             for r in media.select("doc_id", "payload").collect()}
     for r in rows:
-        assert r.n_bytes > 0
-        assert 1 <= r.width <= 640 and 1 <= r.height <= 480
-        assert len(r.feature) == 4 and r.feature[0] == float(r.n_bytes)
+        data = texts[r.doc_id]
+        w, h = _bmp_dims(len(data))
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        pix = np.frombuffer(data, dtype=np.uint8)[
+            np.arange(w * h * 3) % len(data)].reshape(-1, 3).astype(np.int64)
+        assert (r.sum_b, r.sum_g, r.sum_r) == tuple(pix.sum(axis=0))
 
 
-def test_decode_is_deterministic_across_runs(spark, sf_dir):
-    a = decode_media(media_table(spark, sf_dir)).orderBy("doc_id").limit(20).collect()
-    b = decode_media(media_table(spark, sf_dir)).orderBy("doc_id").limit(20).collect()
-    assert a == b
-
-
-def test_real_decode_path_raises_not_implemented(monkeypatch):
-    monkeypatch.setenv("SPARK_GRAFT_FAKE_DECODE", "0")
-    pdf = pd.DataFrame({"doc_id": [1], "payload": [b"xyz"]})
-    with pytest.raises(NotImplementedError, match="media decode"):
-        _decode_batch(pdf)
+def test_decode_wav_spark_flow(spark, sf_dir):
+    media = media_table(spark, sf_dir).limit(10)
+    rows = decode_wav_features(wrap_media(media, "wav")).collect()
+    texts = {r.doc_id: bytes(r.payload)
+             for r in media.select("doc_id", "payload").collect()}
+    for r in rows:
+        x = np.frombuffer(texts[r.doc_id], dtype=np.uint8).astype(np.int64)
+        assert r.sample_rate == WAV_SAMPLE_RATE
+        assert r.n_samples == len(x)
+        assert r.sum_amp == int(x.sum())
+        assert r.energy == int(((x - 128) ** 2).sum())
