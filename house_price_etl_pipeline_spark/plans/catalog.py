@@ -55,6 +55,7 @@ _MODULES = (
     "house_price_etl_pipeline_spark.operators.sampling",
     "house_price_etl_pipeline_spark.sources.formats",
     "house_price_etl_pipeline_spark.sources.pydatasource",
+    "house_price_etl_pipeline_spark.sources.sinks",
     "house_price_etl_pipeline_spark.functions.batteries",
     "house_price_etl_pipeline_spark.functions.udafs",
     "house_price_etl_pipeline_spark.operators.temporal",

@@ -130,3 +130,43 @@ def test_output_file_sizing_and_compaction(spark, sf_dir, tmp_path):
     files2 = glob.glob(out2 + "/part-*.parquet")
     assert len(files2) <= 2
     assert spark.read.parquet(out2).count() == n
+
+
+def test_jdbc_external_sink_mode_semantics(spark, tmp_path):
+    """External-warehouse (Derby over JDBC) exemplar — the reference's
+    BigQuery sink surface (etl_pipeline_spark.py:86-89 WRITE_TRUNCATE,
+    etl_pipeline_beam.py:165-171 declared-schema truncate/append): the
+    declared schema reaches the warehouse, overwrite replaces, truncate
+    keeps the table object, append accumulates, and the partitioned
+    read-back splits into parallel range scans."""
+    from house_price_etl_pipeline_spark.sources.sinks import (
+        derby_url, read_jdbc_table, write_jdbc_table)
+
+    url = derby_url(str(tmp_path / "warehouse_db"))
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5)], "id int, name string, v double")
+
+    # declared schema: VARCHAR(5) must be enforced by the warehouse
+    write_jdbc_table(df, url, "t", mode="overwrite",
+                     schema_ddl="name VARCHAR(5)")
+    assert read_jdbc_table(spark, url, "t").count() == 2
+    too_long = spark.createDataFrame([(3, "waytoolong", 3.5)],
+                                     "id int, name string, v double")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="truncation|22001"):
+        write_jdbc_table(too_long, url, "t", mode="append")
+
+    write_jdbc_table(df, url, "t", mode="append")
+    assert read_jdbc_table(spark, url, "t").count() == 4
+
+    # WRITE_TRUNCATE analog: table survives, rows replaced
+    write_jdbc_table(df.filter("id = 1"), url, "t", mode="overwrite",
+                     truncate=True)
+    rows = read_jdbc_table(spark, url, "t").collect()
+    assert [(r.id, r.name, r.v) for r in rows] == [(1, "alpha", 1.5)]
+
+    # parallel range-partitioned read-back
+    par = read_jdbc_table(spark, url, "t", partition_column="id",
+                          lower_bound=0, upper_bound=10, num_partitions=3)
+    assert par.rdd.getNumPartitions() == 3
+    assert par.count() == 1
