@@ -273,41 +273,55 @@ def udtf_analyze_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python, so the input is bounded to a 1-in-20 order slice (like the
     sibling UDTF bounds its doc range); the hot-path form of this exact
     query is a plain groupBy().agg() (what the oracle runs)."""
+    from dataclasses import dataclass, field
+
     from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
     from pyspark.sql.types import DoubleType, StringType, StructType
 
     _NUMERIC = {"double", "float", "long", "integer", "short", "decimal"}
 
+    @dataclass
+    class ProfileResult(AnalyzeResult):
+        # (input field name, is_numeric) in field order — computed ONCE
+        # from the SCHEMA in analyze() and handed to every eval instance,
+        # so classification can never drift from the promised output
+        # schema (the old first-row isinstance probe misclassified
+        # NULL/Decimal first rows — ADVICE r3)
+        fields: tuple = field(default_factory=tuple)
+
     class NumericProfile:
         @staticmethod
-        def analyze(tbl: AnalyzeArgument) -> AnalyzeResult:
+        def analyze(tbl: AnalyzeArgument) -> "ProfileResult":
             out = StructType()
+            fields = []
             for f in tbl.dataType.fields:
-                if f.dataType.typeName() in _NUMERIC:
+                num = f.dataType.typeName() in _NUMERIC
+                fields.append((f.name, num))
+                if num:
                     out = out.add(f"sum_{f.name}", DoubleType())
                 else:
                     out = out.add(f"key_{f.name}", StringType())
-            return AnalyzeResult(schema=out)
+            return ProfileResult(schema=out, fields=tuple(fields))
 
-        def __init__(self):
-            self.fields: list[tuple[str, bool]] | None = None
-            self.acc: dict[str, object] = {}
+        def __init__(self, analyze_result: "ProfileResult"):
+            self.fields = analyze_result.fields
+            self.acc: dict[str, object] = {
+                k: (0 if num else None) for k, num in self.fields}
+            self.saw_rows = False
 
         def eval(self, row):
             d = row.asDict()
-            if self.fields is None:
-                self.fields = [(k, isinstance(v, (int, float)))
-                               for k, v in d.items()]
-                self.acc = {k: (0 if num else None)
-                            for k, num in self.fields}
+            self.saw_rows = True
             for k, num in self.fields:
+                v = d[k]
                 if num:
-                    self.acc[k] += int(round(d[k] * 100))
+                    if v is not None:  # NULLs don't contribute to sums
+                        self.acc[k] += int(round(v * 100))
                 else:
-                    self.acc[k] = d[k]  # partition key: constant here
+                    self.acc[k] = v  # partition key: constant here
 
         def terminate(self):
-            if self.fields is not None:
+            if self.saw_rows:
                 yield tuple(self.acc[k] / 100.0 if num else self.acc[k]
                             for k, num in self.fields)
 

@@ -152,21 +152,27 @@ def dedup_exact_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_DOC_SLICE = 300
 
 
-def jaccard_df_cap() -> int:
-    """Document-frequency cap applied to tokens before the inverted-index
-    self-join: a token shared by m docs yields m² join rows, so one
-    corpus-wide stop-token is a quadratic hot bucket at scale. Tokens
-    with df > cap are dropped from BOTH the intersection and the union
-    (sizes are computed post-cap), so "capped Jaccard" is a well-defined
-    metric both engines compute identically — the oracle mirrors the cap.
+# Document-frequency cap applied to tokens before the inverted-index
+# self-join: a token shared by m docs yields m² join rows, so one
+# corpus-wide stop-token is a quadratic hot bucket at scale. Tokens
+# with df > cap are dropped from BOTH the intersection and the union
+# (sizes are computed post-cap), so "capped Jaccard" is a well-defined
+# metric both engines compute identically — the oracle mirrors the cap.
+#
+# Default = JACCARD_DOC_SLICE, i.e. >= any possible df in the bounded
+# slice → provably a no-op locally (df <= n_docs always). At corpus
+# scale set SPARK_GRAFT_JACCARD_DF_CAP to an absolute bound (stop tokens
+# contribute ~0 evidence to Jaccard >= 0.6 pairs; standard practice in
+# near-dup mining). Read ONCE at import — the oracle f-string bakes the
+# value into SQL at import, so a call-time read could disagree with it
+# (ADVICE r3); the override must be set before the process starts.
+JACCARD_DF_CAP = int(os.environ.get("SPARK_GRAFT_JACCARD_DF_CAP",
+                                    str(JACCARD_DOC_SLICE)))
 
-    Default = JACCARD_DOC_SLICE, i.e. >= any possible df in the bounded
-    slice → provably a no-op locally (df <= n_docs always). At corpus
-    scale set SPARK_GRAFT_JACCARD_DF_CAP to an absolute bound (stop
-    tokens contribute ~0 evidence to Jaccard >= 0.6 pairs; standard
-    practice in near-dup mining)."""
-    return int(os.environ.get("SPARK_GRAFT_JACCARD_DF_CAP",
-                              str(JACCARD_DOC_SLICE)))
+
+def jaccard_df_cap() -> int:
+    """The import-time df cap (see JACCARD_DF_CAP above)."""
+    return JACCARD_DF_CAP
 
 
 def ngram_jaccard_pairs(tok: DataFrame, threshold: float,
@@ -359,7 +365,12 @@ LSH_PAIR_RECALL_FLOOR = 0.7  # measured 0.93-1.0 across sf0.001-0.1
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
-           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT doc_id, u.tok AS g
+           FROM toks, UNNEST(t) AS u(tok)
+           WHERE len(t) < 3),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -476,7 +487,12 @@ SIMHASH_RECALL_FLOOR = 0.3     # measured 0.48-0.61 (hamming<=3 is a
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
-           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT doc_id, u.tok AS g
+           FROM toks, UNNEST(t) AS u(tok)
+           WHERE len(t) < 3),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -664,7 +680,12 @@ CLUSTER_AGREE_FLOOR = 0.7  # measured ≥0.9 (one missed LSH pair splits
     WITH RECURSIVE
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
-           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT doc_id, u.tok AS g
+           FROM toks, UNNEST(t) AS u(tok)
+           WHERE len(t) < 3),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id

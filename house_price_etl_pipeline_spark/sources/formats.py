@@ -113,12 +113,17 @@ def format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(c, "parquet").unionByName(agg(c_xml, "xml")).orderBy("fmt")
 
 
-# Fixed landing dir for the binaryFile source demo: the source's point
-# is FILE-level ingest (media corpora land as opaque files before any
+# Landing dir for the binaryFile source demo: the source's point is
+# FILE-level ingest (media corpora land as opaque files before any
 # decode), so the query scans a fixed small drop rather than the
 # sf-parameterized tables (same fixed-input precedent as the
-# synthetic-source streaming entries).
-BINARYFILE_DIR = "/root/testdata/sf0.001"
+# synthetic-source streaming entries). The dir must be ONE value baked
+# into both sides at import — the oracle is a static SQL string, so a
+# per-call sf_dir would desync the two engines — but it is
+# env-overridable for other hosts/layouts (ADVICE r3):
+# SPARK_GRAFT_BINARYFILE_DIR, set before process start.
+BINARYFILE_DIR = os.environ.get("SPARK_GRAFT_BINARYFILE_DIR",
+                                "/root/testdata/sf0.001")
 
 
 @register(

@@ -213,7 +213,12 @@ def _rowwise_band_keys(df):
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
-           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)),
+           FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)
+           WHERE len(t) >= 3
+           UNION
+           SELECT DISTINCT doc_id, u.tok AS g
+           FROM toks, UNNEST(t) AS u(tok)
+           WHERE len(t) < 3),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
                      COUNT(*) AS c

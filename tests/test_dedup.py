@@ -256,3 +256,39 @@ def test_ngram_jaccard_pairs_matches_python_oracle(spark):
     got = {(r.doc_a, r.doc_b, r.jaccard)
            for r in ngram_jaccard_pairs(tok, thr, cap).collect()}
     assert got == want and len(want) >= 2
+
+
+def test_shingle_short_doc_fallback_matches_oracle_sql(spark):
+    """shingle_expr falls back to unigram tokens for docs with <3 tokens;
+    the oracle shingle CTE mirrors that fallback (ADVICE r3) — both
+    engines must emit the SAME shingle set for short AND normal docs."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.operators.dedup import shingle_expr
+
+    docs = [(0, "one"), (1, "two tokens"), (2, "a b c"),
+            (3, "a b c d"), (4, "dup dup")]
+    sdf = (spark.createDataFrame(docs, "doc_id long, text string")
+           .select("doc_id",
+                   F.explode(shingle_expr(F.split("text", " "))).alias("g")))
+    got = {(r.doc_id, r.g) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in docs)
+                + ") v(doc_id, text)")
+    want = set(con.execute("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+               FROM toks, UNNEST(generate_series(1, len(t)-2)) AS s(i)
+               WHERE len(t) >= 3
+               UNION
+               SELECT DISTINCT doc_id, u.tok AS g
+               FROM toks, UNNEST(t) AS u(tok)
+               WHERE len(t) < 3)
+        SELECT doc_id, g FROM sh""").fetchall())
+    assert got == want
+    assert (0, "one") in got and (1, "two") in got  # fallback fired
