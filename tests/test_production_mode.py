@@ -145,3 +145,18 @@ def test_gate_mode_schema_unchanged(spark, sf_dir):
         ["l_returnflag", "exact_parts", "within_tolerance"]
     assert REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).columns == \
         ["doc_a", "doc_b", "jaccard", "lsh_recall_ok"]
+
+
+def test_ann_batch_lsh_production(production, spark, sf_dir):
+    from house_price_etl_pipeline_spark.operators.similarity import (
+        ANN_BATCH_K, ANN_BATCH_QUERIES)
+
+    df = REGISTRY["sim_ann_batch_lsh_topk"].fn(spark, sf_dir)
+    assert df.columns == ["query_id", "rnk", "vec_id", "cos_sim"]
+    rows = df.collect()
+    assert 0 < len(rows) <= ANN_BATCH_QUERIES * ANN_BATCH_K
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(rnks == list(range(1, len(rnks) + 1))
+               for rnks in per_q.values())
