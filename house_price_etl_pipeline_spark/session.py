@@ -48,8 +48,12 @@ def get_spark(app_name: str = "house_price_etl_pipeline_spark",
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if ev_dir:
         os.makedirs(ev_dir, exist_ok=True)
+        # plain single-file JSONL (no rolling dir, no zstd) so offline
+        # parsers (scripts/scale_probe.py) can read it with stdlib only
         builder = (builder.config("spark.eventLog.enabled", "true")
-                   .config("spark.eventLog.dir", ev_dir))
+                   .config("spark.eventLog.dir", ev_dir)
+                   .config("spark.eventLog.compress", "false")
+                   .config("spark.eventLog.rolling.enabled", "false"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

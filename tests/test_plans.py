@@ -113,6 +113,7 @@ _NESTED_LOOP_ALLOWED = {
     # 1-row recall/agreement relation broadcast over the exact rows
     # (hash-sketch exact-twins — see their docstrings)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+    "sim_ann_batch_lsh_topk",
 }
 
 
