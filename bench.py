@@ -117,7 +117,12 @@ def main() -> None:
                 minima = json.load(f)["minima"]
         except Exception:
             pass
-    retry_budget = 30
+    # A retry can only improve the recorded value (min of two runs is
+    # kept), so under the pervasive-contention regime measured in round
+    # 4 (same code, same machine, 1.3-2x inflation vs the r3-quiet
+    # minima — BASELINE.md §Contention) a larger budget buys back real
+    # seconds at bounded wall-clock cost.
+    retry_budget = 45
 
     def _stall_suspect(name: str, t: float) -> bool:
         if name not in minima and minima:
