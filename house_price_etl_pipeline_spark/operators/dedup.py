@@ -175,18 +175,29 @@ def jaccard_df_cap() -> int:
     return JACCARD_DF_CAP
 
 
+UNCAPPED = 1 << 31  # df_cap sentinel: no document-frequency filtering
+
+
 def ngram_jaccard_pairs(tok: DataFrame, threshold: float,
                         df_cap: int) -> DataFrame:
     """Exact capped-Jaccard >= threshold pairs from a (doc_id, t) distinct
     token relation, via inverted index: df-cap → self-join on token →
     count intersections → |A∪B| from the post-cap size table. No
     all-pairs materialization; the token join is the only pair-scale
-    shuffle, and the cap bounds its per-token fan-out to df_cap²."""
-    df_counts = tok.groupBy("t").agg(F.count("*").alias("df"))
-    kept = (
-        tok.join(df_counts.filter(F.col("df") <= df_cap).select("t"), "t")
-        .cache()
-    )
+    shuffle, and the cap bounds its per-token fan-out to df_cap².
+
+    df_cap >= UNCAPPED skips the df-count + semi-join entirely — a cap
+    no single token can reach filters nothing, so computing document
+    frequencies would add a full shuffle groupBy over the token relation
+    for a provable no-op (it was ~half the exact-twin cost at sf0.1)."""
+    if df_cap >= UNCAPPED:
+        kept = tok  # callers pass an already-cached relation here
+    else:
+        df_counts = tok.groupBy("t").agg(F.count("*").alias("df"))
+        kept = (
+            tok.join(df_counts.filter(F.col("df") <= df_cap).select("t"), "t")
+            .cache()
+        )
     kept.count()  # eager fill: 3 branches below would race the cold cache
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
@@ -307,6 +318,24 @@ def verify_candidate_pairs(cand: DataFrame, tok: DataFrame,
 
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _EXACT_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_shingle_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, shingle) relation, exploded ONCE per (session, SF)
+    and shared by every consumer — the LSH pipeline, the SimHash
+    pipeline, and the exact-twin ground truth each need it, and the
+    corpus explode was the dominant repeated cost when they built it
+    independently. Cached eagerly (AQE races a cold cache from parallel
+    branches); doc-scale but narrow (two columns), bounded by corpus
+    shingle count."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    tok = _SHINGLE_TOK_CACHE.get(key)
+    if tok is None:
+        tok = _doc_shingles(spark, sf_dir, None).cache()
+        tok.count()
+        _SHINGLE_TOK_CACHE[key] = tok
+    return tok
 
 
 def exact_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,8 +348,8 @@ def exact_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _EXACT_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
-    tok = _doc_shingles(spark, sf_dir, None)
-    exact = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, 1 << 31).cache()
+    tok = _shared_shingle_tok(spark, sf_dir)
+    exact = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, UNCAPPED).cache()
     exact.count()  # eager fill: every consumer branches multiple times
     _EXACT_PAIRS_CACHE[key] = exact
     return exact
@@ -332,8 +361,9 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution consume this list, so the shingle→MinHash→LSH→verify
     pipeline runs once (the materialize-then-reuse pattern any real dedup
     pipeline follows: compute pairs, then act on them repeatedly). The
-    shingle inverted index is unpersisted once the (tiny) pair list is
-    cached, so nothing doc-scale lingers in executor memory."""
+    shingle inverted index itself comes from _shared_shingle_tok (one
+    corpus explode per session/SF, shared with SimHash and the exact
+    twin)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIRS_CACHE.get(key)
     if cached is not None:
@@ -341,16 +371,10 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(dedup_shuffle_partitions()))
     try:
-        tok = _doc_shingles(spark, sf_dir, None).cache()
-        # fill the cache EAGERLY: the downstream DAG references tok from
-        # six independent branches, and AQE submits their shuffle stages
-        # concurrently — before the cache is populated each branch would
-        # recompute the full explode (measured: 6 parallel 3 s stages)
-        tok.count()
+        tok = _shared_shingle_tok(spark, sf_dir)
         cand = lsh_candidate_pairs(minhash_signatures(tok))
         verified = verify_candidate_pairs(cand, tok).cache()
         verified.count()  # materialize under the pair-scale shuffle conf
-        tok.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     _PAIRS_CACHE[key] = verified
@@ -426,7 +450,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from a chunk-bucket equi-join, not all-pairs. Feature
     set = 3-gram shingles (see shingle_expr) so fingerprints are
     near-uniform and chunk buckets stay selective."""
-    tok = _doc_shingles(spark, sf_dir, None)
+    tok = _shared_shingle_tok(spark, sf_dir)
     h = F.xxhash64("t")
     votes = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))

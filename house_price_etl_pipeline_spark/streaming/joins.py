@@ -254,8 +254,9 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of the ingest design) — no full-corpus self-join anywhere."""
     from ..config import exact_twin_enabled
     from ..operators.dedup import (
-        JACCARD_THRESHOLD, _doc_shingles, dedup_shuffle_partitions,
-        ngram_jaccard_pairs, verify_candidate_pairs)
+        JACCARD_THRESHOLD, UNCAPPED, _shared_shingle_tok,
+        dedup_shuffle_partitions, ngram_jaccard_pairs,
+        verify_candidate_pairs)
     from ..sources.tables import load_table
 
     arriving_filter = F.col("doc_id") % ARRIVING_MOD == 0
@@ -295,7 +296,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = spark.table(name).localCheckpoint(eager=True)
 
     if not exact_twin_enabled():
-        tok = _doc_shingles(spark, sf_dir, None)
+        tok = _shared_shingle_tok(spark, sf_dir)
         return (
             verify_candidate_pairs(found, tok, a_col="new_doc",
                                    b_col="corpus_doc")
@@ -303,8 +304,8 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # exact twin (batch): arriving x corpus exact pairs + recall boolean
-    tok = _doc_shingles(spark, sf_dir, None)
-    all_pairs = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, 1 << 31)
+    tok = _shared_shingle_tok(spark, sf_dir)
+    all_pairs = ngram_jaccard_pairs(tok, JACCARD_THRESHOLD, UNCAPPED)
     exact = (
         all_pairs.select(
             F.when(F.col("doc_a") % ARRIVING_MOD == 0, F.col("doc_a"))

@@ -140,7 +140,8 @@ def clear_caches() -> None:
     timed run rebuilds from the scan."""
     from house_price_etl_pipeline_spark.operators import dedup
 
-    for cache in (dedup._PAIRS_CACHE, dedup._EXACT_PAIRS_CACHE):
+    for cache in (dedup._PAIRS_CACHE, dedup._EXACT_PAIRS_CACHE,
+                  dedup._SHINGLE_TOK_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()
