@@ -81,3 +81,58 @@ def join_salted_skew(spark, sf_dir):
              dec_sum("o_totalprice").alias("sum_price"))
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_expr('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#13'
+    GROUP BY p.p_brand
+    """,
+)
+def join_bloom_runtime_filter(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB mechanism for a
+    selective dim filter that Catalyst can't push into the fact scan
+    statically (l_partkey's qualifying set is only known after filtering
+    part): Spark's InjectRuntimeFilter builds a bloom filter over the
+    filtered dim keys (bloom_filter_agg) and inserts a might_contain()
+    predicate on the fact side, so the big join input is pre-filtered
+    BEFORE the shuffle — at scale this is the difference between
+    shuffling 2% and 100% of a fact table. The broadcast threshold is
+    disabled while planning so the join genuinely shuffles (with a
+    broadcast join Spark correctly skips the bloom: the hash table
+    already prunes); the physical plan is locked in under these confs
+    (executedPlan is memoized per QueryExecution) and session conf is
+    restored. Plan assertion (might_contain + bloom_filter_agg) lives in
+    tests/test_plans.py; the oracle is the PLAIN join — the bloom is a
+    pure physical rewrite, identical result bits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # local parquet files sit below the default 10GB application-side
+        # gate that assumes cluster-scale scans; the bloom mechanism is
+        # what's demonstrated, thresholds are deploy tuning
+        conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                 "applicationSideScanSizeThreshold", "0")
+        out = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_rows"),
+                 dec_sum("l_extendedprice").alias("sum_price"))
+        )
+        # lock the physical plan in under these confs (memoized)
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out

@@ -433,3 +433,14 @@ def test_ann_twin_rows_equal_bruteforce(spark, sf_dir):
         got = [(r.vec_id, r.label, r.cosine) for r in
                REGISTRY[name].fn(spark, sf_dir).collect()]
         assert got == truth, name
+
+
+def test_bloom_runtime_filter_reaches_fact_side(spark, sf_dir):
+    """join_bloom_runtime_filter must plan the injected runtime filter:
+    a bloom built over the filtered dim keys (bloom_filter_agg) and a
+    might_contain predicate on the fact side BEFORE the join shuffle."""
+    plan = _plan(spark, sf_dir, "join_bloom_runtime_filter")
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    # and the session conf was restored after plan lock-in
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
