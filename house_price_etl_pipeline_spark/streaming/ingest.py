@@ -71,9 +71,36 @@ def run_ingest_available_now(
     q.awaitTermination()
 
 
+def read_upsert_version(spark, target_dir: str,
+                        version: int | None = None) -> DataFrame:
+    """Time-travel read of a versioned upsert target (the mini table
+    format ``stream_upsert_foreach_batch`` maintains): ``version=None``
+    reads the published snapshot through the target symlink;
+    ``version=N`` reads the journaled snapshot ``v{N}`` if still
+    retained (see ``keep_versions``). The pointer journal lists every
+    applied batch id; retained version dirs are the readable subset —
+    exactly the Delta/Iceberg time-travel contract scaled down to plain
+    parquet + a JSON pointer."""
+    import os
+
+    if version is None:
+        return spark.read.parquet(target_dir)
+    vdir = os.path.join(target_dir + "_versions", f"v{version}")
+    if not os.path.isdir(vdir):
+        with open(os.path.join(target_dir + "_versions", "_POINTER.json")) as f:
+            ptr = json.load(f)
+        retained = sorted(
+            int(n[1:]) for n in os.listdir(target_dir + "_versions")
+            if n.startswith("v"))
+        raise FileNotFoundError(
+            f"version {version} not retained (applied={ptr['applied']}, "
+            f"retained={retained}); raise keep_versions to retain more")
+    return spark.read.parquet(vdir)
+
+
 def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
                                 checkpoint_dir: str, key_cols: list[str],
-                                order_col: str):
+                                order_col: str, keep_versions: int = 2):
     """Streaming keep-latest-per-key upsert sink via foreachBatch (CDC
     compaction — SURVEY K3's append sink upgraded to upsert semantics,
     which no built-in file sink offers), on the same versioned-snapshot +
@@ -148,13 +175,15 @@ def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
         atomic_write_json(pointer, {
             "version": batch_id,
             "applied": sorted(ptr["applied"] + [batch_id])})
-        # retention: the published and the immediately-prior snapshot
-        # stay (in-flight readers), older versions go
-        keep = {f"v{batch_id}"} | ({os.path.basename(current)} if current else set())
-        for name in os.listdir(versions_root):
-            if name.startswith("v") and name not in keep:
-                shutil.rmtree(os.path.join(versions_root, name),
-                              ignore_errors=True)
+        # retention: the newest `keep_versions` snapshots stay (the
+        # published one, in-flight readers' prior one, and any further
+        # time-travel depth the caller asked for via keep_versions /
+        # read_upsert_version); older versions go
+        vdirs = sorted((n for n in os.listdir(versions_root)
+                        if n.startswith("v")), key=lambda n: int(n[1:]))
+        for name in vdirs[:-max(keep_versions, 1)]:
+            shutil.rmtree(os.path.join(versions_root, name),
+                          ignore_errors=True)
 
     return (stream_df.writeStream
             .foreachBatch(merge_batch)
