@@ -160,3 +160,46 @@ def format_binaryfile_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+
+@register(
+    "scan_agg_pushdown_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def scan_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (DSv2): COUNT/MIN/MAX answered from
+    parquet footer statistics — the scan reads row-group METADATA, not
+    data pages. At 100 TB this is the difference between a stats lookup
+    and a full-table scan for the table-profile queries every pipeline
+    runs constantly. Needs the V2 parquet reader (parquet removed from
+    useV1SourceList while the plan locks in; restored after — same
+    memoized-executedPlan discipline as join_bloom_runtime_filter), and
+    holds only for un-grouped/un-filtered aggregates over
+    non-partition columns with footer stats; the plan gate asserts
+    PushedAggregation actually reached the BatchScan."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.parquet.aggregatePushdown":
+            conf.get("spark.sql.parquet.aggregatePushdown"),
+        "spark.sql.sources.useV1SourceList":
+            conf.get("spark.sql.sources.useV1SourceList"),
+    }
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        out = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("l_quantity").alias("min_qty"),
+                 F.max("l_quantity").alias("max_qty"))
+        )
+        out._jdf.queryExecution().executedPlan()  # lock in under DSv2
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    return out

@@ -444,3 +444,15 @@ def test_bloom_runtime_filter_reaches_fact_side(spark, sf_dir):
     assert "bloom_filter_agg" in plan
     # and the session conf was restored after plan lock-in
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_parquet_aggregate_pushdown_reaches_scan(spark, sf_dir):
+    """scan_agg_pushdown_stats must answer COUNT/MIN/MAX from parquet
+    footer statistics: the BatchScan carries a PushedAggregation list
+    and the plan has no data-page aggregate above a full scan."""
+    plan = _plan(spark, sf_dir, "scan_agg_pushdown_stats")
+    scan_line = next(l for l in plan.splitlines() if "BatchScan" in l)
+    assert "PushedAggregation: [COUNT(*)" in scan_line, scan_line
+    assert "MIN(l_quantity)" in scan_line and "MAX(l_quantity)" in scan_line
+    # session conf restored after plan lock-in
+    assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
