@@ -514,3 +514,68 @@ def test_upsert_time_travel_reads(spark, tmp_path):
     # asking for a version that never existed
     with _pytest.raises(FileNotFoundError, match="not retained"):
         read_upsert_version(spark, target, 99)
+
+
+def test_growing_band_index_catches_cross_batch_duplicates(spark, tmp_path):
+    """Persistent LSH band index (streaming/index.py): a doc arriving in
+    batch 2 that near-duplicates a BATCH-1 ARRIVAL (not in the seed
+    corpus) must be rejected — proof the index grows between batches;
+    same-batch twins resolve to the earlier doc_id; replaying a batch id
+    is idempotent (per-batch overwrite)."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from house_price_etl_pipeline_spark.streaming.index import (
+        build_band_index, read_band_index, read_decisions, run_index_ingest)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seed_docs = [(100, base), (101, "totally different words " * 3)]
+    # b1: 201 dups the seed, 202 is novel; 203/204 are same-batch twins
+    novel = "one two three four five six seven eight nine ten"
+    twin = "red orange yellow green blue indigo violet umber ochre teal"
+    b1 = [(201, base + " kappa"), (202, novel), (203, twin), (204, twin)]
+    # b2: 301 dups b1's novel arrival; 302 is new
+    b2 = [(301, novel + " ten"), (302, "alone unique standalone " * 3)]
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    index_dir = str(tmp_path / "lsh_index")
+    build_band_index(spark, spark.createDataFrame(seed_docs, schema),
+                     index_dir)
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for i, rows in enumerate([b1, b2]):
+        staging = tmp_path / f"idx_staging{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(staging))
+        next(staging.glob("part-*.parquet")).rename(src / f"b{i}.parquet")
+        time.sleep(1.1)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    run_index_ingest(spark, stream, index_dir, str(tmp_path / "idx_ckpt"))
+
+    d = {r.doc_id: (r.is_dup, r.matched_doc)
+         for r in read_decisions(spark, index_dir).collect()}
+    assert d[201] == (True, 100)     # vs seed corpus
+    assert d[202][0] is False        # novel accepted
+    assert d[203][0] is False        # earlier twin wins
+    assert d[204] == (True, 203)     # same-batch twin rejected
+    assert d[301] == (True, 202)     # vs a BATCH-1 ARRIVAL: index grew
+    assert d[302][0] is False
+    # only accepted docs' bands joined the index
+    indexed = {r.doc_id for r in
+               read_band_index(spark, index_dir).select("doc_id")
+               .distinct().collect()}
+    assert indexed == {100, 101, 202, 203, 302}
+
+    # replay the same source through a FRESH checkpoint: batch ids
+    # repeat, per-batch overwrite keeps decisions/bands identical
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    run_index_ingest(spark, stream2, index_dir, str(tmp_path / "idx_ckpt2"))
+    d2 = {r.doc_id: (r.is_dup, r.matched_doc)
+          for r in read_decisions(spark, index_dir).collect()}
+    assert d2 == d
