@@ -8,9 +8,10 @@ replaces (file:line in /root/reference).
 
 | reference job                                  | here                                   |
 |------------------------------------------------|----------------------------------------|
+| web_crawler/crawler.py (poll, unzip, publish)  | sources.acquisition (wait_for_downloads → publish_to_landing) |
 | etl_pipeline_spark.py (building batch ETL)     | load_raw_csv → clean_building_transactions |
 | etl_pipeline_beam.py (land batch ETL)          | load_raw_csv → clean_land_transactions |
-| BigQuery write overwrite/truncate/append       | sinks.write_table(mode=...)            |
+| BigQuery write overwrite/truncate/append       | sinks.write_table(mode=...) / write_jdbc_table (external warehouse) |
 | cloud_function/main.py + beam_auto (event run) | streaming.ingest.run_ingest_available_now |
 | "avg price by year" BigQuery analytic          | operators.etl.avg_price_by_year        |
 
@@ -59,21 +60,33 @@ _ROWS = [
 ]
 
 
-def make_raw_drop(root: str, season: str = "101S4") -> str:
-    """Write two reference-named files (char 7 of the basename is the
-    city code the engine's 縣市 derivation reads — crawler.py:86)."""
-    os.makedirs(root, exist_ok=True)
-    for code in ("a", "f"):  # a=台北市, f=新北市
-        path = os.path.join(root, f"{season}_{code}_lvr_land_a.csv")
-        with open(path, "w", encoding="utf-8") as f:
-            f.write("\n".join([_HEADER, _ENGLISH, *_ROWS]) + "\n")
-    return os.path.join(root, "*_a.csv")
+def make_raw_drop(work: str, season: str = "101S4") -> str:
+    """Reproduce the crawler's output through the acquisition layer
+    (web_crawler/crawler.py): a season ZIP lands in the download dir,
+    the completion poll unzips it, and publication renames the *a.csv
+    members {season}_{file} into the landing dir (char 7 of the
+    published basename is the city code the 縣市 derivation reads)."""
+    import zipfile
+
+    from house_price_etl_pipeline_spark.sources.acquisition import (
+        publish_to_landing, wait_for_downloads)
+
+    dl = os.path.join(work, "downloads")
+    os.makedirs(dl, exist_ok=True)
+    with zipfile.ZipFile(os.path.join(dl, f"{season}.zip"), "w") as zf:
+        for code in ("a", "f"):  # a=台北市, f=新北市
+            zf.writestr(f"{code}_lvr_land_a.csv",
+                        "\n".join([_HEADER, _ENGLISH, *_ROWS]) + "\n")
+    wait_for_downloads(dl, poll_seconds=0.01, max_polls=1)
+    landing = os.path.join(work, "landing")
+    publish_to_landing(dl, [season], landing)
+    return os.path.join(landing, "*_a.csv")
 
 
 def main() -> None:
     spark = get_spark(cores=4)
     work = tempfile.mkdtemp(prefix="ref_migration_")
-    glob = make_raw_drop(os.path.join(work, "landing"))
+    glob = make_raw_drop(work)
 
     # --- etl_pipeline_spark.py:40-89 (building transactions) -----------
     raw = load_raw_csv(spark, glob)
@@ -93,6 +106,17 @@ def main() -> None:
     write_table(buildings, table, mode="append")
     print("sink rows after overwrite+append:",
           read_table(spark, table).count())
+
+    # --- the actual external-warehouse shape (BigQuery WRITE_TRUNCATE,
+    #     etl_pipeline_spark.py:86-89) → JDBC with a declared schema ---
+    from house_price_etl_pipeline_spark.sources.sinks import (
+        derby_url, read_jdbc_table, write_jdbc_table)
+    url = derby_url(os.path.join(work, "warehouse_db"))
+    write_jdbc_table(buildings.select("city", "unit_price_ping"),
+                     url, "building_prices", mode="overwrite",
+                     schema_ddl="city VARCHAR(12)")
+    print("warehouse rows:",
+          read_jdbc_table(spark, url, "building_prices").count())
 
     # --- cloud_function/main.py event-driven rerun → one streaming
     #     query with checkpointed exactly-once ingest ------------------
