@@ -110,3 +110,28 @@ def test_decode_wav_spark_flow(spark, sf_dir):
         assert r.n_samples == len(x)
         assert r.sum_amp == int(x.sum())
         assert r.energy == int(((x - 128) ** 2).sum())
+
+
+# --- property tests: the codecs must roundtrip ARBITRARY bytes ------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=400))
+def test_bmp_roundtrip_property(data):
+    w, h = _bmp_dims(len(data))
+    pw, ph, pix = _parse_bmp(_encode_bmp(data))
+    assert (pw, ph) == (w, h)
+    expect = np.frombuffer(data, dtype=np.uint8)[
+        np.arange(w * h * 3) % len(data)]
+    assert np.array_equal(pix, expect)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_wav_roundtrip_property(data):
+    rate, samples = _parse_wav(_encode_wav(data))
+    assert rate == WAV_SAMPLE_RATE
+    assert bytes(samples) == data
