@@ -797,3 +797,74 @@ def dedup_corpus_after_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_docs, n_clusters, n_dropped, n_docs - n_dropped)],
         "n_docs long, n_clusters long, n_dropped long, n_kept long",
     )
+
+
+# --- repeated-span (boilerplate) detection ----------------------------------
+
+REPEAT_NGRAM_N = 10  # span width in tokens (word-level)
+
+
+@register(
+    "dedup_repeated_ngram_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+{REPEAT_NGRAM_N - 1}], ' ') AS g
+              FROM toks,
+                   UNNEST(generate_series(1, len(t)-{REPEAT_NGRAM_N - 1}))
+                     AS s(i)
+              WHERE len(t) >= {REPEAT_NGRAM_N}),
+    df AS (SELECT g, COUNT(*) AS n_docs FROM grams GROUP BY g),
+    per_doc AS (
+      SELECT grams.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS n_repeated
+      FROM grams JOIN df USING (g) GROUP BY grams.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_repeated AS BIGINT) AS n_repeated,
+           round(n_repeated / CAST(n_grams AS DOUBLE), 6) AS repeat_ratio
+    FROM per_doc WHERE n_repeated > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (boilerplate) detection — the chunk-level sibling of
+    document-level near-dup removal (Lee et al. '22, "Deduplicating
+    Training Data Makes Language Models Better": repeated SPANS inside
+    otherwise-distinct documents are what substring dedup targets): for
+    every {REPEAT_NGRAM_N}-token window, count how many documents
+    contain it; report per-document how much of its distinct window set
+    is shared with at least one other document. Docs shorter than the
+    window are out of frame (mirrored in the oracle — the shingle_expr
+    unigram fallback is for SET-similarity, wrong for span semantics).
+
+    Scale shape: one explode (repartitioned first, same discipline as
+    _doc_shingles), ONE hash shuffle for the document-frequency count,
+    one join back — never pairs, never positions; output is
+    doc-cardinality. The production decision this feeds (drop/trim docs
+    with repeat_ratio above a threshold) is a filter on this relation."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(dedup_shuffle_partitions(), "doc_id")
+    ws = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - F.lit(REPEAT_NGRAM_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, REPEAT_NGRAM_N)),
+    )
+    g = (d.filter(F.size(ws) >= REPEAT_NGRAM_N)
+         .select("doc_id", F.explode(F.array_distinct(grams)).alias("g")))
+    df_counts = g.groupBy("g").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        g.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+             .alias("n_repeated"))
+    )
+    return (
+        per_doc.filter(F.col("n_repeated") > 0)
+        .select("doc_id", "n_grams", "n_repeated",
+                F.round(F.col("n_repeated") / F.col("n_grams").cast("double"),
+                        6).alias("repeat_ratio"))
+        .orderBy("doc_id")
+    )
