@@ -37,6 +37,7 @@ def get_spark(app_name: str = "house_price_etl_pipeline_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.maxMetadataStringLength", "2000")  # full plan strings
         .config("spark.ui.enabled", "false")
@@ -72,6 +73,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         conf.set("spark.sql.adaptive.enabled", "true")
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+        conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass  # static configs on some builds; non-fatal
     return spark

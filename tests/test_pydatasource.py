@@ -204,3 +204,60 @@ def test_stream_reader_resumes_from_checkpoint_across_restarts(spark, tmp_path):
 
     all_ids = sorted(i for (_, _, ids) in seen for i in ids)
     assert all_ids == list(range(3000))  # exactly once, no gaps, no dupes
+
+
+def test_python_source_filter_pushdown(spark):
+    """Spark 4.1 Python DataSource filter pushdown: event_id range
+    predicates narrow the PLANNED partitions (pruned rows are never
+    generated), unsupported filters are handed back to Spark, and a
+    contradictory range plans an empty scan — results identical to
+    post-scan filtering."""
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual, LessThan, StringContains)
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsReader, register_synthetic_source)
+
+    # unit: the reader consumes range filters and narrows its plan
+    r = SyntheticEventsReader({"rows": "100000", "partitions": "4",
+                               "pushdown": "true"})
+    rest = list(r.pushFilters([GreaterThanOrEqual(("event_id",), 90000),
+                               LessThan(("event_id",), 90010),
+                               StringContains(("event_type",), "cl")]))
+    assert rest == [StringContains(("event_type",), "cl")]
+    parts = r.partitions()
+    assert parts[0].start == 90000 and parts[-1].end == 90010
+    assert sum(p.end - p.start for p in parts) == 10
+
+    # contradiction → empty scan, not an error
+    r2 = SyntheticEventsReader({"rows": "100", "pushdown": "true"})
+    list(r2.pushFilters([GreaterThanOrEqual(("event_id",), 50),
+                         LessThan(("event_id",), 10)]))
+    assert sum(p.end - p.start for p in r2.partitions()) == 0
+
+    # end-to-end: pushed plan returns exactly the filtered rows
+    # (pushdown contract: one load() per query)
+    register_synthetic_source(spark)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", "100000").option("partitions", "4")
+          .option("pushdown", "true").load()
+          .filter("event_id >= 90000 AND event_id < 90010")
+          .filter("event_type like '%c%'"))
+    got = [r.event_id for r in df.orderBy("event_id").collect()]
+    full = (spark.read.format("synthetic_events")
+            .option("rows", "100000").load())
+    want = [r.event_id for r in full
+            .filter("event_id >= 90000 AND event_id < 90010")
+            .filter("event_type like '%c%'")
+            .orderBy("event_id").collect()]
+    assert got == want and len(got) > 0
+
+    # reuse-safety: with pushdown OFF (the default), a DataFrame reused
+    # across differently-filtered queries stays exactly correct — Spark
+    # memoizes the planned scan per load(), which is why pushdown is
+    # opt-in (see SyntheticEventsReader.pushFilters docstring)
+    ev = (spark.read.format("synthetic_events")
+          .option("rows", "1000").option("partitions", "2").load())
+    assert ev.filter("event_id >= 300").count() == 700
+    assert ev.count() == 1000
+    assert ev.filter("event_id < 10").count() == 10
