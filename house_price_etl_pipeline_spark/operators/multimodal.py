@@ -496,3 +496,110 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.mapInPandas(kernel, schema="doc_id long, widx int, energy double")
         .orderBy("doc_id", "widx")
     )
+
+
+# --- protobuf payload decode (the training-data wire format) ---------------
+
+def _doc_record_cls():
+    """Dynamically-built protobuf message type (no protoc, no generated
+    code): sparkgraft.DocRecord{doc_id=1, lang=2, n_chars=3, tokens=4}.
+    Built per process from a FileDescriptorProto via the pure-Python
+    runtime protobuf_compat locates — callable inside executors."""
+    from .._vendor.protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():  # pragma: no cover - environment guard
+        raise RuntimeError("no google.protobuf runtime available")
+    from google.protobuf import (
+        descriptor_pb2, descriptor_pool, message_factory)
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "doc_record.proto"
+    fdp.package = "sparkgraft"
+    m = fdp.message_type.add()
+    m.name = "DocRecord"
+    fields = [
+        ("doc_id", descriptor_pb2.FieldDescriptorProto.TYPE_INT64),
+        ("lang", descriptor_pb2.FieldDescriptorProto.TYPE_STRING),
+        ("n_chars", descriptor_pb2.FieldDescriptorProto.TYPE_INT64),
+        ("tokens", descriptor_pb2.FieldDescriptorProto.TYPE_INT64),
+    ]
+    for i, (name, ftype) in enumerate(fields, 1):
+        f = m.field.add()
+        f.name, f.number, f.type = name, i, ftype
+        f.label = descriptor_pb2.FieldDescriptorProto.LABEL_OPTIONAL
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fdp)
+    return message_factory.GetMessageClass(
+        pool.FindMessageTypeByName("sparkgraft.DocRecord"))
+
+
+def encode_doc_protobuf(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload): each row serialized as a
+    sparkgraft.DocRecord wire message (mapInPandas; the message class is
+    rebuilt per worker process — descriptors don't pickle)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cls = _doc_record_cls()
+        for pdf in batches:
+            payloads = [
+                cls(doc_id=int(d), lang=str(l), n_chars=int(n),
+                    tokens=len(str(t).split(" "))).SerializeToString()
+                for d, l, n, t in zip(pdf["doc_id"], pdf["lang"],
+                                      pdf["n_chars"], pdf["text"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    return docs.select("doc_id", "lang", "n_chars", "text").mapInPandas(
+        run, "doc_id long, payload binary")
+
+
+def decode_doc_protobuf(payloads: DataFrame) -> DataFrame:
+    """(payload binary) → parsed columns. Real wire-format parse
+    (varints, tags, length-delimited strings) by the protobuf runtime;
+    proto3 default-value elision round-trips (0 / "" fields are absent
+    on the wire and restored as defaults)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cls = _doc_record_cls()
+        for pdf in batches:
+            out = {"doc_id": [], "lang": [], "n_chars": [], "tokens": [],
+                   "wire_bytes": []}
+            for blob in pdf["payload"]:
+                msg = cls.FromString(bytes(blob))
+                out["doc_id"].append(msg.doc_id)
+                out["lang"].append(msg.lang)
+                out["n_chars"].append(msg.n_chars)
+                out["tokens"].append(msg.tokens)
+                out["wire_bytes"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    return payloads.select("payload").mapInPandas(
+        run, "doc_id long, lang string, n_chars long, tokens long, "
+             "wire_bytes long")
+
+
+@register(
+    "mm_protobuf_decode",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format round-trip under the value-hash gate: every
+    document serialized to a real protobuf message (dynamic descriptor,
+    pure-Python runtime — the same one transformWithState's state server
+    uses) in one Arrow kernel, DECODED BY PARSING THE WIRE BYTES in a
+    second kernel, and compared field-for-field against the oracle's
+    direct computation from the table. Protobuf is the de-facto record
+    format of large training-data pipelines (TFRecord/Example, RPC
+    ingest feeds); a tag/varint/encoding bug anywhere in the round trip
+    diverges the hash. wire_bytes is dropped from the output (it is
+    runtime-dependent only in the sense of proto3 elision; kept internal
+    to the plan)."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_doc_protobuf(encode_doc_protobuf(docs))
+    return (decoded.select("doc_id", "lang", "n_chars", "tokens")
+            .orderBy("doc_id"))
