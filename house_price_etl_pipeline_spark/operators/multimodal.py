@@ -603,3 +603,130 @@ def mm_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_doc_protobuf(encode_doc_protobuf(docs))
     return (decoded.select("doc_id", "lang", "n_chars", "tokens")
             .orderBy("doc_id"))
+
+
+# --- TFRecord container framing (the training-data file format) ------------
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, the TFRecord checksum) — table-driven pure
+    Python; table built once per process."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    """TFRecord's masked CRC: rotate right 15 and add the mask delta."""
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def tfrecord_pack(records: list[bytes]) -> bytes:
+    """Frame records as a TFRecord stream:
+    [len u64le][masked_crc32c(len) u32le][data][masked_crc32c(data) u32le]."""
+    out = bytearray()
+    for rec in records:
+        length = struct.pack("<Q", len(rec))
+        out += length
+        out += struct.pack("<I", _masked_crc(length))
+        out += rec
+        out += struct.pack("<I", _masked_crc(rec))
+    return bytes(out)
+
+
+def tfrecord_unpack(blob: bytes) -> list[bytes]:
+    """Parse a TFRecord stream, VERIFYING both checksums per record —
+    a flipped bit raises instead of silently corrupting training data."""
+    records, pos, n = [], 0, len(blob)
+    while pos < n:
+        if pos + 12 > n:
+            raise ValueError("truncated TFRecord length header")
+        length_bytes = blob[pos:pos + 8]
+        (length,) = struct.unpack("<Q", length_bytes)
+        (len_crc,) = struct.unpack_from("<I", blob, pos + 8)
+        if len_crc != _masked_crc(length_bytes):
+            raise ValueError("TFRecord length checksum mismatch")
+        start = pos + 12
+        if start + length + 4 > n:
+            raise ValueError("truncated TFRecord data")
+        data = blob[start:start + length]
+        (data_crc,) = struct.unpack_from("<I", blob, start + length)
+        if data_crc != _masked_crc(data):
+            raise ValueError("TFRecord data checksum mismatch")
+        records.append(data)
+        pos = start + length + 4
+    return records
+
+
+TFRECORD_SHARDS = 8
+
+
+@register(
+    "mm_tfrecord_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord container round-trip under the value-hash gate: protobuf
+    record payloads are assembled into real TFRecord shard streams
+    (length-prefixed framing with BOTH masked CRC-32C checksums — the
+    exact on-disk format TensorFlow training data ships in), sharded by
+    doc_id bucket via applyInPandas, then a second kernel parses each
+    shard — verifying every checksum — and decodes the protobuf records
+    back to columns the oracle recomputes from the table. Any framing,
+    CRC, or proto bug diverges the hash; corruption raises (pinned in
+    tests/test_multimodal.py). Scale shape: shard assembly is ONE
+    grouped shuffle on the bucket key; shards are the unit a real sink
+    writes one file per."""
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = (encode_doc_protobuf(docs)
+                .withColumn("bucket", F.col("doc_id") % TFRECORD_SHARDS))
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = tfrecord_pack([bytes(b) for b in pdf["payload"]])
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "shard": [shard],
+                             "n_records": [len(pdf)]})
+
+    shards = (payloads.groupBy("bucket")
+              .applyInPandas(pack_shard,
+                             "bucket long, shard binary, n_records long"))
+
+    def unpack_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cls = _doc_record_cls()
+        for pdf in batches:
+            out = {"doc_id": [], "lang": [], "n_chars": [], "tokens": []}
+            for blob in pdf["shard"]:
+                for rec in tfrecord_unpack(bytes(blob)):
+                    msg = cls.FromString(rec)
+                    out["doc_id"].append(msg.doc_id)
+                    out["lang"].append(msg.lang)
+                    out["n_chars"].append(msg.n_chars)
+                    out["tokens"].append(msg.tokens)
+            yield pd.DataFrame(out)
+
+    return (shards.select("shard")
+            .mapInPandas(unpack_shard,
+                         "doc_id long, lang string, n_chars long, "
+                         "tokens long")
+            .orderBy("doc_id"))

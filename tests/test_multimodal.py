@@ -135,3 +135,63 @@ def test_wav_roundtrip_property(data):
     rate, samples = _parse_wav(_encode_wav(data))
     assert rate == WAV_SAMPLE_RATE
     assert bytes(samples) == data
+
+
+def test_crc32c_standard_check_value():
+    """CRC-32C of '123456789' is the published check value 0xE3069283 —
+    pins the polynomial/reflection against the real Castagnoli spec."""
+    from house_price_etl_pipeline_spark.operators.multimodal import _crc32c
+
+    assert _crc32c(b"123456789") == 0xE3069283
+
+
+def test_tfrecord_roundtrip_and_corruption():
+    from house_price_etl_pipeline_spark.operators.multimodal import (
+        tfrecord_pack, tfrecord_unpack)
+
+    recs = [b"", b"a", b"hello world", bytes(range(256))]
+    blob = tfrecord_pack(recs)
+    assert tfrecord_unpack(blob) == recs
+    # flip one data byte: the data CRC must catch it
+    import pytest as _pytest
+    idx = blob.index(b"hello")
+    bad = bytearray(blob)
+    bad[idx] ^= 0x01
+    with _pytest.raises(ValueError, match="data checksum"):
+        tfrecord_unpack(bytes(bad))
+    # corrupt a length header: the length CRC must catch it
+    bad2 = bytearray(blob)
+    bad2[0] ^= 0x01
+    with _pytest.raises(ValueError, match="length checksum"):
+        tfrecord_unpack(bytes(bad2))
+    with _pytest.raises(ValueError, match="truncated"):
+        tfrecord_unpack(blob[:-2])
+
+
+def test_tfrecord_file_write_read(spark, sf_dir, tmp_path):
+    """Shards written as real .tfrecord files round-trip through the
+    binaryFile source — the on-disk form a TF training job consumes."""
+    import os
+
+    from house_price_etl_pipeline_spark.operators.multimodal import (
+        _doc_record_cls, encode_doc_protobuf, tfrecord_pack,
+        tfrecord_unpack)
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    rows = encode_doc_protobuf(docs).collect()
+    out = tmp_path / "tfrecords"
+    out.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(out / f"part-{i:05d}.tfrecord", "wb") as f:
+            f.write(tfrecord_pack([bytes(r.payload) for r in chunk]))
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.tfrecord").load(str(out)))
+    cls = _doc_record_cls()
+    got = sorted(
+        cls.FromString(rec).doc_id
+        for r in files.collect()
+        for rec in tfrecord_unpack(bytes(r.content)))
+    assert got == sorted(r.doc_id for r in rows)
