@@ -18,6 +18,7 @@ batch plumbing behave identically to real media bytes.
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -672,7 +673,11 @@ def tfrecord_unpack(blob: bytes) -> list[bytes]:
     return records
 
 
-TFRECORD_SHARDS = 8
+# Shard count = write parallelism AND file count of the export: at 100 TB
+# size it to target file size (total bytes / ~256 MB), not core count.
+# Env-overridable like the other deploy knobs (read at import so the
+# query and any oracle-side expectations agree per process).
+TFRECORD_SHARDS = int(os.environ.get("SPARK_GRAFT_TFRECORD_SHARDS", "8"))
 
 
 @register(

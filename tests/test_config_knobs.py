@@ -78,3 +78,4 @@ def test_protobuf_sdk_path_env_extendable(monkeypatch, tmp_path):
     finally:
         monkeypatch.delenv("SPARK_GRAFT_PROTOBUF_PATH")
         importlib.reload(pc)
+
