@@ -195,3 +195,50 @@ def test_tfrecord_file_write_read(spark, sf_dir, tmp_path):
         for r in files.collect()
         for rec in tfrecord_unpack(bytes(r.content)))
     assert got == sorted(r.doc_id for r in rows)
+
+
+def test_protobuf_schema_evolution_roundtrip():
+    """Wire-format schema evolution — the property record pipelines
+    depend on: a consumer with an OLDER message type reads records
+    written with a NEWER one (unknown fields preserved-but-ignored), and
+    a NEWER consumer reads OLD records (absent fields come back as proto3
+    defaults). Both directions must keep the shared fields bit-exact."""
+    from house_price_etl_pipeline_spark._vendor.protobuf_compat import (
+        ensure_protobuf)
+
+    assert ensure_protobuf()
+    from google.protobuf import (
+        descriptor_pb2, descriptor_pool, message_factory)
+
+    def build(fields, pkg):
+        fdp = descriptor_pb2.FileDescriptorProto()
+        fdp.name = f"{pkg}.proto"
+        fdp.package = pkg
+        m = fdp.message_type.add()
+        m.name = "Rec"
+        for i, (name, ftype) in enumerate(fields, 1):
+            f = m.field.add()
+            f.name, f.number, f.type = name, i, ftype
+            f.label = descriptor_pb2.FieldDescriptorProto.LABEL_OPTIONAL
+        pool = descriptor_pool.DescriptorPool()
+        pool.Add(fdp)
+        return message_factory.GetMessageClass(
+            pool.FindMessageTypeByName(f"{pkg}.Rec"))
+
+    T_I64 = descriptor_pb2.FieldDescriptorProto.TYPE_INT64
+    T_STR = descriptor_pb2.FieldDescriptorProto.TYPE_STRING
+    V1 = build([("doc_id", T_I64), ("lang", T_STR)], "evo_v1")
+    V2 = build([("doc_id", T_I64), ("lang", T_STR),
+                ("quality", T_I64)], "evo_v2")
+
+    # new writer -> old reader: unknown field ignored, shared fields exact
+    new_blob = V2(doc_id=7, lang="en", quality=99).SerializeToString()
+    old_view = V1.FromString(new_blob)
+    assert (old_view.doc_id, old_view.lang) == (7, "en")
+    # ...and round-trips WITHOUT LOSS: unknown fields are retained
+    assert V2.FromString(old_view.SerializeToString()).quality == 99
+
+    # old writer -> new reader: absent field is the proto3 default
+    old_blob = V1(doc_id=8, lang="de").SerializeToString()
+    new_view = V2.FromString(old_blob)
+    assert (new_view.doc_id, new_view.lang, new_view.quality) == (8, "de", 0)
