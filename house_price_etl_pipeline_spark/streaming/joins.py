@@ -175,6 +175,82 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("doc_id")
 
 
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+    e AS (SELECT event_id AS error_id, user_id AS e_user_id, ts AS ets
+          FROM events WHERE event_type = 'error'),
+    wm AS (SELECT LEAST((SELECT MAX(cts) FROM c),
+                        (SELECT MAX(ets) FROM e))
+                  - INTERVAL 10 MINUTE AS gw),
+    j AS (SELECT c.click_id, c.user_id, c.cts, e.error_id, e.ets
+          FROM c LEFT JOIN e
+            ON c.user_id = e.e_user_id
+           AND e.ets >= c.cts AND e.ets < c.cts + INTERVAL 5 MINUTE)
+    SELECT user_id, click_id, error_id,
+           CAST(date_diff('second', cts, ets) AS BIGINT) AS gap_s
+    FROM j, wm
+    WHERE error_id IS NOT NULL OR cts + INTERVAL 5 MINUTE < wm.gw
+    ORDER BY user_id, click_id, error_id
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the alerting shape
+    ("which clicks got NO error within 5 minutes"), and the streaming
+    join mode with the trickiest semantics: matched pairs emit as soon
+    as both rows arrive, but an UNMATCHED left row can only emit its
+    null-padded result once the watermark proves no future match is
+    possible (its state is evicted past cts + 5m). On the finite drain
+    the global watermark stops at min(max click ts, max error ts) - 10m,
+    so unmatched clicks within the final 5m+10m horizon are never
+    finalized — the oracle states that exact cutoff (same
+    watermark-true discipline as stream_two_level_window), and the SAME
+    cutoff predicate is applied to the drained stream output so both
+    engines trim the eviction boundary identically. State stays bounded
+    by the watermark + range condition exactly as in the inner variant."""
+    clicks = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("cts"))
+              .withWatermark("cts", "10 minutes"))
+    errors = (stream_events(spark, sf_dir)
+              .filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"),
+                      F.col("user_id").alias("e_user_id"),
+                      F.col("ts").alias("ets"))
+              .withWatermark("ets", "10 minutes"))
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("ets") >= F.col("cts"))
+        & (F.col("ets") < F.col("cts") + F.expr("INTERVAL 5 MINUTES")),
+        "left_outer",
+    )
+    out = _drain(joined, spark, output_mode="append")
+
+    # the finite source's final watermark, recomputed batch-side so the
+    # boundary trim is bit-identical to the oracle's
+    from ..sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    gw = (ev.agg(F.least(
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))))
+        .alias("gw"))
+        .select((F.col("gw") - F.expr("INTERVAL 10 MINUTES")).alias("gw")))
+    return (
+        out.crossJoin(F.broadcast(gw))
+        .filter(F.col("error_id").isNotNull()
+                | (F.col("cts") + F.expr("INTERVAL 5 MINUTES")
+                   < F.col("gw")))
+        .select("user_id", "click_id", "error_id",
+                (F.unix_timestamp("ets") - F.unix_timestamp("cts"))
+                .cast("long").alias("gap_s"))
+        .orderBy("user_id", "click_id", "error_id")
+    )
+
+
 # --- ingest-time streaming near-dup detection ------------------------------
 
 ARRIVING_MOD = 5  # doc_id % 5 == 0 plays the "newly arriving" feed
