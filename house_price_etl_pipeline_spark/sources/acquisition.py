@@ -97,10 +97,22 @@ def publish_to_landing(download_dir: str, seasons: list[str],
     file names. The landing dir is the directory
     ``streaming.ingest.stream_house_csv`` watches."""
     os.makedirs(landing_dir, exist_ok=True)
+    # Guard the positional pairing: a stray dir (a crash-leftover
+    # '*._extracting' never re-polled, hidden dirs, anything unrelated)
+    # would shift every season/dir pairing or overrun rotated[i]. Skip
+    # in-progress/hidden names outright and require exactly one
+    # completed extraction per season before pairing — the rotation
+    # quirk itself is preserved.
     season_dirs = sorted(
         (os.path.join(download_dir, n) for n in os.listdir(download_dir)
-         if os.path.isdir(os.path.join(download_dir, n))),
+         if os.path.isdir(os.path.join(download_dir, n))
+         and not n.endswith("._extracting") and not n.startswith(".")),
         key=lambda x: x[-4:])
+    if len(season_dirs) != len(seasons):
+        raise FileNotFoundError(
+            f"expected {len(seasons)} extracted season dirs in "
+            f"{download_dir}, found {len(season_dirs)}: "
+            f"{[os.path.basename(d) for d in season_dirs]}")
     rotated = seasons[1:] + seasons[:1]
     published = []
     for i, d in enumerate(season_dirs):

@@ -156,6 +156,7 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness holds because sum_price is an exact decimal sum emitted as
     DOUBLE on both engines and the warehouse column is declared DOUBLE
     (bit-preserving round-trip)."""
+    import os
     import tempfile
 
     from pyspark.sql import functions as F
@@ -169,7 +170,15 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"),
              dec_sum("o_totalprice").alias("sum_price"))
     )
-    url = derby_url(tempfile.mkdtemp(prefix="jdbc_sink_") + "/db")
+    # Deterministic DB path per (JVM, sf_dir): bench retries re-invoke
+    # this query many times — a fresh mkdtemp per call would accumulate
+    # orphaned Derby directories AND booted embedded-Derby instances in
+    # the JVM. Reuse one database; the overwrite-write makes each
+    # invocation's state fresh anyway.
+    db_root = os.path.join(
+        tempfile.gettempdir(),
+        f"jdbc_sink_{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}")
+    url = derby_url(db_root + "/db")
     write_jdbc_table(agg, url, "order_stats", mode="overwrite",
                      schema_ddl="o_orderstatus VARCHAR(4), "
                                 "n_orders BIGINT, sum_price DOUBLE")

@@ -79,10 +79,16 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
             batch_df.select("doc_id", F.split("text", " ").alias("ws"))
         ).localCheckpoint(eager=True)  # two consumers below
 
-        try:
-            idx = sess.read.parquet(_bands_glob(index_dir))
-        except Exception:  # first batch, unseeded index
-            idx = None
+        # Unseeded-index detection is an explicit filesystem check, NOT
+        # a bare except around the read: a corrupted parquet or a
+        # transient IO error must propagate and fail the batch (the
+        # checkpoint replays it) rather than silently running the probe
+        # with idx=None and permanently admitting duplicates.
+        import glob as _glob
+        bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+        seeded = os.path.isdir(bands_root) and any(
+            _glob.glob(os.path.join(bands_root, "batch-*")))
+        idx = sess.read.parquet(_bands_glob(index_dir)) if seeded else None
         matches = []
         if idx is not None:
             matches.append(

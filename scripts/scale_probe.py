@@ -191,17 +191,23 @@ def main() -> None:
         if scale != "x1":
             os.environ["SPARK_GRAFT_DEDUP_PARTITIONS"] = "32"
         for name in names:
-            best = None
-            for _ in range(args.runs):
+            # Run index in the job description so each repetition's
+            # event-log metrics are keyed separately — only the best
+            # (min-time) run's bytes are reported, not runs× the volume.
+            best, best_run = None, 0
+            for run_i in range(args.runs):
                 clear_caches()
-                spark.sparkContext.setJobDescription(f"probe:{name}:{scale}")
+                spark.sparkContext.setJobDescription(
+                    f"probe:{name}:{scale}:r{run_i}")
                 t0 = time.perf_counter()
                 (registry[name].fn(spark, sf_dir)
                  .write.format("noop").mode("overwrite").save())
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                if best is None or dt < best:
+                    best, best_run = dt, run_i
             spark.sparkContext.setJobDescription(None)
-            results.setdefault(name, {})[scale] = {"sec": round(best, 2)}
+            results.setdefault(name, {})[scale] = {"sec": round(best, 2),
+                                                   "best_run": best_run}
             print(f"{name} {scale}: {best:.2f}s", file=sys.stderr)
         os.environ.pop("SPARK_GRAFT_DEDUP_PARTITIONS", None)
 
@@ -214,14 +220,15 @@ def main() -> None:
     shutil.rmtree(_warm_root, ignore_errors=True)
     for scale, rows in (("x1", FB_ROWS), (f"x{args.mult}",
                                           FB_ROWS * args.mult)):
-        spark.sparkContext.setJobDescription(f"probe:stream_upsert:{scale}")
+        spark.sparkContext.setJobDescription(f"probe:stream_upsert:{scale}:r0")
         root = tempfile.mkdtemp(prefix="probe_fb_")
         t0 = time.perf_counter()
         run_upsert_stream(spark, root, rows=rows,
                           per_batch=max(FB_PER_BATCH, rows // 2))
         dt = time.perf_counter() - t0
         spark.sparkContext.setJobDescription(None)
-        results.setdefault("stream_upsert", {})[scale] = {"sec": round(dt, 2)}
+        results.setdefault("stream_upsert", {})[scale] = {"sec": round(dt, 2),
+                                                          "best_run": 0}
         print(f"stream_upsert {scale}: {dt:.2f}s", file=sys.stderr)
         shutil.rmtree(root, ignore_errors=True)
 
@@ -229,8 +236,14 @@ def main() -> None:
     time.sleep(2)  # let the event log flush
     metrics = parse_eventlog(ev_dir)
     for desc, m in metrics.items():
-        _, name, scale = desc.split(":")
+        parts = desc.split(":")
+        if len(parts) != 4:
+            continue
+        _, name, scale, run_tag = parts
         if name in results and scale in results[name]:
+            # keep only the metrics of the best (min-time) run
+            if run_tag != f"r{results[name][scale].get('best_run', 0)}":
+                continue
             results[name][scale].update(
                 {k: round(v / 2**30, 3) if k != "task_time_s" else round(v, 1)
                  for k, v in m.items()})

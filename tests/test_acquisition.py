@@ -96,3 +96,28 @@ def test_acquisition_chains_into_streaming_ingest(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1
     assert rows[0].city == "宜蘭縣"  # code 'g' at char 7 of 101S4_g_...
+
+
+def test_publish_ignores_stray_dirs_and_asserts_count(tmp_path):
+    """A crash-leftover '*._extracting' dir or hidden dir must not shift
+    the positional season pairing; a genuine count mismatch raises
+    instead of silently mis-pairing."""
+    dl = tmp_path / "dl"
+    dl.mkdir()
+    _make_zip(dl / "s1.zip", {"g_lvr_land_a.csv": [ROW_G]})
+    _make_zip(dl / "s2.zip", {"a_lvr_land_a.csv": [ROW_A]})
+    wait_for_downloads(str(dl), poll_seconds=0.01, max_polls=1)
+    # stray in-progress + hidden dirs that sort before/after the real ones
+    (dl / "a000._extracting").mkdir()
+    (dl / ".hidden").mkdir()
+
+    landing = tmp_path / "landing"
+    published = publish_to_landing(str(dl), ["101S4", "102S1"], str(landing))
+    assert sorted(published) == ["101S4_a_lvr_land_a.csv",
+                                 "102S1_g_lvr_land_a.csv"]
+
+    # an unrelated completed dir breaks the 1:1 pairing -> explicit error
+    (dl / "zzzz").mkdir()
+    with pytest.raises(FileNotFoundError):
+        publish_to_landing(str(dl), ["101S4", "102S1"],
+                           str(tmp_path / "landing2"))
