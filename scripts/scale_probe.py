@@ -187,9 +187,10 @@ def main() -> None:
         pass
 
     results: dict[str, dict] = {}
+    # corpus-scale aggregation width now auto-sizes to the document
+    # count (dedup.corpus_partitions) — no env forcing; set
+    # SPARK_GRAFT_DEDUP_PARTITIONS manually to A/B the knob.
     for scale, sf_dir in (("x1", args.src), (f"x{args.mult}", big_dir)):
-        if scale != "x1":
-            os.environ["SPARK_GRAFT_DEDUP_PARTITIONS"] = "32"
         for name in names:
             # Run index in the job description so each repetition's
             # event-log metrics are keyed separately — only the best
@@ -209,7 +210,6 @@ def main() -> None:
             results.setdefault(name, {})[scale] = {"sec": round(best, 2),
                                                    "best_run": best_run}
             print(f"{name} {scale}: {best:.2f}s", file=sys.stderr)
-        os.environ.pop("SPARK_GRAFT_DEDUP_PARTITIONS", None)
 
     # streaming-state family: the synthetic-source upsert, rows scaled
     from house_price_etl_pipeline_spark.streaming.foreach import (

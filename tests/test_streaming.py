@@ -579,3 +579,67 @@ def test_growing_band_index_catches_cross_batch_duplicates(spark, tmp_path):
     d2 = {r.doc_id: (r.is_dup, r.matched_doc)
           for r in read_decisions(spark, index_dir).collect()}
     assert d2 == d
+
+
+def test_upsert_concurrent_writers_cas_retry(spark, tmp_path):
+    """Optimistic-concurrency on the versioned upsert sink (VERDICT r4
+    item 2): writer A stages its merge, then writer B commits first via
+    the race hook; A's CAS loses, it discards the stale merge, retries
+    against B's snapshot, and the final state equals SERIAL application
+    of both batches. Exactly-once replay stays green afterwards."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    a_batch = frame([(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+                     (2, "2024-01-01 10:05:00", 2, "view", 2.0, "{}")])
+    b_batch = frame([(3, "2024-01-01 11:00:00", 1, "purchase", 9.0, "{}"),
+                     (4, "2024-01-01 11:05:00", 3, "cart", 3.0, "{}")])
+    target = str(tmp_path / "cas_target")
+
+    hook_calls = []
+
+    def interleave_b(attempt):
+        # fires between A's stage and A's CAS attempt — on the FIRST
+        # attempt only, writer B sneaks in a full commit
+        hook_calls.append(attempt)
+        if attempt == 0:
+            r = upsert_commit_batch(b_batch, target, 100,
+                                    key_cols=["user_id"], order_col="ts",
+                                    keep_versions=4, writer="wB")
+            assert r == "applied"
+
+    result = upsert_commit_batch(a_batch, target, 200,
+                                 key_cols=["user_id"], order_col="ts",
+                                 keep_versions=4, writer="wA",
+                                 _race_hook=interleave_b)
+    assert result == "applied-after-retry"
+    assert hook_calls == [0, 1]  # exactly one lost race, one won retry
+
+    # final state == serial application: B wrote first (seq 0), A second
+    rows = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    assert set(rows) == {1, 2, 3}
+    # user 1: A's 10:00 click vs B's 11:00 purchase — keep-latest by ts
+    assert rows[1].event_type == "purchase"
+    assert rows[2].event_type == "view" and rows[3].event_type == "cart"
+
+    commits = read_commit_journal(_commits_dir(target + "_versions"))
+    assert [c["seq"] for c in commits] == [0, 1]
+    assert [c["writer"] for c in commits] == ["wB", "wA"]
+
+    # replayed ids from either writer are exactly-once no-ops
+    assert upsert_commit_batch(a_batch, target, 200, key_cols=["user_id"],
+                               order_col="ts", writer="wA") == "replayed"
+    assert upsert_commit_batch(b_batch, target, 100, key_cols=["user_id"],
+                               order_col="ts", writer="wB") == "replayed"
+    rows2 = {r.user_id: r.event_type
+             for r in spark.read.parquet(target).collect()}
+    assert rows2 == {k: v.event_type for k, v in rows.items()}
