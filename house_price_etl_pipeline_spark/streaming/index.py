@@ -42,6 +42,27 @@ def _bands_glob(index_dir: str) -> str:
     return os.path.join(index_dir, BANDS_SUBDIR, "batch-*")
 
 
+def _recover_compaction(index_dir: str) -> None:
+    """Finish an interrupted compact_band_index swap: if the live
+    ``bands`` dir is missing but a fully-written staged compaction
+    exists, promote the newest stage; always GC retired ``bands_old_*``
+    leftovers. Idempotent, called from every read/maintenance entry."""
+    import glob as _glob
+    import shutil
+
+    bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+    stages = sorted(_glob.glob(os.path.join(index_dir, "bands_compact_*")),
+                    key=os.path.getmtime)
+    if not os.path.isdir(bands_root) and stages:
+        os.rename(stages[-1], bands_root)
+        stages = stages[:-1]
+    if os.path.isdir(bands_root):
+        for leftover in stages:
+            shutil.rmtree(leftover, ignore_errors=True)
+    for old in _glob.glob(os.path.join(index_dir, "bands_old_*")):
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def build_band_index(spark: SparkSession, docs: DataFrame,
                      index_dir: str) -> None:
     """Seed the index from an existing corpus (batch): per-row band keys
@@ -55,6 +76,7 @@ def build_band_index(spark: SparkSession, docs: DataFrame,
 
 
 def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    _recover_compaction(index_dir)
     return spark.read.parquet(_bands_glob(index_dir))
 
 
@@ -85,6 +107,7 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
         # checkpoint replays it) rather than silently running the probe
         # with idx=None and permanently admitting duplicates.
         import glob as _glob
+        _recover_compaction(index_dir)
         bands_root = os.path.join(index_dir, BANDS_SUBDIR)
         seeded = os.path.isdir(bands_root) and any(
             _glob.glob(os.path.join(bands_root, "batch-*")))
@@ -135,3 +158,68 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def compact_band_index(spark: SparkSession, index_dir: str,
+                       drop_docs: DataFrame | None = None,
+                       max_age_batches: int | None = None,
+                       max_records_per_file: int = 2_000_000) -> dict:
+    """Index maintenance (VERDICT r4 item 4): merge the accumulated
+    per-batch band appends into ONE sized layout and drop stale
+    entries, so probe cost stays proportional to the LIVE corpus rather
+    than to ingest history.
+
+    - ``drop_docs``: (doc_id) relation of deleted/purged documents whose
+      bands must stop vetoing new arrivals (GDPR purge, corpus refresh).
+      Anti-join — one shuffle on doc_id.
+    - ``max_age_batches``: keep only bands appended by the newest N
+      batch directories (TTL by ingest age — a sliding-recency dedup
+      policy); ``None`` keeps all ages.
+
+    The rewrite publishes crash-safely: compacted output is staged to
+    ``bands_compact_<nonce>``, then swapped in by renaming the live
+    ``bands`` dir away and the staged dir into place; a crash between
+    the two renames is recovered by the next reader/compaction finding
+    ``bands`` missing and promoting the newest staged dir. Batch
+    subdirectory naming restarts at ``batch-seed`` so replayed ingest
+    batch ids never collide with compacted history (their overwrite
+    semantics are preserved: a replayed pre-compaction batch id rewrites
+    its subdir, and its accepted docs are already in the seed — the
+    probe's self-match filter makes that a no-op, same as today).
+
+    At 100 TB the same operation is the table format's OPTIMIZE +
+    DELETE on the bucketed band table; file counts per maintenance
+    window stay O(corpus/bucket_size) instead of O(batches)."""
+    import glob as _glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ module)
+
+    _recover_compaction(index_dir)
+    bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+    batch_dirs = sorted(_glob.glob(os.path.join(bands_root, "batch-*")),
+                        key=os.path.getmtime)
+    if not batch_dirs:
+        return {"batches_in": 0, "rows_out": 0}
+    kept_dirs = batch_dirs if max_age_batches is None \
+        else batch_dirs[-max_age_batches:]
+    idx = spark.read.parquet(*kept_dirs)
+    if drop_docs is not None:
+        idx = idx.join(drop_docs.select("doc_id"), "doc_id", "left_anti")
+    # one sized, bucket-sorted layout: sort by the probe key so row
+    # groups are prunable on (band_id, band_hash) point lookups
+    compacted = idx.repartition("band_id").sortWithinPartitions(
+        "band_id", "band_hash")
+    stage = os.path.join(index_dir,
+                         f"bands_compact_{uuid.uuid4().hex[:8]}")
+    (compacted.write.mode("overwrite")
+     .option("maxRecordsPerFile", str(max_records_per_file))
+     .parquet(os.path.join(stage, "batch-seed")))
+    rows_out = spark.read.parquet(os.path.join(stage, "batch-seed")).count()
+    old = os.path.join(index_dir, f"bands_old_{uuid.uuid4().hex[:8]}")
+    os.rename(bands_root, old)
+    os.rename(stage, bands_root)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"batches_in": len(batch_dirs), "batches_kept": len(kept_dirs),
+            "rows_out": rows_out}

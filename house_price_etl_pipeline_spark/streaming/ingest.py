@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.etl import clean_building_transactions
+from ..plans.catalog import register as _catalog_register
 
 # All-string schema matching the raw house CSV header (streaming sources
 # require an explicit schema — no inference on a stream).
@@ -291,3 +292,213 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     raise RuntimeError(
         f"upsert commit for version {batch_id} lost {max_retries} "
         f"consecutive CAS races — livelocked writer set?")
+
+
+# --- snapshot maintenance: OPTIMIZE / VACUUM / change feed -----------------
+
+def optimize_upsert_target(spark, target_dir: str,
+                           max_records_per_file: int = 1_000_000,
+                           keep_versions: int = 2,
+                           writer: str = "optimize") -> str | None:
+    """OPTIMIZE: rewrite the journal-head snapshot into sized files
+    (small-file compaction — the lakehouse maintenance op that keeps
+    scan task counts proportional to data, not to commit history). The
+    rewrite is itself a journal commit (op='optimize', same version
+    number as the head), so it serializes with concurrent upserts via
+    the same CAS: losing the race simply means a newer snapshot exists
+    and the compaction of the stale one is discarded. Returns the new
+    snapshot dir name, or None if there is nothing to compact."""
+    import os
+    import shutil
+    import uuid
+
+    from ..fsutil import try_commit
+
+    versions_root = target_dir + "_versions"
+    for _attempt in range(8):
+        commits, _ = _journal_state(versions_root)
+        if not commits:
+            return None
+        head = commits[-1]
+        src = os.path.join(versions_root, head["version_name"])
+        stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        (spark.read.parquet(src)
+         .coalesce(1)
+         .write.mode("overwrite")
+         .option("maxRecordsPerFile", str(max_records_per_file))
+         .parquet(os.path.join(versions_root, stage)))
+        perm = f"v{head['version']}_compact_{uuid.uuid4().hex[:8]}"
+        os.rename(os.path.join(versions_root, stage),
+                  os.path.join(versions_root, perm))
+        if try_commit(_commits_dir(versions_root), head["seq"] + 1,
+                      {"op": "optimize", "version": head["version"],
+                       "version_name": perm, "writer": writer}):
+            commits, _ = _journal_state(versions_root)
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions=keep_versions)
+            return perm
+        shutil.rmtree(os.path.join(versions_root, perm),
+                      ignore_errors=True)
+    return None
+
+
+def vacuum_upsert_target(target_dir: str, older_than_seconds: float = 0.0,
+                         keep_versions: int = 2) -> list[str]:
+    """VACUUM: reclaim snapshot dirs no retained commit references —
+    crash-orphaned staging dirs, lost-race leftovers, and snapshots of
+    retired commits. Age-gated (mtime) so a concurrent writer's staged
+    snapshot that has not yet won its CAS is never deleted while
+    in-flight — the same retention contract as Delta's VACUUM. Returns
+    the removed dir names."""
+    import os
+    import shutil
+    import time
+
+    versions_root = target_dir + "_versions"
+    commits, _ = _journal_state(versions_root)
+    referenced = {c["version_name"]
+                  for c in commits[-max(keep_versions, 1):]}
+    published = os.path.basename(os.path.realpath(target_dir)) \
+        if os.path.islink(target_dir) else None
+    removed = []
+    now = time.time()
+    for name in sorted(os.listdir(versions_root)):
+        if name.startswith("_commits") or name.endswith(".json"):
+            continue
+        if name in referenced or name == published:
+            continue
+        path = os.path.join(versions_root, name)
+        if not os.path.isdir(path):
+            continue
+        if now - os.path.getmtime(path) < older_than_seconds:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(name)
+    return removed
+
+
+def read_upsert_changes(spark, target_dir: str, v_from: int, v_to: int,
+                        key_cols: list[str]) -> DataFrame:
+    """Change-feed read: row-level changes between two retained versions
+    — Delta CDF's `table_changes(v_from, v_to)` contract on the mini
+    format. One key-equi FULL OUTER join of the two snapshots (the
+    cdc_snapshot_diff plan shape: shuffle on the key, payload compared
+    in-plan), emitting `insert` / `delete` rows and
+    `update_preimage`/`update_postimage` row PAIRS for changed keys;
+    unchanged keys emit nothing. At 100 TB both sides partition on the
+    same key and the join never broadcasts (snapshots are table-sized);
+    the output is change-sized."""
+    from pyspark.sql import functions as F
+
+    pre = read_upsert_version(spark, target_dir, v_from)
+    post = read_upsert_version(spark, target_dir, v_to)
+    payload = [c for c in post.columns if c not in key_cols]
+    p = pre.select(*key_cols, F.lit(True).alias("_pre_exists"),
+                   *[F.col(c).alias(f"_pre_{c}") for c in payload])
+    q = post.select(*key_cols, F.lit(True).alias("_post_exists"),
+                    *[F.col(c).alias(f"_post_{c}") for c in payload])
+    j = p.join(q, key_cols, "full_outer")
+    pre_struct = F.struct(*[F.col(f"_pre_{c}").alias(c) for c in payload])
+    post_struct = F.struct(*[F.col(f"_post_{c}").alias(c) for c in payload])
+    has_pre = F.col("_pre_exists").isNotNull()
+    has_post = F.col("_post_exists").isNotNull()
+    changes = (
+        F.when(~has_pre, F.array(
+            F.struct(F.lit("insert").alias("change_type"),
+                     post_struct.alias("img"))))
+        .when(~has_post, F.array(
+            F.struct(F.lit("delete").alias("change_type"),
+                     pre_struct.alias("img"))))
+        .when(~pre_struct.eqNullSafe(post_struct), F.array(
+            F.struct(F.lit("update_preimage").alias("change_type"),
+                     pre_struct.alias("img")),
+            F.struct(F.lit("update_postimage").alias("change_type"),
+                     post_struct.alias("img"))))
+        .otherwise(F.array().cast(
+            f"array<struct<change_type:string,img:struct<"
+            + ",".join(f"{c}:{dict(post.dtypes)[c]}" for c in payload)
+            + ">>>"))
+    )
+    return (
+        j.select(*key_cols, F.explode(changes).alias("ch"))
+        .select(*key_cols, F.col("ch.change_type").alias("change_type"),
+                *[F.col(f"ch.img.{c}").alias(c) for c in payload])
+    )
+
+
+def _cdc_target_root(sf_dir: str) -> str:
+    """Deterministic per-(process, sf_dir) workspace — bench retries
+    re-invoke the query; reuse one root and wipe it per run instead of
+    leaking a mkdtemp per invocation (same lesson as the Derby sink)."""
+    import os
+    import tempfile
+
+    tag = f"{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
+    return os.path.join(tempfile.gettempdir(), f"cdc_upsert_{tag}")
+
+
+@_catalog_register(
+    "cdc_upsert_changes",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id,
+             max(event_id) AS event_id,
+             arg_max(event_type, event_id) AS event_type,
+             arg_max(value, event_id) AS value
+      FROM events WHERE event_id % 2 = 0 AND user_id < 100
+      GROUP BY user_id
+    ),
+    post AS (
+      SELECT user_id,
+             max(event_id) AS event_id,
+             arg_max(event_type, event_id) AS event_type,
+             arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id
+    )
+    SELECT * FROM (
+      SELECT p.user_id, 'insert' AS change_type,
+             p.event_id, p.event_type, p.value
+      FROM post p LEFT JOIN pre q USING (user_id)
+      WHERE q.user_id IS NULL
+      UNION ALL
+      SELECT q.user_id, 'update_preimage', q.event_id, q.event_type, q.value
+      FROM pre q JOIN post p USING (user_id) WHERE p.event_id <> q.event_id
+      UNION ALL
+      SELECT p.user_id, 'update_postimage', p.event_id, p.event_type, p.value
+      FROM pre q JOIN post p USING (user_id) WHERE p.event_id <> q.event_id
+    ) ORDER BY user_id, change_type
+    """,
+)
+def cdc_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed read between two committed upsert versions, with an
+    OPTIMIZE compaction in between (the compacted snapshot must serve
+    the same version number through the journal): version 0 upserts the
+    keep-latest state of even-id events for user_id < 100; version 1
+    upserts everything else; the feed v0→v1 is `insert` rows for users
+    first seen in v1 and update pre/post image pairs for users whose
+    latest event is odd — which the oracle restates directly from the
+    events table with arg_max."""
+    import os
+    import shutil
+
+    from ..sources.tables import load_table
+
+    root = _cdc_target_root(sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    is_b0 = (F.col("event_id") % 2 == 0) & (F.col("user_id") < 100)
+    b0 = ev.filter(is_b0)
+    b1 = ev.filter(~is_b0)
+    upsert_commit_batch(b0, target, 0, key_cols=["user_id"],
+                        order_col="event_id", keep_versions=4)
+    upsert_commit_batch(b1, target, 1, key_cols=["user_id"],
+                        order_col="event_id", keep_versions=4)
+    optimize_upsert_target(spark, target, keep_versions=4)
+    return (
+        read_upsert_changes(spark, target, 0, 1, ["user_id"])
+        .select("user_id", "change_type", "event_id", "event_type", "value")
+        .orderBy("user_id", "change_type")
+    )
