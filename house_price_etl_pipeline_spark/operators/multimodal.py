@@ -608,26 +608,204 @@ def mm_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TFRecord container framing (the training-data file format) ------------
 
+_CRC32C_POLY = 0x82F63B78  # Castagnoli, reflected
 _CRC32C_TABLE = None
+_CRC32C_NP_TABLE = None
+
+# Native wheel when present (VERDICT r4 item 5): ~1 GB/s/core vs the
+# pure-Python loop's ~1 MB/s. Neither ships in this container — the
+# numpy chunk+combine path below is the tested fallback tier.
+try:  # pypi `crc32c`
+    from crc32c import crc32c as _native_crc32c  # type: ignore
+except ImportError:
+    try:  # `google-crc32c`
+        import google_crc32c as _g_crc32c  # type: ignore
+
+        def _native_crc32c(data: bytes) -> int:  # type: ignore
+            return _g_crc32c.value(data)
+    except ImportError:
+        _native_crc32c = None
 
 
-def _crc32c(data: bytes) -> int:
-    """CRC-32C (Castagnoli, the TFRecord checksum) — table-driven pure
-    Python; table built once per process."""
+def _crc32c_table():
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
-        poly = 0x82F63B78
         table = []
         for i in range(256):
             c = i
             for _ in range(8):
-                c = (c >> 1) ^ poly if c & 1 else c >> 1
+                c = (c >> 1) ^ _CRC32C_POLY if c & 1 else c >> 1
             table.append(c)
         _CRC32C_TABLE = table
+    return _CRC32C_TABLE
+
+
+def _crc32c_scalar(data: bytes) -> int:
+    """Byte-at-a-time table loop — the last-resort tier and the tail
+    processor for the vectorized path."""
+    t = _crc32c_table()
     crc = 0xFFFFFFFF
     for b in data:
-        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+        crc = t[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+def _gf2_matrix_times(mat: list[int], vec: int) -> int:
+    s, i = 0, 0
+    while vec:
+        if vec & 1:
+            s ^= mat[i]
+        vec >>= 1
+        i += 1
+    return s
+
+
+def _gf2_matrix_square(mat: list[int]) -> list[int]:
+    return [_gf2_matrix_times(mat, mat[n]) for n in range(32)]
+
+
+def _crc32c_combine(crc1: int, crc2: int, len2: int) -> int:
+    """crc(A || B) from crc(A), crc(B), len(B) — zlib's crc32_combine
+    GF(2) matrix algorithm (public domain) with the Castagnoli
+    polynomial. O(log len2) 32x32 bit-matrix squarings."""
+    if len2 == 0:
+        return crc1
+    # operator for one zero BIT (reflected polynomial)
+    odd = [0] * 32
+    odd[0] = _CRC32C_POLY
+    row = 1
+    for n in range(1, 32):
+        odd[n] = row
+        row <<= 1
+    even = _gf2_matrix_square(odd)   # two bits
+    odd = _gf2_matrix_square(even)   # four bits
+    # apply len2 zero BYTES: len2 *= 8 bits, squaring alternately
+    while True:
+        even = _gf2_matrix_square(odd)
+        if len2 & 1:
+            crc1 = _gf2_matrix_times(even, crc1)
+        len2 >>= 1
+        if not len2:
+            break
+        odd = _gf2_matrix_square(even)
+        if len2 & 1:
+            crc1 = _gf2_matrix_times(odd, crc1)
+        len2 >>= 1
+        if not len2:
+            break
+    return crc1 ^ crc2
+
+
+_ZEROS_OP_CACHE: dict[int, object] = {}
+
+
+def _zeros_operator(len_bytes: int):
+    """32x32 GF(2) operator (as 32 uint32 rows, numpy) advancing a CRC
+    register across ``len_bytes`` zero bytes. Cached — the tree fold
+    only ever asks for chunk_len * 2^level, so a handful of lengths."""
+    import numpy as np
+
+    op = _ZEROS_OP_CACHE.get(len_bytes)
+    if op is None:
+        odd = [0] * 32
+        odd[0] = _CRC32C_POLY
+        row = 1
+        for n in range(1, 32):
+            odd[n] = row
+            row <<= 1
+        even = _gf2_matrix_square(odd)   # 2 bits
+        mat = _gf2_matrix_square(even)   # 4 bits
+        len2 = len_bytes
+        cur = None
+        while len2:
+            mat = _gf2_matrix_square(mat)  # 8, 16, 32... bits (1 byte up)
+            if len2 & 1:
+                cur = mat if cur is None else [
+                    _gf2_matrix_times(mat, cur[n]) for n in range(32)]
+            len2 >>= 1
+        op = np.array(cur, dtype=np.uint32)
+        _ZEROS_OP_CACHE[len_bytes] = op
+    return op
+
+
+def _gf2_times_vec(op, vecs):
+    """Apply a GF(2) operator to MANY crc registers at once: 32 masked
+    XOR passes instead of a Python loop per register."""
+    import numpy as np
+
+    acc = np.zeros_like(vecs)
+    for i in range(32):
+        mask = np.uint32(0) - ((vecs >> np.uint32(i)) & np.uint32(1))
+        acc ^= mask & op[i]
+    return acc
+
+
+_CRC_CHUNK = 64  # lockstep width: 64 table iterations regardless of size
+
+
+def _crc32c_numpy(data: bytes) -> int:
+    """Vectorized CRC-32C for large payloads (VERDICT r4 item 5): split
+    into K fixed-size chunks, run the byte-table recurrence over all K
+    chunk registers IN LOCKSTEP (64 iterations of width-K numpy gathers
+    instead of n Python iterations), then tree-fold the K chunk CRCs
+    with cached GF(2) zero-advance operators — log2(K) vectorized
+    levels, each 32 masked-XOR passes. The last (odd) pair per level is
+    patched scalar. Measured ~60x over the byte loop on MB-scale
+    payloads (SCALE.md §CRC-32C)."""
+    import numpy as np
+
+    global _CRC32C_NP_TABLE
+    if _CRC32C_NP_TABLE is None:
+        _CRC32C_NP_TABLE = np.array(_crc32c_table(), dtype=np.uint32)
+    n = len(data)
+    s = _CRC_CHUNK
+    k = n // s
+    if k < 2:
+        return _crc32c_scalar(data)
+    t = _CRC32C_NP_TABLE
+    # transpose once so each lockstep step reads a CONTIGUOUS column
+    arr = np.ascontiguousarray(
+        np.frombuffer(data, dtype=np.uint8, count=k * s).reshape(k, s).T)
+    crc = np.full(k, 0xFFFFFFFF, dtype=np.uint32)
+    for i in range(s):
+        crc = t[(crc ^ arr[i]) & np.uint32(0xFF)] ^ (crc >> np.uint32(8))
+    crc ^= np.uint32(0xFFFFFFFF)  # finalized per-chunk CRCs
+    lens = np.full(k, s, dtype=np.int64)
+    while crc.shape[0] > 1:
+        if crc.shape[0] % 2:  # sentinel pad: len 0 == identity combine
+            crc = np.append(crc, np.uint32(0))
+            lens = np.append(lens, 0)
+        c1, c2 = crc[0::2], crc[1::2]
+        l1, l2 = lens[0::2], lens[1::2]
+        common = int(l2[0])  # all rights equal except possibly the tail
+        op = _zeros_operator(common)
+        folded = _gf2_times_vec(op, c1) ^ c2
+        std = l2 == common
+        out = np.where(std, folded, c1)
+        # stragglers (sentinel or short tail): at most the last pair
+        for j in np.nonzero(~std)[0]:
+            lj = int(l2[j])
+            out[j] = c1[j] if lj == 0 else np.uint32(
+                _gf2_times_vec(_zeros_operator(lj),
+                               c1[j:j + 1])[0] ^ c2[j])
+        crc = out
+        lens = l1 + l2
+    out_crc = int(crc[0])
+    tail = data[k * s:]
+    if tail:
+        out_crc = _crc32c_combine(out_crc, _crc32c_scalar(tail), len(tail))
+    return out_crc
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, the TFRecord checksum). Tiered: native wheel
+    when importable, numpy chunk+combine for large payloads, table loop
+    for small ones — same check values on every tier (pinned test)."""
+    if _native_crc32c is not None:
+        return _native_crc32c(data)
+    if len(data) >= 1 << 12:
+        return _crc32c_numpy(data)
+    return _crc32c_scalar(data)
 
 
 def _masked_crc(data: bytes) -> int:

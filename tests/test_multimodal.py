@@ -242,3 +242,29 @@ def test_protobuf_schema_evolution_roundtrip():
     old_blob = V1(doc_id=8, lang="de").SerializeToString()
     new_view = V2.FromString(old_blob)
     assert (new_view.doc_id, new_view.lang, new_view.quality) == (8, "de", 0)
+
+
+def test_crc32c_vectorized_tier_matches_table_loop():
+    """The numpy chunk+combine tier (VERDICT r4 item 5) must produce
+    bit-identical CRCs to the byte-table loop across chunk-boundary
+    edge cases (empty tail, exact multiple, odd chunk counts, short
+    tail) and the masked-CRC derivation must agree through whichever
+    tier _crc32c dispatches to."""
+    import random
+
+    from house_price_etl_pipeline_spark.operators.multimodal import (
+        _CRC_CHUNK, _crc32c, _crc32c_numpy, _crc32c_scalar, _masked_crc)
+
+    rng = random.Random(20260814)
+    lengths = [0, 1, _CRC_CHUNK - 1, _CRC_CHUNK, _CRC_CHUNK + 1,
+               2 * _CRC_CHUNK, 3 * _CRC_CHUNK + 7, 4096, 65537, 300001]
+    for ln in lengths:
+        data = rng.randbytes(ln)
+        want = _crc32c_scalar(data)
+        assert _crc32c_numpy(data) == want, ln
+        assert _crc32c(data) == want, ln
+    # masked-CRC pinned value stays stable across tiers
+    big = rng.randbytes(1 << 16)
+    assert _masked_crc(big) == ((((_crc32c_scalar(big) >> 15)
+                                  | (_crc32c_scalar(big) << 17))
+                                 + 0xA282EAD8) & 0xFFFFFFFF)
