@@ -115,53 +115,93 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+# Conservative serialized-row estimate for the node-sized relations
+# below: (long node, double rank/long deg) + UnsafeRow/broadcast-map
+# overhead. Used only to GUARD the broadcast hint, so overestimating is
+# the safe direction.
+_PR_BYTES_PER_NODE = 64
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as bytes (handles the bare
+    number and the k/m/g-suffixed forms; -1 disables broadcasting)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[:-len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw)) * mult
+    except ValueError:
+        return 10 << 20
+
+
 def _pagerank_rounds(spark: SparkSession, sf_dir: str,
-                     edges: DataFrame) -> DataFrame:
+                     edges: DataFrame,
+                     _first_round_plan: bool = False) -> DataFrame:
     # checkpointed inputs: edges once (passed in), out-degrees once
     # (reused every round — recomputing the groupBy per round is pure
     # waste), node set once. After localCheckpoint Catalyst loses size
     # stats (LogicalRDD defaults to "huge"), so every node-sized join
     # below carries an EXPLICIT broadcast hint — without them each round
     # silently planned sort-merge shuffles of thousands-row relations
-    # (measured ~2x).
+    # (measured ~2x). The hint is GUARDED on the node count (VERDICT r4
+    # item 6: unconditional broadcast of ranks OOMs the driver at
+    # web-graph scale): above the session's autoBroadcastJoinThreshold
+    # the joins fall back to shuffle joins — correct, since at that
+    # cardinality the node relations are data, not dimensions.
     nodes = (load_table(spark, sf_dir, "supplier")
              .select(F.col("s_suppkey").alias("node")).distinct()
              .localCheckpoint())
     n_nodes = nodes.count()  # driver scalar: one distributed count
     outdeg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
               .localCheckpoint())
+    may_broadcast = (n_nodes * _PR_BYTES_PER_NODE
+                     <= _broadcast_threshold_bytes(spark))
+
+    def node_sized(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if may_broadcast else df
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(PR_ITERS):
         r = ranks.alias("r")
         # per round: ONE shuffle (contributions summed by destination);
-        # rank and degree sides ride in as broadcasts
+        # rank and degree sides ride in as broadcasts when node-sized
         contribs = (
-            edges.join(F.broadcast(r), F.col("src") == F.col("r.node"))
-            .join(F.broadcast(outdeg), "src")
+            edges.join(node_sized(r), F.col("src") == F.col("r.node"))
+            .join(node_sized(outdeg), "src")
             .select(F.col("dst").alias("node"),
                     (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node").agg(F.sum("c").alias("in_mass"))
         )
         # dangling = rank mass sitting on nodes without out-edges
         dangling = (
-            ranks.join(F.broadcast(outdeg), ranks.node == outdeg.src,
+            ranks.join(node_sized(outdeg), ranks.node == outdeg.src,
                        "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
-            nodes.join(F.broadcast(contribs), "node", "left")
-            .crossJoin(F.broadcast(dangling))
+            nodes.join(node_sized(contribs), "node", "left")
+            .crossJoin(F.broadcast(dangling))  # always 1 row: safe
             .select(
                 "node",
                 (F.lit((1.0 - PR_DAMPING) / n_nodes)
                  + PR_DAMPING * (F.coalesce(F.col("in_mass"), F.lit(0.0))
                                  + F.col("dm") / n_nodes)).alias("rank"))
-            # one materialization per round: `ranks` feeds BOTH next
-            # round's contribution join and the dangling aggregate, so
-            # uncheckpointed lineage doubles per round (2^k recompute)
-            .localCheckpoint()
         )
+        if _first_round_plan:
+            # plan-inspection seam (tests): the per-round joins are
+            # otherwise hidden behind the localCheckpoint below
+            return ranks
+        # one materialization per round: `ranks` feeds BOTH next
+        # round's contribution join and the dangling aggregate, so
+        # uncheckpointed lineage doubles per round (2^k recompute)
+        ranks = ranks.localCheckpoint()
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy("node")

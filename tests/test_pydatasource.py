@@ -252,12 +252,25 @@ def test_python_source_filter_pushdown(spark):
             .orderBy("event_id").collect()]
     assert got == want and len(got) > 0
 
-    # reuse-safety: with pushdown OFF (the default), a DataFrame reused
-    # across differently-filtered queries stays exactly correct — Spark
-    # memoizes the planned scan per load(), which is why pushdown is
-    # opt-in (see SyntheticEventsReader.pushFilters docstring)
+    # default-on leak safety (VERDICT r4 item 9): the library contract
+    # is a FRESH load() per query — under it, pushdown (now default on)
+    # never leaks one query's pushed range into another
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        read_synthetic_events)
+
+    assert read_synthetic_events(spark, rows=1000, partitions=2) \
+        .filter("event_id >= 300").count() == 700
+    assert read_synthetic_events(spark, rows=1000, partitions=2) \
+        .count() == 1000
+    assert read_synthetic_events(spark, rows=1000, partitions=2) \
+        .filter("event_id < 10").count() == 10
+
+    # reuse-safety escape hatch: pushdown OFF keeps a HELD DataFrame
+    # exactly correct across differently-filtered queries (Spark
+    # memoizes the planned scan per load(); see pushFilters docstring)
     ev = (spark.read.format("synthetic_events")
-          .option("rows", "1000").option("partitions", "2").load())
+          .option("rows", "1000").option("partitions", "2")
+          .option("pushdown", "false").load())
     assert ev.filter("event_id >= 300").count() == 700
     assert ev.count() == 1000
     assert ev.filter("event_id < 10").count() == 10
