@@ -268,3 +268,43 @@ def test_crc32c_vectorized_tier_matches_table_loop():
     assert _masked_crc(big) == ((((_crc32c_scalar(big) >> 15)
                                   | (_crc32c_scalar(big) << 17))
                                  + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def test_png_roundtrip_and_corruption_detection():
+    """PNG codec (VERDICT r4 item 7): encode cycles all five filter
+    types; decode un-filters to the exact generator pixels. A flipped
+    IDAT byte fails the chunk CRC; a bad filter-type byte (with the CRC
+    recomputed to sneak past) fails filter validation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from house_price_etl_pipeline_spark.operators.multimodal import (
+        _bmp_dims, _encode_png, _parse_png, _png_chunk, _PNG_SIG)
+
+    data = bytes(range(256)) * 3 + b"tail"
+    blob = _encode_png(data)
+    w, h = _bmp_dims(len(data))
+    assert h >= 5  # all five filter types exercised
+    got_w, got_h, pix = _parse_png(blob)
+    assert (got_w, got_h) == (w, h)
+    want = np.frombuffer(data, dtype=np.uint8)[
+        np.arange(w * h * 3) % len(data)]
+    assert np.array_equal(pix, want)
+
+    # flipped IDAT byte -> CRC mismatch raises
+    corrupted = bytearray(blob)
+    corrupted[len(_PNG_SIG) + 25 + 20] ^= 0xFF  # inside IDAT body
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        _parse_png(bytes(corrupted))
+
+    # bad FILTER byte with a recomputed (valid) CRC -> filter validation
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    bad_rows = bytes([7]) + bytes(6)  # filter type 7 does not exist
+    evil = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bad_rows))
+            + _png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="unknown filter type"):
+        _parse_png(evil)
