@@ -199,9 +199,17 @@ def _parse_wav(blob: bytes) -> tuple[int, "np.ndarray"]:
 
 def wrap_media(media: DataFrame, codec: str) -> DataFrame:
     """Encode each payload into a real media container (mapInPandas —
-    same Arrow-batched 1→1 flow a production transcoder rides)."""
+    same Arrow-batched 1→1 flow a production transcoder rides).
+
+    Repartitioned first: the documents table is one parquet split
+    locally, and a CPU-bound Python kernel chained on the scan would
+    run on ≤2 cores (same lesson as the pre-explode repartition in
+    dedup) — the downstream decode kernel rides the same partitioning
+    with no extra shuffle."""
     enc = {"bmp": _encode_bmp, "wav": _encode_wav,
            "png": _encode_png}[codec]
+    par = media.sparkSession.sparkContext.defaultParallelism
+    media = media.repartition(par, "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -349,37 +357,33 @@ def _encode_png(data: bytes) -> bytes:
 
     n = len(data)
     w, h = _bmp_dims(n)
+    bpp, row_bytes = 3, w * 3
     arr = np.frombuffer(data, dtype=np.uint8)
-    img = arr[np.arange(w * h * 3) % n].reshape(h, w * 3).astype(np.int16)
-    bpp = 3
-    out = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int16)
-    for r in range(h):
-        row = img[r]
-        ftype = r % 5
-        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
-        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
-        if ftype == 0:
-            filt = row
-        elif ftype == 1:  # sub
-            filt = row - left
-        elif ftype == 2:  # up
-            filt = row - prev
-        elif ftype == 3:  # average
-            filt = row - ((left + prev) >> 1)
-        else:  # paeth
-            p = left + prev - upleft
-            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
-                          np.abs(p - upleft))
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, prev, upleft))
-            filt = row - pred
-        out.append(ftype)
-        out += (filt & 0xFF).astype(np.uint8).tobytes()
-        prev = row
+    img = arr[np.arange(w * h * 3) % n].reshape(h, row_bytes).astype(np.int16)
+    # all five filter candidates computed for the WHOLE image at once
+    # (2D shifts), then the per-row type r % 5 selected — no per-row
+    # Python loop
+    left = np.zeros_like(img)
+    left[:, bpp:] = img[:, :-bpp]
+    up = np.zeros_like(img)
+    up[1:] = img[:-1]
+    upleft = np.zeros_like(img)
+    upleft[1:, bpp:] = img[:-1, :-bpp]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth_pred = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, up, upleft))
+    cands = np.stack([img, img - left, img - up,
+                      img - ((left + up) >> 1), img - paeth_pred])
+    ftypes = (np.arange(h) % 5).astype(np.uint8)
+    filt = (np.take_along_axis(
+        cands, ftypes[None, :, None].astype(np.int64), axis=0)[0]
+        & 0xFF).astype(np.uint8)
+    scanlines = np.concatenate([ftypes[:, None], filt], axis=1)
+    out = scanlines.tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IDAT", zlib.compress(out, 1))
             + _png_chunk(b"IEND", b""))
 
 
@@ -432,23 +436,29 @@ def _parse_png(blob: bytes) -> tuple[int, int, "np.ndarray"]:
                             dtype=np.int64).reshape(-1)
         elif ftype == 2:  # up
             row = filt + prev
-        elif ftype in (3, 4):  # average / paeth: sequential in x
-            row = np.zeros(row_bytes, dtype=np.int16)
-            for x in range(w):
-                s = x * bpp
-                left = row[s - bpp:s] if x else np.zeros(bpp, np.int16)
-                up = prev[s:s + bpp].astype(np.int16)
-                upleft = (prev[s - bpp:s].astype(np.int16)
-                          if x else np.zeros(bpp, np.int16))
-                if ftype == 3:
-                    pred = (left + up) >> 1
-                else:
-                    p = left + up - upleft
-                    pa, pb, pc = (np.abs(p - left), np.abs(p - up),
-                                  np.abs(p - upleft))
-                    pred = np.where((pa <= pb) & (pa <= pc), left,
-                                    np.where(pb <= pc, up, upleft))
-                row[s:s + bpp] = (filt[s:s + bpp] + pred) & 0xFF
+        elif ftype in (3, 4):  # average / paeth: sequential in x —
+            # plain-int recurrence (a 3-element numpy op per pixel costs
+            # ~100x the arithmetic it does; rows are <=96 bytes)
+            fl = filt.tolist()
+            pv = prev.tolist()
+            rec = [0] * row_bytes
+            if ftype == 3:
+                for s in range(row_bytes):
+                    a = rec[s - bpp] if s >= bpp else 0
+                    rec[s] = (fl[s] + ((a + pv[s]) >> 1)) & 0xFF
+            else:
+                for s in range(row_bytes):
+                    a = rec[s - bpp] if s >= bpp else 0
+                    c = pv[s - bpp] if s >= bpp else 0
+                    b = pv[s]
+                    pth = a + b - c
+                    pa = pth - a if pth >= a else a - pth
+                    pb = pth - b if pth >= b else b - pth
+                    pc = pth - c if pth >= c else c - pth
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                    rec[s] = (fl[s] + pred) & 0xFF
+            row = np.asarray(rec, dtype=np.int16)
         else:
             raise ValueError(f"unknown filter type {ftype}")
         prev = (row & 0xFF).astype(np.uint8)

@@ -45,14 +45,17 @@ def test_replayed_batch_is_a_no_op(spark, tmp_path):
 def test_incremental_merge_equals_one_shot(spark, tmp_path):
     """Two-batch incremental state == the single-batch state over the
     concatenated input (merge associativity — the property that lets the
-    snapshot be maintained instead of recomputed)."""
-    ev = read_synthetic_events(spark, rows=1000, partitions=2)
+    snapshot be maintained instead of recomputed). Fresh load() per
+    query — the pushdown-on contract (pushFilters docstring); a real
+    stream delivers each micro-batch as its own fresh frame anyway."""
+    def ev():
+        return read_synthetic_events(spark, rows=1000, partitions=2)
 
     root_inc = str(tmp_path / "inc")
-    upsert_batch(root_inc, ev.filter(F.col("event_id") < 300), 0)
-    upsert_batch(root_inc, ev.filter(F.col("event_id") >= 300), 1)
+    upsert_batch(root_inc, ev().filter(F.col("event_id") < 300), 0)
+    upsert_batch(root_inc, ev().filter(F.col("event_id") >= 300), 1)
 
     root_one = str(tmp_path / "one")
-    upsert_batch(root_one, ev, 0)
+    upsert_batch(root_one, ev(), 0)
 
     assert _state(spark, root_inc) == _state(spark, root_one)
