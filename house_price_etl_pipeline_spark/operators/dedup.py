@@ -57,19 +57,14 @@ def dedup_shuffle_partitions() -> int:
 # count() per (session, sf_dir), memoized. The env knob still wins when
 # set (deploy override + probe A/Bs).
 DOCS_PER_AGG_PARTITION = 20_000
-_NPART_CACHE: dict[tuple[str, str], int] = {}
 
 
 def corpus_partitions(spark: SparkSession, sf_dir: str) -> int:
     if os.environ.get("SPARK_GRAFT_DEDUP_PARTITIONS"):
         return dedup_shuffle_partitions()
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    n = _NPART_CACHE.get(key)
-    if n is None:
-        docs = load_table(spark, sf_dir, "documents").count()
-        n = max(8, min(4096, -(-docs // DOCS_PER_AGG_PARTITION)))
-        _NPART_CACHE[key] = n
-    return n
+    from ..sources.tables import scaled_partitions
+    return scaled_partitions(spark, sf_dir, "documents",
+                             DOCS_PER_AGG_PARTITION)
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str, max_doc: int | None) -> DataFrame:

@@ -77,9 +77,20 @@ def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (order, supp), the join re-shuffle on order, and the final edge
     distinct.) Per-order fan-out is bounded by order size (≤7 lineitems
     in TPC-H shapes), so the explode is O(orders · k²), never all-pairs
-    of suppliers."""
+    of suppliers.
+
+    The collect_set aggregation carries OBJECT state per group
+    (~hundreds of bytes per order), so its shuffle width scales with
+    the order count (sources.tables.scaled_partitions — a fixed 32-way
+    shuffle hit AGGREGATE_OUT_OF_MEMORY at 64× sf0.1 on the default
+    heap; per-task group density, same wall as the SimHash bit-vote)."""
+    from ..sources.tables import scaled_partitions
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_order = (li.groupBy("l_orderkey")
+    n_parts = scaled_partitions(spark, sf_dir, "orders",
+                                rows_per_partition=150_000, floor=32)
+    per_order = (li.repartition(n_parts, "l_orderkey")
+                 .groupBy("l_orderkey")
                  .agg(F.collect_set("l_suppkey").alias("ss")))
     return (
         per_order

@@ -59,3 +59,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# Memoized row counts + data-scaled partition widths. Aggregations with
+# WIDE or object-backed per-group state (collect_set edge building, the
+# 64-column SimHash bit-vote) must size their shuffle to GROUP COUNT,
+# not to a fixed knob: per-task aggregation state = groups/partitions ×
+# state width, and a fixed width turns linear data growth into a heap
+# wall (measured twice — SCALE.md §64× and §Round-5). One metadata-cheap
+# count() per (session, table, dir), memoized.
+_ROWCOUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    n = _ROWCOUNT_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, name).count()
+        _ROWCOUNT_CACHE[key] = n
+    return n
+
+
+def scaled_partitions(spark: SparkSession, sf_dir: str, name: str,
+                      rows_per_partition: int, floor: int = 8,
+                      cap: int = 4096) -> int:
+    """ceil(rowcount / rows_per_partition), clamped — the width that
+    keeps per-task aggregation state bounded at any data scale."""
+    rows = table_rowcount(spark, sf_dir, name)
+    return max(floor, min(cap, -(-rows // rows_per_partition)))

@@ -201,12 +201,22 @@ def main() -> None:
                 spark.sparkContext.setJobDescription(
                     f"probe:{name}:{scale}:r{run_i}")
                 t0 = time.perf_counter()
-                (registry[name].fn(spark, sf_dir)
-                 .write.format("noop").mode("overwrite").save())
+                try:
+                    (registry[name].fn(spark, sf_dir)
+                     .write.format("noop").mode("overwrite").save())
+                except Exception as ex:  # record, keep probing the rest
+                    print(f"{name} {scale} r{run_i} FAILED: "
+                          f"{type(ex).__name__}: {str(ex)[:300]}",
+                          file=sys.stderr)
+                    results.setdefault(name, {})[scale] = {"sec": -1.0,
+                                                           "best_run": -1}
+                    break
                 dt = time.perf_counter() - t0
                 if best is None or dt < best:
                     best, best_run = dt, run_i
             spark.sparkContext.setJobDescription(None)
+            if best is None:
+                continue
             results.setdefault(name, {})[scale] = {"sec": round(best, 2),
                                                    "best_run": best_run}
             print(f"{name} {scale}: {best:.2f}s", file=sys.stderr)
