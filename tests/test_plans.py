@@ -456,3 +456,24 @@ def test_parquet_aggregate_pushdown_reaches_scan(spark, sf_dir):
     assert "MIN(l_quantity)" in scan_line and "MAX(l_quantity)" in scan_line
     # session conf restored after plan lock-in
     assert "parquet" in spark.conf.get("spark.sql.sources.useV1SourceList")
+
+
+def test_change_feed_diff_is_sort_merge_full_outer(spark, sf_dir):
+    """read_upsert_changes must diff two snapshots with ONE key-equi
+    FULL OUTER join — which Spark can only execute as a sort-merge (or
+    shuffled-hash) join, never a broadcast: at 100 TB both sides are
+    table-sized. No cartesian, no BNLJ."""
+    plan = _plan(spark, sf_dir, "cdc_upsert_changes")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_media_kernels_run_partitioned(spark, sf_dir):
+    """The CPU-bound Python media kernels must not inherit the single
+    input split of the documents scan: wrap_media repartitions on
+    doc_id before mapInPandas, so decode parallelism follows cores,
+    not file count."""
+    plan = _plan(spark, sf_dir, "mm_png_decode_stats")
+    assert "hashpartitioning(doc_id" in plan
+    assert "MapInPandas" in plan
