@@ -79,16 +79,20 @@ def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     in TPC-H shapes), so the explode is O(orders · k²), never all-pairs
     of suppliers.
 
-    The collect_set aggregation carries OBJECT state per group
-    (~hundreds of bytes per order), so its shuffle width scales with
-    the order count (sources.tables.scaled_partitions — a fixed 32-way
-    shuffle hit AGGREGATE_OUT_OF_MEMORY at 64× sf0.1 on the default
-    heap; per-task group density, same wall as the SimHash bit-vote)."""
+    Width discipline: BOTH heavy stages here scale with the order
+    count — the collect_set aggregation carries OBJECT state per group,
+    and the explode feeding the edge-distinct fans out ≤k² pair rows
+    per order into the map-side dedup hash map. A fixed 32-way shuffle
+    hit AGGREGATE_OUT_OF_MEMORY at 64× sf0.1 on the default heap (same
+    per-task density wall as the SimHash bit-vote), so the pre-agg
+    repartition is sized to ~20k orders/task
+    (sources.tables.scaled_partitions) and the explode inherits that
+    partitioning — ~1M pair rows per map-side dedup at any scale."""
     from ..sources.tables import scaled_partitions
 
     li = load_table(spark, sf_dir, "lineitem")
     n_parts = scaled_partitions(spark, sf_dir, "orders",
-                                rows_per_partition=150_000, floor=32)
+                                rows_per_partition=20_000, floor=32)
     per_order = (li.repartition(n_parts, "l_orderkey")
                  .groupBy("l_orderkey")
                  .agg(F.collect_set("l_suppkey").alias("ss")))
@@ -109,17 +113,32 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions shuffle-summed by destination + the dangling mass
     (suppliers with no out-edges) redistributed uniformly via a 1-row
     broadcast. localCheckpoint per round keeps the plan flat."""
+    from ..sources.tables import scaled_partitions, table_rowcount
     from .dedup import dedup_shuffle_partitions
 
     # Edge construction is a data-scale stage — leave it at the session's
-    # shuffle sizing. The ROUNDS operate on node-sized relations
-    # (thousands of rows) where 32-way shuffles pay more fixed task cost
-    # than the work — size those like the other pair-scale stages
-    # (env-overridable; a 1000-executor run sets this to node volume).
-    edges = supplier_edges(spark, sf_dir).localCheckpoint()
+    # shuffle sizing. The ROUNDS are sized to EDGE volume with a floor at
+    # the pair-scale knob: locally they run at 8 partitions (fixed task
+    # cost dominates thousands-row relations), while at 64× the
+    # contribution shuffles spread (a fixed 8-way width put 7M rows per
+    # reduce task). The materialized edge list is checkpointed DISK_ONLY
+    # once it is large: localCheckpoint blocks cannot be dropped, so a
+    # memory-resident 58M-row edge cache pins the storage half of the
+    # unified pool and starves the round aggregations into
+    # AGGREGATE_OUT_OF_MEMORY (measured at 64× sf0.1, default heap).
+    big = table_rowcount(spark, sf_dir, "lineitem") > 5_000_000
+    if big:
+        from pyspark import StorageLevel
+        edges = supplier_edges(spark, sf_dir).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    else:
+        edges = supplier_edges(spark, sf_dir).localCheckpoint()
+    rounds_width = max(
+        dedup_shuffle_partitions(),
+        scaled_partitions(spark, sf_dir, "lineitem",
+                          rows_per_partition=150_000, floor=1))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(dedup_shuffle_partitions()))
+    spark.conf.set("spark.sql.shuffle.partitions", str(rounds_width))
     try:
         return _pagerank_rounds(spark, sf_dir, edges)
     finally:
