@@ -122,7 +122,7 @@ def main() -> None:
     # 4 (same code, same machine, 1.3-2x inflation vs the r3-quiet
     # minima — BASELINE.md §Contention) a larger budget buys back real
     # seconds at bounded wall-clock cost.
-    retry_budget = 45
+    retry_budget = 64
 
     def _stall_suspect(name: str, t: float) -> bool:
         if name not in minima and minima:
@@ -136,32 +136,59 @@ def main() -> None:
         return t > max(1.5 * base, base + 1.0)
 
     timings: dict[str, float] = {}
+    retry_log: dict[str, list[float]] = {}
+
+    def _timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        materialize(registry[name].fn(spark, sf_dir))
+        return round(time.perf_counter() - t0, 4)
+
+    def _retry(name: str, tag: str) -> None:
+        nonlocal retry_budget
+        retry_budget -= 1
+        try:
+            second = _timed_run(name)
+        except Exception:
+            return
+        print(f"{tag} {name}: {timings[name]:.2f}s -> {second:.2f}s",
+              file=sys.stderr)
+        retry_log.setdefault(name, [timings[name]]).append(second)
+        timings[name] = min(timings[name], second)
+
     for name in sorted(registry):
         spark.sparkContext.setJobDescription(f"bench:{name}")
-        t0 = time.perf_counter()
         try:
-            materialize(registry[name].fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = _timed_run(name)
         except Exception as exc:
             print(f"{name} FAILED: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
         if (timings[name] >= 0 and retry_budget > 0
                 and _stall_suspect(name, timings[name])):
-            retry_budget -= 1
-            t1 = time.perf_counter()
-            try:
-                materialize(registry[name].fn(spark, sf_dir))
-                second = round(time.perf_counter() - t1, 4)
-                print(f"stall-retry {name}: {timings[name]:.2f}s -> "
-                      f"{second:.2f}s", file=sys.stderr)
-                timings[name] = min(timings[name], second)
-            except Exception:
-                pass
+            _retry(name, "stall-retry")
         if name in debug_repeat and timings[name] >= 0:
             t1 = time.perf_counter()
             materialize(registry[name].fn(spark, sf_dir))
             print(f"DEBUG {name}: run1={timings[name]:.3f}s "
                   f"run2={time.perf_counter() - t1:.3f}s", file=sys.stderr)
+
+    # Second pass (VERDICT r5 item 1b): under SYSTEMIC contention the
+    # inline retry re-runs into the same noisy window and keeps a still-
+    # inflated minimum. After the full sweep — often minutes later, a
+    # different contention regime — re-run everything still >2.5x its
+    # committed minimum, worst offenders first, while budget lasts. The
+    # min-of-runs rule means this can only tighten the recorded number;
+    # a true regression stays slow on every run and still shows.
+    second_pass = sorted(
+        ((t / minima.get(n, 2.0), n) for n, t in timings.items()
+         if t >= 0 and t > 2.5 * minima.get(n, 2.0)),
+        reverse=True)
+    for ratio, name in second_pass:
+        if retry_budget <= 0:
+            print(f"second-pass budget exhausted before {name} "
+                  f"({ratio:.1f}x its minimum)", file=sys.stderr)
+            break
+        spark.sparkContext.setJobDescription(f"bench2:{name}")
+        _retry(name, "second-pass")
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_failed = sum(1 for t in timings.values() if t < 0)
@@ -173,7 +200,12 @@ def main() -> None:
     out_name = ("bench_queries.json" if exact_twin_enabled()
                 else "bench_queries_production.json")
     with open(out_name, "w") as f:
-        json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+        # retries: every re-run's observed times (first run first), so a
+        # drifted round is diagnosable from the artifact — which queries
+        # were re-run, and whether the re-run confirmed or beat the
+        # first observation (VERDICT r5 item 1b)
+        json.dump({"sf": sf, "queries": timings, "retries": retry_log},
+                  f, indent=1, sort_keys=True)
     print(f"per-query timings -> {out_name}", file=sys.stderr)
     print(json.dumps({"per_query": timings}), file=sys.stderr)
     top10 = dict(sorted(((n, t) for n, t in timings.items() if t >= 0),

@@ -387,12 +387,111 @@ def _encode_png(data: bytes) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
-def _parse_png(blob: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Real PNG parse: signature, chunk walk with per-chunk CRC-32
-    verification, IHDR validation (8-bit RGB non-interlaced only),
-    IDAT concatenation + inflate, and numpy un-filtering of all five
-    row filter types. Returns (w, h, pixels) with pixels the row-major
-    RGB interleaved uint8 stream."""
+# Native-decoder tier (VERDICT r5 item 6, same tiering as _crc32c):
+# False = unprobed, None = unavailable, else a callable
+# (blob, w, h) -> flat uint8 RGB array or None on shape mismatch.
+# Chunk CRCs are ALWAYS verified by the chunk walk first (a native
+# decoder may ignore CRCs; corruption must still raise), so the tier
+# only replaces inflate + un-filter — the expensive part.
+_NATIVE_PNG = False
+
+
+def _native_png_decoder():
+    global _NATIVE_PNG
+    if _NATIVE_PNG is False:
+        try:
+            import io
+
+            from PIL import Image  # not in the test container; real
+            #                        clusters install pillow/turbojpeg
+
+            def _dec(blob: bytes, w: int, h: int):
+                arr = np.asarray(
+                    Image.open(io.BytesIO(blob)).convert("RGB"),
+                    dtype=np.uint8)
+                return arr.reshape(-1) if arr.shape == (h, w, 3) else None
+
+            _NATIVE_PNG = _dec
+        except Exception:
+            _NATIVE_PNG = None
+    return _NATIVE_PNG
+
+
+def _unfilter_012(raw: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Whole-image vectorized un-filter for scanlines using only filter
+    types 0/1/2 (what many encoders emit — libpng's default heuristic
+    rarely needs average/Paeth on photographic RGB). No per-row Python
+    loop at all:
+
+    - type-1 (sub) rows are row-independent: one cumsum along x over
+      all such rows at once (mod-256 addition is associative, so
+      summing in int then masking once is exact);
+    - type-2 (up) rows form runs hanging off the nearest non-type-2
+      "anchor" row above: rec[r] = rec[anchor] + Σ filt(anchor..r]
+      (mod 256) — a segmented cumsum down the rows, computed for every
+      run simultaneously via maximum.accumulate over anchor indices.
+
+    int64 accumulators: a column cumsum over h rows of ≤255 values
+    overflows int32 past ~8M rows."""
+    row_bytes = w * 3
+    ftypes = raw[:, 0]
+    filt = raw[:, 1:].astype(np.int64)
+    base = np.zeros((h, row_bytes), np.int64)
+    m0, m1, m2 = ftypes == 0, ftypes == 1, ftypes == 2
+    base[m0] = filt[m0]
+    if m1.any():
+        base[m1] = np.cumsum(
+            filt[m1].reshape(-1, w, 3), axis=1).reshape(-1, row_bytes) & 0xFF
+    idx = np.arange(h)
+    anchors = np.maximum.accumulate(np.where(~m2, idx, -1))
+    f2 = np.where(m2[:, None], filt, 0)
+    run_sum = np.cumsum(f2, axis=0)
+    rec_anchor = np.zeros_like(base)
+    sum_anchor = np.zeros_like(run_sum)
+    has = anchors >= 0
+    rec_anchor[has] = base[anchors[has]]
+    sum_anchor[has] = run_sum[anchors[has]]
+    out = np.where(m2[:, None],
+                   (rec_anchor + run_sum - sum_anchor) & 0xFF, base)
+    return out.astype(np.uint8)
+
+
+def _unfilter_row_34(ftype: int, fl: list, pv: list,
+                     row_bytes: int, bpp: int = 3) -> list:
+    """Average/Paeth x-recurrence, scalar tier: per-CHANNEL loops with
+    the left neighbor carried in a local (channels are independent
+    recurrences at stride bpp) — no per-byte index arithmetic or
+    conditionals beyond the Paeth predictor itself."""
+    rec = [0] * row_bytes
+    if ftype == 3:
+        for c in range(bpp):
+            a = 0
+            for s in range(c, row_bytes, bpp):
+                a = (fl[s] + ((a + pv[s]) >> 1)) & 0xFF
+                rec[s] = a
+    else:
+        for c in range(bpp):
+            a = 0
+            cp = 0  # upleft = previous iteration's up
+            for s in range(c, row_bytes, bpp):
+                b = pv[s]
+                pth = a + b - cp
+                pa = pth - a if pth >= a else a - pth
+                pb = pth - b if pth >= b else b - pth
+                pc = pth - cp if pth >= cp else cp - pth
+                pred = a if (pa <= pb and pa <= pc) \
+                    else (b if pb <= pc else cp)
+                a = (fl[s] + pred) & 0xFF
+                rec[s] = a
+                cp = b
+    return rec
+
+
+def _parse_png_scanlines(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Chunk walk with per-chunk CRC-32 verification, IHDR validation
+    (8-bit RGB non-interlaced only), IDAT concatenation + inflate.
+    Returns (w, h, raw) with raw the (h, 1 + 3w) filtered scanline
+    matrix (filter-type byte first in each row)."""
     import zlib
 
     if blob[:8] != _PNG_SIG:
@@ -405,7 +504,9 @@ def _parse_png(blob: bytes) -> tuple[int, int, "np.ndarray"]:
         body = blob[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
         if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
-            raise ValueError(f"CRC mismatch in {ctype.decode()} chunk")
+            # latin-1 so a corrupted type byte can't break the error
+            raise ValueError(
+                f"CRC mismatch in {ctype.decode('latin-1')} chunk")
         if ctype == b"IHDR":
             w, h, depth, ctype_v, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
@@ -420,10 +521,36 @@ def _parse_png(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    bpp, row_bytes = 3, w * 3
-    if raw.size != h * (1 + row_bytes):
+    if raw.size != h * (1 + w * 3):
         raise ValueError("IDAT length does not match dimensions")
-    raw = raw.reshape(h, 1 + row_bytes)
+    raw = raw.reshape(h, 1 + w * 3)
+    if not (raw[:, 0] <= 4).all():
+        bad = int(raw[raw[:, 0] > 4][0, 0])
+        raise ValueError(f"unknown filter type {bad}")
+    return w, h, raw
+
+
+def _parse_png(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Real PNG parse with tiered un-filtering (VERDICT r5 item 6):
+    chunk CRCs always verified, then native decoder when importable →
+    whole-image vectorized path when no scanline uses average/Paeth →
+    per-row loop (numpy for 0-2 rows, per-channel scalar recurrence
+    only for the 3/4 rows actually present). Returns (w, h, pixels)
+    with pixels the row-major RGB interleaved uint8 stream. The
+    batch-lane tier (_unfilter_png_batch) supersedes this for Arrow
+    batches of many blobs; this single-blob form is the pinned
+    reference implementation the batch tier is tested against."""
+    w, h, raw = _parse_png_scanlines(blob)
+    native = _native_png_decoder()
+    if native is not None:
+        pix = native(blob, w, h)
+        if pix is not None:
+            return w, h, pix
+    bpp, row_bytes = 3, w * 3
+    if (raw[:, 0] <= 2).all():
+        # no average/Paeth anywhere: whole-image vectorized un-filter,
+        # zero Python-level row iteration
+        return w, h, _unfilter_012(raw, w, h).reshape(-1)
     out = np.zeros((h, row_bytes), dtype=np.uint8)
     prev = np.zeros(row_bytes, dtype=np.uint8)
     for r in range(h):
@@ -436,46 +563,193 @@ def _parse_png(blob: bytes) -> tuple[int, int, "np.ndarray"]:
                             dtype=np.int64).reshape(-1)
         elif ftype == 2:  # up
             row = filt + prev
-        elif ftype in (3, 4):  # average / paeth: sequential in x —
-            # plain-int recurrence (a 3-element numpy op per pixel costs
-            # ~100x the arithmetic it does; rows are <=96 bytes)
-            fl = filt.tolist()
-            pv = prev.tolist()
-            rec = [0] * row_bytes
-            if ftype == 3:
-                for s in range(row_bytes):
-                    a = rec[s - bpp] if s >= bpp else 0
-                    rec[s] = (fl[s] + ((a + pv[s]) >> 1)) & 0xFF
-            else:
-                for s in range(row_bytes):
-                    a = rec[s - bpp] if s >= bpp else 0
-                    c = pv[s - bpp] if s >= bpp else 0
-                    b = pv[s]
-                    pth = a + b - c
-                    pa = pth - a if pth >= a else a - pth
-                    pb = pth - b if pth >= b else b - pth
-                    pc = pth - c if pth >= c else c - pth
-                    pred = a if (pa <= pb and pa <= pc) \
-                        else (b if pb <= pc else c)
-                    rec[s] = (fl[s] + pred) & 0xFF
-            row = np.asarray(rec, dtype=np.int16)
-        else:
-            raise ValueError(f"unknown filter type {ftype}")
+        else:  # average / paeth: sequential in x — scalar tier, only
+            # for the rows that actually use these filters
+            row = np.asarray(
+                _unfilter_row_34(ftype, filt.tolist(), prev.tolist(),
+                                 row_bytes, bpp), dtype=np.int16)
         prev = (row & 0xFF).astype(np.uint8)
         out[r] = prev
     return w, h, out.reshape(-1)
 
 
+# Below this many blobs the padded-lane arrays cost more than the
+# per-blob loop saves; empirically the lane tier wins from a handful of
+# lanes up and grows linearly in lane count.
+_LANE_MIN = 4
+
+
+def _unfilter_png_batch_chunk(parsed) -> list:
+    """One padded-lane chunk of the batch tier: ``parsed`` is a list of
+    (w, h, raw) scanline matrices; returns the flat uint8 pixel stream
+    per image.
+
+    Wavefront decode: every PNG filter's dependencies lie in
+    {left, up, upleft}, so all pixels on one anti-diagonal (r + x =
+    const) are independent given the previous two diagonals — the
+    classic wavefront parallelization of a 2D recurrence. One numpy
+    step per diagonal computes ALL five filter candidates for every
+    diagonal cell of every image in the chunk at once (lanes =
+    images × diagonal length × channels) and selects per cell by the
+    row's filter type; the sequential chain shrinks from rows×width
+    steps (the per-row x-recurrence form) to rows+width steps. A
+    one-pixel zero pad on the top/left edges makes the neighbor reads
+    unconditional, and the working arrays are SKEWED (diagonal-major:
+    K[b, d, j] holds diagonal d's cell at minor-axis position j) so
+    each diagonal and its three neighbor reads are CONTIGUOUS slices —
+    one fancy-index gather skews in, one unskews out, everything in
+    between is sequential memory traffic. The minor axis is the
+    shorter image dimension, bounding the skewed layout at ~2x the
+    rectangular pixel count."""
+    B = len(parsed)
+    W = max(p[0] for p in parsed)
+    H = max(p[1] for p in parsed)
+    Hp, Wp = H + 1, W + 1
+    filt = np.zeros((B, Hp, Wp, 3), dtype=np.int16)
+    ftypes = np.zeros((B, Hp), dtype=np.intp)
+    for i, (w, h, raw) in enumerate(parsed):
+        ftypes[i, 1:h + 1] = raw[:, 0]
+        filt[i, 1:h + 1, 1:w + 1] = raw[:, 1:].reshape(h, w, 3)
+    D = Hp + Wp - 1            # diagonals d = r + x, d in [0, D-1]
+    row_minor = Hp <= Wp       # minor axis = the shorter dimension
+    M = Hp if row_minor else Wp
+    # skew-in gather: K[b, d, j] = filt[b, r, x] with (r, x) =
+    # (j, d - j) for a row minor, (d - j, j) for a column minor;
+    # out-of-range cells masked to zero
+    dg, jg = np.ogrid[0:D, 0:M]
+    og = dg - jg               # the other coordinate
+    valid = (og >= 0) & (og < (Wp if row_minor else Hp))
+    ocl = np.clip(og, 0, (Wp if row_minor else Hp) - 1)
+    gather = (jg * Wp + ocl) if row_minor else (ocl * Wp + jg)
+    fflat = filt.reshape(B, Hp * Wp, 3)
+    # lane-innermost layout (d, j, b, 3): one diagonal [d] is a single
+    # CONTIGUOUS block (~minor x B x 3 int16), so the hot loop's reads
+    # of diagonals d-1/d-2 and the store to d are sequential memory
+    # traffic that stays in cache, instead of B scattered segments
+    K = np.ascontiguousarray(
+        fflat[:, gather.reshape(-1), :].reshape(B, D, M, 3)
+        .transpose(1, 2, 0, 3))
+    K *= valid[:, :, None, None]
+    R = np.zeros_like(K)       # skewed reconstruction
+    # per-type row masks (int16, row-major j axis first to match the
+    # lane layout; selection is a multiply, not a slow masked ufunc) +
+    # per-type row presence prefix sums, computed once
+    m16 = [(ftypes.T == k).astype(np.int16) for k in (1, 2, 3, 4)]
+    pres = [np.concatenate(([0], np.cumsum((ftypes == k).any(axis=0))))
+            for k in (1, 2, 3, 4)]
+
+    def _rows_have(k: int, lo: int, hi: int) -> bool:
+        return pres[k - 1][hi + 1] > pres[k - 1][lo]
+
+    # preallocated contiguous scratch: every temporary in the diagonal
+    # loop writes into these via out=, so the hot loop allocates nothing
+    scratch = [np.empty(M * B * 3, dtype=np.int16) for _ in range(5)]
+    other = Wp if row_minor else Hp
+    for d in range(2, D):
+        j0 = max(1, d - other + 1)
+        j1 = min(M - 1, d - 1)
+        if j1 < j0:
+            continue
+        n = j1 - j0 + 1
+        v, t1, t2, t3, t4 = (s[:n * B * 3].reshape(n, B, 3)
+                             for s in scratch)
+        f = K[d, j0:j1 + 1]
+        if row_minor:
+            # j = r: left (r, x-1) -> (d-1, j); up (r-1, x) ->
+            # (d-1, j-1); upleft (r-1, x-1) -> (d-2, j-1)
+            lf = R[d - 1, j0:j1 + 1]
+            up = R[d - 1, j0 - 1:j1]
+            ul = R[d - 2, j0 - 1:j1]
+            rlo, rhi = j0, j1
+            tsl = slice(j0, j1 + 1)
+        else:
+            # j = x: left (r, x-1) -> (d-1, j-1); up (r-1, x) ->
+            # (d-1, j); upleft (r-1, x-1) -> (d-2, j-1)
+            lf = R[d - 1, j0 - 1:j1]
+            up = R[d - 1, j0:j1 + 1]
+            ul = R[d - 2, j0 - 1:j1]
+            rlo, rhi = d - j1, d - j0
+            # r = d - j decreases as j increases: reversed row slice
+            tsl = slice(d - j0, d - j1 - 1 if d - j1 > 0 else None, -1)
+        np.copyto(v, f)                    # filter 0: v = f
+        if _rows_have(1, rlo, rhi):
+            np.multiply(lf, m16[0][tsl, :, None], out=t1)
+            v += t1
+        if _rows_have(2, rlo, rhi):
+            np.multiply(up, m16[1][tsl, :, None], out=t1)
+            v += t1
+        if _rows_have(3, rlo, rhi):
+            np.add(lf, up, out=t1)
+            t1 >>= 1
+            np.multiply(t1, m16[2][tsl, :, None], out=t2)
+            v += t2
+        if _rows_have(4, rlo, rhi):
+            # pth - lf = up - ul, pth - up = lf - ul, pth - ul = their sum
+            np.subtract(up, ul, out=t1)    # t1 = pth - lf
+            np.subtract(lf, ul, out=t2)    # t2 = pth - up
+            np.add(t1, t2, out=t3)         # t3 = pth - ul
+            np.abs(t1, out=t1)
+            np.abs(t2, out=t2)
+            np.abs(t3, out=t3)
+            paeth = np.where((t1 <= t2) & (t1 <= t3), lf,
+                             np.where(t2 <= t3, up, ul))
+            np.multiply(paeth, m16[3][tsl, :, None], out=t4)
+            v += t4
+        v &= 0xFF
+        R[d, j0:j1 + 1] = v
+    # unskew: rec[b, r, x] = R[r + x, r or x, b]
+    r8 = R.astype(np.uint8)    # one pass; values already masked to 0-255
+    rg, xg = np.ogrid[0:Hp, 0:Wp]
+    back = ((rg + xg) * M + (rg if row_minor else xg)).reshape(-1)
+    rec = r8.reshape(D * M, B, 3)[back].reshape(Hp, Wp, B, 3)
+    return [np.ascontiguousarray(rec[1:h + 1, 1:w + 1, i, :]).reshape(-1)
+            for i, (w, h, _raw) in enumerate(parsed)]
+
+
+def decode_png_batch(blobs) -> list:
+    """Decode a batch of PNG blobs to (w, h, flat-uint8-pixels) each —
+    the tier dispatcher (VERDICT r5 item 6): chunk CRCs always verified
+    per blob; pixels come from the native decoder when importable, the
+    lane-vectorized batch kernel when the batch has enough images, or
+    the single-blob reference path. Lane chunks are capped so padded
+    arrays stay within a bounded memory footprint regardless of batch
+    size or image dims."""
+    parsed = [_parse_png_scanlines(bytes(b)) for b in blobs]
+    native = _native_png_decoder()
+    if native is not None:
+        out = []
+        for blob, (w, h, _raw) in zip(blobs, parsed):
+            pix = native(bytes(blob), w, h)
+            out.append((w, h, pix if pix is not None
+                        else _parse_png(bytes(blob))[2]))
+        return out
+    if len(parsed) < _LANE_MIN:
+        return [(w, h, _parse_png(bytes(b))[2])
+                for b, (w, h, _raw) in zip(blobs, parsed)]
+    W = max(p[0] for p in parsed)
+    H = max(p[1] for p in parsed)
+    # ~256 MB across the three padded (B,H,W,3) int16 lane arrays
+    chunk = max(_LANE_MIN, int(256e6 / max(H * W * 3 * 2 * 3, 1)))
+    pixels = []
+    for i in range(0, len(parsed), chunk):
+        pixels.extend(_unfilter_png_batch_chunk(parsed[i:i + chunk]))
+    return [(w, h, pix)
+            for (w, h, _raw), pix in zip(parsed, pixels)]
+
+
 def decode_png_features(media: DataFrame) -> DataFrame:
     """REAL PNG decode via mapInPandas (chunk CRCs verified, IDAT
     inflated, rows un-filtered) reduced to exact per-channel sums —
-    same Arrow-batched 1→1 flow as the BMP/WAV kernels."""
+    same Arrow-batched 1→1 flow as the BMP/WAV kernels. Decoding rides
+    the batch-lane tier: one Arrow batch of images is un-filtered
+    together, so the average/Paeth x-recurrence vectorizes across the
+    batch instead of running per-byte per-image."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "n_pixels",
                                    "sum_r", "sum_g", "sum_b")}
-            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, pix = _parse_png(bytes(blob))
+            for doc_id, (w, h, pix) in zip(
+                    pdf["doc_id"], decode_png_batch(list(pdf["payload"]))):
                 ch = pix.reshape(-1, 3).astype(np.int64)
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)

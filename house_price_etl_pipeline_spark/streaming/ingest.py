@@ -256,7 +256,12 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         delta = keep_latest(batch_df)
         if base is not None:
             snapshot = spark.read.parquet(os.path.join(versions_root, base))
-            merged = keep_latest(snapshot.unionByName(delta))
+            # schema evolution (VERDICT r5 item 3): a batch may ADD
+            # columns vs the current snapshot (or arrive without columns
+            # the snapshot has) — union to the merged schema with nulls,
+            # Delta mergeSchema semantics, instead of raising
+            merged = keep_latest(
+                snapshot.unionByName(delta, allowMissingColumns=True))
         else:
             merged = delta
         # stage under a unique name BEFORE the CAS: the journal must
@@ -296,10 +301,26 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
 
 # --- snapshot maintenance: OPTIMIZE / VACUUM / change feed -----------------
 
+def _data_file_bytes(path: str) -> int:
+    """Total bytes of data files under a snapshot dir (markers and
+    hidden files excluded) — the local-fs analog of the table format's
+    per-snapshot size statistics that drive OPTIMIZE target sizing."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def optimize_upsert_target(spark, target_dir: str,
                            max_records_per_file: int = 1_000_000,
                            keep_versions: int = 2,
-                           writer: str = "optimize") -> str | None:
+                           writer: str = "optimize",
+                           target_file_bytes: int = 128 * 1024 * 1024
+                           ) -> str | None:
     """OPTIMIZE: rewrite the journal-head snapshot into sized files
     (small-file compaction — the lakehouse maintenance op that keeps
     scan task counts proportional to data, not to commit history). The
@@ -307,7 +328,15 @@ def optimize_upsert_target(spark, target_dir: str,
     number as the head), so it serializes with concurrent upserts via
     the same CAS: losing the race simply means a newer snapshot exists
     and the compaction of the stale one is discarded. Returns the new
-    snapshot dir name, or None if there is nothing to compact."""
+    snapshot dir name, or None if there is nothing to compact.
+
+    The rewrite parallelism is sized from the snapshot's own stats
+    (VERDICT r5 item 2): ``ceil(snapshot_bytes / target_file_bytes)``
+    shuffle partitions, so a 1 TB snapshot compacts on ~8000 tasks at
+    the 128 MB default rather than serializing through one
+    ``coalesce(1)`` task; ``maxRecordsPerFile`` stays as the per-file
+    row cap within each task."""
+    import math
     import os
     import shutil
     import uuid
@@ -321,9 +350,11 @@ def optimize_upsert_target(spark, target_dir: str,
             return None
         head = commits[-1]
         src = os.path.join(versions_root, head["version_name"])
+        n_parts = max(1, math.ceil(
+            _data_file_bytes(src) / max(target_file_bytes, 1)))
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
         (spark.read.parquet(src)
-         .coalesce(1)
+         .repartition(n_parts)
          .write.mode("overwrite")
          .option("maxRecordsPerFile", str(max_records_per_file))
          .parquet(os.path.join(versions_root, stage)))
@@ -342,18 +373,38 @@ def optimize_upsert_target(spark, target_dir: str,
     return None
 
 
-def vacuum_upsert_target(target_dir: str, older_than_seconds: float = 0.0,
-                         keep_versions: int = 2) -> list[str]:
+# Default VACUUM retention: a staged-but-not-yet-committed snapshot is
+# only in this window for the duration of one write + CAS attempt, so
+# minutes of retention closes the stage→commit race; Delta's analog is
+# the retentionDurationCheck floor (hours there, scaled to the local
+# mini format's commit latency here).
+VACUUM_RETENTION_FLOOR_S = 300.0
+
+
+def vacuum_upsert_target(target_dir: str,
+                         older_than_seconds: float = VACUUM_RETENTION_FLOOR_S,
+                         keep_versions: int = 2,
+                         force: bool = False) -> list[str]:
     """VACUUM: reclaim snapshot dirs no retained commit references —
     crash-orphaned staging dirs, lost-race leftovers, and snapshots of
     retired commits. Age-gated (mtime) so a concurrent writer's staged
     snapshot that has not yet won its CAS is never deleted while
     in-flight — the same retention contract as Delta's VACUUM. Returns
-    the removed dir names."""
+    the removed dir names.
+
+    Retention below the floor requires ``force=True`` (VERDICT r5
+    item 5 — Delta's retentionDurationCheck): a default call can never
+    reclaim a snapshot another writer staged seconds ago."""
     import os
     import shutil
     import time
 
+    if older_than_seconds < VACUUM_RETENTION_FLOOR_S and not force:
+        raise ValueError(
+            f"VACUUM retention {older_than_seconds}s is below the "
+            f"{VACUUM_RETENTION_FLOOR_S:.0f}s floor — a concurrent "
+            f"writer's just-staged snapshot could be reclaimed mid-"
+            f"commit; pass force=True to override deliberately")
     versions_root = target_dir + "_versions"
     commits, _ = _journal_state(versions_root)
     referenced = {c["version_name"]
@@ -387,16 +438,34 @@ def read_upsert_changes(spark, target_dir: str, v_from: int, v_to: int,
     `update_preimage`/`update_postimage` row PAIRS for changed keys;
     unchanged keys emit nothing. At 100 TB both sides partition on the
     same key and the join never broadcasts (snapshots are table-sized);
-    the output is change-sized."""
+    the output is change-sized.
+
+    Schema evolution (VERDICT r5 item 3): ``v_from`` and ``v_to`` may
+    have different payload schemas — the upsert sink accepts batches
+    with added columns — so both sides are projected to the MERGED
+    payload schema with typed nulls for absent columns (post's column
+    order first, pre-only columns appended; post's type wins on a
+    widened column), the Delta CDF contract."""
     from pyspark.sql import functions as F
 
     pre = read_upsert_version(spark, target_dir, v_from)
     post = read_upsert_version(spark, target_dir, v_to)
+    pre_t, post_t = dict(pre.dtypes), dict(post.dtypes)
     payload = [c for c in post.columns if c not in key_cols]
+    payload += [c for c in pre.columns
+                if c not in key_cols and c not in payload]
+    ptype = {c: post_t.get(c, pre_t.get(c)) for c in payload}
+
+    def side_cols(df, tag):
+        return [
+            (F.col(c).cast(ptype[c]) if c in df.columns
+             else F.lit(None).cast(ptype[c])).alias(f"_{tag}_{c}")
+            for c in payload]
+
     p = pre.select(*key_cols, F.lit(True).alias("_pre_exists"),
-                   *[F.col(c).alias(f"_pre_{c}") for c in payload])
+                   *side_cols(pre, "pre"))
     q = post.select(*key_cols, F.lit(True).alias("_post_exists"),
-                    *[F.col(c).alias(f"_post_{c}") for c in payload])
+                    *side_cols(post, "post"))
     j = p.join(q, key_cols, "full_outer")
     pre_struct = F.struct(*[F.col(f"_pre_{c}").alias(c) for c in payload])
     post_struct = F.struct(*[F.col(f"_post_{c}").alias(c) for c in payload])
@@ -416,7 +485,7 @@ def read_upsert_changes(spark, target_dir: str, v_from: int, v_to: int,
                      post_struct.alias("img"))))
         .otherwise(F.array().cast(
             f"array<struct<change_type:string,img:struct<"
-            + ",".join(f"{c}:{dict(post.dtypes)[c]}" for c in payload)
+            + ",".join(f"{c}:{ptype[c]}" for c in payload)
             + ">>>"))
     )
     return (

@@ -308,3 +308,146 @@ def test_png_roundtrip_and_corruption_detection():
             + _png_chunk(b"IEND", b""))
     with _pytest.raises(ValueError, match="unknown filter type"):
         _parse_png(evil)
+
+
+def _png_with_filters(w, h, seed, ftype_of_row):
+    """Build a valid PNG whose row r uses filter ftype_of_row(r), plus
+    the expected flat RGB pixel stream — independent re-derivation of
+    the filter math for batch/tier parity tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from house_price_etl_pipeline_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk)
+
+    r = np.random.default_rng(seed)
+    img = r.integers(0, 256, (h, w * 3), dtype=np.uint8).astype(np.int16)
+    left = np.zeros_like(img)
+    left[:, 3:] = img[:, :-3]
+    up = np.zeros_like(img)
+    up[1:] = img[:-1]
+    upleft = np.zeros_like(img)
+    upleft[1:, 3:] = img[:-1, :-3]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where((pa <= pb) & (pa <= pc), left,
+                     np.where(pb <= pc, up, upleft))
+    cands = np.stack([img, img - left, img - up,
+                      img - ((left + up) >> 1), img - paeth])
+    ft = np.array([ftype_of_row(rr) for rr in range(h)], dtype=np.uint8)
+    filt = (np.take_along_axis(
+        cands, ft[None, :, None].astype(np.int64), axis=0)[0]
+        & 0xFF).astype(np.uint8)
+    scan = np.concatenate([ft[:, None], filt], axis=1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 1))
+            + _png_chunk(b"IEND", b""))
+    return blob, img.astype(np.uint8).reshape(-1)
+
+
+def test_png_batch_tier_matches_single_blob_all_filters():
+    """The wavefront batch tier (VERDICT r5 item 6) must be
+    bit-identical to the single-blob reference path for every filter
+    type, mixed types, and both skew orientations (wide and tall)."""
+    import numpy as np
+
+    from house_price_etl_pipeline_spark.operators.multimodal import (
+        _parse_png, decode_png_batch)
+
+    for dims in ((37, 29), (5, 200), (200, 5), (2, 2)):
+        blobs, expects = [], []
+        for ftype in range(5):
+            b, e = _png_with_filters(dims[0], dims[1], ftype,
+                                     lambda r: ftype)
+            blobs.append(b)
+            expects.append(e)
+        b, e = _png_with_filters(dims[0], dims[1], 9, lambda r: r % 5)
+        blobs.append(b)
+        expects.append(e)
+        for (w, h, pix), e, blob in zip(decode_png_batch(blobs),
+                                        expects, blobs):
+            assert np.array_equal(pix, e), f"dims {dims}"
+            w2, h2, pix2 = _parse_png(blob)
+            assert (w, h) == (w2, h2) and np.array_equal(pix, pix2)
+
+
+def test_png_batch_tier_mixed_dims_and_small_batch_fallback():
+    import numpy as np
+
+    from house_price_etl_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    blobs = [mm._encode_png(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+             for n in (7, 50, 96, 313, 777, 4, 2048, 11)]
+    got = mm.decode_png_batch(blobs)
+    for blob, (w, h, pix) in zip(blobs, got):
+        w2, h2, pix2 = mm._parse_png(blob)
+        assert (w, h) == (w2, h2) and np.array_equal(pix, pix2)
+    # below _LANE_MIN the dispatcher uses the single-blob path — same
+    # values either way
+    small = mm.decode_png_batch(blobs[:2])
+    for (w, h, pix), (w2, h2, pix2) in zip(small, got[:2]):
+        assert (w, h) == (w2, h2) and np.array_equal(pix, pix2)
+
+
+def test_png_vectorized_012_path_and_corruption_still_raise():
+    """A 0/1/2-only PNG takes the whole-image vectorized un-filter; CRC
+    corruption must still raise regardless of tier (the chunk walk runs
+    before any tier dispatch)."""
+    import numpy as np
+    import pytest
+
+    from house_price_etl_pipeline_spark.operators.multimodal import (
+        _parse_png, decode_png_batch)
+
+    b, e = _png_with_filters(40, 30, 5, lambda r: r % 3)  # types 0-2 only
+    w, h, pix = _parse_png(b)
+    assert (w, h) == (40, 30) and np.array_equal(pix, e)
+    (w, h, pix), = decode_png_batch([b])
+    assert np.array_equal(pix, e)
+    corrupted = bytearray(b)
+    corrupted[50] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        _parse_png(bytes(corrupted))
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png_batch([bytes(corrupted)])
+
+
+def test_png_native_tier_injection(monkeypatch):
+    """Native-decoder tier (VERDICT r5 item 6): when a native decoder is
+    importable it supplies the pixels (both single-blob and batch paths)
+    but chunk CRCs are still OUR check; when it returns a shape
+    mismatch, the pure path silently takes over."""
+    import numpy as np
+    import pytest
+
+    from house_price_etl_pipeline_spark.operators import multimodal as mm
+
+    b, e = _png_with_filters(9, 7, 2, lambda r: r % 5)
+    sentinel = np.arange(9 * 7 * 3, dtype=np.uint8)
+    calls = []
+
+    def fake_native(blob, w, h):
+        calls.append((w, h))
+        return sentinel
+
+    monkeypatch.setattr(mm, "_NATIVE_PNG", fake_native)
+    w, h, pix = mm._parse_png(b)
+    assert calls == [(9, 7)] and np.array_equal(pix, sentinel)
+    (w2, h2, pix2), = mm.decode_png_batch([b])
+    assert np.array_equal(pix2, sentinel)
+    # CRC corruption raises BEFORE the native decoder sees the blob
+    corrupted = bytearray(b)
+    corrupted[40] ^= 0xFF
+    calls.clear()
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm._parse_png(bytes(corrupted))
+    assert calls == []
+
+    # native declines (shape mismatch) -> pure tier result
+    monkeypatch.setattr(mm, "_NATIVE_PNG", lambda blob, w, h: None)
+    w3, h3, pix3 = mm._parse_png(b)
+    assert np.array_equal(pix3, e)

@@ -10,6 +10,7 @@ should too.
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 import pytest
@@ -63,8 +64,7 @@ def test_normalize_rejects_array_cells():
         _normalize(pd.DataFrame({"k": [1], "v": [[1, 2, 3]]}))
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_oracle_parity(name, spark, duck, sf_dir):
+def _assert_parity(name, spark, duck, sf_dir):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
@@ -83,6 +83,67 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     assert not mismatches, (
         f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
     )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    _assert_parity(name, spark, duck, sf_dir)
+
+
+# --- rotating sf0.1 subset (VERDICT r5 item 8) -----------------------------
+#
+# The driver's gate has sampled the same fixed 50 queries since round 1,
+# and the full local replica above runs at sf0.001 — a parity bug that
+# only manifests at larger scale (plan changes from AQE/stats, overflow,
+# skew-dependent paths) could hide in the unsampled set. Each round a
+# DIFFERENT 20-query window of the catalog also runs at sf0.1; the round
+# number is derived from the driver's committed BENCH_r{N} artifacts so
+# the rotation advances exactly once per round. The window for the
+# current round is recorded in COVERAGE.md.
+
+_SF01_DIR = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+_ROTATION_WIDTH = 20
+
+
+def _current_round() -> int:
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+    return max(rounds, default=0) + 1
+
+
+def sf01_rotation_window(round_no: int | None = None) -> list[str]:
+    r = _current_round() if round_no is None else round_no
+    start = (r * _ROTATION_WIDTH) % max(len(ORACLE_QUERIES), 1)
+    return [ORACLE_QUERIES[(start + i) % len(ORACLE_QUERIES)]
+            for i in range(min(_ROTATION_WIDTH, len(ORACLE_QUERIES)))]
+
+
+@pytest.fixture(scope="session")
+def duck01():
+    import duckdb
+
+    from house_price_etl_pipeline_spark.sources.tables import TABLE_NAMES
+
+    if not os.path.isdir(_SF01_DIR):
+        pytest.skip(f"{_SF01_DIR} not present")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * "
+            f"FROM read_parquet('{_SF01_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sf01_rotation_window())
+def test_oracle_parity_sf01_rotation(name, spark, duck01):
+    _assert_parity(name, spark, duck01, _SF01_DIR)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)

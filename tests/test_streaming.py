@@ -699,11 +699,21 @@ def test_upsert_optimize_vacuum_and_change_feed(spark, tmp_path):
             for r in spark.read.parquet(target).collect()}
     assert rows == {1: "purchase", 2: "view"}
 
-    # VACUUM: an orphaned staging dir is reclaimed; referenced dirs stay
+    # VACUUM: an orphaned staging dir is reclaimed; referenced dirs stay.
+    # Zero retention needs the explicit force override (VERDICT r5
+    # item 5) — without it the call must refuse, reclaiming nothing.
     os.makedirs(os.path.join(versions_root, "_stage_dead_beef"))
     (tmp_path / "probe").write_text("")  # noop, keeps mtime helpers happy
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="force=True"):
+        vacuum_upsert_target(target, older_than_seconds=0.0,
+                             keep_versions=4)
+    # the DEFAULT call is race-safe: the just-staged dir is younger
+    # than the retention floor, so it survives
+    assert vacuum_upsert_target(target, keep_versions=4) == []
+    assert os.path.isdir(os.path.join(versions_root, "_stage_dead_beef"))
     removed = vacuum_upsert_target(target, older_than_seconds=0.0,
-                                   keep_versions=4)
+                                   keep_versions=4, force=True)
     assert "_stage_dead_beef" in removed
     assert os.path.isdir(os.path.realpath(target))
     assert read_upsert_version(spark, target, 1).count() == 2
@@ -802,3 +812,233 @@ def test_band_index_compaction_bounds_files_and_preserves_rejection(
     assert {r.doc_id for r in read_band_index(spark, index_dir)
             .select("doc_id").distinct().collect()} \
         == {100, 201, 401, 502}  # recovered: stage promoted
+
+
+def test_upsert_optimize_parallel_rewrite(spark, tmp_path):
+    """OPTIMIZE parallelism (VERDICT r5 item 2): the rewrite width is
+    sized from the snapshot's own byte stats — a snapshot larger than
+    ``target_file_bytes`` compacts across >1 task/file, never through a
+    single coalesce(1) task; a tiny snapshot still compacts to one."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        optimize_upsert_target, upsert_commit_batch)
+
+    target = str(tmp_path / "popt_target")
+    batch = (spark.range(2000)
+             .select(F.col("id").alias("event_id"),
+                     (F.col("id") % 500).alias("user_id"),
+                     F.sha2(F.col("id").cast("string"), 256).alias("blob")))
+    upsert_commit_batch(batch, target, 0, key_cols=["user_id"],
+                        order_col="event_id", keep_versions=4)
+
+    # snapshot bytes >> 1-byte target -> many partitions, many files
+    perm = optimize_upsert_target(spark, target, keep_versions=4,
+                                  target_file_bytes=1)
+    assert perm is not None
+    files = _glob.glob(os.path.join(os.path.realpath(target),
+                                    "part-*.parquet"))
+    assert len(files) > 1
+    assert spark.read.parquet(target).count() == 500
+
+    # huge target -> exactly one output file (small-table case intact)
+    perm2 = optimize_upsert_target(spark, target, keep_versions=4,
+                                   target_file_bytes=1 << 40)
+    files2 = _glob.glob(os.path.join(os.path.realpath(target),
+                                     "part-*.parquet"))
+    assert perm2 is not None and len(files2) == 1
+    assert spark.read.parquet(target).count() == 500
+
+
+def test_upsert_schema_evolution_and_change_feed(spark, tmp_path):
+    """Schema evolution (VERDICT r5 item 3): a later batch ADDS a
+    column — the upsert merges to the union schema with nulls (Delta
+    mergeSchema), and the change feed between the two versions projects
+    both sides to the merged payload schema with typed nulls."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_changes, read_upsert_version, upsert_commit_batch)
+
+    target = str(tmp_path / "sev_target")
+    b0 = (spark.createDataFrame(
+        [(1, 10, "click"), (2, 11, "view")], ["user_id", "ts", "kind"]))
+    upsert_commit_batch(b0, target, 0, key_cols=["user_id"],
+                        order_col="ts", keep_versions=4)
+    # v1 adds a 'score' column and a new key
+    b1 = (spark.createDataFrame(
+        [(1, 20, "buy", 0.9), (3, 21, "cart", 0.5)],
+        ["user_id", "ts", "kind", "score"]))
+    upsert_commit_batch(b1, target, 1, key_cols=["user_id"],
+                        order_col="ts", keep_versions=4)
+
+    latest = {r.user_id: r for r in
+              read_upsert_version(spark, target, 1).collect()}
+    assert set(latest) == {1, 2, 3}
+    assert latest[1].score == 0.9 and latest[1].kind == "buy"
+    assert latest[2].score is None  # evolved column null for old rows
+
+    feed = read_upsert_changes(spark, target, 0, 1, ["user_id"]) \
+        .orderBy("user_id", "change_type").collect()
+    by_kind = {(r.user_id, r.change_type): r for r in feed}
+    assert set(by_kind) == {(1, "update_preimage"),
+                            (1, "update_postimage"), (3, "insert")}
+    assert by_kind[(1, "update_preimage")].score is None   # typed null
+    assert by_kind[(1, "update_postimage")].score == 0.9
+    assert by_kind[(3, "insert")].kind == "cart"
+    # reverse feed (dropped-column direction) works symmetrically
+    rev = {(r.user_id, r.change_type): r for r in
+           read_upsert_changes(spark, target, 1, 0, ["user_id"]).collect()}
+    assert rev[(3, "delete")].score == 0.5
+
+
+def _seed_band_index(spark, index_dir, docs):
+    from pyspark.sql import types as T
+
+    from house_price_etl_pipeline_spark.streaming.index import \
+        build_band_index
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    build_band_index(spark, spark.createDataFrame(docs, schema), index_dir)
+
+
+def _append_band_batch(spark, index_dir, batch_id, docs):
+    """Emulate one committed ingest append (the tail of
+    run_index_ingest.process_batch) for deterministic interleaving."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _journal_append)
+    from house_price_etl_pipeline_spark.streaming.joins import \
+        _rowwise_band_keys
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    bands = _rowwise_band_keys(
+        spark.createDataFrame(docs, schema)
+        .select("doc_id", F.split("text", " ").alias("ws")))
+    bands.write.mode("overwrite").parquet(
+        os.path.join(index_dir, BANDS_SUBDIR, f"batch-{batch_id}"))
+    _journal_append(index_dir, str(batch_id))
+
+
+def test_band_index_compaction_loses_cas_to_concurrent_append(
+        spark, tmp_path):
+    """Concurrent ingest vs compaction (VERDICT r5 item 4): an append
+    commits between compaction's staging and its CAS attempt — the
+    compaction loses, discards the stale stage, retries against the new
+    journal, and the interleaved batch's bands SURVIVE in the compacted
+    layout (no lost bands)."""
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        _commits_dir, compact_band_index, read_band_index)
+
+    index_dir = str(tmp_path / "ccr_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+
+    hook_calls = []
+
+    def interleave_append(attempt):
+        hook_calls.append(attempt)
+        if attempt == 0:
+            _append_band_batch(spark, index_dir, 1,
+                               [(301, "seven eight nine ten eleven")])
+
+    stats = compact_band_index(spark, index_dir,
+                               _race_hook=interleave_append)
+    assert hook_calls == [0, 1]          # one lost race, one won retry
+    assert stats["batches_in"] == 3      # seed + batch-0 + batch-1
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {100, 201, 301}    # nothing lost
+    ops = [c["op"] for c in read_commit_journal(_commits_dir(index_dir))]
+    assert ops == ["append", "append", "append", "compact"]
+
+
+def test_band_index_recovery_applies_committed_compaction(spark, tmp_path):
+    """Compactor crash AFTER winning its CAS but BEFORE the swap: the
+    journal head names the staged dir; the next reader finishes the
+    swap, so later appends land in the committed layout."""
+    import os
+    import shutil
+
+    from house_price_etl_pipeline_spark.fsutil import (
+        read_commit_journal, try_commit)
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _commits_dir, read_band_index)
+
+    index_dir = str(tmp_path / "crr_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+
+    # hand-build the won-but-unapplied compaction: stage = a copy of
+    # the live layout merged down to batch-seed, journal head = compact
+    bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+    stage = os.path.join(index_dir, "bands_compact_crashed")
+    os.makedirs(os.path.join(stage, "batch-seed"))
+    merged = spark.read.parquet(os.path.join(bands_root, "batch-*"))
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "batch-seed"))
+    head = read_commit_journal(_commits_dir(index_dir))[-1]
+    assert try_commit(_commits_dir(index_dir), head["seq"] + 1,
+                      {"op": "compact", "stage": "bands_compact_crashed"})
+
+    # next read applies the committed swap
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {100, 201}
+    assert not os.path.isdir(stage)
+    import glob as _glob
+    assert _glob.glob(os.path.join(bands_root, "batch-*")) \
+        == [os.path.join(bands_root, "batch-seed")]
+    # a post-recovery append lands in the compacted layout
+    _append_band_batch(spark, index_dir, 1,
+                       [(301, "seven eight nine ten eleven")])
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {100, 201, 301}
+    shutil.rmtree(index_dir)
+
+
+def test_band_index_ttl_orders_by_batch_id_not_mtime(spark, tmp_path):
+    """TTL ordering (VERDICT r5 item 7): a REPLAYED old batch refreshes
+    its dir mtime; the TTL must still evict it, because retention is
+    decided by parsed batch id."""
+    import os
+    import time
+
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, compact_band_index, read_band_index)
+
+    index_dir = str(tmp_path / "ttl_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    texts = {0: "one two three four five six",
+             1: "seven eight nine ten eleven twelve",
+             2: "crimson azure viridian ochre cobalt umber"}
+    for bid, text in texts.items():
+        _append_band_batch(spark, index_dir, bid, [(200 + bid, text)])
+
+    # replay batch 0: newest mtime, oldest id
+    _append_band_batch(spark, index_dir, 0, [(200, texts[0])])
+    future = time.time() + 3600
+    os.utime(os.path.join(index_dir, BANDS_SUBDIR, "batch-0"),
+             (future, future))
+
+    stats = compact_band_index(spark, index_dir, max_age_batches=2)
+    assert stats["batches_kept"] == 2
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {201, 202}  # ids 1,2 kept; replayed id 0 evicted
