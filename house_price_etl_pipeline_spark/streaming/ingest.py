@@ -571,3 +571,74 @@ def cdc_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "change_type", "event_id", "event_type", "value")
         .orderBy("user_id", "change_type")
     )
+
+
+@_catalog_register(
+    "cdc_schema_evolution_changes",
+    oracle="""
+    WITH pre AS (
+      SELECT user_id,
+             max(event_id) AS event_id,
+             arg_max(event_type, event_id) AS event_type,
+             CAST(NULL AS DOUBLE) AS value
+      FROM events WHERE event_id % 2 = 0 AND user_id < 100
+      GROUP BY user_id
+    ),
+    win AS (
+      SELECT user_id, max(event_id) AS event_id FROM events GROUP BY user_id
+    ),
+    post AS (
+      SELECT e.user_id, e.event_id, e.event_type,
+             CASE WHEN e.event_id % 2 = 0 AND e.user_id < 100
+                  THEN CAST(NULL AS DOUBLE) ELSE e.value END AS value
+      FROM events e JOIN win ON e.user_id = win.user_id
+                            AND e.event_id = win.event_id
+    )
+    SELECT * FROM (
+      SELECT p.user_id, 'insert' AS change_type,
+             p.event_id, p.event_type, p.value
+      FROM post p LEFT JOIN pre q USING (user_id)
+      WHERE q.user_id IS NULL
+      UNION ALL
+      SELECT q.user_id, 'update_preimage', q.event_id, q.event_type, q.value
+      FROM pre q JOIN post p USING (user_id) WHERE p.event_id <> q.event_id
+      UNION ALL
+      SELECT p.user_id, 'update_postimage', p.event_id, p.event_type, p.value
+      FROM pre q JOIN post p USING (user_id) WHERE p.event_id <> q.event_id
+    ) ORDER BY user_id, change_type
+    """,
+)
+def cdc_schema_evolution_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed ACROSS a schema evolution (VERDICT r5 item 3 as an
+    oracled relation): version 0 upserts even-id events for
+    user_id < 100 WITHOUT the ``value`` column; version 1 upserts the
+    remaining events WITH it — the merge unions schemas (old rows get
+    null value), and the feed projects both versions to the evolved
+    payload schema, so pre-images carry a typed null ``value``. The
+    oracle restates it from the events table: a user's pre row is their
+    latest even event (null value); their post row is their overall
+    latest event, whose value is visible only when the winning row
+    arrived in the evolved batch."""
+    import os
+    import shutil
+
+    from ..sources.tables import load_table
+
+    root = _cdc_target_root(sf_dir) + "_sev"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    is_b0 = (F.col("event_id") % 2 == 0) & (F.col("user_id") < 100)
+    b0 = ev.filter(is_b0).drop("value")       # pre-evolution schema
+    b1 = ev.filter(~is_b0)                    # evolved: adds `value`
+    upsert_commit_batch(b0, target, 0, key_cols=["user_id"],
+                        order_col="event_id", keep_versions=4)
+    upsert_commit_batch(b1, target, 1, key_cols=["user_id"],
+                        order_col="event_id", keep_versions=4)
+    return (
+        read_upsert_changes(spark, target, 0, 1, ["user_id"])
+        .select("user_id", "change_type", "event_id", "event_type", "value")
+        .orderBy("user_id", "change_type")
+    )
