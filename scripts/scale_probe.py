@@ -60,6 +60,9 @@ PROBE_QUERIES = [
     "sim_ann_batch_topk_join",
     "sim_ann_batch_lsh_topk",
     "graph_pagerank_suppliers",
+    # lakehouse maintenance chain: upsert x2 + parallel OPTIMIZE +
+    # change-feed read (round-6: exercises the size-targeted rewrite)
+    "cdc_upsert_changes",
 ]
 
 
