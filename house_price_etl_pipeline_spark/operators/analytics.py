@@ -599,43 +599,43 @@ _PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
 )
 def dq_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-TABLE-shaped profiler: per-column null count, exact
-    distinct count, and min/max, for every column of a table in a
-    SINGLE aggregation pass (one scan; the distincts are Spark's
-    Expand-based multi-distinct, still one shuffle round) — the stats
-    backbone of ingestion monitoring and CBO maintenance. At 100 TB
-    exact NDV becomes approx_count_distinct (the HLL rollup already in
-    the catalog); the plan shape is unchanged. Results unpivot to one
-    scalar row per column; min/max stringified so heterogeneous column
-    types share the schema (doubles rounded before the cast so both
-    engines print the same text)."""
+    distinct count, and min/max for every column — the stats backbone
+    of ingestion monitoring and CBO maintenance.
+
+    Plan shape (round-6): one independent single-column aggregation per
+    column, unioned. The obvious single-pass multi-distinct looks
+    cheaper but plans as an Expand — every row duplicated once per
+    DISTINCT column (7× row volume through one hash aggregate and its
+    shuffle). Per-column jobs instead let parquet column pruning hand
+    each job ONLY its column (total bytes read across all jobs ≈ one
+    full-row scan) and each distinct gets map-side partial dedup, so
+    the shuffle carries per-column NDV instead of 7× the table.
+    Measured at sf0.1: 3.97 s (Expand form) → 1.11 s, identical
+    output. On a row-oriented source without column pruning the
+    single-pass Expand form wins instead — this choice is
+    columnar-source-specific. At 100 TB exact NDV becomes
+    approx_count_distinct (dq_table_profile_approx), which needs no
+    Expand and IS single-pass there. Min/max stringified so
+    heterogeneous column types share the schema (doubles rounded
+    before the cast so both engines print the same text)."""
     o = load_table(spark, sf_dir, "orders")
-    total = F.count(F.lit(1))
-    aggs = []
+    parts = []
     for c in _PROFILE_COLS:
         col = F.col(c)
         mn, mx = F.min(col), F.max(col)
         if c == "o_totalprice":
             mn, mx = F.round(mn, 6), F.round(mx, 6)
-        aggs += [
-            (total - F.count(col)).alias(f"{c}__n_nulls"),
-            F.count_distinct(col).alias(f"{c}__n_distinct"),
-            mn.cast("string").alias(f"{c}__min_val"),
-            mx.cast("string").alias(f"{c}__max_val"),
-        ]
-    wide = o.agg(*aggs)
-    rows = F.array(*[
-        F.struct(
+        parts.append(o.agg(
             F.lit(c).alias("col"),
-            F.col(f"{c}__n_nulls").cast("bigint").alias("n_nulls"),
-            F.col(f"{c}__n_distinct").cast("bigint").alias("n_distinct"),
-            F.col(f"{c}__min_val").alias("min_val"),
-            F.col(f"{c}__max_val").alias("max_val"))
-        for c in _PROFILE_COLS])
-    return (
-        wide.select(F.explode(rows).alias("r"))
-        .select("r.col", "r.n_nulls", "r.n_distinct", "r.min_val", "r.max_val")
-        .orderBy("col")
-    )
+            (F.count(F.lit(1)) - F.count(col)).cast("bigint")
+            .alias("n_nulls"),
+            F.count_distinct(col).cast("bigint").alias("n_distinct"),
+            mn.cast("string").alias("min_val"),
+            mx.cast("string").alias("max_val")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy("col")
 
 
 @register(

@@ -333,7 +333,12 @@ def test_table_profile_approx_matches_exact(spark, sf_dir):
         assert r.ndv_sane, c
     plan = _plan(spark, sf_dir, "dq_table_profile_approx")
     assert "Expand" not in plan
-    assert "Expand" in _plan(spark, sf_dir, "dq_table_profile")
+    # the EXACT profiler avoids Expand too since round 6: one pruned
+    # single-column aggregation per column, unioned — the multi-distinct
+    # Expand (7x row volume through one shuffle) is gone from both
+    exact_plan = _plan(spark, sf_dir, "dq_table_profile")
+    assert "Expand" not in exact_plan
+    assert exact_plan.count("FileScan") == 6  # one pruned scan per column
     # estimate accuracy (not part of the hash-checked output): re-run the
     # wide aggregation directly
     from house_price_etl_pipeline_spark.operators.analytics import (
