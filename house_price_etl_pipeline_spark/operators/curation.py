@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec_sum, dec_sum_expr
+from ..functions.numeric import dec_sum, dec_sum_expr, fixed_sum
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -97,7 +97,7 @@ def merge_upsert_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("d.price", "b.price").alias("price"))
         .groupBy("action")
         .agg(F.count("*").alias("n_keys"),
-             dec_sum("price").alias("merged_price_sum"))
+             fixed_sum("price", 2).alias("merged_price_sum"))
         .orderBy("action")
     )
 
@@ -252,7 +252,7 @@ def clean_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.sum(((x < F.col("lo")) | (x > F.col("hi"))).cast("bigint"))
             .alias("n_clipped"),
-            F.round(dec_sum(x) / F.count("*"), 6).alias("mean_raw"),
+            F.round(fixed_sum(x, 2) / F.count("*"), 6).alias("mean_raw"),
             F.round(dec_sum(clipped) / F.count("*"), 6).alias("mean_winsorized"),
         )
         .orderBy("l_returnflag")

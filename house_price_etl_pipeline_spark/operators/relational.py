@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import exact_twin_enabled
-from ..functions.numeric import dec_avg, dec_avg_expr, dec_sum, dec_sum_expr
+from ..functions.numeric import (dec_avg_expr, dec_sum_expr, fixed_avg,
+                                 fixed_sum)
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -68,7 +69,7 @@ def flagship_avg_price_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(dim, orders.o_custkey == dim.c_custkey)
         .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
-        .agg(dec_avg("o_totalprice").alias("avg_total_price"),
+        .agg(fixed_avg("o_totalprice", 2).alias("avg_total_price"),
              F.count("*").alias("n_orders"))
         .orderBy("order_year")
     )
@@ -106,12 +107,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity").alias("sum_qty"),
-            dec_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price.cast(_DEC)).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast(_DEC)).cast("double").alias("sum_charge"),
-            dec_avg("l_quantity").alias("avg_qty"),
-            dec_avg("l_discount").alias("avg_disc"),
+            fixed_sum("l_quantity", 0).alias("sum_qty"),
+            fixed_sum("l_extendedprice", 2).alias("sum_base_price"),
+            fixed_sum(disc_price, 4).alias("sum_disc_price"),
+            fixed_sum(charge, 6).alias("sum_charge"),
+            fixed_avg("l_quantity", 0).alias("avg_qty"),
+            fixed_avg("l_discount", 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -230,7 +231,7 @@ def agg_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n_rows"), dec_sum("l_quantity").alias("sum_qty"))
+        .agg(F.count("*").alias("n_rows"), fixed_sum("l_quantity", 0).alias("sum_qty"))
         .orderBy(F.col("l_returnflag").asc_nulls_first(),
                  F.col("l_linestatus").asc_nulls_first())
     )
@@ -251,7 +252,7 @@ def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), fixed_sum("o_totalprice", 2).alias("sum_price"))
         .orderBy(F.col("o_orderpriority").asc_nulls_first(),
                  F.col("o_orderstatus").asc_nulls_first())
     )
@@ -361,7 +362,7 @@ def join_shuffle_order_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(dec_sum("l_extendedprice").alias("sum_price"),
+        .agg(fixed_sum("l_extendedprice", 2).alias("sum_price"),
              F.count("*").alias("n_items"))
         .orderBy("o_orderpriority")
     )
@@ -669,7 +670,7 @@ def events_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("hour", "ts").cast("string").alias("hour_ts"))
-        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), fixed_sum("value", 2).alias("sum_value"))
         .orderBy("hour_ts")
     )
 
@@ -687,7 +688,7 @@ def orders_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
-        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), fixed_sum("o_totalprice", 2).alias("sum_price"))
         .orderBy("order_month")
     )
 
@@ -1112,7 +1113,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         melted.groupBy("measure")
-        .agg(F.count("*").alias("n"), dec_sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), fixed_sum("value", 2).alias("total"))
         .orderBy("measure")
     )
 

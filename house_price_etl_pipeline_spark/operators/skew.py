@@ -51,7 +51,7 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
 
 # Catalog entry: the salted path under the driver's value-hash gate —
 # salting must be result-invariant, so the oracle is the PLAIN join SQL.
-from ..functions.numeric import dec_sum, dec_sum_expr  # noqa: E402
+from ..functions.numeric import dec_sum_expr, fixed_sum  # noqa: E402
 from ..plans.catalog import register  # noqa: E402
 from ..sources.tables import load_table  # noqa: E402
 
@@ -78,7 +78,7 @@ def join_salted_skew(spark, sf_dir):
     return (
         joined.groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_rows"),
-             dec_sum("o_totalprice").alias("sum_price"))
+             fixed_sum("o_totalprice", 2).alias("sum_price"))
         .orderBy("c_mktsegment")
     )
 
@@ -128,7 +128,7 @@ def join_bloom_runtime_filter(spark, sf_dir):
             li.join(p, li.l_partkey == p.p_partkey)
             .groupBy("p_brand")
             .agg(F.count("*").alias("n_rows"),
-                 dec_sum("l_extendedprice").alias("sum_price"))
+                 fixed_sum("l_extendedprice", 2).alias("sum_price"))
         )
         # lock the physical plan in under these confs (memoized)
         out._jdf.queryExecution().executedPlan()

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec_avg, dec_avg_expr, dec_sum, dec_sum_expr
+from ..functions.numeric import (dec_avg_expr, dec_sum_expr, fixed_avg,
+                                 fixed_sum)
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -61,12 +62,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        dec_avg("l_quantity").alias("avg_qty"))
+        fixed_avg("l_quantity", 0).alias("avg_qty"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == per_part.pk)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(dec_sum("l_extendedprice").alias("small_lot_revenue"),
+        .agg(fixed_sum("l_extendedprice", 2).alias("small_lot_revenue"),
              F.count("*").alias("n_rows"))
     )
 
@@ -105,7 +106,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("o_custkey") == c.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        .agg(fixed_sum("l_quantity", 0).alias("sum_qty"))
         .select("c_custkey", "c_name", "o_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
                 F.col("o_totalprice").cast("double").alias("o_totalprice"),
@@ -180,7 +181,7 @@ def q11_important_nation_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_nationkey")
-        .agg(dec_sum("l_extendedprice").alias("value"))
+        .agg(fixed_sum("l_extendedprice", 2).alias("value"))
     )
     total = v.agg((F.sum("value") * 0.045).alias("threshold"))
     return (
@@ -360,13 +361,13 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     thr = (c.filter(F.col("c_acctbal") > 0)
-           .agg(dec_avg("c_acctbal").alias("thr")))
+           .agg(fixed_avg("c_acctbal", 2).alias("thr")))
     return (
         c.join(F.broadcast(thr), c.c_acctbal > F.col("thr"))
         .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"),
-             dec_sum("c_acctbal").alias("totacctbal"))
+             fixed_sum("c_acctbal", 2).alias("totacctbal"))
         .orderBy("c_nationkey")
     )
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec_sum, dec_sum_expr
+from ..functions.numeric import dec_sum_expr, fixed_sum
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -183,7 +183,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("supp_nation"),
                 F.year("o_orderdate").alias("yr"), amount.alias("amount"))
         .groupBy("supp_nation", "yr")
-        .agg(dec_sum("amount").alias("sum_profit"))
+        .agg(fixed_sum("amount", 4).alias("sum_profit"))
         .orderBy("supp_nation", F.col("yr").desc())
     )
 
@@ -612,7 +612,7 @@ def api_transpose_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         o.groupBy("o_orderstatus")
         .agg(F.count("*").cast("double").alias("n_orders"),
-             F.round(dec_sum("o_totalprice") / F.count("*"), 6)
+             F.round(fixed_sum("o_totalprice", 2) / F.count("*"), 6)
              .alias("avg_price"),
              F.round(F.max("o_totalprice"), 6).alias("max_price"))
         .orderBy("o_orderstatus")

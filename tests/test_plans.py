@@ -482,3 +482,48 @@ def test_media_kernels_run_partitioned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_png_decode_stats")
     assert "hashpartitioning(doc_id" in plan
     assert "MapInPandas" in plan
+
+
+def test_fixed_sum_matches_decimal_sum_bitwise(spark, sf_dir):
+    """fixed_sum/fixed_avg (round-6): the vectorized fixed-point long
+    path must equal the decimal path BIT-FOR-BIT on every digits class
+    it is deployed with — raw 0/2-dec columns (incl. negative acctbal),
+    4-dec and 6-dec products — and the env knob must route back to the
+    decimal form."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.functions.numeric import (
+        dec_avg, dec_sum, fixed_avg, fixed_sum)
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    cases = [
+        (li, F.col("l_quantity"), 0),
+        (li, F.col("l_extendedprice"), 2),
+        (li, disc, 4),
+        (li, charge, 6),
+        (cu, F.col("c_acctbal"), 2),                      # has negatives
+        (cu.filter(F.col("c_acctbal") < 0), F.col("c_acctbal"), 2),
+    ]
+    for t, c, d in cases:
+        r = t.agg(dec_sum(c).alias("a"), fixed_sum(c, d).alias("b"),
+                  dec_avg(c).alias("x"), fixed_avg(c, d).alias("y")).first()
+        assert r.a == r.b and r.x == r.y, (d, r.a, r.b, r.x, r.y)
+    # grouped: per-group equality too (partial-agg paths differ)
+    a = {(r[0], r[1]): r[2] for r in li.groupBy(
+        "l_returnflag", "l_linestatus").agg(dec_sum(charge)).collect()}
+    b = {(r[0], r[1]): r[2] for r in li.groupBy(
+        "l_returnflag", "l_linestatus").agg(fixed_sum(charge, 6)).collect()}
+    assert a == b
+    # env knob: decimal fallback produces the same plan family as dec_sum
+    import os
+    os.environ["SPARK_GRAFT_DECIMAL_AGG"] = "1"
+    try:
+        r = li.agg(dec_sum(charge).alias("a"),
+                   fixed_sum(charge, 6).alias("b")).first()
+        assert r.a == r.b
+    finally:
+        del os.environ["SPARK_GRAFT_DECIMAL_AGG"]
