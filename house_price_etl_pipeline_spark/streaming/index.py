@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 BANDS_SUBDIR = "bands"
 DECISIONS_SUBDIR = "decisions"
 COMMITS_SUBDIR = "_commits"
+# crashed-pre-CAS compaction stages older than this are reclaimed by
+# recovery even with a live journal (an in-flight compactor's stage is
+# always younger than one staging write)
+STAGE_GC_AGE_S = 3600.0
 
 
 def _bands_glob(index_dir: str) -> str:
@@ -122,10 +126,17 @@ def _recover_compaction(index_dir: str) -> None:
     if not os.path.isdir(bands_root) and stages:
         os.rename(stages[-1], bands_root)
         stages = stages[:-1]
-    if os.path.isdir(bands_root) and not commits:
-        # un-journaled orphan stages have no CAS loser to GC them
+    if os.path.isdir(bands_root):
+        # GC orphan stages: immediately on an un-journaled layout (no
+        # CAS loser exists to clean up), age-gated when a journal is
+        # live — a YOUNG stage may belong to an in-flight compactor
+        # that has not CASed yet, an old one is a crashed-pre-CAS
+        # leftover (a lost-race compactor removes its own stage)
+        import time
         for leftover in stages:
-            shutil.rmtree(leftover, ignore_errors=True)
+            if not commits or (time.time() - os.path.getmtime(leftover)
+                               > STAGE_GC_AGE_S):
+                shutil.rmtree(leftover, ignore_errors=True)
     for old in _glob.glob(os.path.join(index_dir, "bands_old_*")):
         shutil.rmtree(old, ignore_errors=True)
 

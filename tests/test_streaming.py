@@ -1042,3 +1042,30 @@ def test_band_index_ttl_orders_by_batch_id_not_mtime(spark, tmp_path):
     indexed = {r.doc_id for r in read_band_index(spark, index_dir)
                .select("doc_id").distinct().collect()}
     assert indexed == {201, 202}  # ids 1,2 kept; replayed id 0 evicted
+
+
+def test_band_index_orphan_stage_gc_is_age_gated(spark, tmp_path):
+    """With a live journal, a FRESH bands_compact_* stage (possibly an
+    in-flight compactor's) survives recovery; one older than
+    STAGE_GC_AGE_S (crashed pre-CAS) is reclaimed."""
+    import os
+    import time
+
+    from house_price_etl_pipeline_spark.streaming.index import (
+        STAGE_GC_AGE_S, _recover_compaction, read_band_index)
+
+    index_dir = str(tmp_path / "gc_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    fresh = os.path.join(index_dir, "bands_compact_fresh")
+    stale = os.path.join(index_dir, "bands_compact_stale")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    old = time.time() - STAGE_GC_AGE_S - 60
+    os.utime(stale, (old, old))
+    _recover_compaction(index_dir)
+    assert os.path.isdir(fresh)        # young: maybe in-flight, kept
+    assert not os.path.isdir(stale)    # crashed-pre-CAS leftover: GC'd
+    # live layout untouched
+    assert {r.doc_id for r in read_band_index(spark, index_dir)
+            .select("doc_id").distinct().collect()} == {100}
