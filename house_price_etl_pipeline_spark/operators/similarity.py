@@ -508,7 +508,34 @@ def _nearest_udf(C: "np.ndarray"):
     return nearest
 
 
-def _kmeans_oracle(k: int = None, iters: int = None) -> str:
+def _lloyd_centroids(e: DataFrame) -> "np.ndarray":
+    """KMEANS_ITERS Lloyd rounds over (vec_id, embedding); returns the
+    trained centroid matrix. Deterministic init (K lowest vec_ids);
+    each round is a narrow Arrow assign + ONE (k×dim)-key shuffle +
+    a k×dim-row centroid collect — see sim_kmeans_lloyd."""
+    init = (e.orderBy("vec_id").limit(KMEANS_K)
+            .select("embedding").collect())
+    C = np.array([r.embedding for r in init], dtype=np.float64)
+    for _ in range(KMEANS_ITERS):
+        assigned = e.select(
+            "vec_id", "embedding",
+            _nearest_udf(C)(F.col("embedding")).alias("a"))
+        upd = (
+            assigned.select(F.col("a.cluster").alias("cluster"),
+                            F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                  / F.count("*")).alias("c"))
+            .collect()
+        )
+        C = C.copy()
+        for r in upd:                   # empty clusters keep their centroid
+            C[r.cluster, r.pos] = r.c
+    return C
+
+
+def _kmeans_oracle(k: int = None, iters: int = None,
+                   tail: str = None) -> str:
     """DuckDB oracle for Lloyd k-means, rounds unrolled as chained CTEs
     (same recipe as graph._pagerank_oracle). Parity holds because the
     UPDATE step is decimal-exact in BOTH engines (sum(DECIMAL)/count →
@@ -555,10 +582,11 @@ def _kmeans_oracle(k: int = None, iters: int = None) -> str:
       FROM {prev} p LEFT JOIN m{i} m
         ON p.cluster = m.cluster AND p.pos = m.pos)""")
     last = iters + 1
-    return (",\n".join(parts)
-            + f"""\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+    if tail is None:
+        tail = f"""\nSELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
        round(dist2, 6) AS dist2
-FROM a{last} WHERE rn = 1 ORDER BY vec_id""")
+FROM a{last} WHERE rn = 1 ORDER BY vec_id"""
+    return ",\n".join(parts) + tail.replace("{last}", str(last))
 
 
 @register("sim_kmeans_lloyd", oracle=_kmeans_oracle())
@@ -576,36 +604,96 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
          scalar per round, the same class as dedup.py's convergence
          counts (NOT a data collect; at 100 TB it is still 512 rows).
 
-    Init is deterministic: the K lowest-vec_id vectors. Iterative ⇒ no
-    single SQL oracle; tests/test_similarity.py replays the identical
-    algorithm in numpy and checks the full assignment vector."""
+    Init is deterministic: the K lowest-vec_id vectors. The oracle is
+    the rounds-unrolled chained-CTE form (_kmeans_oracle); the loop
+    itself lives in _lloyd_centroids, shared with sim_semdedup_prune."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    init = (e.orderBy("vec_id").limit(KMEANS_K)
-            .select("embedding").collect())
-    C = np.array([r.embedding for r in init], dtype=np.float64)
-
-    for _ in range(KMEANS_ITERS):
-        assigned = e.select(
-            "vec_id", "embedding",
-            _nearest_udf(C)(F.col("embedding")).alias("a"))
-        upd = (
-            assigned.select(F.col("a.cluster").alias("cluster"),
-                            F.posexplode("embedding").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg((F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
-                  / F.count("*")).alias("c"))
-            .collect()
-        )
-        C = C.copy()
-        for r in upd:                   # empty clusters keep their centroid
-            C[r.cluster, r.pos] = r.c
-
+    C = _lloyd_centroids(e)
     final = e.select(
         "vec_id", _nearest_udf(C)(F.col("embedding")).alias("a"))
     return (
         final.select(
             "vec_id", F.col("a.cluster").alias("cluster"),
             F.round(F.col("a.dist2"), 6).alias("dist2"))
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_TAIL = f""",
+asg AS (SELECT vec_id, cluster FROM a{{last}} WHERE rn = 1),
+v AS (
+  SELECT g.vec_id, g.cluster, e.embedding,
+         sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS nrm
+  FROM asg g JOIN embeddings e ON g.vec_id = e.vec_id),
+dups AS (
+  SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+  FROM v x JOIN v y
+    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+  WHERE {_DOT_SQL.format(a='x.embedding', b='y.embedding')}
+        / (x.nrm * y.nrm) >= {SEMDEDUP_TAU}
+  GROUP BY x.vec_id)
+SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+       (d.vec_id IS NULL) AS is_kept, d.dup_of
+FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id"""
+
+
+@register("sim_semdedup_prune", oracle=_kmeans_oracle(tail=_SEMDEDUP_TAIL))
+def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings (the trained Lloyd centroids
+    shared with sim_kmeans_lloyd) and dropping, WITHIN each cluster,
+    any vector that has a lower-id cluster-mate with cosine ≥ τ —
+    near-duplicate semantics decided inside small clusters so the
+    pairwise work is bounded by cluster size, never corpus size. That
+    is the paper's point at scale: k grows with the corpus (k ≈ √n),
+    per-cluster membership stays roughly constant, so total cost is
+    n×cluster_size, not n². Here the per-cluster prune is a grouped
+    applyInPandas kernel (one Arrow batch per cluster, k=8 bounded
+    groups): a numpy Gram matrix accumulated dimension-by-dimension so
+    every pairwise dot is the same left-to-right float64 fold as the
+    oracle's list_sum — bit-identical cosines, same τ boundary.
+    Output: every vector with its cluster, keep verdict, and the
+    lowest-id duplicate that evicted it (NULL when kept)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    C = _lloyd_centroids(e)
+    assigned = e.select(
+        "vec_id", "embedding",
+        _nearest_udf(C)(F.col("embedding"))["cluster"].alias("cluster"))
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, dim = X.shape
+        # dimension-at-a-time accumulation = left-to-right fold per
+        # pair, bit-identical to aggregate()/list_sum dot products
+        G = np.zeros((n, n), dtype=np.float64)
+        for d in range(dim):
+            G += np.outer(X[:, d], X[:, d])
+        nrm = np.sqrt(np.diag(G).copy())
+        cos = G / np.outer(nrm, nrm)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        for i in range(1, n):
+            js = np.nonzero(cos[i, :i] >= SEMDEDUP_TAU)[0]
+            if len(js):
+                dup_of[i] = ids[js[0]]   # lowest vec_id (sorted order)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": pdf["cluster"].astype("int32"),
+            "is_kept": dup_of < 0,
+            "dup_of": pd.array([None if d < 0 else d for d in dup_of],
+                               dtype="Int64"),
+        })
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(prune, "vec_id long, cluster int, is_kept boolean, "
+                              "dup_of long")
         .orderBy("vec_id")
     )
 
