@@ -805,13 +805,23 @@ def test_band_index_compaction_bounds_files_and_preserves_rejection(
     assert d[501] == (True, 100)
     assert d[502][0] is False  # purge took effect
 
-    # interrupted swap: simulate crash between the two renames
+    # interrupted swap: simulate crash between the two renames — the
+    # live layout sits under the JOURNALED stage name and ``bands`` is
+    # gone. (Recovery only ever promotes journal-committed stages now,
+    # VERDICT r7 item 3; an arbitrary un-journaled stage name would be
+    # an in-flight compactor's private staging, never promoted.)
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import _commits_dir
+    committed_stage = next(
+        c["stage"] for c in
+        reversed(read_commit_journal(_commits_dir(index_dir)))
+        if c["op"] == "compact")
     os.rename(bands_root, str(tmp_path / "gone"))
-    stage = os.path.join(index_dir, "bands_compact_deadbeef")
-    os.rename(str(tmp_path / "gone"), stage)
+    os.rename(str(tmp_path / "gone"),
+              os.path.join(index_dir, committed_stage))
     assert {r.doc_id for r in read_band_index(spark, index_dir)
             .select("doc_id").distinct().collect()} \
-        == {100, 201, 401, 502}  # recovered: stage promoted
+        == {100, 201, 401, 502}  # recovered: committed stage promoted
 
 
 def test_upsert_optimize_parallel_rewrite(spark, tmp_path):
@@ -907,15 +917,15 @@ def _seed_band_index(spark, index_dir, docs):
 
 
 def _append_band_batch(spark, index_dir, batch_id, docs):
-    """Emulate one committed ingest append (the tail of
-    run_index_ingest.process_batch) for deterministic interleaving."""
-    import os
-
+    """One committed ingest append through the PRODUCTION protocol
+    (the same _append_committed used by run_index_ingest.process_batch:
+    write → CAS → post-commit swap-survival verification) for
+    deterministic interleaving."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from house_price_etl_pipeline_spark.streaming.index import (
-        BANDS_SUBDIR, _journal_append)
+    from house_price_etl_pipeline_spark.streaming.index import \
+        _append_committed
     from house_price_etl_pipeline_spark.streaming.joins import \
         _rowwise_band_keys
 
@@ -924,9 +934,9 @@ def _append_band_batch(spark, index_dir, batch_id, docs):
     bands = _rowwise_band_keys(
         spark.createDataFrame(docs, schema)
         .select("doc_id", F.split("text", " ").alias("ws")))
-    bands.write.mode("overwrite").parquet(
-        os.path.join(index_dir, BANDS_SUBDIR, f"batch-{batch_id}"))
-    _journal_append(index_dir, str(batch_id))
+    _append_committed(
+        index_dir, str(batch_id),
+        lambda dest: bands.write.mode("overwrite").parquet(dest))
 
 
 def test_band_index_compaction_loses_cas_to_concurrent_append(
@@ -963,6 +973,164 @@ def test_band_index_compaction_loses_cas_to_concurrent_append(
     assert indexed == {100, 201, 301}    # nothing lost
     ops = [c["op"] for c in read_commit_journal(_commits_dir(index_dir))]
     assert ops == ["append", "append", "append", "compact"]
+
+
+def test_band_index_append_survives_pre_swap_compaction_window(
+        spark, tmp_path):
+    """The r7 lost-bands race (VERDICT r7 item 1a): a compaction WINS
+    its CAS, and before its swap runs an ingest append reads the
+    journal (compact entry visible), writes its dir into the OLD
+    layout, and claims the next slot with NO conflict — the swap then
+    renames that layout away. Post-commit verification in
+    _append_committed must detect the vanished dir and re-establish it
+    in the compacted layout: zero lost bands."""
+    import glob as _glob
+    import os
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _commits_dir, compact_band_index, read_band_index)
+
+    index_dir = str(tmp_path / "psw_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+
+    hook_calls = []
+
+    def append_in_pre_swap_window(attempt):
+        hook_calls.append(attempt)
+        # journal head is now the compact entry; the swap has NOT run.
+        # Without post-commit verification this append's bands are
+        # silently deleted by the swap below.
+        _append_band_batch(spark, index_dir, 1,
+                           [(301, "seven eight nine ten eleven")])
+
+    stats = compact_band_index(spark, index_dir,
+                               _post_commit_hook=append_in_pre_swap_window)
+    assert hook_calls == [0]             # compaction won first try
+    assert stats["batches_in"] == 2      # seed + batch-0 (batch-1 after)
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {100, 201, 301}    # nothing lost
+    ops = [c["op"] for c in read_commit_journal(_commits_dir(index_dir))]
+    assert ops == ["append", "append", "compact", "append"]
+    # batch-1 survives as its own dir in the compacted layout
+    names = {os.path.basename(p) for p in
+             _glob.glob(os.path.join(index_dir, BANDS_SUBDIR, "batch-*"))}
+    assert names == {"batch-seed", "batch-1"}
+    # no stray rewrite staging or retired layouts left behind
+    assert not _glob.glob(os.path.join(index_dir, BANDS_SUBDIR,
+                                       ".rewrite_*"))
+    assert not _glob.glob(os.path.join(index_dir, "bands_old_*"))
+
+
+def test_band_index_recovery_applies_non_head_compaction(spark, tmp_path):
+    """Head-only recovery hole (VERDICT r7 item 1b): compactor crashes
+    between CAS and swap, then ONE append commits — the compact entry
+    is no longer the journal head. Recovery must still apply it; the
+    crashed-pre-verification appender's dir is swapped away, and the
+    strict committed-dir check makes the next compaction refuse loudly
+    until the batch is re-established (streaming replay's job)."""
+    import os
+
+    import pytest
+
+    from house_price_etl_pipeline_spark.fsutil import (
+        read_commit_journal, try_commit)
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _commits_dir, compact_band_index, read_band_index)
+    from house_price_etl_pipeline_spark.streaming.joins import \
+        _rowwise_band_keys
+
+    index_dir = str(tmp_path / "nhr_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+
+    # hand-build the won-but-unapplied compaction (stage = merged live
+    # layout), journal: [append seed, append 0, compact]
+    bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+    stage = os.path.join(index_dir, "bands_compact_crashed2")
+    merged = spark.read.parquet(os.path.join(bands_root, "batch-*"))
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "batch-seed"))
+    cd = _commits_dir(index_dir)
+    head = read_commit_journal(cd)[-1]
+    assert try_commit(cd, head["seq"] + 1,
+                      {"op": "compact", "stage": "bands_compact_crashed2"})
+
+    # an appender writes into the OLD layout, commits the next slot
+    # (no CAS conflict — the compactor claimed the earlier one), and
+    # crashes before post-commit verification
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    bands = _rowwise_band_keys(
+        spark.createDataFrame([(301, "seven eight nine ten eleven")], schema)
+        .select("doc_id", F.split("text", " ").alias("ws")))
+    bands.write.mode("overwrite").parquet(
+        os.path.join(bands_root, "batch-7"))
+    assert try_commit(cd, head["seq"] + 2, {"op": "append", "batch": "7"})
+
+    # recovery applies the NON-HEAD compact entry (old code skipped it
+    # because commits[-1] is the append); batch-7's dir is swapped away
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {100, 201}
+    assert not os.path.isdir(stage)
+    assert not os.path.isdir(os.path.join(bands_root, "batch-7"))
+
+    # compaction refuses while the journaled batch-7 dir is missing —
+    # proceeding would silently drop its bands from the seed forever
+    with pytest.raises(RuntimeError, match="lost 8 consecutive"):
+        compact_band_index(spark, index_dir)
+
+    # streaming replay re-establishes the batch (same id), after which
+    # compaction goes through with nothing lost
+    _append_band_batch(spark, index_dir, 7,
+                       [(301, "seven eight nine ten eleven")])
+    stats = compact_band_index(spark, index_dir)
+    assert stats["rows_out"] > 0
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {100, 201, 301}
+
+
+def test_band_index_live_journal_never_promotes_inflight_stage(
+        spark, tmp_path):
+    """Journal-aware legacy promotion (VERDICT r7 item 3): with a live
+    journal and the bands dir missing, an UN-journaled stage (an
+    in-flight compactor's private staging that may never win its CAS)
+    must NOT be promoted; without any journal the legacy mtime
+    promotion still works."""
+    import os
+    import shutil
+
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _commits_dir, _recover_compaction, read_band_index)
+
+    index_dir = str(tmp_path / "ljp_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+
+    # live journal + bands missing + in-flight (uncommitted) stage
+    inflight = os.path.join(index_dir, "bands_compact_inflight")
+    shutil.move(bands_root, inflight)
+    _recover_compaction(index_dir)
+    assert os.path.isdir(inflight)          # untouched
+    assert not os.path.isdir(bands_root)    # NOT promoted
+
+    # no journal at all -> legacy mtime promotion still applies
+    shutil.rmtree(_commits_dir(index_dir))
+    _recover_compaction(index_dir)
+    assert not os.path.isdir(inflight)
+    assert {r.doc_id for r in read_band_index(spark, index_dir)
+            .select("doc_id").distinct().collect()} == {100}
 
 
 def test_band_index_recovery_applies_committed_compaction(spark, tmp_path):
