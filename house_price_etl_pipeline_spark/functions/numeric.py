@@ -20,6 +20,11 @@ M2_PER_PING = 3.30579
 
 _DEC = "decimal(25,6)"
 
+# fixed_sum splits each scaled long into (hi = N >> 20, lo = N & fffff)
+# so per-group partial sums get an effective 64+20-bit accumulator —
+# see fixed_sum's docstring for the derived bounds.
+_SPLIT_BITS = 20
+
 
 def m2_to_ping(col: Column | str) -> Column:
     """Area m² → 坪, rounded to 2 (reference etl_pipeline_spark.py:76)."""
@@ -61,12 +66,24 @@ def fixed_sum(col: Column | str, digits: int) -> Column:
     conversion of the exact rational total — no long→double
     double-rounding.
 
-    Scale bound: needs rows×max|x|×10^d < 2^63 per group — ~1e7 safety
-    factor at bench scales and fine through TPC-H sf1000 for grouped
-    aggs; a global sum over ~10^10 rows of 6-dec values would overflow,
-    which under ANSI mode RAISES (never silently corrupts). Set
-    SPARK_GRAFT_DECIMAL_AGG=1 to force the decimal form everywhere
-    (the general-domain fallback, same values)."""
+    Scale bound (VERDICT r7 item 2 — the r6 single-long form overflowed
+    at rows×max|x|×10^d ≥ 2^63 per group, an ANSI error from roughly
+    TPC-H sf160 on Q1's 4-group shape): partials are WIDENED to a
+    split-long accumulator pair. Each scaled value N = hi·2^20 + lo
+    (arithmetic shift / masked low bits — exact two's-complement
+    identities for either sign), the two long sums stay vectorized, and
+    the recombination 2^20·Σhi + Σlo happens once per group in
+    decimal(38,0) — an effective 84-bit accumulator at the cost of one
+    extra vectorized long sum. Real bounds, per group:
+
+    - rows < 2^43 (~8.8e12): Σlo < rows·2^20 must fit a long;
+    - Σ|x|·10^d < 2^83 (~9.7e24): Σhi < that/2^20 must fit a long.
+
+    TPC-H sf100 000 (~100 TB) on Q1's worst group is ~1.5e11 rows and
+    Σcharge·10^6 ≈ 5.7e21 — three orders of magnitude inside both
+    bounds. Past them ANSI mode still RAISES (never silently
+    corrupts); set SPARK_GRAFT_DECIMAL_AGG=1 to force the fully
+    general decimal form (same values, ~6× slower inner sum)."""
     import os
     from decimal import Decimal
 
@@ -79,8 +96,18 @@ def fixed_sum(col: Column | str, digits: int) -> Column:
     # eps << 0.5, so N +- eps + 0.5 floors to N for either sign of x or
     # eps, and .5 ties cannot occur.
     scaled = F.floor(c * F.lit(float(10 ** digits)) + F.lit(0.5))
-    return (F.sum(scaled).cast("decimal(38,0)")
-            * F.lit(Decimal(1).scaleb(-digits))).cast("double")
+    # split-long widening: shiftright is arithmetic (floor division by
+    # 2^20 for negatives too) and the AND-masked low 20 bits are the
+    # matching non-negative remainder, so scaled == hi*2^20 + lo
+    # exactly; summing hi and lo separately keeps every partial inside
+    # long range through the bounds documented above, and both sums
+    # stay on the vectorized no-BigDecimal aggregate path.
+    hi = F.shiftright(scaled, _SPLIT_BITS)
+    lo = scaled.bitwiseAND(F.lit((1 << _SPLIT_BITS) - 1))
+    total = (F.sum(hi).cast("decimal(38,0)")
+             * F.lit(Decimal(1 << _SPLIT_BITS))
+             + F.sum(lo).cast("decimal(38,0)"))
+    return (total * F.lit(Decimal(1).scaleb(-digits))).cast("double")
 
 
 def fixed_avg(col: Column | str, digits: int) -> Column:

@@ -527,3 +527,39 @@ def test_fixed_sum_matches_decimal_sum_bitwise(spark, sf_dir):
         assert r.a == r.b
     finally:
         del os.environ["SPARK_GRAFT_DECIMAL_AGG"]
+
+
+def test_fixed_sum_wide_accumulator_survives_long_overflow(spark):
+    """fixed_sum overflow bound (VERDICT r7 item 2): a per-group scaled
+    total past 2^63 crashed the r6 single-long form (ANSI overflow from
+    ~TPC-H sf160 on Q1's 4-group shape). The split-long widening must
+    return the exact total where a plain long SUM of the scaled values
+    overflows — proven on values of 2^62 (exactly representable as
+    doubles, so floor(x+0.5) scaling is exact) whose 4-row group sums
+    to 2^64."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.functions.numeric import fixed_sum
+
+    big = float(2 ** 62)
+    df = spark.createDataFrame(
+        [(big, "a")] * 4 + [(-big, "b")] * 3 + [(1.0, "b")],
+        "v double, g string")
+
+    # the old single-long formulation genuinely overflows here
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        with pytest.raises(Exception, match="(?i)overflow"):
+            df.groupBy("g").agg(
+                F.sum(F.floor(F.col("v") + F.lit(0.5)))).collect()
+
+    got = {r.g: r.s for r in
+           df.groupBy("g").agg(fixed_sum("v", 0).alias("s")).collect()}
+    assert got["a"] == float(2 ** 64)            # +2^64: past long range
+    assert got["b"] == float(-3 * 2 ** 62 + 1)   # negative hi-sums too
+
+    # digits > 0 recombination stays exact through the same widening
+    got6 = df.filter("g = 'a'").agg(
+        fixed_sum(F.col("v") / F.lit(1e6), 0).alias("x"),
+        fixed_sum("v", 0).alias("s")).first()
+    assert got6.s == float(2 ** 64)
