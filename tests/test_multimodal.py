@@ -270,7 +270,7 @@ def test_crc32c_vectorized_tier_matches_table_loop():
                                  + 0xA282EAD8) & 0xFFFFFFFF)
 
 
-def test_png_roundtrip_and_corruption_detection():
+def test_png_roundtrip_and_corruption_detection(monkeypatch):
     """PNG codec (VERDICT r4 item 7): encode cycles all five filter
     types; decode un-filters to the exact generator pixels. A flipped
     IDAT byte fails the chunk CRC; a bad filter-type byte (with the CRC
@@ -282,6 +282,13 @@ def test_png_roundtrip_and_corruption_detection():
 
     from house_price_etl_pipeline_spark.operators.multimodal import (
         _bmp_dims, _encode_png, _parse_png, _png_chunk, _PNG_SIG)
+
+    from house_price_etl_pipeline_spark.operators import multimodal as mm
+
+    # pin the PURE tiers (VERDICT r7 item 4): these tests verify the
+    # numpy un-filter paths themselves, so a native decoder (pillow,
+    # when installed) must not silently take over the assertion
+    monkeypatch.setattr(mm, "_NATIVE_PNG", None)
 
     data = bytes(range(256)) * 3 + b"tail"
     blob = _encode_png(data)
@@ -348,7 +355,7 @@ def _png_with_filters(w, h, seed, ftype_of_row):
     return blob, img.astype(np.uint8).reshape(-1)
 
 
-def test_png_batch_tier_matches_single_blob_all_filters():
+def test_png_batch_tier_matches_single_blob_all_filters(monkeypatch):
     """The wavefront batch tier (VERDICT r5 item 6) must be
     bit-identical to the single-blob reference path for every filter
     type, mixed types, and both skew orientations (wide and tall)."""
@@ -356,6 +363,13 @@ def test_png_batch_tier_matches_single_blob_all_filters():
 
     from house_price_etl_pipeline_spark.operators.multimodal import (
         _parse_png, decode_png_batch)
+
+    from house_price_etl_pipeline_spark.operators import multimodal as mm
+
+    # pin the PURE tiers (VERDICT r7 item 4): these tests verify the
+    # numpy un-filter paths themselves, so a native decoder (pillow,
+    # when installed) must not silently take over the assertion
+    monkeypatch.setattr(mm, "_NATIVE_PNG", None)
 
     for dims in ((37, 29), (5, 200), (200, 5), (2, 2)):
         blobs, expects = [], []
@@ -374,10 +388,15 @@ def test_png_batch_tier_matches_single_blob_all_filters():
             assert (w, h) == (w2, h2) and np.array_equal(pix, pix2)
 
 
-def test_png_batch_tier_mixed_dims_and_small_batch_fallback():
+def test_png_batch_tier_mixed_dims_and_small_batch_fallback(monkeypatch):
     import numpy as np
 
     from house_price_etl_pipeline_spark.operators import multimodal as mm
+
+    # pin the PURE tiers (VERDICT r7 item 4): these tests verify the
+    # numpy un-filter paths themselves, so a native decoder (pillow,
+    # when installed) must not silently take over the assertion
+    monkeypatch.setattr(mm, "_NATIVE_PNG", None)
 
     rng = np.random.default_rng(11)
     blobs = [mm._encode_png(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
@@ -393,7 +412,7 @@ def test_png_batch_tier_mixed_dims_and_small_batch_fallback():
         assert (w, h) == (w2, h2) and np.array_equal(pix, pix2)
 
 
-def test_png_vectorized_012_path_and_corruption_still_raise():
+def test_png_vectorized_012_path_and_corruption_still_raise(monkeypatch):
     """A 0/1/2-only PNG takes the whole-image vectorized un-filter; CRC
     corruption must still raise regardless of tier (the chunk walk runs
     before any tier dispatch)."""
@@ -402,6 +421,13 @@ def test_png_vectorized_012_path_and_corruption_still_raise():
 
     from house_price_etl_pipeline_spark.operators.multimodal import (
         _parse_png, decode_png_batch)
+
+    from house_price_etl_pipeline_spark.operators import multimodal as mm
+
+    # pin the PURE tiers (VERDICT r7 item 4): these tests verify the
+    # numpy un-filter paths themselves, so a native decoder (pillow,
+    # when installed) must not silently take over the assertion
+    monkeypatch.setattr(mm, "_NATIVE_PNG", None)
 
     b, e = _png_with_filters(40, 30, 5, lambda r: r % 3)  # types 0-2 only
     w, h, pix = _parse_png(b)
