@@ -508,12 +508,18 @@ def _nearest_udf(C: "np.ndarray"):
     return nearest
 
 
-def _lloyd_centroids(e: DataFrame) -> "np.ndarray":
+def _lloyd_centroids(e: DataFrame, k: int = KMEANS_K) -> "np.ndarray":
     """KMEANS_ITERS Lloyd rounds over (vec_id, embedding); returns the
-    trained centroid matrix. Deterministic init (K lowest vec_ids);
+    trained centroid matrix. Deterministic init (k lowest vec_ids);
     each round is a narrow Arrow assign + ONE (k×dim)-key shuffle +
-    a k×dim-row centroid collect — see sim_kmeans_lloyd."""
-    init = (e.orderBy("vec_id").limit(KMEANS_K)
+    a k×dim-row centroid collect — see sim_kmeans_lloyd. The collect
+    and the closure-shipped centroid matrix stay bounded because k is
+    either the fixed demo KMEANS_K or SemDeDup's corpus-derived
+    n/SEMDEDUP_VECS_PER_CLUSTER; past ~10^5 clusters a production
+    build trains on a sample and broadcast-joins assignments instead
+    of closure-shipping C — the per-cluster engine shape downstream is
+    unchanged."""
+    init = (e.orderBy("vec_id").limit(k)
             .select("embedding").collect())
     C = np.array([r.embedding for r in init], dtype=np.float64)
     for _ in range(KMEANS_ITERS):
@@ -534,7 +540,7 @@ def _lloyd_centroids(e: DataFrame) -> "np.ndarray":
     return C
 
 
-def _kmeans_oracle(k: int = None, iters: int = None,
+def _kmeans_oracle(k=None, iters: int = None,
                    tail: str = None) -> str:
     """DuckDB oracle for Lloyd k-means, rounds unrolled as chained CTEs
     (same recipe as graph._pagerank_oracle). Parity holds because the
@@ -543,7 +549,11 @@ def _kmeans_oracle(k: int = None, iters: int = None,
     step mirrors the kernel's |x|²−2x·c+|c|² identity with the same
     0-clamp and lowest-index tie rule, and float drift between the
     engines (~1e-14, summation order) only matters on exact-tie
-    distances, which the shared tie rule resolves identically."""
+    distances, which the shared tie rule resolves identically.
+
+    ``k`` is an int or a SQL scalar expression string (SemDeDup passes
+    the corpus-derived ``(SELECT GREATEST(...) FROM embeddings)`` so
+    the oracle's cluster count tracks the Spark side's at every SF)."""
     k = KMEANS_K if k is None else k
     iters = KMEANS_ITERS if iters is None else iters
     parts = [f"""WITH ev AS (
@@ -620,6 +630,24 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.35
+# target cluster membership: k = ceil(n / this), floored at KMEANS_K.
+# Keeps the per-cluster Gram matrix ~(2×1024)²×8 B ≈ 34 MB worst-case
+# per Arrow batch no matter the corpus size (VERDICT r7 item 5 — the
+# fixed k=8 made cluster size n/8, an O((n/8)²) single-batch kernel
+# that dies at 100× scale). At the bench SFs (≤2000 vectors) k stays
+# at the KMEANS_K floor, so results and plans there are unchanged.
+SEMDEDUP_VECS_PER_CLUSTER = 1024
+
+# the same formula, spelled for the DuckDB oracle: cluster count must
+# track the Spark side at every SF, so it's derived in-query
+_SEMDEDUP_K_SQL = (f"(SELECT GREATEST({KMEANS_K}, CAST(CEIL(COUNT(*) / "
+                   f"{SEMDEDUP_VECS_PER_CLUSTER}.0) AS BIGINT)) "
+                   f"FROM embeddings)")
+
+
+def _semdedup_k(n_vectors: int) -> int:
+    return max(KMEANS_K, -(-n_vectors // SEMDEDUP_VECS_PER_CLUSTER))
+
 
 _SEMDEDUP_TAIL = f""",
 asg AS (SELECT vec_id, cluster FROM a{{last}} WHERE rn = 1),
@@ -640,7 +668,8 @@ FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
 ORDER BY a.vec_id"""
 
 
-@register("sim_semdedup_prune", oracle=_kmeans_oracle(tail=_SEMDEDUP_TAIL))
+@register("sim_semdedup_prune",
+          oracle=_kmeans_oracle(k=_SEMDEDUP_K_SQL, tail=_SEMDEDUP_TAIL))
 def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings (the trained Lloyd centroids
@@ -648,19 +677,25 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     any vector that has a lower-id cluster-mate with cosine ≥ τ —
     near-duplicate semantics decided inside small clusters so the
     pairwise work is bounded by cluster size, never corpus size. That
-    is the paper's point at scale: k grows with the corpus (k ≈ √n),
-    per-cluster membership stays roughly constant, so total cost is
-    n×cluster_size, not n². Here the per-cluster prune is a grouped
-    applyInPandas kernel (one Arrow batch per cluster, k=8 bounded
-    groups): a numpy Gram matrix accumulated dimension-by-dimension so
-    every pairwise dot is the same left-to-right float64 fold as the
-    oracle's list_sum — bit-identical cosines, same τ boundary.
-    Output: every vector with its cluster, keep verdict, and the
-    lowest-id duplicate that evicted it (NULL when kept)."""
+    is the paper's point at scale, and (VERDICT r7 item 5) k is
+    therefore DERIVED from the corpus: k = ceil(n /
+    SEMDEDUP_VECS_PER_CLUSTER) floored at KMEANS_K, so per-cluster
+    membership stays ~constant and total cost is n×cluster_size, not
+    n² — with fixed k the grouped kernel's single Arrow batch held n/k
+    vectors and its O((n/k)²) Gram matrix OOMed at 100× scale. The n
+    here is one metadata-cheap count; the oracle derives the same k
+    in-SQL (_SEMDEDUP_K_SQL) so both engines cluster identically at
+    every SF. Per-cluster prune is a grouped applyInPandas kernel (one
+    bounded Arrow batch per cluster): a numpy Gram matrix accumulated
+    dimension-by-dimension so every pairwise dot is the same
+    left-to-right float64 fold as the oracle's list_sum —
+    bit-identical cosines, same τ boundary. Output: every vector with
+    its cluster, keep verdict, and the lowest-id duplicate that
+    evicted it (NULL when kept)."""
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    C = _lloyd_centroids(e)
+    C = _lloyd_centroids(e, _semdedup_k(e.count()))
     assigned = e.select(
         "vec_id", "embedding",
         _nearest_udf(C)(F.col("embedding"))["cluster"].alias("cluster"))

@@ -77,6 +77,7 @@ _MODULES = (
     "house_price_etl_pipeline_spark.streaming.stateful",
     "house_price_etl_pipeline_spark.streaming.foreach",
     "house_price_etl_pipeline_spark.streaming.ingest",
+    "house_price_etl_pipeline_spark.streaming.index",
 )
 
 

@@ -34,6 +34,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.catalog import register
+
 BANDS_SUBDIR = "bands"
 DECISIONS_SUBDIR = "decisions"
 COMMITS_SUBDIR = "_commits"
@@ -229,14 +231,45 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         f"after {max_retries} post-commit verification rounds")
 
 
-def build_band_index(spark: SparkSession, docs: DataFrame,
-                     index_dir: str) -> None:
-    """Seed the index from an existing corpus (batch): per-row band keys
-    → parquet under batch-seed. docs: (doc_id, text)."""
+def _default_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band_id, band_hash): per-row MinHash
+    banding, the near-dup keying (see joins._rowwise_band_keys)."""
     from .joins import _rowwise_band_keys
 
-    bands = _rowwise_band_keys(
+    return _rowwise_band_keys(
         docs.select("doc_id", F.split("text", " ").alias("ws")))
+
+
+PREFIX_FP_TOKENS = 3
+
+
+def prefix_fingerprint_keys(docs: DataFrame) -> DataFrame:
+    """Prefix-fingerprint keying for the same index machinery: one key
+    row per doc, band_hash = xxhash64 of the first PREFIX_FP_TOKENS
+    whitespace tokens — two docs collide iff their normalized prefix is
+    identical (64-bit hash on a fixed corpus: collision odds ~n²/2⁶⁵
+    beyond the intended prefix equality, deterministic per dataset).
+    The index/journal/compaction protocol is agnostic to the keying;
+    this one makes ingest decisions SQL-expressible (prefix equality —
+    the hash never leaves the index), which is what lets
+    stream_index_compact_ingest carry a full DuckDB oracle, and the
+    synthetic corpus has a healthy shared-prefix population at every
+    SF where full texts are almost all unique."""
+    fp = F.concat_ws(
+        " ", F.slice(F.split("text", " "), 1, PREFIX_FP_TOKENS))
+    return docs.select(
+        "doc_id",
+        F.lit(0).cast("int").alias("band_id"),
+        F.xxhash64(fp).alias("band_hash"))
+
+
+def build_band_index(spark: SparkSession, docs: DataFrame,
+                     index_dir: str, keys_fn=None) -> None:
+    """Seed the index from an existing corpus (batch): per-row band keys
+    → parquet under batch-seed. docs: (doc_id, text). ``keys_fn`` maps
+    that frame to (doc_id, band_id, band_hash); default MinHash LSH
+    banding."""
+    bands = (keys_fn or _default_keys)(docs)
     _append_committed(
         index_dir, "seed",
         lambda dest: bands.write.mode("overwrite").parquet(dest))
@@ -253,20 +286,20 @@ def read_decisions(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
-                     index_dir: str, checkpoint_dir: str) -> None:
+                     index_dir: str, checkpoint_dir: str,
+                     keys_fn=None) -> None:
     """Drain the arriving-docs stream through the growing index.
 
     Per batch: probe (batch bands ⋈ index bands) ∪ (batch self-join on
     band, earlier doc_id wins) → rejected set; decisions written first,
     accepted bands appended second — a crash between the two writes
-    replays the batch id and overwrites both (idempotent)."""
-    from .joins import _rowwise_band_keys
+    replays the batch id and overwrites both (idempotent). ``keys_fn``
+    as in build_band_index (must match the seeding keying)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        bands = _rowwise_band_keys(
-            batch_df.select("doc_id", F.split("text", " ").alias("ws"))
-        ).localCheckpoint(eager=True)  # two consumers below
+        bands = (keys_fn or _default_keys)(batch_df) \
+            .localCheckpoint(eager=True)  # two consumers below
 
         # Unseeded-index detection is an explicit filesystem check, NOT
         # a bare except around the read: a corrupted parquet or a
@@ -461,3 +494,113 @@ def compact_band_index(spark: SparkSession, index_dir: str,
         shutil.rmtree(stage, ignore_errors=True)
     raise RuntimeError(
         "band-index compaction lost 8 consecutive CAS races")
+
+
+@register(
+    "stream_index_compact_ingest",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      array_to_string(string_split(text, ' ')
+                                      [1:{PREFIX_FP_TOKENS}], ' ') AS fp,
+                      doc_id % 3 AS wave
+               FROM documents),
+    w0 AS (SELECT doc_id, fp FROM d WHERE wave = 0),
+    w1 AS (SELECT doc_id, fp FROM d WHERE wave = 1),
+    w2 AS (SELECT doc_id, fp FROM d WHERE wave = 2),
+    cand1 AS (
+      SELECT x.doc_id, y.doc_id AS m FROM w1 x JOIN w0 y ON y.fp = x.fp
+      UNION ALL
+      SELECT x.doc_id, y.doc_id FROM w1 x JOIN w1 y
+        ON y.fp = x.fp AND y.doc_id < x.doc_id),
+    dec1 AS (
+      SELECT x.doc_id, MIN(c.m) AS matched_doc
+      FROM w1 x LEFT JOIN cand1 c ON c.doc_id = x.doc_id
+      GROUP BY x.doc_id),
+    idx2 AS (
+      SELECT doc_id, fp FROM w0 WHERE doc_id % 10 <> 1
+      UNION ALL
+      SELECT w1.doc_id, w1.fp FROM w1 JOIN dec1 ON w1.doc_id = dec1.doc_id
+      WHERE dec1.matched_doc IS NULL AND w1.doc_id % 10 <> 1),
+    cand2 AS (
+      SELECT x.doc_id, y.doc_id AS m FROM w2 x JOIN idx2 y ON y.fp = x.fp
+      UNION ALL
+      SELECT x.doc_id, y.doc_id FROM w2 x JOIN w2 y
+        ON y.fp = x.fp AND y.doc_id < x.doc_id),
+    dec2 AS (
+      SELECT x.doc_id, MIN(c.m) AS matched_doc
+      FROM w2 x LEFT JOIN cand2 c ON c.doc_id = x.doc_id
+      GROUP BY x.doc_id)
+    SELECT doc_id, matched_doc IS NOT NULL AS is_dup, matched_doc
+    FROM (SELECT * FROM dec1 UNION ALL SELECT * FROM dec2)
+    ORDER BY doc_id
+    """,
+)
+def stream_index_compact_ingest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """End-to-end growing-index lifecycle with a COMPACTION in the
+    middle of ingest (VERDICT r7 item 1's standing catalog entry):
+
+    1. seed the persistent index from wave-0 docs (doc_id % 3 == 0);
+    2. stream wave-1 docs through run_index_ingest — accept/reject
+       against the seed plus same-batch earlier arrivals, journal-CAS
+       appends;
+    3. compact_band_index with a purge (drop_docs = doc_id % 10 == 1):
+       per-batch appends fold into one sized batch-seed layout and the
+       purged docs' keys stop vetoing;
+    4. stream wave-2 docs through the COMPACTED index — still vetoed by
+       surviving wave-0/1 docs (proving compaction lost no bands),
+       newly admitted where their only match was purged.
+
+    Keying is prefix_fingerprint_keys so the decision semantics are
+    exactly SQL (prefix equality with earliest-doc-wins and the
+    acceptance feedback unrolled per wave in the oracle's CTEs); the
+    engine exercised underneath — journal CAS, post-commit append
+    verification, swap recovery, strict committed-dir compaction — is
+    byte-identical to the MinHash production path, which the
+    rows-covered stream_dedup_ingest entry and the race-hook tests
+    cover. Returns every streamed doc's (doc_id, is_dup, matched_doc)."""
+    import tempfile
+
+    from ..operators.dedup import dedup_shuffle_partitions
+    from ..sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="idx_compact_ingest_")
+    index_dir = os.path.join(work, "index")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+
+    def stream_wave(w: int) -> DataFrame:
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "documents.parquet")
+                .parquet(sf_dir)
+                .filter(F.col("doc_id") % 3 == w)
+                .select("doc_id", "text"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(dedup_shuffle_partitions()))
+    try:
+        build_band_index(spark, docs.filter(F.col("doc_id") % 3 == 0),
+                         index_dir, keys_fn=prefix_fingerprint_keys)
+        run_index_ingest(spark, stream_wave(1), index_dir,
+                         os.path.join(work, "ckpt1"),
+                         keys_fn=prefix_fingerprint_keys)
+        # capture wave-1 verdicts before wave-2's restarted batch ids
+        # overwrite decisions/batch-0
+        dec1 = (read_decisions(spark, index_dir)
+                .filter(F.col("doc_id") % 3 == 1)
+                .localCheckpoint(eager=True))
+
+        purged = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id")
+        compact_band_index(spark, index_dir, drop_docs=purged)
+
+        run_index_ingest(spark, stream_wave(2), index_dir,
+                         os.path.join(work, "ckpt2"),
+                         keys_fn=prefix_fingerprint_keys)
+        dec2 = (read_decisions(spark, index_dir)
+                .filter(F.col("doc_id") % 3 == 2))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return dec1.unionByName(dec2).orderBy("doc_id")

@@ -113,3 +113,45 @@ def test_batch_lsh_ann_recall_and_candidate_shuffle(spark, sf_dir):
     # query-side signatures and embeddings ride broadcasts; the bucket
     # join must not shuffle the corpus on a pair key
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_semdedup_k_derivation():
+    """k = ceil(n / SEMDEDUP_VECS_PER_CLUSTER), floored at KMEANS_K
+    (VERDICT r7 item 5): cluster membership stays ~constant as the
+    corpus grows, so the per-cluster Gram kernel's Arrow batch is
+    bounded at every scale."""
+    from house_price_etl_pipeline_spark.operators.similarity import (
+        KMEANS_K, SEMDEDUP_VECS_PER_CLUSTER, _semdedup_k)
+
+    v = SEMDEDUP_VECS_PER_CLUSTER
+    assert _semdedup_k(1) == KMEANS_K
+    assert _semdedup_k(KMEANS_K * v) == KMEANS_K
+    assert _semdedup_k(KMEANS_K * v + 1) == KMEANS_K + 1
+    assert _semdedup_k(100 * v) == 100
+    # 64x the sf0.1 corpus: membership stays ~SEMDEDUP_VECS_PER_CLUSTER
+    assert 2000 * 64 / _semdedup_k(2000 * 64) <= v
+
+
+def test_semdedup_parity_with_derived_k_above_floor(spark, sf_dir, duck,
+                                                    monkeypatch):
+    """Both engines must track the DERIVED k, not just the KMEANS_K
+    floor the bench SFs sit at: shrink the target cluster size so the
+    sf0.001 corpus (500 vectors) derives k=16, and compare Spark vs
+    the dynamically-k'd DuckDB oracle value-for-value."""
+    from house_price_etl_pipeline_spark.operators import similarity as sim
+    from tests.test_oracle_parity import _normalize
+
+    monkeypatch.setattr(sim, "SEMDEDUP_VECS_PER_CLUSTER", 32)
+    assert sim._semdedup_k(500) == 16
+
+    spark_pdf = sim.sim_semdedup_prune(spark, sf_dir).toPandas()
+    assert spark_pdf["cluster"].nunique() > sim.KMEANS_K  # floor exceeded
+
+    k_sql = ("(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)) "
+             "FROM embeddings)")
+    oracle = sim._kmeans_oracle(k=k_sql, tail=sim._SEMDEDUP_TAIL)
+    duck_pdf = duck.execute(oracle).fetchdf()
+
+    assert len(spark_pdf) == len(duck_pdf)
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    assert _normalize(spark_pdf) == _normalize(duck_pdf)
