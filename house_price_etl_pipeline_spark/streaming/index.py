@@ -43,6 +43,11 @@ COMMITS_SUBDIR = "_commits"
 # recovery even with a live journal (an in-flight compactor's stage is
 # always younger than one staging write)
 STAGE_GC_AGE_S = 3600.0
+# how long compaction waits for a journaled append's missing dir to be
+# re-established (a live appender's phase-2 parquet rewrite is seconds)
+# before refusing — see compact_band_index's strict presence check
+STRICT_WAIT_ROUNDS = 40
+STRICT_WAIT_S = 0.25
 
 
 def _bands_glob(index_dir: str) -> str:
@@ -157,12 +162,19 @@ def _recover_compaction(index_dir: str) -> None:
                     or (time.time() - os.path.getmtime(leftover)
                         > STAGE_GC_AGE_S)):
                 shutil.rmtree(leftover, ignore_errors=True)
+        # an appender that crashed mid-re-establishment (phase 2 of
+        # _append_committed) leaves a .rewrite_* side copy inside the
+        # live layout; age-gated GC — a live appender's side copy is
+        # seconds old
+        for orphan in _glob.glob(os.path.join(bands_root, ".rewrite_*")):
+            if time.time() - os.path.getmtime(orphan) > STAGE_GC_AGE_S:
+                shutil.rmtree(orphan, ignore_errors=True)
     for old in _glob.glob(os.path.join(index_dir, "bands_old_*")):
         shutil.rmtree(old, ignore_errors=True)
 
 
 def _append_committed(index_dir: str, batch: str, write_batch,
-                      max_retries: int = 8) -> None:
+                      max_retries: int = 8, _pre_verify_hook=None) -> None:
     """Append one batch's band dir under the full journal protocol.
     ``write_batch(dest)`` writes the parquet dir (idempotent). This is
     the ONLY correct way to add a batch dir to a journaled index; both
@@ -185,14 +197,23 @@ def _append_committed(index_dir: str, batch: str, write_batch,
     unapplied swap ourselves and check the dir survived; if not, we
     re-establish it — staged to a dotfile dir and renamed in
     atomically, so a concurrent compaction (which reads journaled
-    batch dirs) can never half-read a rewrite in progress. Every swap
-    that can delete our dir belongs to a compaction committed before
-    our slot (a LATER compaction only proceeds once every journaled
-    append's dir is present in its input listing — see
-    compact_band_index — so its swap carries our bands inside the
-    compacted seed); recovery applies those synchronously, so once the
-    dir is seen alive after a recovery pass, no earlier swap remains
-    to take it."""
+    batch dirs) can never half-read a rewrite in progress. A swap that
+    deletes our dir is one of exactly two kinds, told apart by the
+    compact entry's sequence number:
+
+    - committed BEFORE our slot: the lost-bands race — our bands were
+      NOT in its input; re-establish the dir;
+    - committed AFTER our slot: that compaction read the journal with
+      our append in it, and its strict presence check (see
+      compact_band_index) guarantees our dir was in its input — our
+      bands live inside its compacted seed (or were dropped by an
+      explicit TTL policy), so the missing dir is the CORRECT state
+      and re-establishing it would duplicate every row until the next
+      compaction. Return without rewriting.
+
+    Recovery applies pending pre-slot swaps synchronously, so once the
+    dir is seen alive with no post-slot compact entry, no earlier swap
+    remains to take it."""
     import shutil
     import uuid
 
@@ -211,8 +232,16 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         raise RuntimeError(
             f"band-index append for batch {batch} lost {max_retries} "
             f"consecutive CAS races")
+    if _pre_verify_hook is not None:
+        # test seam for the committed-but-unverified window: a full
+        # compaction cycle running HERE consumes our journaled dir
+        # into its seed — phase 2 below must NOT re-establish it
+        _pre_verify_hook()
     for _attempt in range(max_retries):
         _recover_compaction(index_dir)
+        if any(c.get("op") == "compact" and c["seq"] > seq
+               for c in read_commit_journal(cd)):
+            return  # folded into a later compaction's seed — done
         if os.path.isdir(dest):
             return
         # swapped away by a pre-commit compaction: rewrite off to the
@@ -257,7 +286,12 @@ def prefix_fingerprint_keys(docs: DataFrame) -> DataFrame:
     SF where full texts are almost all unique."""
     fp = F.concat_ws(
         " ", F.slice(F.split("text", " "), 1, PREFIX_FP_TOKENS))
-    return docs.select(
+    # NULL text emits NO key row (concat_ws would otherwise fold every
+    # NULL onto xxhash64('') and mass-reject them as mutual dups); the
+    # oracle's NULL fp matches nothing, and a keyless doc still gets
+    # its accept verdict — decisions are built from the batch's doc
+    # list, not from its keys
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.lit(0).cast("int").alias("band_id"),
         F.xxhash64(fp).alias("band_hash"))
@@ -422,7 +456,9 @@ def compact_band_index(spark: SparkSession, index_dir: str,
     from ..fsutil import read_commit_journal, try_commit
 
     cd = _commits_dir(index_dir)
-    for _attempt in range(8):
+    cas_losses = 0
+    strict_waits = 0
+    while True:
         _recover_compaction(index_dir)
         bands_root = os.path.join(index_dir, BANDS_SUBDIR)
         commits = read_commit_journal(cd)
@@ -448,15 +484,25 @@ def compact_band_index(spark: SparkSession, index_dir: str,
             # pre-commit swap raced its layout away (post-commit
             # verification in _append_committed) — compacting now
             # would drop those bands from the seed, and the swap would
-            # make the loss permanent. Wait for the self-heal and
-            # retry; a crashed appender's batch is re-established by
-            # streaming replay (its foreachBatch never returned), and
-            # until then compaction refuses loudly rather than
-            # admitting that batch's future duplicates silently.
-            if not append_names <= {os.path.basename(d)
-                                    for d in batch_dirs}:
+            # make the loss permanent. Wait for the self-heal on its
+            # OWN budget (a re-establishment is a full parquet write —
+            # seconds, not the CAS-retry timescale); a crashed
+            # appender's batch is only re-established by streaming
+            # replay (its foreachBatch never returned), so after the
+            # wait compaction refuses with a DISTINCT error rather
+            # than admitting that batch's future duplicates silently.
+            missing = append_names - {os.path.basename(d)
+                                      for d in batch_dirs}
+            if missing:
+                strict_waits += 1
+                if strict_waits > STRICT_WAIT_ROUNDS:
+                    raise RuntimeError(
+                        f"band-index compaction: journaled append "
+                        f"dir(s) {sorted(missing)} still missing after "
+                        f"waiting — crashed appender awaiting streaming "
+                        f"replay? refusing to compact without them")
                 import time
-                time.sleep(0.05)
+                time.sleep(STRICT_WAIT_S)
                 continue
         if not batch_dirs:
             return {"batches_in": 0, "rows_out": 0}
@@ -477,7 +523,7 @@ def compact_band_index(spark: SparkSession, index_dir: str,
         rows_out = spark.read.parquet(
             os.path.join(stage, "batch-seed")).count()
         if _race_hook is not None:
-            _race_hook(_attempt)
+            _race_hook(cas_losses)
         if try_commit(cd, base_seq + 1,
                       {"op": "compact", "stage": os.path.basename(stage)}):
             if _post_commit_hook is not None:
@@ -485,15 +531,17 @@ def compact_band_index(spark: SparkSession, index_dir: str,
                 # (VERDICT r7 item 1): an append running HERE sees the
                 # compact entry in the journal, claims the next slot
                 # conflict-free, and must still survive the swap below
-                _post_commit_hook(_attempt)
+                _post_commit_hook(cas_losses)
             _apply_swap(index_dir, stage)
             return {"batches_in": len(batch_dirs),
                     "batches_kept": len(kept_dirs), "rows_out": rows_out}
         # lost to a concurrent append/compaction: our input listing is
         # stale — discard the stage and retry against the new journal
         shutil.rmtree(stage, ignore_errors=True)
-    raise RuntimeError(
-        "band-index compaction lost 8 consecutive CAS races")
+        cas_losses += 1
+        if cas_losses >= 8:
+            raise RuntimeError(
+                "band-index compaction lost 8 consecutive CAS races")
 
 
 @register(
@@ -559,22 +607,27 @@ def stream_index_compact_ingest(spark: SparkSession,
     byte-identical to the MinHash production path, which the
     rows-covered stream_dedup_ingest entry and the race-hook tests
     cover. Returns every streamed doc's (doc_id, is_dup, matched_doc)."""
+    import shutil
     import tempfile
 
     from ..operators.dedup import dedup_shuffle_partitions
     from ..sources.tables import load_table
+    from .joins import stream_documents
 
-    work = tempfile.mkdtemp(prefix="idx_compact_ingest_")
+    # deterministic per-(process, sf_dir) workspace, wiped per run —
+    # bench retries re-invoke the query; a fresh mkdtemp per call would
+    # leak an index + two checkpoints every time (same lesson as
+    # ingest._cdc_target_root and the Derby sink)
+    tag = (f"{os.getpid()}_"
+           f"{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}")
+    work = os.path.join(tempfile.gettempdir(), f"idx_compact_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
     index_dir = os.path.join(work, "index")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-
     def stream_wave(w: int) -> DataFrame:
-        return (spark.readStream.schema(schema)
-                .option("pathGlobFilter", "documents.parquet")
-                .parquet(sf_dir)
+        return (stream_documents(spark, sf_dir)
                 .filter(F.col("doc_id") % 3 == w)
                 .select("doc_id", "text"))
 

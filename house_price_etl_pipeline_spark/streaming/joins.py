@@ -33,6 +33,18 @@ from ..plans.catalog import register
 from .windows import _drain, stream_events
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source STREAM (schema probed from
+    the batch read; ``pathGlobFilter`` pins the single parquet file).
+    The one shared construction behind every arriving-docs streaming
+    entry (decontaminate, ingest dedup, index ingest)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+
+
 @register(
     "stream_dedup_distinct_keys",
     oracle="""
@@ -152,13 +164,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     family)."""
     from ..sources.tables import load_table
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    docs = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    docs = stream_documents(spark, sf_dir)
     bench = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % BENCH_MOD == 0)
@@ -346,11 +352,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .localCheckpoint(eager=True))
 
     # streaming side: arriving docs → per-row banding → bucket join
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
-    docs_stream = (spark.readStream.schema(schema)
-                   .option("pathGlobFilter", "documents.parquet")
-                   .parquet(sf_dir)
+    docs_stream = (stream_documents(spark, sf_dir)
                    .filter(arriving_filter)
                    .select("doc_id", F.split("text", " ").alias("ws")))
     new_bands = _rowwise_band_keys(docs_stream)

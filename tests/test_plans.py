@@ -558,8 +558,14 @@ def test_fixed_sum_wide_accumulator_survives_long_overflow(spark):
     assert got["a"] == float(2 ** 64)            # +2^64: past long range
     assert got["b"] == float(-3 * 2 ** 62 + 1)   # negative hi-sums too
 
-    # digits > 0 recombination stays exact through the same widening
-    got6 = df.filter("g = 'a'").agg(
-        fixed_sum(F.col("v") / F.lit(1e6), 0).alias("x"),
-        fixed_sum("v", 0).alias("s")).first()
-    assert got6.s == float(2 ** 64)
+    # digits > 0: the decimal scale-back after the widened 2^20·Σhi+Σlo
+    # recombination stays exact at overflow scale too. 4096 rows of
+    # x = 2^52/10 at digits=1: per-value scaled = 2^52 (inside the
+    # per-value precondition, x·10 rounds to exactly 2^52), group total
+    # 4096·2^52 = 2^64 > 2^63 — plain long SUM overflows — and the
+    # exact result is the correctly-rounded double of 2^64/10.
+    from decimal import Decimal
+    df1 = spark.range(4096).select(
+        F.lit(float(2 ** 52) / 10.0).alias("v"))
+    got1 = df1.agg(fixed_sum("v", 1).alias("s")).first()
+    assert got1.s == float(Decimal(2 ** 64).scaleb(-1))

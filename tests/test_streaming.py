@@ -1086,8 +1086,15 @@ def test_band_index_recovery_applies_non_head_compaction(spark, tmp_path):
 
     # compaction refuses while the journaled batch-7 dir is missing —
     # proceeding would silently drop its bands from the seed forever
-    with pytest.raises(RuntimeError, match="lost 8 consecutive"):
-        compact_band_index(spark, index_dir)
+    # (short-circuit the self-heal wait: the appender is "crashed")
+    import house_price_etl_pipeline_spark.streaming.index as idx_mod
+    orig = (idx_mod.STRICT_WAIT_ROUNDS, idx_mod.STRICT_WAIT_S)
+    idx_mod.STRICT_WAIT_ROUNDS, idx_mod.STRICT_WAIT_S = 2, 0.01
+    try:
+        with pytest.raises(RuntimeError, match="still missing"):
+            compact_band_index(spark, index_dir)
+    finally:
+        idx_mod.STRICT_WAIT_ROUNDS, idx_mod.STRICT_WAIT_S = orig
 
     # streaming replay re-establishes the batch (same id), after which
     # compaction goes through with nothing lost
@@ -1098,6 +1105,70 @@ def test_band_index_recovery_applies_non_head_compaction(spark, tmp_path):
     indexed = {r.doc_id for r in read_band_index(spark, index_dir)
                .select("doc_id").distinct().collect()}
     assert indexed == {100, 201, 301}
+
+
+def test_band_index_append_not_duplicated_after_later_compaction_folds_it(
+        spark, tmp_path):
+    """Phase-2 must tell apart 'dir lost to a PRE-commit swap' (rewrite)
+    from 'dir folded into a LATER compaction's seed' (do nothing): an
+    appender that stalls between its CAS and its verification, while a
+    full compaction cycle runs, must NOT re-establish the dir — the
+    bands already live in the compacted seed and a rewrite would
+    duplicate every row."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _append_committed, compact_band_index,
+        read_band_index)
+    from house_price_etl_pipeline_spark.streaming.joins import \
+        _rowwise_band_keys
+
+    index_dir = str(tmp_path / "fold_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    bands = _rowwise_band_keys(
+        spark.createDataFrame([(201, "one two three four five six")], schema)
+        .select("doc_id", F.split("text", " ").alias("ws")))
+
+    def compact_in_stall_window():
+        stats = compact_band_index(spark, index_dir)
+        assert stats["batches_in"] == 2  # seed + our committed batch-5
+
+    _append_committed(
+        index_dir, "5",
+        lambda dest: bands.write.mode("overwrite").parquet(dest),
+        _pre_verify_hook=compact_in_stall_window)
+
+    # dir NOT re-established; bands live exactly once in the seed
+    names = {os.path.basename(p) for p in
+             _glob.glob(os.path.join(index_dir, BANDS_SUBDIR, "batch-*"))}
+    assert names == {"batch-seed"}
+    idx = read_band_index(spark, index_dir)
+    assert idx.count() == idx.dropDuplicates(
+        ["band_id", "band_hash", "doc_id"]).count()
+    assert {r.doc_id for r in
+            idx.select("doc_id").distinct().collect()} == {100, 201}
+
+
+def test_prefix_fingerprint_null_text_emits_no_key(spark):
+    """NULL-text docs must not collapse onto a shared empty-prefix hash
+    (the oracle's NULL fp matches nothing): they emit no key row and
+    therefore never veto anything."""
+    from house_price_etl_pipeline_spark.streaming.index import \
+        prefix_fingerprint_keys
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    keys = prefix_fingerprint_keys(df).collect()
+    assert [r.doc_id for r in keys] == [3]
 
 
 def test_band_index_live_journal_never_promotes_inflight_stage(
