@@ -260,6 +260,40 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         f"after {max_retries} post-commit verification rounds")
 
 
+def _resolve_live_index(sess: SparkSession, index_dir: str,
+                        max_rounds: int = 40,
+                        wait_s: float = 0.25) -> DataFrame | None:
+    """Resolve the live band layout to a DataFrame, or None iff the
+    index has never been seeded. Journal-aware: every seeding path
+    funnels through _append_committed, so ANY committed journal entry
+    means the index IS seeded — a missing/empty ``bands`` dir then
+    means a concurrent compaction is between its two swap renames
+    (live ``bands`` renamed away, staged dir not yet renamed in), and
+    the right move is recover-and-retry. A bare filesystem probe in
+    that window would misread it as 'unseeded' and run the ingest
+    probe with NO index — every doc in the batch silently admitted
+    un-checked, in exactly the concurrent ingest+compaction mode the
+    journal protocol exists for. A mid-swap CRASH is settled by the
+    first _recover_compaction (the journaled stage still exists); the
+    retry loop only bridges a live compactor's in-flight renames."""
+    import glob as _glob
+    import time
+
+    from ..fsutil import read_commit_journal
+
+    for _ in range(max_rounds):
+        _recover_compaction(index_dir)
+        if _glob.glob(_bands_glob(index_dir)):
+            return sess.read.parquet(_bands_glob(index_dir))
+        if not read_commit_journal(_commits_dir(index_dir)):
+            return None  # no journal, no layout: genuinely unseeded
+        time.sleep(wait_s)
+    raise RuntimeError(
+        f"band index at {index_dir} has a committed journal but no "
+        f"live bands layout after waiting — refusing to treat a "
+        f"seeded index as empty (probe would admit duplicates)")
+
+
 def _default_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, band_id, band_hash): per-row MinHash
     banding, the near-dup keying (see joins._rowwise_band_keys)."""
@@ -335,17 +369,15 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
         bands = (keys_fn or _default_keys)(batch_df) \
             .localCheckpoint(eager=True)  # two consumers below
 
-        # Unseeded-index detection is an explicit filesystem check, NOT
-        # a bare except around the read: a corrupted parquet or a
-        # transient IO error must propagate and fail the batch (the
-        # checkpoint replays it) rather than silently running the probe
-        # with idx=None and permanently admitting duplicates.
-        import glob as _glob
-        _recover_compaction(index_dir)
-        bands_root = os.path.join(index_dir, BANDS_SUBDIR)
-        seeded = os.path.isdir(bands_root) and any(
-            _glob.glob(os.path.join(bands_root, "batch-*")))
-        idx = sess.read.parquet(_bands_glob(index_dir)) if seeded else None
+        # Unseeded-index detection is journal-aware (_resolve_live_
+        # index), NOT a bare filesystem probe or an except around the
+        # read: a corrupted parquet or transient IO error must
+        # propagate and fail the batch (the checkpoint replays it),
+        # and a concurrent compaction's mid-swap window (bands dir
+        # briefly absent) must recover-and-retry — either misread
+        # would run the probe with idx=None and permanently admit
+        # this batch's duplicates.
+        idx = _resolve_live_index(sess, index_dir)
         matches = []
         if idx is not None:
             matches.append(
@@ -404,7 +436,8 @@ def compact_band_index(spark: SparkSession, index_dir: str,
                        drop_docs: DataFrame | None = None,
                        max_age_batches: int | None = None,
                        max_records_per_file: int = 2_000_000,
-                       _race_hook=None, _post_commit_hook=None) -> dict:
+                       _race_hook=None, _post_commit_hook=None,
+                       _pre_list_hook=None) -> dict:
     """Index maintenance (VERDICT r4 item 4): merge the accumulated
     per-batch band appends into ONE sized layout and drop stale
     entries, so probe cost stays proportional to the LIVE corpus rather
@@ -458,10 +491,32 @@ def compact_band_index(spark: SparkSession, index_dir: str,
     cd = _commits_dir(index_dir)
     cas_losses = 0
     strict_waits = 0
+    loops = 0
     while True:
         _recover_compaction(index_dir)
+        if _pre_list_hook is not None:
+            # test seam: a CONCURRENT compaction's commit landing after
+            # our recovery pass but before our journal read
+            _pre_list_hook(loops)
+        loops += 1
         bands_root = os.path.join(index_dir, BANDS_SUBDIR)
         commits = read_commit_journal(cd)
+        pending = next(
+            (c for c in reversed(commits) if c.get("op") == "compact"),
+            None)
+        if pending is not None and os.path.isdir(
+                os.path.join(index_dir, pending["stage"])):
+            # A concurrent compaction committed between our recovery
+            # pass and this journal read, its swap still unapplied:
+            # the live layout does NOT yet reflect the journal. Listing
+            # it now would be disastrous under a CAS that nonetheless
+            # succeeds — the committed-names filter reduces the input
+            # to the OLD batch-seed (the folded appends' bands silently
+            # dropped) and resurrects anything that compaction's
+            # drop_docs purged. Apply the swap and re-list.
+            _apply_swap(index_dir,
+                        os.path.join(index_dir, pending["stage"]))
+            continue
         base_seq = commits[-1]["seq"] if commits else -1
         batch_dirs = sorted(_glob.glob(os.path.join(bands_root, "batch-*")),
                             key=_batch_sort_key)

@@ -1251,6 +1251,126 @@ def test_band_index_recovery_applies_committed_compaction(spark, tmp_path):
     shutil.rmtree(index_dir)
 
 
+def test_band_index_compaction_relists_after_concurrent_commit(
+        spark, tmp_path):
+    """A CONCURRENT compaction's try_commit lands between this
+    compactor's recovery pass and its journal read, swap unapplied
+    (the compactor crashed, or is between CAS and swap): the journal
+    names a compact entry the live layout doesn't reflect yet. Without
+    the pending-swap check, this compactor's committed-names filter
+    reduces its input to the OLD batch-seed — the concurrent
+    compaction's folded appends are dropped from the new seed and its
+    drop_docs purge is resurrected — under a CAS that succeeds. The
+    fix applies the pending swap and re-lists."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _commits_dir, compact_band_index, read_band_index)
+
+    index_dir = str(tmp_path / "ccu_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+
+    class _Crash(RuntimeError):
+        pass
+
+    def crash_before_swap(attempt):
+        raise _Crash()
+
+    hook_calls = []
+
+    def concurrent_commit_in_window(loop):
+        hook_calls.append(loop)
+        if loop == 0:
+            # the concurrent compactor: folds seed+batch-0, PURGES doc
+            # 100, wins its CAS, crashes before its swap — committed
+            # but unapplied, exactly what our journal read will see
+            purged = spark.range(1).select(
+                F.lit(100).cast("long").alias("doc_id"))
+            import pytest
+            with pytest.raises(_Crash):
+                compact_band_index(spark, index_dir, drop_docs=purged,
+                                   _post_commit_hook=crash_before_swap)
+
+    stats = compact_band_index(
+        spark, index_dir, _pre_list_hook=concurrent_commit_in_window)
+    # loop 0: concurrent commit injected -> pending swap detected,
+    # applied, re-list; loop 1: clean listing of the compacted layout
+    assert hook_calls == [0, 1]
+    assert stats["batches_in"] == 1      # just the swapped-in seed
+    indexed = {r.doc_id for r in read_band_index(spark, index_dir)
+               .select("doc_id").distinct().collect()}
+    assert indexed == {201}              # purge NOT resurrected
+    ops = [c["op"] for c in read_commit_journal(_commits_dir(index_dir))]
+    assert ops == ["append", "append", "compact", "compact"]
+    # exactly one live layout, no stray stages or retired dirs
+    names = {os.path.basename(p) for p in
+             _glob.glob(os.path.join(index_dir, BANDS_SUBDIR, "batch-*"))}
+    assert names == {"batch-seed"}
+    assert not _glob.glob(os.path.join(index_dir, "bands_compact_*"))
+    assert not _glob.glob(os.path.join(index_dir, "bands_old_*"))
+
+
+def test_resolve_live_index_never_misreads_mid_swap_as_unseeded(
+        spark, tmp_path):
+    """The ingest probe's seeded check (run_index_ingest) during a
+    concurrent compaction's swap window — live ``bands`` renamed away,
+    committed stage not yet renamed in. A bare filesystem probe reads
+    this as 'unseeded' and admits the whole batch un-checked;
+    _resolve_live_index must recover the committed swap and return the
+    index instead."""
+    import os
+    import shutil
+
+    from house_price_etl_pipeline_spark.fsutil import try_commit
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _commits_dir, _resolve_live_index)
+
+    index_dir = str(tmp_path / "msw_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+
+    # committed compact entry + mid-swap state: stage holds the
+    # compacted layout, live bands dir renamed away (first of the two
+    # swap renames done, second pending)
+    bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+    stage = os.path.join(index_dir, "bands_compact_midswap")
+    merged = spark.read.parquet(os.path.join(bands_root, "batch-*"))
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "batch-seed"))
+    cd = _commits_dir(index_dir)
+    head = read_commit_journal(cd)[-1]
+    assert try_commit(cd, head["seq"] + 1,
+                      {"op": "compact", "stage": "bands_compact_midswap"})
+    shutil.rmtree(bands_root)
+
+    idx = _resolve_live_index(spark, index_dir)
+    assert idx is not None
+    assert {r.doc_id for r in
+            idx.select("doc_id").distinct().collect()} == {100}
+
+    # genuinely unseeded (no journal, no layout) -> None
+    empty = str(tmp_path / "msw_empty")
+    os.makedirs(empty)
+    assert _resolve_live_index(spark, empty) is None
+
+    # committed journal but no layout and no recoverable stage: REFUSE
+    # (raising fails the batch for streaming replay) rather than treat
+    # a seeded index as empty
+    import pytest
+    shutil.rmtree(bands_root)
+    assert read_commit_journal(cd)
+    with pytest.raises(RuntimeError, match="refusing"):
+        _resolve_live_index(spark, index_dir, max_rounds=2, wait_s=0.01)
+
+
 def test_band_index_ttl_orders_by_batch_id_not_mtime(spark, tmp_path):
     """TTL ordering (VERDICT r5 item 7): a REPLAYED old batch refreshes
     its dir mtime; the TTL must still evict it, because retention is
