@@ -9,8 +9,10 @@ its near-duplicate arriving now. This module maintains exactly that:
 
 - the index is parquet at ``<index_dir>/bands``, one row per
   (band_id, band_hash, doc_id), written in per-batch subdirectories
-  (``batch-<id>``) so a replayed micro-batch overwrites its own output
-  instead of double-appending — idempotent appends on plain parquet;
+  (``batch-<stream>-<id>``, tag derived from the checkpoint dir) so a
+  replayed micro-batch re-establishes its own output instead of
+  double-appending, and several streams can feed one index without
+  colliding on batch ids — idempotent appends on plain parquet;
 - each micro-batch computes per-row band keys for the arriving docs
   (pure JVM expressions — ``joins._rowwise_band_keys``, no shuffle),
   probes the CURRENT index with a bucket equi-join, emits accept/reject
@@ -62,9 +64,20 @@ def _batch_sort_key(path: str) -> tuple[int, int]:
     """Exact batch ordering by PARSED ingest batch id (VERDICT r5
     item 7): ``batch-seed`` (and any non-numeric name) sorts oldest,
     numeric ids in id order — a replayed old batch perturbs mtimes but
-    not ids, so a TTL keeps exactly the batches it should."""
-    suffix = os.path.basename(path)[len("batch-"):]
-    return (1, int(suffix)) if suffix.isdigit() else (0, 0)
+    not ids, so a TTL keeps exactly the batches it should. Stream-
+    tagged names (``batch-<tag>-<id>``) order by the trailing id."""
+    tail = os.path.basename(path)[len("batch-"):].rsplit("-", 1)[-1]
+    return (1, int(tail)) if tail.isdigit() else (0, 0)
+
+
+def _batch_dir_name(batch: str, stream: str | None) -> str:
+    """Band/decision subdir name for one ingest batch. The stream tag
+    (derived from the checkpoint dir in run_index_ingest) namespaces
+    batch ids so two streams feeding ONE index — or a fresh checkpoint
+    restarting ids at 0 after an earlier stream's batches were folded —
+    never collide on a dir or journal identity. Untagged callers
+    (seeding, tests) keep the plain ``batch-<id>`` form."""
+    return f"batch-{stream}-{batch}" if stream else f"batch-{batch}"
 
 
 def _apply_swap(index_dir: str, stage_path: str) -> None:
@@ -174,7 +187,8 @@ def _recover_compaction(index_dir: str) -> None:
 
 
 def _append_committed(index_dir: str, batch: str, write_batch,
-                      max_retries: int = 8, _pre_verify_hook=None) -> None:
+                      max_retries: int = 8, stream: str | None = None,
+                      _pre_verify_hook=None) -> None:
     """Append one batch's band dir under the full journal protocol.
     ``write_batch(dest)`` writes the parquet dir (idempotent). This is
     the ONLY correct way to add a batch dir to a journaled index; both
@@ -213,25 +227,81 @@ def _append_committed(index_dir: str, batch: str, write_batch,
 
     Recovery applies pending pre-slot swaps synchronously, so once the
     dir is seen alive with no post-slot compact entry, no earlier swap
-    remains to take it."""
+    remains to take it.
+
+    Replay (crash between this batch's journal commit and foreachBatch
+    returning): the entry already exists, so no new slot is claimed —
+    content is re-established in place if the entry is still live, and
+    nothing is written at all if a compaction has since folded it (a
+    rewrite would duplicate the batch's rows beside the seed)."""
     import shutil
     import uuid
 
     from ..fsutil import read_commit_journal, try_commit
 
     cd = _commits_dir(index_dir)
-    dest = os.path.join(index_dir, BANDS_SUBDIR, f"batch-{batch}")
-    for _attempt in range(max_retries):
-        commits = read_commit_journal(cd)
-        seq = commits[-1]["seq"] + 1 if commits else 0
-        write_batch(dest)
-        if try_commit(cd, seq, {"op": "append", "batch": batch}):
-            break
-        _recover_compaction(index_dir)
+    dest = os.path.join(index_dir, BANDS_SUBDIR,
+                        _batch_dir_name(batch, stream))
+
+    # Replay awareness: a crashed foreachBatch is replayed with the
+    # SAME batch id and (checkpointed offsets) the same content, so an
+    # append entry for this batch may already be journaled. Claiming a
+    # fresh slot would double-journal, and — if a compaction folded the
+    # original entry in between — phase 1's write would resurrect the
+    # batch dir NEXT TO the compacted seed, duplicating every one of
+    # its band rows permanently (decisions stay right via the min()
+    # aggregation; the index bloats). The (stream, batch) pair is the
+    # identity: a DIFFERENT stream reusing batch id 0 is a new append,
+    # not a replay. Three cases by journal state:
+    commits = read_commit_journal(cd)
+    last_compact_seq = max((c["seq"] for c in commits
+                            if c.get("op") == "compact"), default=-1)
+    mine = [c for c in commits
+            if c.get("op") == "append" and c.get("batch") == batch
+            and c.get("stream") == stream]
+    if mine and mine[-1]["seq"] < last_compact_seq:
+        # folded: the batch's bands live exactly once inside the
+        # compacted seed — any write would duplicate them. Done.
+        return
+    if mine:
+        # journaled after the last compaction: the slot is already
+        # claimed; re-establish CONTENT only (the crashed attempt may
+        # have left dest partial). Side-dir + rename pair, not an
+        # in-place overwrite: a concurrent compactor reading a half-
+        # deleted dir is unrecoverable, while brief ABSENCE is exactly
+        # what its strict presence check waits out.
+        seq = mine[-1]["seq"]
+        tmp = os.path.join(index_dir, BANDS_SUBDIR,
+                           f".rewrite_{uuid.uuid4().hex[:8]}")
+        write_batch(tmp)
+        retired = os.path.join(index_dir, BANDS_SUBDIR,
+                               f".rewrite_{uuid.uuid4().hex[:8]}_old")
+        try:
+            os.rename(dest, retired)
+        except OSError:
+            pass  # dest absent: crashed pre-write, or swapped away
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # layout moved under us — drop the side copy; phase 2
+            # below re-verifies and re-establishes if still needed
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
     else:
-        raise RuntimeError(
-            f"band-index append for batch {batch} lost {max_retries} "
-            f"consecutive CAS races")
+        entry = {"op": "append", "batch": batch}
+        if stream is not None:
+            entry["stream"] = stream
+        for _attempt in range(max_retries):
+            commits = read_commit_journal(cd)
+            seq = commits[-1]["seq"] + 1 if commits else 0
+            write_batch(dest)
+            if try_commit(cd, seq, entry):
+                break
+            _recover_compaction(index_dir)
+        else:
+            raise RuntimeError(
+                f"band-index append for batch {batch} lost {max_retries} "
+                f"consecutive CAS races")
     if _pre_verify_hook is not None:
         # test seam for the committed-but-unverified window: a full
         # compaction cycle running HERE consumes our journaled dir
@@ -362,7 +432,17 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
     band, earlier doc_id wins) → rejected set; decisions written first,
     accepted bands appended second — a crash between the two writes
     replays the batch id and overwrites both (idempotent). ``keys_fn``
-    as in build_band_index (must match the seeding keying)."""
+    as in build_band_index (must match the seeding keying).
+
+    Batch dirs and journal entries are namespaced by a stream tag
+    derived from the checkpoint dir (stable across restarts of the
+    same stream, distinct across streams): several streams can feed
+    one index — and a later stream restarting batch ids at 0 — without
+    colliding on a dir name or being misread as a replay."""
+    import hashlib
+
+    stream_tag = hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -411,7 +491,8 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
         # decisions first, accepted bands second; both keyed by batch id
         # (overwrite) so a replay is idempotent
         verdicts.write.mode("overwrite").parquet(
-            os.path.join(index_dir, DECISIONS_SUBDIR, f"batch-{batch_id}"))
+            os.path.join(index_dir, DECISIONS_SUBDIR,
+                         _batch_dir_name(str(batch_id), stream_tag)))
         accepted = verdicts.filter(~F.col("is_dup")).select("doc_id")
         accepted_bands = bands.join(accepted, "doc_id")
         # append serialized against compaction via the journal CAS +
@@ -422,7 +503,8 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
         _append_committed(
             index_dir, str(batch_id),
             lambda dest: accepted_bands.write.mode("overwrite")
-                                       .parquet(dest))
+                                       .parquet(dest),
+            stream=stream_tag)
 
     q = (docs_stream.writeStream
          .foreachBatch(process_batch)
@@ -528,7 +610,8 @@ def compact_band_index(spark: SparkSession, index_dir: str,
                 (i for i, c in enumerate(commits)
                  if c.get("op") == "compact"), default=-1)
             append_names = {
-                f"batch-{c['batch']}" for c in commits[last_compact + 1:]
+                _batch_dir_name(c["batch"], c.get("stream"))
+                for c in commits[last_compact + 1:]
                 if c.get("op") == "append"}
             committed = {"batch-seed"} | append_names
             batch_dirs = [d for d in batch_dirs
@@ -695,8 +778,8 @@ def stream_index_compact_ingest(spark: SparkSession,
         run_index_ingest(spark, stream_wave(1), index_dir,
                          os.path.join(work, "ckpt1"),
                          keys_fn=prefix_fingerprint_keys)
-        # capture wave-1 verdicts before wave-2's restarted batch ids
-        # overwrite decisions/batch-0
+        # wave-1 verdicts (stream-tagged decision dirs don't collide
+        # with wave-2's restarted batch ids; captured eagerly anyway)
         dec1 = (read_decisions(spark, index_dir)
                 .filter(F.col("doc_id") % 3 == 1)
                 .localCheckpoint(eager=True))

@@ -1371,6 +1371,109 @@ def test_resolve_live_index_never_misreads_mid_swap_as_unseeded(
         _resolve_live_index(spark, index_dir, max_rounds=2, wait_s=0.01)
 
 
+def test_band_index_replayed_append_is_idempotent(spark, tmp_path):
+    """Checkpoint replay re-runs a batch whose append already committed
+    (crash between the journal commit and foreachBatch returning). The
+    replay must NOT claim a second journal slot, and after a compaction
+    has folded the original entry it must write NOTHING — the old code
+    re-journaled and resurrected the batch dir beside the compacted
+    seed, permanently duplicating every one of its band rows."""
+    import glob as _glob
+    import os
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _commits_dir, compact_band_index, read_band_index)
+
+    index_dir = str(tmp_path / "rpl_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+
+    # replay BEFORE any compaction: content re-established, journal
+    # unchanged (exactly one append entry for batch 0)
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+    ops = [(c["op"], c.get("batch"))
+           for c in read_commit_journal(_commits_dir(index_dir))]
+    assert ops == [("append", "seed"), ("append", "0")]
+    idx = read_band_index(spark, index_dir)
+    assert idx.count() == idx.dropDuplicates(
+        ["band_id", "band_hash", "doc_id"]).count()
+
+    # replay AFTER a compaction folded the batch: nothing written,
+    # nothing journaled, zero duplicate rows
+    compact_band_index(spark, index_dir)
+    _append_band_batch(spark, index_dir, 0,
+                       [(201, "one two three four five six")])
+    ops = [c["op"] for c in read_commit_journal(_commits_dir(index_dir))]
+    assert ops == ["append", "append", "compact"]
+    names = {os.path.basename(p) for p in
+             _glob.glob(os.path.join(index_dir, BANDS_SUBDIR, "batch-*"))}
+    assert names == {"batch-seed"}          # dir NOT resurrected
+    idx = read_band_index(spark, index_dir)
+    assert idx.count() == idx.dropDuplicates(
+        ["band_id", "band_hash", "doc_id"]).count()
+    assert {r.doc_id for r in
+            idx.select("doc_id").distinct().collect()} == {100, 201}
+    # no stray side copies from the re-establishment path
+    assert not _glob.glob(os.path.join(index_dir, BANDS_SUBDIR,
+                                       ".rewrite_*"))
+
+
+def test_band_index_two_streams_share_one_index_without_collision(
+        spark, tmp_path):
+    """Two streams (distinct stream tags, as run_index_ingest derives
+    from distinct checkpoint dirs) both emit batch id 0 into ONE index:
+    the appends must get distinct dirs and distinct journal identities —
+    neither overwrites the other, and neither is misread as the other's
+    replay. Same-stream re-append stays idempotent (no new entry)."""
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _append_committed, _commits_dir, read_band_index)
+    from house_price_etl_pipeline_spark.streaming.joins import \
+        _rowwise_band_keys
+
+    index_dir = str(tmp_path / "two_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+
+    def append(stream, docs):
+        bands = _rowwise_band_keys(
+            spark.createDataFrame(docs, schema)
+            .select("doc_id", F.split("text", " ").alias("ws")))
+        _append_committed(
+            index_dir, "0",
+            lambda dest: bands.write.mode("overwrite").parquet(dest),
+            stream=stream)
+
+    append("aaaa0000", [(201, "one two three four five six")])
+    append("bbbb0000", [(301, "seven eight nine ten eleven")])
+    names = {os.path.basename(p) for p in
+             _glob.glob(os.path.join(index_dir, BANDS_SUBDIR, "batch-*"))}
+    assert names == {"batch-seed", "batch-aaaa0000-0", "batch-bbbb0000-0"}
+    assert {r.doc_id for r in read_band_index(spark, index_dir)
+            .select("doc_id").distinct().collect()} == {100, 201, 301}
+
+    # same-stream replay: journal unchanged
+    append("aaaa0000", [(201, "one two three four five six")])
+    entries = [(c["op"], c.get("stream"), c.get("batch"))
+               for c in read_commit_journal(_commits_dir(index_dir))]
+    assert entries == [("append", None, "seed"),
+                       ("append", "aaaa0000", "0"),
+                       ("append", "bbbb0000", "0")]
+
+
 def test_band_index_ttl_orders_by_batch_id_not_mtime(spark, tmp_path):
     """TTL ordering (VERDICT r5 item 7): a REPLAYED old batch refreshes
     its dir mtime; the TTL must still evict it, because retention is
