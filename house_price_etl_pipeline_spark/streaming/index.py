@@ -330,6 +330,16 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         f"after {max_retries} post-commit verification rounds")
 
 
+def _input_vanished(exc: Exception) -> bool:
+    """True when a job failed because a scanned input file was deleted
+    under it — the signature a concurrent compaction's swap leaves on a
+    reader of the pre-swap layout (stale input, not corruption)."""
+    s = str(exc)
+    return ("FAILED_READ_FILE" in s or "FILE_NOT_EXIST" in s
+            or "FileNotFoundException" in s
+            or "PATH_NOT_FOUND" in s)
+
+
 def _resolve_live_index(sess: SparkSession, index_dir: str,
                         max_rounds: int = 40,
                         wait_s: float = 0.25) -> DataFrame | None:
@@ -456,38 +466,50 @@ def run_index_ingest(spark: SparkSession, docs_stream: DataFrame,
         # and a concurrent compaction's mid-swap window (bands dir
         # briefly absent) must recover-and-retry — either misread
         # would run the probe with idx=None and permanently admit
-        # this batch's duplicates.
-        idx = _resolve_live_index(sess, index_dir)
-        matches = []
-        if idx is not None:
+        # this batch's duplicates. The probe itself retries when its
+        # scanned layout is swapped away MID-JOB (files deleted under
+        # the running scan — _input_vanished): re-resolve and re-probe
+        # the post-swap layout rather than failing the whole stream
+        # run over a routine concurrent compaction.
+        for _probe_attempt in range(3):
+            idx = _resolve_live_index(sess, index_dir)
+            matches = []
+            if idx is not None:
+                matches.append(
+                    bands.join(
+                        idx.withColumnRenamed("doc_id", "matched_doc"),
+                        ["band_id", "band_hash"])
+                    # a replayed batch finds its own accepted bands
+                    # already in the index — self-matches are not dups
+                    .filter(F.col("matched_doc") != F.col("doc_id"))
+                    .select("doc_id", "matched_doc"))
+            # same-batch twins: earlier (smaller) doc_id wins
+            x, y = bands.alias("x"), bands.alias("y")
             matches.append(
-                bands.join(idx.withColumnRenamed("doc_id", "matched_doc"),
-                           ["band_id", "band_hash"])
-                # a replayed batch finds its own accepted bands already
-                # in the index — self-matches are not duplicates
-                .filter(F.col("matched_doc") != F.col("doc_id"))
-                .select("doc_id", "matched_doc"))
-        # same-batch twins: earlier (smaller) doc_id wins
-        x, y = bands.alias("x"), bands.alias("y")
-        matches.append(
-            x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
-                   & (F.col("x.band_hash") == F.col("y.band_hash"))
-                   & (F.col("x.doc_id") > F.col("y.doc_id")))
-            .select(F.col("x.doc_id").alias("doc_id"),
-                    F.col("y.doc_id").alias("matched_doc")))
-        all_matches = matches[0]
-        for m in matches[1:]:
-            all_matches = all_matches.unionByName(m)
-        verdicts = (
-            batch_df.select("doc_id")
-            .join(all_matches.groupBy("doc_id")
-                  .agg(F.min("matched_doc").alias("matched_doc")),
-                  "doc_id", "left")
-            .select("doc_id",
-                    F.col("matched_doc").isNotNull().alias("is_dup"),
-                    "matched_doc")
-            .localCheckpoint(eager=True)
-        )
+                x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
+                       & (F.col("x.band_hash") == F.col("y.band_hash"))
+                       & (F.col("x.doc_id") > F.col("y.doc_id")))
+                .select(F.col("x.doc_id").alias("doc_id"),
+                        F.col("y.doc_id").alias("matched_doc")))
+            all_matches = matches[0]
+            for m in matches[1:]:
+                all_matches = all_matches.unionByName(m)
+            try:
+                verdicts = (
+                    batch_df.select("doc_id")
+                    .join(all_matches.groupBy("doc_id")
+                          .agg(F.min("matched_doc").alias("matched_doc")),
+                          "doc_id", "left")
+                    .select("doc_id",
+                            F.col("matched_doc").isNotNull()
+                            .alias("is_dup"),
+                            "matched_doc")
+                    .localCheckpoint(eager=True)
+                )
+                break
+            except Exception as exc:
+                if _probe_attempt == 2 or not _input_vanished(exc):
+                    raise
         # decisions first, accepted bands second; both keyed by batch id
         # (overwrite) so a replay is idempotent
         verdicts.write.mode("overwrite").parquet(
@@ -655,11 +677,31 @@ def compact_band_index(spark: SparkSession, index_dir: str,
             "band_id", "band_hash")
         stage = os.path.join(index_dir,
                              f"bands_compact_{uuid.uuid4().hex[:8]}")
-        (compacted.write.mode("overwrite")
-         .option("maxRecordsPerFile", str(max_records_per_file))
-         .parquet(os.path.join(stage, "batch-seed")))
-        rows_out = spark.read.parquet(
-            os.path.join(stage, "batch-seed")).count()
+        try:
+            (compacted.write.mode("overwrite")
+             .option("maxRecordsPerFile", str(max_records_per_file))
+             .parquet(os.path.join(stage, "batch-seed")))
+            rows_out = spark.read.parquet(
+                os.path.join(stage, "batch-seed")).count()
+        except Exception:
+            # The staging job READS the listed input dirs; a concurrent
+            # compaction that commits and swaps mid-read deletes their
+            # files under the running scan (FAILED_READ_FILE). That is
+            # the same stale-input outcome as losing the CAS, observed
+            # one step earlier — if the journal has moved past our
+            # base, discard and re-list instead of surfacing a crash
+            # from a routine lost race. An error with the journal
+            # UNMOVED is real (corrupt input) and propagates.
+            shutil.rmtree(stage, ignore_errors=True)
+            now = read_commit_journal(cd)
+            if (now[-1]["seq"] if now else -1) != base_seq:
+                cas_losses += 1
+                if cas_losses >= 8:
+                    raise RuntimeError(
+                        "band-index compaction lost 8 consecutive "
+                        "CAS races")
+                continue
+            raise
         if _race_hook is not None:
             _race_hook(cas_losses)
         if try_commit(cd, base_seq + 1,

@@ -1474,6 +1474,99 @@ def test_band_index_two_streams_share_one_index_without_collision(
                        ("append", "bbbb0000", "0")]
 
 
+def test_band_index_concurrent_ingest_compaction_stress(spark, tmp_path):
+    """Live-thread stress of the full journal protocol — two append
+    streams and two compactors genuinely interleaving (no hooks), the
+    mode the deterministic race tests model one window at a time.
+    Invariants, not timings: every appended doc's bands present, zero
+    duplicate band rows, journal strictly sequenced, exactly one live
+    layout, no leaked stages after a final recovery."""
+    import glob as _glob
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        BANDS_SUBDIR, _append_committed, _commits_dir, _recover_compaction,
+        compact_band_index, read_band_index)
+    from house_price_etl_pipeline_spark.streaming.joins import \
+        _rowwise_band_keys
+
+    index_dir = str(tmp_path / "stress_index")
+    _seed_band_index(spark, index_dir,
+                     [(100, "alpha beta gamma delta epsilon zeta")])
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    words = ("one two three four five six seven eight nine ten "
+             "eleven twelve thirteen fourteen fifteen").split()
+
+    def doc(i):
+        # distinct 5-gram shingle windows per doc: no cross-matches
+        return (i, " ".join(words[(i * 3 + j) % len(words)]
+                            for j in range(7)) + f" tail{i}")
+
+    errors = []
+
+    def appender(stream, ids):
+        try:
+            for b, i in enumerate(ids):
+                bands = _rowwise_band_keys(
+                    spark.createDataFrame([doc(i)], schema)
+                    .select("doc_id", F.split("text", " ").alias("ws")))
+                _append_committed(
+                    index_dir, str(b),
+                    lambda dest, bands=bands:
+                        bands.write.mode("overwrite").parquet(dest),
+                    stream=stream)
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append((stream, exc))
+
+    def compactor(tag, rounds):
+        try:
+            for _ in range(rounds):
+                compact_band_index(spark, index_dir)
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append((tag, exc))
+
+    a_ids, b_ids = [201, 202, 203], [301, 302, 303]
+    threads = [
+        threading.Thread(target=appender, args=("aaaa1111", a_ids)),
+        threading.Thread(target=appender, args=("bbbb2222", b_ids)),
+        threading.Thread(target=compactor, args=("c1", 2)),
+        threading.Thread(target=compactor, args=("c2", 2)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads)
+    assert errors == []
+
+    _recover_compaction(index_dir)
+    idx = read_band_index(spark, index_dir)
+    # every appended doc's bands survive every interleaving…
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} \
+        == {100, *a_ids, *b_ids}
+    # …exactly once (no replay/re-establish/compaction duplication)
+    assert idx.count() == idx.dropDuplicates(
+        ["band_id", "band_hash", "doc_id"]).count()
+    commits = read_commit_journal(_commits_dir(index_dir))
+    assert [c["seq"] for c in commits] == list(range(len(commits)))
+    appends = [(c.get("stream"), c["batch"]) for c in commits
+               if c["op"] == "append"]
+    assert len(appends) == len(set(appends)) == 7  # seed + 6, none doubled
+    # one live layout, no retired layouts or stages left behind (every
+    # stage was either swapped in, discarded by its losing compactor,
+    # or GC'd by the final recovery above)
+    assert not _glob.glob(os.path.join(index_dir, "bands_old_*"))
+    assert not _glob.glob(os.path.join(index_dir, "bands_compact_*"))
+    assert os.path.isdir(os.path.join(index_dir, BANDS_SUBDIR))
+
+
 def test_band_index_ttl_orders_by_batch_id_not_mtime(spark, tmp_path):
     """TTL ordering (VERDICT r5 item 7): a REPLAYED old batch refreshes
     its dir mtime; the TTL must still evict it, because retention is
