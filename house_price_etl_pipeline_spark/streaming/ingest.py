@@ -183,45 +183,78 @@ def _journal_state(versions_root: str) -> tuple[list[dict], set[int]]:
 
 
 def _publish_commit(target_dir: str, versions_root: str,
-                    commits: list[dict], keep_versions: int) -> None:
+                    commits: list[dict], keep_versions: int,
+                    _pre_swap_hook=None) -> None:
     """Derived state after a won CAS (or repair after a crash between
     commit and publication): point the symlink at the journal head,
     refresh the compat pointer file, prune snapshots beyond retention
-    plus any staging/orphan dirs no retained commit references."""
+    plus any staging/orphan dirs no retained commit references.
+
+    Publication itself races (stale-publish regression): a writer that
+    won seq N can be preempted between its post-CAS journal re-read and
+    its symlink swap while the seq N+1 writer publishes first — the
+    stale swap would then REGRESS the readable table to the older
+    snapshot, and with no further commits it would stay regressed
+    forever. So publication is a converge loop: publish the head we
+    know, re-read the journal, and republish if it moved. The last
+    publisher to finish always leaves the symlink on the newest
+    journaled head — any commit landing after our final check has its
+    own live writer responsible for publishing it. (Delta sidesteps
+    this class entirely because its readers resolve the log, not a
+    pointer; the loop is the pointer-file analog of that property.)
+    ``_pre_swap_hook`` is a test seam invoked once per loop iteration
+    before the swap so a conflicting publisher can be interleaved
+    deterministically."""
     import os
     import shutil
 
-    from ..fsutil import atomic_symlink_swap, atomic_write_json
+    from ..fsutil import (atomic_symlink_swap, atomic_write_json,
+                          read_commit_journal)
 
-    head = commits[-1]
-    atomic_symlink_swap(
-        target_dir, os.path.join(versions_root, head["version_name"]))
-    applied = sorted(c["version"] for c in commits
-                     if c.get("op") == "upsert")
-    atomic_write_json(os.path.join(versions_root, "_POINTER.json"),
-                      {"version": head["version"], "applied": applied})
-    # Prune ONLY snapshots referenced by commits now outside the
-    # retention window — provably retired. Unreferenced dirs are NOT
-    # touched here: one may be a concurrent writer's staged snapshot
-    # that is about to win the next CAS; reclaiming those is VACUUM's
-    # job, behind an age threshold (vacuum_upsert_target).
-    retained = {c["version_name"] for c in commits[-max(keep_versions, 1):]}
-    for c in commits[:-max(keep_versions, 1)]:
-        if c["version_name"] not in retained:
-            shutil.rmtree(os.path.join(versions_root, c["version_name"]),
-                          ignore_errors=True)
+    while True:
+        head = commits[-1]
+        if _pre_swap_hook is not None:
+            _pre_swap_hook(head)
+        atomic_symlink_swap(
+            target_dir, os.path.join(versions_root, head["version_name"]))
+        applied = sorted(c["version"] for c in commits
+                         if c.get("op") == "upsert")
+        atomic_write_json(os.path.join(versions_root, "_POINTER.json"),
+                          {"version": head["version"], "applied": applied})
+        # Prune ONLY snapshots referenced by commits now outside the
+        # retention window — provably retired. Unreferenced dirs are NOT
+        # touched here: one may be a concurrent writer's staged snapshot
+        # that is about to win the next CAS; reclaiming those is VACUUM's
+        # job, behind an age threshold (vacuum_upsert_target).
+        retained = {c["version_name"]
+                    for c in commits[-max(keep_versions, 1):]}
+        for c in commits[:-max(keep_versions, 1)]:
+            if c["version_name"] not in retained:
+                shutil.rmtree(os.path.join(versions_root,
+                                           c["version_name"]),
+                              ignore_errors=True)
+        latest = read_commit_journal(_commits_dir(versions_root))
+        if not latest or latest[-1]["seq"] == head["seq"]:
+            return
+        commits = latest  # journal moved: our swap may have regressed
+        #                   over a newer publish — republish and recheck
 
 
 def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         key_cols: list[str], order_col: str,
                         keep_versions: int = 2, writer: str = "w0",
                         max_retries: int = 8,
-                        _race_hook=None) -> str:
+                        _race_hook=None, _pre_stage_hook=None,
+                        _pre_swap_hook=None) -> str:
     """One keep-latest merge committed through the optimistic journal.
     Returns "applied", "replayed" (exactly-once no-op), or
     "applied-after-retry" (lost at least one CAS race). ``_race_hook``
     is a test seam invoked between base-read and CAS attempt so a
-    conflicting writer can be interleaved deterministically."""
+    conflicting writer can be interleaved deterministically;
+    ``_pre_stage_hook`` fires just before the staging write (the window
+    where concurrent commits can retire and prune our base snapshot
+    under the running merge scan); ``_pre_swap_hook`` threads into
+    ``_publish_commit`` (the stale-publish regression window)."""
     import os
     import shutil
     import uuid
@@ -230,6 +263,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     from pyspark.sql import functions as F
 
     from ..fsutil import try_commit
+    from .index import _input_vanished
 
     versions_root = target_dir + "_versions"
     os.makedirs(versions_root, exist_ok=True)
@@ -253,22 +287,43 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         base = commits[-1]["version_name"] if commits else None
         seq = commits[-1]["seq"] + 1 if commits else 0
 
-        delta = keep_latest(batch_df)
-        if base is not None:
-            snapshot = spark.read.parquet(os.path.join(versions_root, base))
-            # schema evolution (VERDICT r5 item 3): a batch may ADD
-            # columns vs the current snapshot (or arrive without columns
-            # the snapshot has) — union to the merged schema with nulls,
-            # Delta mergeSchema semantics, instead of raising
-            merged = keep_latest(
-                snapshot.unionByName(delta, allowMissingColumns=True))
-        else:
-            merged = delta
+        if _pre_stage_hook is not None:
+            _pre_stage_hook(_attempt, base)
         # stage under a unique name BEFORE the CAS: the journal must
         # only ever reference fully-written data (Delta's ordering)
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(versions_root, stage))
+        try:
+            delta = keep_latest(batch_df)
+            if base is not None:
+                snapshot = spark.read.parquet(
+                    os.path.join(versions_root, base))
+                # schema evolution (VERDICT r5 item 3): a batch may ADD
+                # columns vs the current snapshot (or arrive without
+                # columns the snapshot has) — union to the merged schema
+                # with nulls, Delta mergeSchema semantics, not an error
+                merged = keep_latest(
+                    snapshot.unionByName(delta, allowMissingColumns=True))
+            else:
+                merged = delta
+            merged.write.mode("overwrite").parquet(
+                os.path.join(versions_root, stage))
+        except Exception as exc:
+            # The merge scans the base snapshot lazily; if concurrent
+            # writers advance the journal by keep_versions commits while
+            # we stage, their publish prunes our base UNDER the running
+            # scan (FAILED_READ_FILE). That is a lost CAS race observed
+            # one step early — journal moved past our base means discard
+            # and retry against the new head; journal UNMOVED means a
+            # real error (corrupt input) and propagates.
+            shutil.rmtree(os.path.join(versions_root, stage),
+                          ignore_errors=True)
+            now, _ = _journal_state(versions_root)
+            now_seq = now[-1]["seq"] if now else -1
+            base_seq = commits[-1]["seq"] if commits else -1
+            if now_seq != base_seq and _input_vanished(exc):
+                retried = True
+                continue
+            raise
         # snapshot dirs keep the public v{version} name when free (the
         # common single-writer case); a racing same-version writer gets
         # a unique suffix — readers resolve through the journal anyway
@@ -287,7 +342,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                        "version_name": perm, "writer": writer}):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
-                            keep_versions)
+                            keep_versions, _pre_swap_hook=_pre_swap_hook)
             return "applied-after-retry" if retried else "applied"
         # lost the race: our merge is based on a stale snapshot —
         # discard it and retry against the new journal head
@@ -319,8 +374,8 @@ def optimize_upsert_target(spark, target_dir: str,
                            max_records_per_file: int = 1_000_000,
                            keep_versions: int = 2,
                            writer: str = "optimize",
-                           target_file_bytes: int = 128 * 1024 * 1024
-                           ) -> str | None:
+                           target_file_bytes: int = 128 * 1024 * 1024,
+                           _pre_stage_hook=None) -> str | None:
     """OPTIMIZE: rewrite the journal-head snapshot into sized files
     (small-file compaction — the lakehouse maintenance op that keeps
     scan task counts proportional to data, not to commit history). The
@@ -342,6 +397,7 @@ def optimize_upsert_target(spark, target_dir: str,
     import uuid
 
     from ..fsutil import try_commit
+    from .index import _input_vanished
 
     versions_root = target_dir + "_versions"
     for _attempt in range(8):
@@ -350,14 +406,30 @@ def optimize_upsert_target(spark, target_dir: str,
             return None
         head = commits[-1]
         src = os.path.join(versions_root, head["version_name"])
-        n_parts = max(1, math.ceil(
-            _data_file_bytes(src) / max(target_file_bytes, 1)))
+        if _pre_stage_hook is not None:
+            _pre_stage_hook(_attempt, head["version_name"])
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
-        (spark.read.parquet(src)
-         .repartition(n_parts)
-         .write.mode("overwrite")
-         .option("maxRecordsPerFile", str(max_records_per_file))
-         .parquet(os.path.join(versions_root, stage)))
+        try:
+            n_parts = max(1, math.ceil(
+                _data_file_bytes(src) / max(target_file_bytes, 1)))
+            (spark.read.parquet(src)
+             .repartition(n_parts)
+             .write.mode("overwrite")
+             .option("maxRecordsPerFile", str(max_records_per_file))
+             .parquet(os.path.join(versions_root, stage)))
+        except Exception as exc:
+            # Same stale-input window as the upsert merge: concurrent
+            # commits can retire the head we are compacting and prune it
+            # under the running rewrite scan. Journal moved past our
+            # head → routine lost race, re-read and compact the new
+            # head; journal unmoved → real error, propagate.
+            shutil.rmtree(os.path.join(versions_root, stage),
+                          ignore_errors=True)
+            now, _ = _journal_state(versions_root)
+            if (now[-1]["seq"] if now else -1) != head["seq"] \
+                    and _input_vanished(exc):
+                continue
+            raise
         perm = f"v{head['version']}_compact_{uuid.uuid4().hex[:8]}"
         os.rename(os.path.join(versions_root, stage),
                   os.path.join(versions_root, perm))

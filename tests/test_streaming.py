@@ -645,6 +645,262 @@ def test_upsert_concurrent_writers_cas_retry(spark, tmp_path):
     assert rows2 == {k: v.event_type for k, v in rows.items()}
 
 
+def test_upsert_stale_publish_never_regresses(spark, tmp_path):
+    """Stale-publish regression window (round-8 adversarial pass on the
+    upsert protocol, same class as the band-index swap races): writer A
+    wins seq 0, then — via the pre-swap seam inside ``_publish_commit``
+    — writer B fully commits AND publishes seq 1 before A's symlink
+    swap runs. A's stale swap would point the readable table back at
+    its own older snapshot forever (no further commits arrive to fix
+    it). The publish converge-loop must detect the moved journal and
+    republish B's head."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    a_batch = frame([(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}")])
+    b_batch = frame([(2, "2024-01-01 11:00:00", 2, "view", 2.0, "{}")])
+    target = str(tmp_path / "stale_publish_target")
+
+    heads_seen = []
+
+    def interleave_publisher(head):
+        heads_seen.append(head["version_name"])
+        if len(heads_seen) == 1:
+            # B commits against A's journaled snapshot and PUBLISHES
+            # while A is frozen between journal re-read and swap
+            r = upsert_commit_batch(b_batch, target, 100,
+                                    key_cols=["user_id"], order_col="ts",
+                                    keep_versions=4, writer="wB")
+            assert r == "applied"
+
+    assert upsert_commit_batch(
+        a_batch, target, 200, key_cols=["user_id"], order_col="ts",
+        keep_versions=4, writer="wA",
+        _pre_swap_hook=interleave_publisher) == "applied"
+
+    # the converge loop ran: first iteration saw A's own head, second
+    # republished B's newer head after detecting the moved journal
+    assert len(heads_seen) == 2 and heads_seen[0] != heads_seen[1]
+    commits = read_commit_journal(_commits_dir(target + "_versions"))
+    head = commits[-1]
+    assert head["writer"] == "wB"
+    # the readable table is B's head (both batches merged), NOT A's
+    # regressed snapshot
+    import json as _json
+    import os as _os
+    assert _os.path.basename(_os.path.realpath(target)) \
+        == head["version_name"]
+    with open(_os.path.join(target + "_versions", "_POINTER.json")) as f:
+        assert _json.load(f)["version"] == head["version"]
+    assert {r.user_id for r in spark.read.parquet(target).collect()} \
+        == {1, 2}
+
+
+def test_upsert_merge_survives_base_pruned_mid_scan(spark, tmp_path):
+    """Mid-merge base deletion (round-8 adversarial pass, the upsert
+    analog of the band-index mid-scan swap crash): writer A reads its
+    base snapshot lazily; before A's staging write scans it, concurrent
+    writer B lands TWO commits at keep_versions=1, whose publish prunes
+    A's base. A's scan must classify the vanished input as a lost CAS
+    race (journal moved past its base), discard, and retry cleanly
+    against the new head — not crash with FAILED_READ_FILE."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    target = str(tmp_path / "pruned_base_target")
+    seed = frame([(1, "2024-01-01 09:00:00", 1, "seed", 0.0, "{}")])
+    assert upsert_commit_batch(seed, target, 0, key_cols=["user_id"],
+                               order_col="ts", keep_versions=1,
+                               writer="w0") == "applied"
+
+    a_batch = frame([(10, "2024-01-01 12:00:00", 1, "late", 9.0, "{}")])
+    hook_bases = []
+
+    def prune_base_under_a(attempt, base):
+        hook_bases.append((attempt, base))
+        if attempt == 0:
+            for bid, uid in ((20, 2), (21, 3)):
+                b = frame([(bid, f"2024-01-01 10:{bid}:00", uid,
+                            "b", float(bid), "{}")])
+                assert upsert_commit_batch(
+                    b, target, bid, key_cols=["user_id"], order_col="ts",
+                    keep_versions=1, writer="wB") == "applied"
+            # B's second publish pruned A's base (retention 1)
+            import os as _os
+            assert not _os.path.isdir(
+                _os.path.join(target + "_versions", base))
+
+    result = upsert_commit_batch(a_batch, target, 10, key_cols=["user_id"],
+                                 order_col="ts", keep_versions=1,
+                                 writer="wA",
+                                 _pre_stage_hook=prune_base_under_a)
+    assert result == "applied-after-retry"
+    assert hook_bases[0][0] == 0 and len(hook_bases) == 2
+    # retry merged against the NEW head: all four batches' keys present
+    rows = {r.user_id: r.event_type
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {1: "late", 2: "b", 3: "b"}
+    commits = read_commit_journal(_commits_dir(target + "_versions"))
+    assert [c["seq"] for c in commits] == [0, 1, 2, 3]
+
+
+def test_optimize_survives_head_pruned_mid_scan(spark, tmp_path):
+    """OPTIMIZE's rewrite scans the journal-head snapshot; concurrent
+    commits can retire and prune that head mid-rewrite. The compactor
+    must treat the vanished input as the lost race it is and compact
+    the NEW head on retry."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        optimize_upsert_target, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    target = str(tmp_path / "pruned_head_target")
+    assert upsert_commit_batch(
+        frame([(1, "2024-01-01 09:00:00", 1, "seed", 0.0, "{}")]),
+        target, 0, key_cols=["user_id"], order_col="ts",
+        keep_versions=1, writer="w0") == "applied"
+
+    hook_heads = []
+
+    def prune_head_under_optimize(attempt, head_name):
+        hook_heads.append((attempt, head_name))
+        if attempt == 0:
+            for bid, uid in ((1, 2), (2, 3)):
+                assert upsert_commit_batch(
+                    frame([(bid * 10, f"2024-01-01 10:0{bid}:00", uid,
+                            "b", float(bid), "{}")]),
+                    target, bid, key_cols=["user_id"], order_col="ts",
+                    keep_versions=1, writer="wB") == "applied"
+            import os as _os
+            assert not _os.path.isdir(
+                _os.path.join(target + "_versions", head_name))
+
+    perm = optimize_upsert_target(
+        spark, target, keep_versions=1,
+        _pre_stage_hook=prune_head_under_optimize)
+    assert perm is not None
+    # retry compacted the NEW head (version 2), not the pruned seed
+    assert len(hook_heads) == 2
+    assert hook_heads[1][1] != hook_heads[0][1]
+    assert perm.startswith("v2_compact_")
+    rows = {r.user_id: r.event_type
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {1: "seed", 2: "b", 3: "b"}
+
+
+def test_upsert_concurrent_writers_optimize_stress(spark, tmp_path):
+    """Live-thread stress of the upsert commit protocol — two writers
+    and a looping optimizer genuinely interleaving (no hooks), the mode
+    the deterministic tests above model one window at a time. The
+    band-index twin of this test caught a mid-scan swap crash the
+    hook-driven tests missed; invariants, not timings: every commit
+    lands, journal strictly sequenced, the published symlink and
+    pointer end on the journal head, and the final table equals serial
+    keep-latest application of every batch."""
+    import json as _json
+    import os as _os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, optimize_upsert_target, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    target = str(tmp_path / "stress_target")
+    # batch id doubles as the keep-latest order: ts minute == batch id,
+    # so the expected winner for a key is its highest covering batch id
+    def batch(bid):
+        keys = [(bid + j) % 8 for j in range(3)]
+        return frame([(bid * 100 + k, f"2024-01-01 10:{bid:02d}:00",
+                       k, f"b{bid}", float(bid), "{}") for k in keys])
+
+    a_ids, b_ids = [1, 3, 5, 7, 9], [2, 4, 6, 8, 10]
+    errors = []
+
+    def writer(tag, ids):
+        try:
+            for bid in ids:
+                r = upsert_commit_batch(batch(bid), target, bid,
+                                        key_cols=["user_id"],
+                                        order_col="ts", keep_versions=2,
+                                        writer=tag, max_retries=16)
+                assert r in ("applied", "applied-after-retry")
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append((tag, exc))
+
+    def optimizer(rounds):
+        try:
+            for _ in range(rounds):
+                optimize_upsert_target(spark, target, keep_versions=2)
+        except Exception as exc:  # pragma: no cover - failure surface
+            errors.append(("optimize", exc))
+
+    threads = [threading.Thread(target=writer, args=("wA", a_ids)),
+               threading.Thread(target=writer, args=("wB", b_ids)),
+               threading.Thread(target=optimizer, args=(3,))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads)
+    assert errors == []
+
+    commits = read_commit_journal(_commits_dir(target + "_versions"))
+    assert [c["seq"] for c in commits] == list(range(len(commits)))
+    applied = sorted(c["version"] for c in commits if c["op"] == "upsert")
+    assert applied == sorted(a_ids + b_ids)
+    # published view converged on the journal head
+    head = commits[-1]
+    assert _os.path.basename(_os.path.realpath(target)) \
+        == head["version_name"]
+    with open(_os.path.join(target + "_versions", "_POINTER.json")) as f:
+        ptr = _json.load(f)
+    assert ptr["version"] == head["version"]
+    assert ptr["applied"] == applied
+    # final table == serial keep-latest over every batch: each key won
+    # by its highest covering batch id
+    expected = {}
+    for bid in a_ids + b_ids:
+        for j in range(3):
+            k = (bid + j) % 8
+            if expected.get(k, -1) < bid:
+                expected[k] = bid
+    rows = {r.user_id: (r.event_type, r.value)
+            for r in spark.read.parquet(target).collect()}
+    assert rows == {k: (f"b{v}", float(v)) for k, v in expected.items()}
+
+
 def test_upsert_optimize_vacuum_and_change_feed(spark, tmp_path):
     """Snapshot maintenance (VERDICT r4 item 3): OPTIMIZE compacts the
     published snapshot into fewer sized files while serving the same
