@@ -273,20 +273,29 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         seq = mine[-1]["seq"]
         tmp = os.path.join(index_dir, BANDS_SUBDIR,
                            f".rewrite_{uuid.uuid4().hex[:8]}")
-        write_batch(tmp)
-        retired = os.path.join(index_dir, BANDS_SUBDIR,
-                               f".rewrite_{uuid.uuid4().hex[:8]}_old")
         try:
-            os.rename(dest, retired)
-        except OSError:
-            pass  # dest absent: crashed pre-write, or swapped away
-        try:
-            os.rename(tmp, dest)
-        except OSError:
-            # layout moved under us — drop the side copy; phase 2
-            # below re-verifies and re-establishes if still needed
+            write_batch(tmp)
+        except Exception as exc:
+            # layout swapped away mid-write (write-side race): drop the
+            # side copy; phase 2 below re-verifies and re-establishes
             shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(retired, ignore_errors=True)
+            if not _output_vanished(exc):
+                raise
+            tmp = None
+        if tmp is not None:
+            retired = os.path.join(index_dir, BANDS_SUBDIR,
+                                   f".rewrite_{uuid.uuid4().hex[:8]}_old")
+            try:
+                os.rename(dest, retired)
+            except OSError:
+                pass  # dest absent: crashed pre-write, or swapped away
+            try:
+                os.rename(tmp, dest)
+            except OSError:
+                # layout moved under us — drop the side copy; phase 2
+                # below re-verifies and re-establishes if still needed
+                shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(retired, ignore_errors=True)
     else:
         entry = {"op": "append", "batch": batch}
         if stream is not None:
@@ -294,7 +303,20 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         for _attempt in range(max_retries):
             commits = read_commit_journal(cd)
             seq = commits[-1]["seq"] + 1 if commits else 0
-            write_batch(dest)
+            try:
+                write_batch(dest)
+            except Exception as exc:
+                # a concurrent compaction's swap deleted the live
+                # layout (our in-progress _temporary inside it) mid-
+                # write: the write-side twin of the mid-scan read race.
+                # We have NOT journaled yet, so discard the partial dir,
+                # apply any pending swap, and rewrite into the new
+                # layout. Non-vanished errors are real and propagate.
+                if not _output_vanished(exc) or _attempt == max_retries - 1:
+                    raise
+                shutil.rmtree(dest, ignore_errors=True)
+                _recover_compaction(index_dir)
+                continue
             if try_commit(cd, seq, entry):
                 break
             _recover_compaction(index_dir)
@@ -318,7 +340,15 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         # side (name not matched by the batch-* globs) + atomic rename
         tmp = os.path.join(index_dir, BANDS_SUBDIR,
                            f".rewrite_{uuid.uuid4().hex[:8]}")
-        write_batch(tmp)
+        try:
+            write_batch(tmp)
+        except Exception as exc:
+            # layout swapped again mid-rewrite — clean up and let the
+            # loop re-run recovery and re-verify from the top
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not _output_vanished(exc):
+                raise
+            continue
         try:
             os.rename(tmp, dest)
         except OSError:
@@ -338,6 +368,23 @@ def _input_vanished(exc: Exception) -> bool:
     return ("FAILED_READ_FILE" in s or "FILE_NOT_EXIST" in s
             or "FileNotFoundException" in s
             or "PATH_NOT_FOUND" in s)
+
+
+def _output_vanished(exc: Exception) -> bool:
+    """True when a WRITE job failed because its destination tree was
+    deleted under it — the write-side twin of ``_input_vanished``: a
+    concurrent compaction's swap renames the live ``bands`` layout away
+    (the writer's in-progress ``_temporary`` dir inside it) and deletes
+    it mid-job. Hadoop's local committer surfaces that as chmod/create
+    failures on the vanished path (``ExitCodeException … chmod: cannot
+    access … No such file or directory``) rather than a typed Spark
+    error, so the match is on the message. Stress-found (round 8): the
+    read-side retry landed in an earlier pass, but an appender whose
+    WRITE straddled the swap still crashed."""
+    s = str(exc)
+    return (_input_vanished(exc)
+            or "No such file or directory" in s
+            or "does not exist" in s)
 
 
 def _resolve_live_index(sess: SparkSession, index_dir: str,
@@ -364,7 +411,15 @@ def _resolve_live_index(sess: SparkSession, index_dir: str,
     for _ in range(max_rounds):
         _recover_compaction(index_dir)
         if _glob.glob(_bands_glob(index_dir)):
-            return sess.read.parquet(_bands_glob(index_dir))
+            try:
+                return sess.read.parquet(_bands_glob(index_dir))
+            except Exception as exc:
+                # eager schema resolution can race a swap that deletes
+                # the just-globbed paths (stress-found, round 8):
+                # vanished paths are the mid-swap window — retry;
+                # anything else (corrupt parquet) propagates
+                if not _input_vanished(exc):
+                    raise
         if not read_commit_journal(_commits_dir(index_dir)):
             return None  # no journal, no layout: genuinely unseeded
         time.sleep(wait_s)
@@ -668,16 +723,23 @@ def compact_band_index(spark: SparkSession, index_dir: str,
             return {"batches_in": 0, "rows_out": 0}
         kept_dirs = batch_dirs if max_age_batches is None \
             else batch_dirs[-max_age_batches:]
-        idx = spark.read.parquet(*kept_dirs)
-        if drop_docs is not None:
-            idx = idx.join(drop_docs.select("doc_id"), "doc_id", "left_anti")
-        # one sized, bucket-sorted layout: sort by the probe key so row
-        # groups are prunable on (band_id, band_hash) point lookups
-        compacted = idx.repartition("band_id").sortWithinPartitions(
-            "band_id", "band_hash")
         stage = os.path.join(index_dir,
                              f"bands_compact_{uuid.uuid4().hex[:8]}")
         try:
+            # spark.read.parquet resolves schemas EAGERLY, so the
+            # DataFrame construction itself can raise AnalysisException
+            # (PATH_NOT_FOUND) when a concurrent swap deletes a listed
+            # dir between our presence check and here (stress-found,
+            # round 8) — it belongs inside the lost-race guard with the
+            # staging scan, not outside it.
+            idx = spark.read.parquet(*kept_dirs)
+            if drop_docs is not None:
+                idx = idx.join(drop_docs.select("doc_id"),
+                               "doc_id", "left_anti")
+            # one sized, bucket-sorted layout: sort by the probe key so
+            # row groups are prunable on (band_id, band_hash) lookups
+            compacted = idx.repartition("band_id").sortWithinPartitions(
+                "band_id", "band_hash")
             (compacted.write.mode("overwrite")
              .option("maxRecordsPerFile", str(max_records_per_file))
              .parquet(os.path.join(stage, "batch-seed")))
@@ -686,11 +748,12 @@ def compact_band_index(spark: SparkSession, index_dir: str,
         except Exception:
             # The staging job READS the listed input dirs; a concurrent
             # compaction that commits and swaps mid-read deletes their
-            # files under the running scan (FAILED_READ_FILE). That is
-            # the same stale-input outcome as losing the CAS, observed
-            # one step earlier — if the journal has moved past our
-            # base, discard and re-list instead of surfacing a crash
-            # from a routine lost race. An error with the journal
+            # files under the running scan (FAILED_READ_FILE), or under
+            # the eager schema resolution above (PATH_NOT_FOUND). That
+            # is the same stale-input outcome as losing the CAS,
+            # observed one step earlier — if the journal has moved past
+            # our base, discard and re-list instead of surfacing a
+            # crash from a routine lost race. An error with the journal
             # UNMOVED is real (corrupt input) and propagates.
             shutil.rmtree(stage, ignore_errors=True)
             now = read_commit_journal(cd)

@@ -1730,6 +1730,71 @@ def test_band_index_two_streams_share_one_index_without_collision(
                        ("append", "bbbb0000", "0")]
 
 
+def test_band_index_append_write_swapped_mid_job(spark, tmp_path):
+    """Write-side swap race (stress-found, round 8): an appender's
+    parquet write INTO the live ``bands`` layout straddles a concurrent
+    compaction's swap — the swap rmtree's the writer's in-progress
+    ``_temporary`` dir and hadoop's local committer surfaces it as an
+    ``ExitCodeException … chmod: cannot access … No such file or
+    directory``, not a typed Spark error. ``_append_committed`` must
+    classify that as the lost race it is (nothing journaled yet),
+    recover any pending swap, and rewrite — and must still propagate
+    genuinely foreign write errors."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.index import (
+        _append_committed, _commits_dir, read_band_index)
+    from house_price_etl_pipeline_spark.streaming.joins import \
+        _rowwise_band_keys
+
+    index_dir = str(tmp_path / "write_swap_index")
+    _seed_band_index(spark, index_dir, [(1, "alpha beta gamma delta "
+                                            "epsilon zeta eta")])
+    schema = "doc_id long, text string"
+    bands = _rowwise_band_keys(
+        spark.createDataFrame([(7, "one two three four five six seven")],
+                              schema)
+        .select("doc_id", F.split("text", " ").alias("ws")))
+
+    calls = []
+
+    def write_swapped_under(dest):
+        calls.append(dest)
+        if len(calls) == 1:
+            # simulate the mid-job swap: the committer's chmod on the
+            # vanished _temporary path, verbatim hadoop message shape
+            raise RuntimeError(
+                "ExitCodeException exitCode=1: chmod: cannot access "
+                f"'{dest}/_temporary/0/x.parquet': "
+                "No such file or directory")
+        bands.write.mode("overwrite").parquet(dest)
+
+    _append_committed(index_dir, "9", write_swapped_under,
+                      stream="ffff0000")
+    assert len(calls) == 2                      # one retry, then success
+    commits = read_commit_journal(_commits_dir(index_dir))
+    appends = [c for c in commits if c["op"] == "append"
+               and c.get("stream") == "ffff0000"]
+    assert len(appends) == 1                    # no double-journal
+    idx = read_band_index(spark, index_dir)
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} \
+        == {1, 7}
+
+    # a genuinely foreign write error still propagates unchanged
+    def write_disk_full(dest):
+        raise RuntimeError("java.io.IOException: No space left on device")
+
+    with pytest.raises(RuntimeError, match="No space left"):
+        _append_committed(index_dir, "10", write_disk_full,
+                          stream="ffff0000")
+    assert not os.path.isdir(os.path.join(
+        index_dir, "bands", "batch-ffff0000-10"))
+
+
 def test_band_index_concurrent_ingest_compaction_stress(spark, tmp_path):
     """Live-thread stress of the full journal protocol — two append
     streams and two compactors genuinely interleaving (no hooks), the
