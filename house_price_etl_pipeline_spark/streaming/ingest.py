@@ -356,6 +356,72 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
 
 # --- snapshot maintenance: OPTIMIZE / VACUUM / change feed -----------------
 
+def _interleave_bits(bucket_cols, bits: int):
+    """Morton (Z-curve) interleave of per-dimension bucket ranks: bit b
+    of dimension j lands at position ``b*k + j``, so files that are
+    adjacent in z-value are simultaneously narrow in EVERY dimension —
+    the property that lets parquet min/max stats prune a scan on ANY
+    zorder column, not just the leading sort key. Static expression
+    tree (bits × dims shift/mask/or terms), fully whole-stage-codegen;
+    the same kernel serves OPTIMIZE ZORDER and the oracled
+    ``maintenance_zorder_interleave`` query."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    k = len(bucket_cols)
+    terms = [
+        F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * k + j)
+        for b in range(bits) for j, c in enumerate(bucket_cols)
+    ]
+    return reduce(lambda a, t: a.bitwiseOR(t), terms)
+
+
+def _zorder_value(df, cols: list[str], bits: int):
+    """Z-value column over EQUI-DEPTH bucket ranks of ``cols``.
+
+    Per-column cut points come from one ``approxQuantile`` stats pass
+    (driver collect bounded at ``2^bits - 1`` doubles per column —
+    scale-safe), so skewed columns still spread across all buckets:
+    Delta's OPTIMIZE ZORDER makes the same equi-depth choice (its
+    range_partition_id sampling) precisely because min/max linear
+    scaling collapses under outliers. Bucketing is ``size(filter(cuts,
+    c -> x >= c))`` over the literal cuts array — one narrow pass, no
+    extra shuffle; NULLs compare null and land in bucket 0 (nulls
+    first, the Delta convention). Numeric/timestamp/date columns only:
+    string zordering needs order-preserving range ids (a sampling
+    shuffle per column) and is deliberately not offered — hash
+    bucketing would destroy the range-pruning property that justifies
+    zordering at all."""
+    from pyspark.sql import functions as F
+
+    cut_arrays = {}
+    probes = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if dt in ("string", "binary", "boolean"):
+            raise ValueError(
+                f"zorder_by column {c!r} has type {dt}: zorder needs an "
+                f"order-preserving numeric rank; cast or derive a "
+                f"numeric key first")
+        probes.append(F.col(c).cast("double").alias(c))
+    dbl = df.select(*probes)
+    n_cuts = (1 << bits) - 1
+    for c in cols:
+        qs = dbl.stat.approxQuantile(
+            c, [i / (n_cuts + 1) for i in range(1, n_cuts + 1)], 1e-3)
+        cut_arrays[c] = qs
+    def bucket_rank(c: str):
+        # separate closure per column: PySpark maps every lambda
+        # parameter to an HOF variable, so the column must be captured
+        # by closure, not by a defaulted parameter
+        cuts = F.array(*[F.lit(float(v)) for v in cut_arrays[c]])
+        return F.size(
+            F.filter(cuts, lambda x: F.col(c).cast("double") >= x))
+
+    return _interleave_bits([bucket_rank(c) for c in cols], bits)
+
+
 def _data_file_bytes(path: str) -> int:
     """Total bytes of data files under a snapshot dir (markers and
     hidden files excluded) — the local-fs analog of the table format's
@@ -375,6 +441,7 @@ def optimize_upsert_target(spark, target_dir: str,
                            keep_versions: int = 2,
                            writer: str = "optimize",
                            target_file_bytes: int = 128 * 1024 * 1024,
+                           zorder_by: list[str] | None = None,
                            _pre_stage_hook=None) -> str | None:
     """OPTIMIZE: rewrite the journal-head snapshot into sized files
     (small-file compaction — the lakehouse maintenance op that keeps
@@ -390,7 +457,15 @@ def optimize_upsert_target(spark, target_dir: str,
     shuffle partitions, so a 1 TB snapshot compacts on ~8000 tasks at
     the 128 MB default rather than serializing through one
     ``coalesce(1)`` task; ``maxRecordsPerFile`` stays as the per-file
-    row cap within each task."""
+    row cap within each task.
+
+    ``zorder_by`` additionally CLUSTERS the rewrite on the Morton
+    z-value of the named columns (Delta's OPTIMIZE ZORDER BY): one
+    equi-depth stats pass per column, then range-partition + sort on
+    the interleaved bucket ranks, so parquet min/max stats prune scans
+    filtered on ANY zorder column — the multi-column data-skipping
+    property a single-key sort cannot give. The zorder column set is
+    recorded in the journal entry for observability."""
     import math
     import os
     import shutil
@@ -412,8 +487,26 @@ def optimize_upsert_target(spark, target_dir: str,
         try:
             n_parts = max(1, math.ceil(
                 _data_file_bytes(src) / max(target_file_bytes, 1)))
-            (spark.read.parquet(src)
-             .repartition(n_parts)
+            snap = spark.read.parquet(src)
+            if zorder_by:
+                # OPTIMIZE ZORDER: range-partition + sort on the Morton
+                # z-value so every output file is narrow in EVERY zorder
+                # dimension — parquet min/max stats then prune scans
+                # filtered on ANY of them, where a plain sort prunes
+                # only the leading key. Bit depth scales with the
+                # rewrite width: granularity just has to exceed the
+                # file count (2 extra bits of headroom), capped at 8
+                # bits/dim so the cuts array stays tiny.
+                bits = min(8, max(4, n_parts.bit_length() + 2))
+                rewritten = (
+                    snap.withColumn("_z", _zorder_value(
+                        snap, zorder_by, bits))
+                    .repartitionByRange(n_parts, "_z")
+                    .sortWithinPartitions("_z")
+                    .drop("_z"))
+            else:
+                rewritten = snap.repartition(n_parts)
+            (rewritten
              .write.mode("overwrite")
              .option("maxRecordsPerFile", str(max_records_per_file))
              .parquet(os.path.join(versions_root, stage)))
@@ -433,9 +526,12 @@ def optimize_upsert_target(spark, target_dir: str,
         perm = f"v{head['version']}_compact_{uuid.uuid4().hex[:8]}"
         os.rename(os.path.join(versions_root, stage),
                   os.path.join(versions_root, perm))
+        entry = {"op": "optimize", "version": head["version"],
+                 "version_name": perm, "writer": writer}
+        if zorder_by:
+            entry["zorder"] = list(zorder_by)
         if try_commit(_commits_dir(versions_root), head["seq"] + 1,
-                      {"op": "optimize", "version": head["version"],
-                       "version_name": perm, "writer": writer}):
+                      entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
                             keep_versions=keep_versions)
@@ -565,6 +661,47 @@ def read_upsert_changes(spark, target_dir: str, v_from: int, v_to: int,
         .select(*key_cols, F.col("ch.change_type").alias("change_type"),
                 *[F.col(f"ch.img.{c}").alias(c) for c in payload])
     )
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB restatement of the Morton interleave over (user_id%256,
+    event_id%256) — unrolled shift/mask/or terms mirroring
+    ``_interleave_bits`` bit-for-bit (dimension j's bit b lands at
+    ``b*k + j``), so the oracle pins the production kernel's exact bit
+    layout, not just some z-like ordering."""
+    terms = []
+    for b in range(8):
+        terms.append(f"((((user_id % 256) >> {b}) & 1) << {2 * b})")
+        terms.append(f"((((event_id % 256) >> {b}) & 1) << {2 * b + 1})")
+    z = " | ".join(terms)
+    return f"""
+    SELECT event_id, user_id, CAST({z} AS BIGINT) AS zval
+    FROM events
+    ORDER BY zval, event_id
+    LIMIT 64
+    """
+
+
+@_catalog_register("maintenance_zorder_interleave",
+                   oracle=_zorder_oracle_sql())
+def maintenance_zorder_interleave(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The OPTIMIZE ZORDER clustering kernel as an oracled relation:
+    Morton-interleave two 8-bit ranks derived from events (user_id%256,
+    event_id%256) through the SAME ``_interleave_bits`` expression tree
+    the snapshot rewrite sorts by, and return the curve's first 64
+    points. The equi-depth cut selection is pinned separately by
+    ``test_optimize_zorder_clusters_files`` (a file-stats clustering
+    assertion — quantile sketches aren't bit-reproducible across
+    engines, bit interleaving is)."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    z = _interleave_bits([(F.col("user_id") % 256).cast("long"),
+                          (F.col("event_id") % 256).cast("long")], 8)
+    return (ev.select("event_id", "user_id",
+                      z.cast("long").alias("zval"))
+            .orderBy("zval", "event_id").limit(64))
 
 
 def _cdc_target_root(sf_dir: str) -> str:
