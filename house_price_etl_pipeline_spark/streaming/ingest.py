@@ -385,10 +385,11 @@ def _zorder_value(df, cols: list[str], bits: int):
     scale-safe), so skewed columns still spread across all buckets:
     Delta's OPTIMIZE ZORDER makes the same equi-depth choice (its
     range_partition_id sampling) precisely because min/max linear
-    scaling collapses under outliers. Bucketing is ``size(filter(cuts,
-    c -> x >= c))`` over the literal cuts array — one narrow pass, no
-    extra shuffle; NULLs compare null and land in bucket 0 (nulls
-    first, the Delta convention). Numeric/timestamp/date columns only:
+    scaling collapses under outliers. Bucketing is a balanced
+    ``when``-tree binary search over the cuts — log2(2^bits)
+    comparisons per row inside whole-stage codegen, no extra shuffle;
+    NULLs compare null and land in bucket 0 (nulls first, the Delta
+    convention). Numeric/timestamp/date columns only:
     string zordering needs order-preserving range ids (a sampling
     shuffle per column) and is deliberately not offered — hash
     bucketing would destroy the range-pruning property that justifies
@@ -407,17 +408,34 @@ def _zorder_value(df, cols: list[str], bits: int):
         probes.append(F.col(c).cast("double").alias(c))
     dbl = df.select(*probes)
     n_cuts = (1 << bits) - 1
-    for c in cols:
-        qs = dbl.stat.approxQuantile(
-            c, [i / (n_cuts + 1) for i in range(1, n_cuts + 1)], 1e-3)
+    # ONE stats scan for every zorder column (approxQuantile is
+    # multi-column), not one scan per column
+    all_cuts = dbl.stat.approxQuantile(
+        list(cols), [i / (n_cuts + 1) for i in range(1, n_cuts + 1)], 1e-3)
+    for c, qs in zip(cols, all_cuts):
         cut_arrays[c] = qs
+
     def bucket_rank(c: str):
-        # separate closure per column: PySpark maps every lambda
-        # parameter to an HOF variable, so the column must be captured
-        # by closure, not by a defaulted parameter
-        cuts = F.array(*[F.lit(float(v)) for v in cut_arrays[c]])
-        return F.size(
-            F.filter(cuts, lambda x: F.col(c).cast("double") >= x))
+        # balanced when-tree binary search: log2(cuts) comparisons per
+        # row, whole-stage codegen — NOT size(filter(cuts_array, ...)),
+        # whose per-element lambda runs interpreted and costs 2^bits
+        # comparisons per row (measured: the HOF form made the whole
+        # zordered rewrite 7x the plain one at 10M rows; the tree form
+        # is shuffle-bound like plain). Rank = count of cuts <= value
+        # (bisect_right); a NULL value fails every >= branch and lands
+        # in bucket 0 (nulls first, the Delta convention).
+        cuts = cut_arrays[c]
+        dcol = F.col(c).cast("double")
+
+        def tree(lo: int, hi: int):
+            if lo >= hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return (F.when(dcol >= F.lit(float(cuts[mid])),
+                           tree(mid + 1, hi))
+                    .otherwise(tree(lo, mid)))
+
+        return tree(0, len(cuts))
 
     return _interleave_bits([bucket_rank(c) for c in cols], bits)
 
