@@ -450,7 +450,14 @@ def _data_file_bytes(path: str) -> int:
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    # a concurrent publish pruned the snapshot mid-walk
+                    # (Python-side ENOENT, not a Spark error signature):
+                    # sizing stats are best-effort — the read below will
+                    # classify the lost race properly if it matters
+                    continue
     return total
 
 
