@@ -49,6 +49,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def stream_table_reader(spark: SparkSession, sf_dir: str, name: str,
+                        schema) -> DataFrame:
+    """Layout-aware streaming file source for ``<sf_dir>/<name>.parquet``.
+
+    The table may be a SINGLE FILE (the testdata generator's layout) or
+    a DIRECTORY of part files (Spark's own writer layout — any replica
+    or production copy). The file source lists a directory, so the
+    single-file layout scans ``sf_dir`` glob-filtered to the file name;
+    a directory is streamed directly. The old glob-only form silently
+    matched ZERO files against a directory-shaped table — every
+    streaming query drained zero batches on a standard-layout copy of
+    the data (found by the 64x replica probe, round 8)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -38,11 +38,11 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch read; ``pathGlobFilter`` pins the single parquet file).
     The one shared construction behind every arriving-docs streaming
     entry (decontaminate, ingest dedup, index ingest)."""
+    from ..sources.tables import stream_table_reader
+
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    return (spark.readStream.schema(schema)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir))
+    return stream_table_reader(spark, sf_dir, "documents", schema)
 
 
 @register(

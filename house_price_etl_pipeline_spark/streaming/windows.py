@@ -42,16 +42,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (read as raw int64 via nanosAsLong, then truncated to µs) and as plain
     TIMESTAMP(MICROS). Derive the schema from the parquet footer instead
     of hardcoding either encoding."""
+    from ..sources.tables import stream_table_reader
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema  # footer-only read
-    # file source needs a directory: scan sf_dir, glob-filtered to the
-    # events file (same trick as the reference's *a.csv suffix filter)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # layout-aware source: single-file testdata scans sf_dir glob-
+    # filtered to the file name (the reference's *a.csv suffix trick);
+    # a directory-shaped table (Spark writer layout) streams directly
+    raw = stream_table_reader(spark, sf_dir, "events", schema)
     if isinstance(schema["ts"].dataType, T.LongType):
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(schema["ts"].dataType, T.TimestampNTZType):

@@ -1854,6 +1854,45 @@ def test_band_index_two_streams_share_one_index_without_collision(
                        ("append", "bbbb0000", "0")]
 
 
+def test_stream_sources_read_directory_layout_tables(spark, tmp_path, sf_dir):
+    """Layout regression (64x-replica-probe-found, round 8): the
+    streaming table sources used a parent-dir scan glob-filtered to the
+    table FILE name, which matches ZERO files when the table is a
+    DIRECTORY of part files — Spark's own writer layout, i.e. every
+    replica/production copy — so streaming queries silently drained
+    zero batches. Both layouts must stream identical rows."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+    from house_price_etl_pipeline_spark.streaming.joins import \
+        stream_documents
+    from house_price_etl_pipeline_spark.streaming.windows import (
+        _drain, stream_events)
+
+    # rewrite both tables as Spark-writer DIRECTORIES named *.parquet
+    dir_sf = str(tmp_path / "dirsf")
+    _os.makedirs(dir_sf)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(3).write.parquet(
+        _os.path.join(dir_sf, "documents.parquet"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.parquet(
+        _os.path.join(dir_sf, "events.parquet"))
+
+    got_docs = _drain(stream_documents(spark, dir_sf), spark,
+                      output_mode="append")
+    assert got_docs.count() == docs.count()
+    got_ev = _drain(stream_events(spark, dir_sf).select("event_id"),
+                    spark, output_mode="append")
+    assert got_ev.count() == ev.count()
+    # and the single-file layout still streams (the testdata shape)
+    one_file = _drain(stream_documents(spark, sf_dir), spark,
+                      output_mode="append")
+    assert one_file.count() == docs.count()
+
+
 def test_band_index_append_write_swapped_mid_job(spark, tmp_path):
     """Write-side swap race (stress-found, round 8): an appender's
     parquet write INTO the live ``bands`` layout straddles a concurrent
