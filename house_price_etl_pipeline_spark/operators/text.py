@@ -562,3 +562,83 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("avg_neg_logprob"))
         .orderBy("doc_id")
     )
+
+
+# fixed retrieval query for the oracled BM25 ranking (tokens from the
+# synthetic vocab; three terms of different document frequency so the
+# idf weighting actually reorders the tf ranking)
+BM25_QUERY_TERMS = ("window", "merge", "scan")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(len(t)) AS avgdl
+              FROM toks),
+    tok AS (SELECT doc_id, len(t) AS dl, u.tok AS term
+            FROM toks, UNNEST(t) AS u(tok)
+            WHERE u.tok IN ('window', 'merge', 'scan')),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+           FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS n_docs_with FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ln((stats.n_docs - dfq.n_docs_with + 0.5)
+                     / (dfq.n_docs_with + 0.5) + 1.0)
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / stats.avgdl))
+                  AS DECIMAL(25,12)) AS c
+      FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           round(CAST(SUM(c) AS DOUBLE), 6) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking (Robertson/Lucene idf variant,
+    k1=1.2 b=0.75) for a fixed query over the corpus — the standard
+    relevance scorer a training-data pipeline uses for quality-by-query
+    mining and dedup-aware retrieval eval.
+
+    Plan shape is the at-scale one: the token stream is FILTERED to the
+    query terms before any aggregation, so the tf aggregation is
+    bounded by |docs containing a query term| × |query|, never corpus
+    token count; document frequency comes from the same tiny relation;
+    N and avgdl are one stats aggregate collected as two driver
+    scalars. One doc_id-keyed shuffle of the filtered stream is the
+    only corpus-scale exchange — the same discipline as
+    text_unigram_logprob (whose decimal per-term summation this reuses
+    for aggregation-order-independent, oracle-bit-identical totals).
+    TakeOrderedAndProject serves the top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.select(F.size(_tokens()).alias("dl")) \
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")) \
+        .collect()[0]
+    n_docs, avgdl = float(stats.n), float(stats.avgdl)
+
+    tok = (d.select("doc_id", F.size(_tokens()).alias("dl"),
+                    F.explode(_tokens()).alias("term"))
+           .filter(F.col("term").isin(*BM25_QUERY_TERMS)))
+    tf_tbl = (tok.groupBy("doc_id", "term")
+              .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))
+    df_tbl = tf_tbl.groupBy("term").agg(
+        F.count("*").alias("n_docs_with"))
+    idf = F.log((F.lit(n_docs) - F.col("n_docs_with") + 0.5)
+                / (F.col("n_docs_with") + 0.5) + 1.0)
+    contrib = (idf * (F.col("tf") * 2.2)
+               / (F.col("tf")
+                  + 1.2 * (0.25 + (0.75 * F.col("dl")) / F.lit(avgdl)))
+               ).cast("decimal(25,12)")
+    return (
+        tf_tbl.join(F.broadcast(df_tbl), "term")
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_terms_matched"),
+             F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id").limit(10)
+    )
