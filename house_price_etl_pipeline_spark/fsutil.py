@@ -106,6 +106,23 @@ def read_commit_journal(commits_dir: str) -> list[dict]:
     return out
 
 
+def cas_backoff(losses: int, base: float = 0.05, cap: float = 1.0) -> None:
+    """Randomized exponential backoff between optimistic-commit retries.
+
+    Without it, N contenders spin-retry in lockstep and a writer can
+    lose many CONSECUTIVE races even though total progress is fine —
+    a 6-contender stress (3 append streams + 3 compactors) drove one
+    appender and two compactors into their 8-consecutive-loss backstops
+    while safety invariants all held. Jittered exponential spacing
+    de-synchronizes the herd so every contender eventually lands its
+    slot; the loss caps remain as genuine-livelock backstops. Delta
+    does the same around its log-commit retries."""
+    import random
+    import time
+
+    time.sleep(random.uniform(0.0, min(cap, base * (2 ** min(losses, 6)))))
+
+
 def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
     """Atomically claim commit number ``seq``. Returns True iff THIS
     caller created the journal entry; False means another writer won

@@ -187,7 +187,7 @@ def _recover_compaction(index_dir: str) -> None:
 
 
 def _append_committed(index_dir: str, batch: str, write_batch,
-                      max_retries: int = 8, stream: str | None = None,
+                      max_retries: int = 24, stream: str | None = None,
                       _pre_verify_hook=None) -> None:
     """Append one batch's band dir under the full journal protocol.
     ``write_batch(dest)`` writes the parquet dir (idempotent). This is
@@ -300,7 +300,10 @@ def _append_committed(index_dir: str, batch: str, write_batch,
         entry = {"op": "append", "batch": batch}
         if stream is not None:
             entry["stream"] = stream
+        from ..fsutil import cas_backoff
         for _attempt in range(max_retries):
+            if _attempt:
+                cas_backoff(_attempt)
             commits = read_commit_journal(cd)
             seq = commits[-1]["seq"] + 1 if commits else 0
             try:
@@ -645,7 +648,7 @@ def compact_band_index(spark: SparkSession, index_dir: str,
 
     from pyspark.sql import functions as F  # noqa: F401  (parity w/ module)
 
-    from ..fsutil import read_commit_journal, try_commit
+    from ..fsutil import cas_backoff, read_commit_journal, try_commit
 
     cd = _commits_dir(index_dir)
     cas_losses = 0
@@ -759,10 +762,11 @@ def compact_band_index(spark: SparkSession, index_dir: str,
             now = read_commit_journal(cd)
             if (now[-1]["seq"] if now else -1) != base_seq:
                 cas_losses += 1
-                if cas_losses >= 8:
+                if cas_losses >= 24:
                     raise RuntimeError(
-                        "band-index compaction lost 8 consecutive "
+                        "band-index compaction lost 24 consecutive "
                         "CAS races")
+                cas_backoff(cas_losses)
                 continue
             raise
         if _race_hook is not None:
@@ -782,9 +786,10 @@ def compact_band_index(spark: SparkSession, index_dir: str,
         # stale — discard the stage and retry against the new journal
         shutil.rmtree(stage, ignore_errors=True)
         cas_losses += 1
-        if cas_losses >= 8:
+        if cas_losses >= 24:
             raise RuntimeError(
-                "band-index compaction lost 8 consecutive CAS races")
+                "band-index compaction lost 24 consecutive CAS races")
+        cas_backoff(cas_losses)
 
 
 @register(

@@ -243,7 +243,7 @@ def _publish_commit(target_dir: str, versions_root: str,
 def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         key_cols: list[str], order_col: str,
                         keep_versions: int = 2, writer: str = "w0",
-                        max_retries: int = 8,
+                        max_retries: int = 24,
                         _race_hook=None, _pre_stage_hook=None,
                         _pre_swap_hook=None) -> str:
     """One keep-latest merge committed through the optimistic journal.
@@ -262,7 +262,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..fsutil import try_commit
+    from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
     versions_root = target_dir + "_versions"
@@ -276,6 +276,8 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
 
     retried = False
     for _attempt in range(max_retries):
+        if _attempt:
+            cas_backoff(_attempt)
         commits, applied = _journal_state(versions_root)
         if batch_id in applied:
             # replayed batch: exactly-once no-op — but repair the
@@ -496,11 +498,13 @@ def optimize_upsert_target(spark, target_dir: str,
     import shutil
     import uuid
 
-    from ..fsutil import try_commit
+    from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
     versions_root = target_dir + "_versions"
-    for _attempt in range(8):
+    for _attempt in range(24):
+        if _attempt:
+            cas_backoff(_attempt)
         commits, _ = _journal_state(versions_root)
         if not commits:
             return None

@@ -2016,12 +2016,17 @@ def test_band_index_concurrent_ingest_compaction_stress(spark, tmp_path):
         except Exception as exc:  # pragma: no cover - failure surface
             errors.append((tag, exc))
 
-    a_ids, b_ids = [201, 202, 203], [301, 302, 303]
+    # 3 streams + 3 compactors: the shape that exposed the liveness gap
+    # (consecutive-CAS-loss backstops exhausted without backoff) on top
+    # of the 2+2 shape's two safety races
+    a_ids, b_ids, c_ids = [201, 202, 203], [301, 302, 303], [401, 402, 403]
     threads = [
         threading.Thread(target=appender, args=("aaaa1111", a_ids)),
         threading.Thread(target=appender, args=("bbbb2222", b_ids)),
+        threading.Thread(target=appender, args=("cccc3333", c_ids)),
         threading.Thread(target=compactor, args=("c1", 2)),
         threading.Thread(target=compactor, args=("c2", 2)),
+        threading.Thread(target=compactor, args=("c3", 2)),
     ]
     for t in threads:
         t.start()
@@ -2034,7 +2039,7 @@ def test_band_index_concurrent_ingest_compaction_stress(spark, tmp_path):
     idx = read_band_index(spark, index_dir)
     # every appended doc's bands survive every interleaving…
     assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} \
-        == {100, *a_ids, *b_ids}
+        == {100, *a_ids, *b_ids, *c_ids}
     # …exactly once (no replay/re-establish/compaction duplication)
     assert idx.count() == idx.dropDuplicates(
         ["band_id", "band_hash", "doc_id"]).count()
@@ -2042,7 +2047,7 @@ def test_band_index_concurrent_ingest_compaction_stress(spark, tmp_path):
     assert [c["seq"] for c in commits] == list(range(len(commits)))
     appends = [(c.get("stream"), c["batch"]) for c in commits
                if c["op"] == "append"]
-    assert len(appends) == len(set(appends)) == 7  # seed + 6, none doubled
+    assert len(appends) == len(set(appends)) == 10  # seed + 9, none doubled
     # one live layout, no retired layouts or stages left behind (every
     # stage was either swapped in, discarded by its losing compactor,
     # or GC'd by the final recovery above)
