@@ -182,6 +182,26 @@ def _journal_state(versions_root: str) -> tuple[list[dict], set[int]]:
     return commits, applied
 
 
+def _retained_names(commits: list[dict], keep_versions: int) -> set[str]:
+    """Version names belonging to the last ``keep_versions`` DISTINCT
+    versions. Retention counts VERSIONS, not journal commits: an
+    OPTIMIZE entry shares its version number with the upsert snapshot
+    it rewrote, so counting raw commits would silently shrink the
+    time-travel window every time maintenance ran (keep_versions=2
+    plus one OPTIMIZE would retain a single distinct version) — the
+    Delta contract is that maintenance never costs you history."""
+    keep = max(keep_versions, 1)
+    names: set[str] = set()
+    versions: list = []
+    for c in reversed(commits):
+        if c["version"] not in versions:
+            if len(versions) == keep:
+                break
+            versions.append(c["version"])
+        names.add(c["version_name"])
+    return names
+
+
 def _publish_commit(target_dir: str, versions_root: str,
                     commits: list[dict], keep_versions: int,
                     _pre_swap_hook=None) -> None:
@@ -225,10 +245,11 @@ def _publish_commit(target_dir: str, versions_root: str,
         # retention window — provably retired. Unreferenced dirs are NOT
         # touched here: one may be a concurrent writer's staged snapshot
         # that is about to win the next CAS; reclaiming those is VACUUM's
-        # job, behind an age threshold (vacuum_upsert_target).
-        retained = {c["version_name"]
-                    for c in commits[-max(keep_versions, 1):]}
-        for c in commits[:-max(keep_versions, 1)]:
+        # job, behind an age threshold (vacuum_upsert_target). The
+        # window counts distinct VERSIONS, not commits (_retained_names)
+        # so OPTIMIZE runs never shrink time travel.
+        retained = _retained_names(commits, keep_versions)
+        for c in commits:
             if c["version_name"] not in retained:
                 shutil.rmtree(os.path.join(versions_root,
                                            c["version_name"]),
@@ -604,8 +625,7 @@ def vacuum_upsert_target(target_dir: str,
             f"commit; pass force=True to override deliberately")
     versions_root = target_dir + "_versions"
     commits, _ = _journal_state(versions_root)
-    referenced = {c["version_name"]
-                  for c in commits[-max(keep_versions, 1):]}
+    referenced = _retained_names(commits, keep_versions)
     published = os.path.basename(os.path.realpath(target_dir)) \
         if os.path.islink(target_dir) else None
     removed = []

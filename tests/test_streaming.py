@@ -901,6 +901,50 @@ def test_upsert_concurrent_writers_optimize_stress(spark, tmp_path):
     assert rows == {k: (f"b{v}", float(v)) for k, v in expected.items()}
 
 
+def test_optimize_preserves_time_travel_window(spark, tmp_path):
+    """Retention counts distinct VERSIONS, not journal commits: an
+    OPTIMIZE entry shares its version with the upsert it rewrote, so
+    commit-counted retention silently shrank the time-travel window on
+    every maintenance run (keep_versions=2 + one OPTIMIZE left a single
+    readable version). Maintenance must never cost history; only a new
+    VERSION may retire the oldest one."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        optimize_upsert_target, read_upsert_version, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    target = str(tmp_path / "tt_target")
+    for bid, et in ((0, "zero"), (1, "one")):
+        assert upsert_commit_batch(
+            frame([(bid, f"2024-01-01 10:0{bid}:00", 1, et,
+                    float(bid), "{}")]),
+            target, bid, key_cols=["user_id"], order_col="ts",
+            keep_versions=2, writer="w") == "applied"
+    assert optimize_upsert_target(spark, target,
+                                  keep_versions=2) is not None
+    # v0 is still the second-newest VERSION — the optimize commit must
+    # not have evicted it from the 2-version window
+    v0 = read_upsert_version(spark, target, 0)
+    assert [r.event_type for r in v0.collect()] == ["zero"]
+    # a genuinely NEW version does retire v0
+    assert upsert_commit_batch(
+        frame([(2, "2024-01-01 10:02:00", 1, "two", 2.0, "{}")]),
+        target, 2, key_cols=["user_id"], order_col="ts",
+        keep_versions=2, writer="w") == "applied"
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        read_upsert_version(spark, target, 0)
+    assert [r.event_type
+            for r in read_upsert_version(spark, target, 1).collect()] \
+        == ["one"]
+
+
 def test_optimize_zorder_clusters_files(spark, tmp_path):
     """OPTIMIZE ZORDER (Delta's OPTIMIZE ... ZORDER BY): the rewrite
     range-partitions + sorts on the Morton z-value of two decorrelated
