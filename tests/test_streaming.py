@@ -1036,6 +1036,40 @@ except ImportError:  # pragma: no cover
 
 if _HAVE_HYPOTHESIS:
 
+    @settings(max_examples=200, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(st.integers(1, 5), st.lists(
+        st.tuples(st.booleans(), st.integers(0, 3)),
+        min_size=1, max_size=20))
+    def test_retention_window_counts_versions(keep, steps):
+        """_retained_names invariants over arbitrary histories of
+        upserts interleaved with OPTIMIZE rewrites (which share their
+        version): exactly min(keep, n_versions) NEWEST distinct
+        versions retained, and every name of a retained version kept —
+        maintenance never shrinks the time-travel window."""
+        from house_price_etl_pipeline_spark.streaming.ingest import \
+            _retained_names
+
+        commits, version = [], -1
+        for is_optimize, vstep in steps:
+            if is_optimize and version >= 0:
+                commits.append({"op": "optimize", "version": version,
+                                "version_name":
+                                    f"v{version}_c{len(commits)}"})
+            else:
+                version += 1 + vstep
+                commits.append({"op": "upsert", "version": version,
+                                "version_name": f"v{version}"})
+        retained = _retained_names(commits, keep)
+        all_versions = sorted({c["version"] for c in commits})
+        expect_versions = set(all_versions[-max(keep, 1):])
+        got_versions = {c["version"] for c in commits
+                        if c["version_name"] in retained}
+        assert got_versions == expect_versions
+        for c in commits:  # every name of a retained version survives
+            if c["version"] in expect_versions:
+                assert c["version_name"] in retained
+
     @settings(max_examples=12, deadline=None,
               suppress_health_check=list(HealthCheck))
     @given(st.integers(1, 8), st.lists(
