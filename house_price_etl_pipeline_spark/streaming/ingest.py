@@ -596,6 +596,95 @@ def optimize_upsert_target(spark, target_dir: str,
 # minutes of retention closes the stage→commit race; Delta's analog is
 # the retentionDurationCheck floor (hours there, scaled to the local
 # mini format's commit latency here).
+def describe_upsert_history(spark, target_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the versioned upsert target: one row per
+    journal commit — (seq, op, version, version_name, writer,
+    retained) — newest first, where ``retained`` marks snapshots still
+    readable via time travel. The Delta `DESCRIBE HISTORY` analog;
+    driver-side journal read (commit metadata is tiny by construction),
+    returned as a DataFrame so it composes with the rest of the API."""
+    from pyspark.sql import types as T
+
+    versions_root = target_dir + "_versions"
+    commits, _ = _journal_state(versions_root)
+    import os
+
+    schema = T.StructType([
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("version_name", T.StringType()),
+        T.StructField("writer", T.StringType()),
+        T.StructField("retained", T.BooleanType()),
+    ])
+    rows = [(c["seq"], c.get("op"), c.get("version"),
+             c.get("version_name"), c.get("writer"),
+             os.path.isdir(os.path.join(versions_root,
+                                        c.get("version_name", ""))))
+            for c in reversed(commits)]
+    return spark.createDataFrame(rows, schema)
+
+
+def restore_upsert_target(spark, target_dir: str, version: int,
+                          as_version: int, keep_versions: int = 2,
+                          writer: str = "restore") -> str:
+    """RESTORE: make a retained historical version the CURRENT table
+    state again, as a NEW journal commit (Delta's `RESTORE TABLE ...
+    VERSION AS OF` contract — a restore is history-preserving, never a
+    rewind of the log). The restored snapshot is COPIED to a new
+    version dir (the source stays retained for its own window), staged
+    fully before the CAS, and committed/published through the same
+    optimistic protocol as any upsert — concurrent writers serialize
+    against it and the converge-loop publication applies. Raises if
+    ``version`` is no longer retained (same contract as time-travel
+    reads: VACUUM'd history cannot be restored) or if ``as_version``
+    is already applied (restore ids are exactly-once like batch ids)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..fsutil import cas_backoff, try_commit
+
+    versions_root = target_dir + "_versions"
+    for _attempt in range(24):
+        if _attempt:
+            cas_backoff(_attempt)
+        commits, applied = _journal_state(versions_root)
+        if as_version in applied:
+            raise ValueError(
+                f"as_version {as_version} already applied "
+                f"(applied={sorted(applied)})")
+        src = _resolve_version_dir(versions_root, version)
+        if src is None:
+            raise FileNotFoundError(
+                f"version {version} not retained — cannot restore "
+                f"(see describe_upsert_history)")
+        seq = commits[-1]["seq"] + 1 if commits else 0
+        stage = os.path.join(versions_root,
+                             f"_stage_{writer}_{uuid.uuid4().hex[:8]}")
+        try:
+            shutil.copytree(src, stage)
+        except (FileNotFoundError, shutil.Error):
+            # source pruned mid-copy by a concurrent publish: re-check
+            # retention on the next attempt (raises cleanly if gone)
+            shutil.rmtree(stage, ignore_errors=True)
+            continue
+        perm = f"v{as_version}_restore_{uuid.uuid4().hex[:8]}"
+        os.rename(stage, os.path.join(versions_root, perm))
+        if try_commit(_commits_dir(versions_root), seq,
+                      {"op": "upsert", "version": as_version,
+                       "version_name": perm, "writer": writer,
+                       "restored_from": version}):
+            commits, _ = _journal_state(versions_root)
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return perm
+        shutil.rmtree(os.path.join(versions_root, perm),
+                      ignore_errors=True)
+    raise RuntimeError(
+        f"restore of version {version} lost 24 consecutive CAS races")
+
+
 VACUUM_RETENTION_FLOOR_S = 300.0
 
 

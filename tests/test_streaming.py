@@ -945,6 +945,56 @@ def test_optimize_preserves_time_travel_window(spark, tmp_path):
         == ["one"]
 
 
+def test_upsert_history_and_restore(spark, tmp_path):
+    """DESCRIBE HISTORY + RESTORE complete the maintenance suite:
+    restore re-publishes a retained version as a NEW commit (history-
+    preserving, Delta's contract), serializes through the same CAS, is
+    exactly-once on its version id, and refuses un-retained history."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        describe_upsert_history, read_upsert_version,
+        restore_upsert_target, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    target = str(tmp_path / "restore_target")
+    for bid, et in ((0, "zero"), (1, "one")):
+        upsert_commit_batch(
+            frame([(bid, f"2024-01-01 10:0{bid}:00", 1, et,
+                    float(bid), "{}")]),
+            target, bid, key_cols=["user_id"], order_col="ts",
+            keep_versions=3, writer="w")
+
+    # current is v1; restore v0 as version 2
+    perm = restore_upsert_target(spark, target, version=0, as_version=2,
+                                 keep_versions=3)
+    assert perm.startswith("v2_restore_")
+    assert [r.event_type
+            for r in spark.read.parquet(target).collect()] == ["zero"]
+    # history-preserving: v1 still time-travel readable
+    assert [r.event_type
+            for r in read_upsert_version(spark, target, 1).collect()] \
+        == ["one"]
+
+    hist = describe_upsert_history(spark, target).collect()
+    assert [h.seq for h in hist] == [2, 1, 0]       # newest first
+    assert hist[0].writer == "restore" and hist[0].version == 2
+    assert all(h.retained for h in hist)            # keep_versions=3
+
+    # exactly-once on the restore's version id
+    with pytest.raises(ValueError, match="already applied"):
+        restore_upsert_target(spark, target, version=1, as_version=2)
+    # un-retained history cannot be restored
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        restore_upsert_target(spark, target, version=99, as_version=5)
+
+
 def test_optimize_zorder_clusters_files(spark, tmp_path):
     """OPTIMIZE ZORDER (Delta's OPTIMIZE ... ZORDER BY): the rewrite
     range-partitions + sorts on the Morton z-value of two decorrelated
