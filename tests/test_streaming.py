@@ -1120,12 +1120,17 @@ if _HAVE_HYPOTHESIS:
             if c["version"] in expect_versions:
                 assert c["version_name"] in retained
 
+    def _rows_of_equal_width():
+        # generate equal-width rows directly (no rejection filter):
+        # draw the dimension count k, then rows of exactly k values
+        return st.integers(1, 3).flatmap(
+            lambda k: st.lists(
+                st.lists(st.integers(0, 255), min_size=k, max_size=k),
+                min_size=1, max_size=6))
+
     @settings(max_examples=12, deadline=None,
               suppress_health_check=list(HealthCheck))
-    @given(st.integers(1, 8), st.lists(
-        st.lists(st.integers(0, 255), min_size=1, max_size=3),
-        min_size=1, max_size=6).filter(
-            lambda rs: len({len(r) for r in rs}) == 1))
+    @given(st.integers(1, 8), _rows_of_equal_width())
     def test_zorder_interleave_matches_python_mirror(spark, bits, rows):
         """Morton kernel bit layout, unit-level: dimension j's bit b
         lands at position b*k+j — the same contract the DuckDB oracle
