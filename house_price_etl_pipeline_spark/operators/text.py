@@ -34,8 +34,9 @@ _LANG_ORDER = tuple(LANG_MARKERS)  # tie-break priority, fixed
 STOPWORDS = ("the", "a", "of", "and")
 
 
-def _tokens(col: str = "text") -> Column:
-    return F.split(F.col(col), " ")
+def _tokens(col: str = "text", coalesce_empty: bool = False) -> Column:
+    src = F.coalesce(F.col(col), F.lit("")) if coalesce_empty else F.col(col)
+    return F.split(src, " ")
 
 
 def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
@@ -574,7 +575,8 @@ BM25_K1, BM25_B = 1.2, 0.75
 @register(
     "text_bm25_topk",
     oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+    WITH toks AS (SELECT doc_id,
+                         string_split(coalesce(text, ''), ' ') AS t
                   FROM documents),
     stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                      AVG(len(t)) AS avgdl
@@ -616,13 +618,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for aggregation-order-independent, oracle-bit-identical totals).
     TakeOrderedAndProject serves the top-k."""
     d = load_table(spark, sf_dir, "documents")
-    stats = d.select(F.size(_tokens()).alias("dl")) \
+    # NULL text is coalesced to '' BEFORE tokenizing (here and in the
+    # oracle): Spark's size(split(NULL)) is -1, which would silently
+    # drag avgdl below the oracle's NULL-skipping AVG(len(...)) on any
+    # corpus with NULL documents — make the semantics explicit instead
+    # of relying on the generator never emitting NULL text (ADVICE r8).
+    toks = _tokens(coalesce_empty=True)
+    stats = d.select(F.size(toks).alias("dl")) \
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")) \
         .collect()[0]
     n_docs, avgdl = float(stats.n), float(stats.avgdl)
 
-    tok = (d.select("doc_id", F.size(_tokens()).alias("dl"),
-                    F.explode(_tokens()).alias("term"))
+    tok = (d.select("doc_id", F.size(toks).alias("dl"),
+                    F.explode(toks).alias("term"))
            .filter(F.col("term").isin(*BM25_QUERY_TERMS)))
     tf_tbl = (tok.groupBy("doc_id", "term")
               .agg(F.count("*").alias("tf"), F.min("dl").alias("dl")))

@@ -31,12 +31,15 @@ path — verification runs offline, same split as stream_dedup_ingest).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.catalog import register
+
+_log = logging.getLogger(__name__)
 
 BANDS_SUBDIR = "bands"
 DECISIONS_SUBDIR = "decisions"
@@ -279,8 +282,10 @@ def _append_committed(index_dir: str, batch: str, write_batch,
             # layout swapped away mid-write (write-side race): drop the
             # side copy; phase 2 below re-verifies and re-establishes
             shutil.rmtree(tmp, ignore_errors=True)
-            if not _output_vanished(exc):
+            if not _output_vanished(exc, index_dir):
                 raise
+            _log.warning("band-index append batch %s: replay rewrite "
+                         "swallowed vanished-output error: %s", batch, exc)
             tmp = None
         if tmp is not None:
             retired = os.path.join(index_dir, BANDS_SUBDIR,
@@ -315,8 +320,12 @@ def _append_committed(index_dir: str, batch: str, write_batch,
                 # We have NOT journaled yet, so discard the partial dir,
                 # apply any pending swap, and rewrite into the new
                 # layout. Non-vanished errors are real and propagate.
-                if not _output_vanished(exc) or _attempt == max_retries - 1:
+                if (not _output_vanished(exc, index_dir)
+                        or _attempt == max_retries - 1):
                     raise
+                _log.warning("band-index append batch %s: attempt %d "
+                             "swallowed vanished-output error: %s",
+                             batch, _attempt, exc)
                 shutil.rmtree(dest, ignore_errors=True)
                 _recover_compaction(index_dir)
                 continue
@@ -349,8 +358,11 @@ def _append_committed(index_dir: str, batch: str, write_batch,
             # layout swapped again mid-rewrite — clean up and let the
             # loop re-run recovery and re-verify from the top
             shutil.rmtree(tmp, ignore_errors=True)
-            if not _output_vanished(exc):
+            if not _output_vanished(exc, index_dir):
                 raise
+            _log.warning("band-index append batch %s: verification "
+                         "rewrite swallowed vanished-output error: %s",
+                         batch, exc)
             continue
         try:
             os.rename(tmp, dest)
@@ -373,7 +385,7 @@ def _input_vanished(exc: Exception) -> bool:
             or "PATH_NOT_FOUND" in s)
 
 
-def _output_vanished(exc: Exception) -> bool:
+def _output_vanished(exc: Exception, index_dir: str) -> bool:
     """True when a WRITE job failed because its destination tree was
     deleted under it — the write-side twin of ``_input_vanished``: a
     concurrent compaction's swap renames the live ``bands`` layout away
@@ -381,13 +393,27 @@ def _output_vanished(exc: Exception) -> bool:
     it mid-job. Hadoop's local committer surfaces that as chmod/create
     failures on the vanished path (``ExitCodeException … chmod: cannot
     access … No such file or directory``) rather than a typed Spark
-    error, so the match is on the message. Stress-found (round 8): the
+    error, so the match is on the message — but ONLY when the message
+    names a path under THIS index's ``bands`` tree (or carries the
+    committer's ``ExitCodeException``+chmod signature). A bare
+    'No such file or directory' from a genuinely missing INPUT inside
+    ``write_batch`` must classify as a real error, not a transient
+    swap race, or the retry loop hides the misconfiguration for 24
+    jittered rounds before surfacing it. Stress-found (round 8): the
     read-side retry landed in an earlier pass, but an appender whose
     WRITE straddled the swap still crashed."""
+    if _input_vanished(exc):
+        return True
     s = str(exc)
-    return (_input_vanished(exc)
-            or "No such file or directory" in s
-            or "does not exist" in s)
+    if "No such file or directory" not in s and "does not exist" not in s:
+        return False
+    bands_root = os.path.join(index_dir, BANDS_SUBDIR)
+    if bands_root in s or os.path.abspath(bands_root) in s:
+        return True
+    # Hadoop's local FileOutputCommitter shells out for chmod; a swap
+    # mid-commit surfaces as ExitCodeException with the (sometimes
+    # relativized) vanished path — accept that specific shape too.
+    return "ExitCodeException" in s and "chmod" in s
 
 
 def _resolve_live_index(sess: SparkSession, index_dir: str,

@@ -202,6 +202,15 @@ def _retained_names(commits: list[dict], keep_versions: int) -> set[str]:
     return names
 
 
+# Converge-loop bound for _publish_commit: each extra round requires
+# ANOTHER writer to have committed during ours, so this many rounds of
+# republishing means pathological sustained contention (or a livelock
+# bug) — surface it as an error instead of spinning silently (ADVICE
+# r8). Progress is WARN-logged every 50 rounds so a long converge is
+# observable before the bound trips.
+PUBLISH_CONVERGE_MAX_ROUNDS = 512
+
+
 def _publish_commit(target_dir: str, versions_root: str,
                     commits: list[dict], keep_versions: int,
                     _pre_swap_hook=None) -> None:
@@ -225,14 +234,22 @@ def _publish_commit(target_dir: str, versions_root: str,
     ``_pre_swap_hook`` is a test seam invoked once per loop iteration
     before the swap so a conflicting publisher can be interleaved
     deterministically."""
+    import logging
     import os
     import shutil
 
     from ..fsutil import (atomic_symlink_swap, atomic_write_json,
                           read_commit_journal)
 
-    while True:
+    log = logging.getLogger(__name__)
+    max_rounds = PUBLISH_CONVERGE_MAX_ROUNDS
+    for _round in range(max_rounds):
         head = commits[-1]
+        if _round and _round % 50 == 0:
+            log.warning("upsert publish still converging after %d "
+                        "rounds (head seq %s) — sustained concurrent "
+                        "commit traffic on %s",
+                        _round, head["seq"], target_dir)
         if _pre_swap_hook is not None:
             _pre_swap_hook(head)
         atomic_symlink_swap(
@@ -259,6 +276,10 @@ def _publish_commit(target_dir: str, versions_root: str,
             return
         commits = latest  # journal moved: our swap may have regressed
         #                   over a newer publish — republish and recheck
+    raise RuntimeError(
+        f"upsert publish on {target_dir} failed to converge after "
+        f"{max_rounds} rounds — journal advanced every round "
+        f"(pathological sustained commit traffic or a livelock bug)")
 
 
 def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
@@ -617,10 +638,14 @@ def describe_upsert_history(spark, target_dir: str) -> DataFrame:
         T.StructField("writer", T.StringType()),
         T.StructField("retained", T.BooleanType()),
     ])
+    # A commit missing version_name must report retained=False: joining
+    # '' onto versions_root yields versions_root itself, which always
+    # exists and would mislabel the row retained=True.
     rows = [(c["seq"], c.get("op"), c.get("version"),
              c.get("version_name"), c.get("writer"),
-             os.path.isdir(os.path.join(versions_root,
-                                        c.get("version_name", ""))))
+             bool(c.get("version_name"))
+             and os.path.isdir(os.path.join(versions_root,
+                                            c["version_name"])))
             for c in reversed(commits)]
     return spark.createDataFrame(rows, schema)
 
@@ -651,9 +676,23 @@ def restore_upsert_target(spark, target_dir: str, version: int,
             cas_backoff(_attempt)
         commits, applied = _journal_state(versions_root)
         if as_version in applied:
+            # A racing restore of the SAME (version, as_version) that
+            # just won the CAS is an exactly-once replay, not a
+            # conflict — the table already sits in exactly the
+            # requested state, so mirror upsert_commit_batch's
+            # "replayed" no-op (repairing publication if the winner
+            # crashed pre-publish). Only an as_version claimed by a
+            # DIFFERENT source commit is a genuine id conflict.
+            same = [c for c in commits
+                    if c.get("version") == as_version
+                    and c.get("restored_from") == version]
+            if same:
+                _publish_commit(target_dir, versions_root, commits,
+                                keep_versions)
+                return same[-1]["version_name"]
             raise ValueError(
-                f"as_version {as_version} already applied "
-                f"(applied={sorted(applied)})")
+                f"as_version {as_version} already applied by a "
+                f"different commit (applied={sorted(applied)})")
         src = _resolve_version_dir(versions_root, version)
         if src is None:
             raise FileNotFoundError(

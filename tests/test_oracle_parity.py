@@ -153,3 +153,33 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert df.schema == q.fn(spark, sf_dir).schema
+
+
+def test_bm25_null_text_matches_oracle(spark, tmp_path):
+    """ADVICE r8: Spark's size(split(NULL)) is -1 (it would drag avgdl
+    below the oracle's NULL-skipping AVG), so text_bm25_topk coalesces
+    text to '' on BOTH sides. Prove parity holds on a corpus that DOES
+    contain NULL text — the case the synthetic testdata never
+    exercises."""
+    import duckdb
+
+    sf001 = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                           "/root/testdata/sf0.001")
+    base = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    nulls = spark.createDataFrame(
+        [(100001, None, "en", "synthetic", 0),
+         (100002, None, "en", "synthetic", 0)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    corpus_dir = str(tmp_path / "null_corpus")
+    base.unionByName(nulls).coalesce(1).write.parquet(
+        os.path.join(corpus_dir, "documents.parquet"))
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{corpus_dir}/documents.parquet/*.parquet')")
+        _assert_parity("text_bm25_topk", spark, con, corpus_dir)
+    finally:
+        con.close()

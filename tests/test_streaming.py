@@ -2246,3 +2246,197 @@ def test_band_index_orphan_stage_gc_is_age_gated(spark, tmp_path):
     # live layout untouched
     assert {r.doc_id for r in read_band_index(spark, index_dir)
             .select("doc_id").distinct().collect()} == {100}
+
+
+def test_output_vanished_requires_index_path_or_committer_signature(
+        tmp_path):
+    """ADVICE r8: _output_vanished used to match ANY exception whose
+    message contained 'No such file or directory' / 'does not exist',
+    so a genuinely missing INPUT inside write_batch was classified as
+    a transient swap race and retried for 24 jittered rounds before
+    the real error surfaced. The tightened matcher accepts only (a)
+    typed Spark read signatures, (b) messages naming a path under THIS
+    index's bands tree, or (c) hadoop's local-committer
+    ExitCodeException+chmod shape."""
+    from house_price_etl_pipeline_spark.streaming.index import \
+        _output_vanished
+
+    index_dir = str(tmp_path / "ov_index")
+
+    # foreign missing-input errors: NOT a swap race
+    assert not _output_vanished(
+        RuntimeError("Path does not exist: /srv/landing/input.csv"),
+        index_dir)
+    assert not _output_vanished(
+        RuntimeError("open '/etc/app/config.yml': "
+                     "No such file or directory"), index_dir)
+    # same message shape naming a path under the index's bands tree:
+    # the write-side swap race
+    assert _output_vanished(
+        RuntimeError(f"chmod: cannot access '{index_dir}/bands/"
+                     "batch-x-1/_temporary/0/f.parquet': "
+                     "No such file or directory"), index_dir)
+    # committer signature without a usable path (hadoop sometimes
+    # relativizes): still accepted
+    assert _output_vanished(
+        RuntimeError("ExitCodeException exitCode=1: chmod: cannot "
+                     "access '_temporary/0/f.parquet': "
+                     "No such file or directory"), index_dir)
+    # typed Spark read-side signatures pass through unchanged
+    assert _output_vanished(
+        RuntimeError("[FAILED_READ_FILE] could not read file"),
+        index_dir)
+    # and an entirely unrelated error is never swallowed
+    assert not _output_vanished(
+        RuntimeError("java.io.IOException: No space left on device"),
+        index_dir)
+
+
+def test_append_surfaces_missing_input_immediately(spark, tmp_path):
+    """The retry loop must NOT hide a genuinely missing input: a
+    write_batch that fails on a path OUTSIDE the index propagates on
+    the first attempt instead of burning 24 jittered retries."""
+    import pytest
+
+    from house_price_etl_pipeline_spark.streaming.index import \
+        _append_committed
+
+    index_dir = str(tmp_path / "missing_input_index")
+    _seed_band_index(spark, index_dir,
+                     [(1, "alpha beta gamma delta epsilon zeta")])
+    attempts = []
+
+    def write_missing_input(dest):
+        attempts.append(dest)
+        raise RuntimeError(
+            "Path does not exist: /srv/landing/never_there.parquet")
+
+    with pytest.raises(RuntimeError, match="never_there"):
+        _append_committed(index_dir, "42", write_missing_input,
+                          stream="aa11")
+    assert len(attempts) == 1  # first attempt, no swallowed retries
+
+
+def test_restore_same_as_version_is_replayed_noop(spark, tmp_path):
+    """ADVICE r8: a racing restore of the SAME (version, as_version)
+    that lost the CAS used to raise 'already applied' even though the
+    table sits in exactly the requested state — it must return the
+    winner's version_name as an exactly-once replay no-op, mirroring
+    upsert_commit_batch's 'replayed'. A conflicting as_version (claimed
+    by a different source commit) still raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        restore_upsert_target, upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        return (spark.createDataFrame(rows, cols)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    target = str(tmp_path / "replay_restore_target")
+    for bid, et in ((0, "zero"), (1, "one")):
+        upsert_commit_batch(
+            frame([(bid, f"2024-01-01 10:0{bid}:00", 1, et,
+                    float(bid), "{}")]),
+            target, bid, key_cols=["user_id"], order_col="ts",
+            keep_versions=3, writer="w")
+
+    perm = restore_upsert_target(spark, target, version=0, as_version=2,
+                                 keep_versions=3)
+    # replay of the identical restore: no-op, same version_name back
+    again = restore_upsert_target(spark, target, version=0, as_version=2,
+                                  keep_versions=3)
+    assert again == perm
+    assert [r.event_type
+            for r in spark.read.parquet(target).collect()] == ["zero"]
+    # as_version claimed by a DIFFERENT restore source: conflict
+    with pytest.raises(ValueError, match="different commit"):
+        restore_upsert_target(spark, target, version=1, as_version=2,
+                              keep_versions=3)
+    # as_version colliding with a plain batch id: also a conflict
+    with pytest.raises(ValueError, match="different commit"):
+        restore_upsert_target(spark, target, version=0, as_version=1,
+                              keep_versions=3)
+
+
+def test_describe_history_missing_version_name_not_retained(
+        spark, tmp_path):
+    """ADVICE r8: a journal commit missing version_name used to join
+    '' onto versions_root — which always exists — and report
+    retained=True. It must report retained=False."""
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import try_commit
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, _journal_state, describe_upsert_history,
+        upsert_commit_batch)
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    target = str(tmp_path / "hist_guard_target")
+    upsert_commit_batch(
+        spark.createDataFrame(
+            [(0, "2024-01-01 10:00:00", 1, "zero", 0.0, "{}")], cols)
+        .withColumn("ts", F.col("ts").cast("timestamp")),
+        target, 0, key_cols=["user_id"], order_col="ts", writer="w")
+
+    versions_root = target + "_versions"
+    commits, _ = _journal_state(versions_root)
+    assert try_commit(_commits_dir(versions_root),
+                      commits[-1]["seq"] + 1,
+                      {"op": "note", "version": 99, "writer": "ext"})
+
+    hist = {h.seq: h for h in
+            describe_upsert_history(spark, target).collect()}
+    assert hist[0].retained is True          # real snapshot dir exists
+    assert hist[1].version_name is None
+    assert hist[1].retained is False         # no dir ⇒ not retained
+
+
+def test_publish_converge_loop_is_bounded(spark, tmp_path, monkeypatch):
+    """ADVICE r8: the publish converge loop is correct but was
+    unbounded — under pathological sustained commit traffic it must
+    surface a RuntimeError instead of spinning silently."""
+    import os
+
+    import pytest
+
+    import house_price_etl_pipeline_spark.streaming.ingest as ingest
+    from house_price_etl_pipeline_spark.fsutil import try_commit
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, _journal_state, _publish_commit)
+    from pyspark.sql import functions as F
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    target = str(tmp_path / "livelock_target")
+    ingest.upsert_commit_batch(
+        spark.createDataFrame(
+            [(0, "2024-01-01 10:00:00", 1, "zero", 0.0, "{}")], cols)
+        .withColumn("ts", F.col("ts").cast("timestamp")),
+        target, 0, key_cols=["user_id"], order_col="ts", writer="w")
+
+    versions_root = target + "_versions"
+    commits, _ = _journal_state(versions_root)
+    base_dir = os.path.join(versions_root, commits[-1]["version_name"])
+
+    def always_advance(_head):
+        # a concurrent writer lands a new commit EVERY round: clone the
+        # base snapshot under a fresh version name and journal it
+        latest, _ = _journal_state(versions_root)
+        seq = latest[-1]["seq"] + 1
+        name = f"v{seq}_hot"
+        import shutil
+        shutil.copytree(base_dir,
+                        os.path.join(versions_root, name))
+        assert try_commit(_commits_dir(versions_root), seq,
+                          {"op": "upsert", "version": seq,
+                           "version_name": name, "writer": "hot"})
+
+    monkeypatch.setattr(ingest, "PUBLISH_CONVERGE_MAX_ROUNDS", 6)
+    commits, _ = _journal_state(versions_root)
+    with pytest.raises(RuntimeError, match="failed to converge"):
+        _publish_commit(target, versions_root, commits,
+                        keep_versions=100,
+                        _pre_swap_hook=always_advance)
