@@ -64,8 +64,9 @@ def _is_bench() -> Column:
     oracle=f"""
     SELECT doc_id, md5(text) AS text_md5
     FROM documents
-    WHERE md5(text) NOT IN
-          (SELECT md5(text) FROM documents WHERE doc_id % {BENCH_MOD} = 0)
+    WHERE text IS NULL OR md5(text) NOT IN
+          (SELECT md5(text) FROM documents
+           WHERE doc_id % {BENCH_MOD} = 0 AND text IS NOT NULL)
     ORDER BY doc_id
     """,
 )
@@ -74,10 +75,18 @@ def corpus_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     text matches an eval-suite document. Broadcast anti-join on the md5
     fingerprint — the corpus side is a single scan with a map-side hash
     probe, no shuffle at any corpus size (the broadcast side is the
-    benchmark, which is small by construction)."""
+    benchmark, which is small by construction).
+
+    NULL semantics, explicit on both sides (round 9): a NULL-text
+    document is never contaminated (anti-join NULL keys match nothing →
+    KEPT), and NULL-text benchmark rows are excluded from the
+    fingerprint set — the oracle's bare ``NOT IN`` would otherwise go
+    never-true the moment ONE benchmark doc had NULL text, silently
+    decontaminating the whole corpus."""
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.col("text").cast("binary"))
-    bench = d.filter(_is_bench()).select(fp.alias("bench_md5")).distinct()
+    bench = (d.filter(_is_bench() & F.col("text").isNotNull())
+             .select(fp.alias("bench_md5")).distinct())
     return (
         d.select("doc_id", fp.alias("text_md5"))
         .join(F.broadcast(bench),

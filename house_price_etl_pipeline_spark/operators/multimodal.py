@@ -208,6 +208,12 @@ def wrap_media(media: DataFrame, codec: str) -> DataFrame:
     with no extra shuffle."""
     enc = {"bmp": _encode_bmp, "wav": _encode_wav,
            "png": _encode_png}[codec]
+    # Decode-boundary contract (round 9 NULL audit): a transcodable
+    # payload must be present AND non-empty — the encoders cycle data
+    # bytes by index mod n, undefined for n=0, and bytes(None) crashes
+    # the Arrow kernel outright. Filtered JVM-side so no None ever
+    # reaches Python; oracles mirror with WHERE strlen(text) > 0.
+    media = media.filter(F.octet_length("payload") > 0)
     par = media.sparkSession.sparkContext.defaultParallelism
     media = media.repartition(par, "doc_id")
 
@@ -280,7 +286,7 @@ _BMP_SUM_SQL = ("CAST(list_sum(list_transform(range(0, width * height), "
       SELECT doc_id, text, strlen(text) AS n,
              CAST(strlen(text) % 31 + 2 AS INTEGER) AS width,
              CAST(strlen(text) % 17 + 2 AS INTEGER) AS height
-      FROM documents
+      FROM documents WHERE strlen(text) > 0
     )
     SELECT doc_id, width, height,
            CAST(width * height AS BIGINT) AS n_pixels,
@@ -318,7 +324,7 @@ _WAV_BYTE_SQL = "ord(substr(text, i, 1))"
            CAST(list_sum(list_transform(range(1, strlen(text) + 1),
                 i -> ({_WAV_BYTE_SQL} - 128) * ({_WAV_BYTE_SQL} - 128)))
                 AS BIGINT) AS energy
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE strlen(text) > 0 ORDER BY doc_id
     """,
 )
 def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,7 +778,7 @@ def decode_png_features(media: DataFrame) -> DataFrame:
       SELECT doc_id, text, strlen(text) AS n,
              CAST(strlen(text) % 31 + 2 AS INTEGER) AS width,
              CAST(strlen(text) % 17 + 2 AS INTEGER) AS height
-      FROM documents
+      FROM documents WHERE strlen(text) > 0
     )
     SELECT doc_id, width, height,
            CAST(width * height AS BIGINT) AS n_pixels,
@@ -837,7 +843,11 @@ def resize_media(media: DataFrame, w: int = RESIZE_W,
                 "was_padded": p.map(len) < target,
             })
 
-    return media.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+    # NULL payloads can't be resized (bytes(None) crashes the kernel);
+    # dropped JVM-side, the oracle mirrors with WHERE text IS NOT NULL.
+    return (media.select("doc_id", "payload")
+            .filter(F.col("payload").isNotNull())
+            .mapInPandas(run, RESIZED_SCHEMA))
 
 
 def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES,
@@ -860,7 +870,12 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES,
                  "frame_idx": pd.array(out_idx, dtype="int32"),
                  "frame": out_frame})
 
-    return media.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+    # NULL payloads have no frames (len(None) crashes the kernel);
+    # dropped JVM-side. The oracle's strlen(text) >= frame_bytes filter
+    # already excludes NULL (NULL comparison), so it needs no change.
+    return (media.select("doc_id", "payload")
+            .filter(F.col("payload").isNotNull())
+            .mapInPandas(run, FRAME_SCHEMA))
 
 
 @register(
@@ -870,7 +885,7 @@ def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES,
            CAST(SUM({RESIZE_W * RESIZE_H}) AS BIGINT) AS total_bytes,
            CAST(SUM(CASE WHEN strlen(text) < {RESIZE_W * RESIZE_H}
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_padded
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def mm_resize_pad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,7 +981,11 @@ def mm_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_doc, "widx": out_widx,
                                 "energy": out_energy})
 
-    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    # NULL payloads: np.frombuffer(None) crashes the kernel — dropped
+    # JVM-side; the oracle's strlen >= AUDIO_WIN filter already
+    # excludes NULL rows (NULL comparison).
+    m = (media_table(spark, sf_dir).select("doc_id", "payload")
+         .filter(F.col("payload").isNotNull()))
     return (
         m.mapInPandas(kernel, schema="doc_id long, widx int, energy double")
         .orderBy("doc_id", "widx")
@@ -1015,9 +1034,17 @@ def encode_doc_protobuf(docs: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cls = _doc_record_cls()
         for pdf in batches:
+            # NULL cells map to proto3 defaults ('' / 0) — the wire
+            # format has no NULL, and str(None)/int(None) would emit
+            # the literal string 'None' / crash the kernel. NULL text
+            # carries 0 tokens (no text, no tokens); the decode oracles
+            # coalesce identically.
             payloads = [
-                cls(doc_id=int(d), lang=str(l), n_chars=int(n),
-                    tokens=len(str(t).split(" "))).SerializeToString()
+                cls(doc_id=int(d),
+                    lang="" if pd.isna(l) else str(l),
+                    n_chars=0 if pd.isna(n) else int(n),
+                    tokens=0 if pd.isna(t) else len(str(t).split(" "))
+                    ).SerializeToString()
                 for d, l, n, t in zip(pdf["doc_id"], pdf["lang"],
                                       pdf["n_chars"], pdf["text"])
             ]
@@ -1055,8 +1082,10 @@ def decode_doc_protobuf(payloads: DataFrame) -> DataFrame:
 @register(
     "mm_protobuf_decode",
     oracle="""
-    SELECT doc_id, lang, n_chars,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+    SELECT doc_id, coalesce(lang, '') AS lang,
+           coalesce(n_chars, 0) AS n_chars,
+           CAST(CASE WHEN text IS NULL THEN 0
+                ELSE len(string_split(text, ' ')) END AS BIGINT) AS tokens
     FROM documents ORDER BY doc_id
     """,
 )
@@ -1335,8 +1364,10 @@ TFRECORD_SHARDS = int(os.environ.get("SPARK_GRAFT_TFRECORD_SHARDS", "8"))
 @register(
     "mm_tfrecord_roundtrip",
     oracle="""
-    SELECT doc_id, lang, n_chars,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+    SELECT doc_id, coalesce(lang, '') AS lang,
+           coalesce(n_chars, 0) AS n_chars,
+           CAST(CASE WHEN text IS NULL THEN 0
+                ELSE len(string_split(text, ' ')) END AS BIGINT) AS tokens
     FROM documents ORDER BY doc_id
     """,
 )

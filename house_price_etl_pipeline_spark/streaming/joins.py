@@ -146,8 +146,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, md5(text) AS text_md5
     FROM documents
-    WHERE md5(text) NOT IN
-          (SELECT md5(text) FROM documents WHERE doc_id % {BENCH_MOD} = 0)
+    WHERE text IS NULL OR md5(text) NOT IN
+          (SELECT md5(text) FROM documents
+           WHERE doc_id % {BENCH_MOD} = 0 AND text IS NOT NULL)
     ORDER BY doc_id
     """,
 )
@@ -165,9 +166,14 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_table
 
     docs = stream_documents(spark, sf_dir)
+    # NULL-text benchmark rows carry a NULL fingerprint an anti-join
+    # could never match anyway — excluded explicitly (and NULL-text
+    # corpus docs are KEPT by anti-join NULL-key semantics; the oracle
+    # encodes the same rule instead of the NOT-IN NULL trap).
     bench = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % BENCH_MOD == 0)
+        .filter((F.col("doc_id") % BENCH_MOD == 0)
+                & F.col("text").isNotNull())
         .select(F.md5(F.col("text").cast("binary")).alias("bench_md5"))
         .distinct()
     )

@@ -1,0 +1,84 @@
+"""NULL-robustness parity audit (round 9).
+
+The synthetic testdata never emits NULL or empty text, so Spark/DuckDB
+NULL-semantics divergences in the documents-table queries stay latent
+until a real corpus hits them (round-8 ADVICE found exactly one, in
+BM25: Spark's size(split(NULL)) = -1 vs DuckDB's NULL-skipping AVG).
+A 100 TB corpus WILL contain NULL and empty documents, so this module
+re-runs every documents-table oracled query against a NULL-augmented
+replica of the sf0.001 corpus and demands the same row-count + schema +
+order-insensitive value parity as the driver gate.
+
+Classic traps this catches:
+- ``x NOT IN (subquery)`` oracles: one NULL in the subquery makes the
+  predicate never-true in SQL, while a Spark left_anti join on the same
+  key keeps every probe row — silent full-corpus divergence.
+- ``size(split(NULL))`` = -1 in Spark feeding averages/filters vs
+  DuckDB's NULL-propagating ``len(string_split(NULL))``.
+- Python kernels (mapInPandas/applyInPandas) crashing outright on None
+  cells the JVM expressions would have carried through.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from house_price_etl_pipeline_spark.plans.catalog import REGISTRY, load_all
+from tests.test_oracle_parity import _assert_parity
+
+load_all()
+
+DOC_QUERIES = sorted(
+    n for n, q in REGISTRY.items() if q.oracle and "documents" in q.oracle
+)
+
+# Augmentation rows: NULL text, empty text, and a NULL-lang doc. Ids are
+# far outside the generator's range and chosen so none is a benchmark
+# member (doc_id % 97 != 0) — benchmark-side NULLs are exercised
+# separately where a query's semantics make that case meaningful.
+AUGMENT_ROWS = [
+    (900001, None, "en", "web", 0),
+    (900002, "", "en", "web", 0),
+    (900005, None, None, "books", None),
+]
+
+
+@pytest.fixture(scope="session")
+def null_corpus_dir(spark, tmp_path_factory) -> str:
+    sf001 = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                           "/root/testdata/sf0.001")
+    base = spark.read.parquet(os.path.join(sf001, "documents.parquet"))
+    extra = spark.createDataFrame(
+        AUGMENT_ROWS,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = str(tmp_path_factory.mktemp("null_corpus"))
+    base.unionByName(extra).coalesce(1).write.parquet(
+        os.path.join(out, "documents.parquet"))
+    # queries joining documents against other tables still need them
+    for name in ("embeddings",):
+        src = os.path.join(sf001, f"{name}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out, f"{name}.parquet"))
+    return out
+
+
+@pytest.fixture(scope="session")
+def null_duck(null_corpus_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{null_corpus_dir}/documents.parquet/*.parquet')")
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{null_corpus_dir}/embeddings.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_null_corpus_parity(name, spark, null_duck, null_corpus_dir):
+    _assert_parity(name, spark, null_duck, null_corpus_dir)
