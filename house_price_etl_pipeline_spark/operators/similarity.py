@@ -167,8 +167,13 @@ def rhp_bucket_keys(vectors: DataFrame, spark: SparkSession | None = None,
     packs that table's sign bits of v·h. Narrow map (Arrow batch matmul)
     + posexplode — no join, no shuffle; partitioning is preserved."""
     keys = _bucket_keys_udf(tables, bits)
+    # Vector-kernel boundary contract (round 9 NULL audit): a NULL
+    # embedding has no signature — np.vstack on a batch containing None
+    # crashes the Arrow kernel, so absent vectors are dropped JVM-side
+    # before the kernel (they can never be ANN candidates anyway).
     return (
-        vectors.select(id_col, keys(F.col(vec_col)).alias("ks"))
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(id_col, keys(F.col(vec_col)).alias("ks"))
         .select(id_col, F.posexplode("ks").alias("cid", "cval"))
     )
 
@@ -295,7 +300,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query probes its IVF_NPROBE nearest cells, and only those cells'
     vectors get the exact cosine re-rank. Same output schema as
     sim_bruteforce_topk; recall asserted in tests/test_similarity.py."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings can't be cell-assigned (vector-kernel boundary)
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull()))
     assigned = e.select("vec_id", "label", "embedding",
                         _cell_udf()(F.col("embedding")).alias("cell"))
 
@@ -362,6 +369,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS DECIMAL(25,12))) AS DOUBLE)
                  / COUNT(*), 6) AS centroid
     FROM embeddings e, (SELECT unnest(range(0, 64)) AS pos) i
+    WHERE e.embedding IS NOT NULL
     GROUP BY e.label, i.pos
     ORDER BY e.label, i.pos
     """,
@@ -372,7 +380,11 @@ def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg: ONE shuffle keyed on (label, dim) — 640 keys here, and at any
     scale the key space is labels × dims, never rows. Exact decimal inner
     sums make each coordinate bit-stable across partitionings."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # posexplode silently drops NULL-embedding rows in Spark, but the
+    # oracle's cross join would keep them in COUNT(*) — both sides now
+    # exclude them explicitly (a NULL vector has no coordinates to mean)
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull()))
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
@@ -434,7 +446,8 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DECIMAL(25,6))) AS DOUBLE) AS sum_norm,
            CAST(SUM(len(list_filter(embedding, x -> abs(x) > 0.5))) AS BIGINT)
              AS n_large_components
-    FROM embeddings GROUP BY label ORDER BY label
+    FROM embeddings WHERE embedding IS NOT NULL
+    GROUP BY label ORDER BY label
     """,
 )
 def emb_arrow_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,7 +466,11 @@ def emb_arrow_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for batch in batches:
             vec_id = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            label = batch.column("label").to_numpy(zero_copy_only=False)
+            # label passes through as the original Arrow array so a
+            # NULL label survives (an astype('int32') round-trip would
+            # mangle NULL→NaN→garbage); NULL-label vectors are a valid
+            # group in both engines
+            label = batch.column("label")
             emb = batch.column("embedding")
             x = emb.flatten().to_numpy(zero_copy_only=False).astype(
                 np.float64).reshape(len(batch), EMB_DIM)
@@ -461,12 +478,15 @@ def emb_arrow_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(EMB_DIM):            # left fold, SQL-order
                 acc = acc + x[:, j] * x[:, j]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(vec_id), pa.array(label.astype("int32")),
+                [pa.array(vec_id), label.cast(pa.int32()),
                  pa.array(np.round(np.sqrt(acc), 6)),
                  pa.array((np.abs(x) > 0.5).sum(axis=1).astype("int64"))],
                 names=["vec_id", "label", "norm", "n_large"])
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings would break the flatten/reshape (the flatten
+    # drops NULL slots); excluded on both sides (vector-kernel boundary)
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull()))
     per_vec = e.mapInArrow(
         kernel, "vec_id long, label int, norm double, n_large long")
     return (
@@ -556,14 +576,16 @@ def _kmeans_oracle(k=None, iters: int = None,
     the oracle's cluster count tracks the Spark side's at every SF)."""
     k = KMEANS_K if k is None else k
     iters = KMEANS_ITERS if iters is None else iters
-    parts = [f"""WITH ev AS (
+    parts = [f"""WITH emb_nn AS (
+      SELECT * FROM embeddings WHERE embedding IS NOT NULL),
+    ev AS (
       SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)),
+      FROM emb_nn, UNNEST(generate_series(1, len(embedding))) AS s(i)),
     x2 AS (SELECT vec_id, SUM(x * x) AS x2 FROM ev GROUP BY 1),
     c0 AS (
       SELECT dense_rank() OVER (ORDER BY vec_id) - 1 AS cluster, pos, x AS c
       FROM ev WHERE vec_id IN
-        (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"""]
+        (SELECT vec_id FROM emb_nn ORDER BY vec_id LIMIT {k}))"""]
     for i in range(1, iters + 2):  # iters updates + 1 final assignment
         prev = f"c{i - 1}"
         parts.append(f"""cs{i} AS (
@@ -617,7 +639,11 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Init is deterministic: the K lowest-vec_id vectors. The oracle is
     the rounds-unrolled chained-CTE form (_kmeans_oracle); the loop
     itself lives in _lloyd_centroids, shared with sim_semdedup_prune."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NULL embeddings can't be assigned/averaged (vector-kernel boundary);
+    # the oracle's emb_nn CTE applies the same filter
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull())
+         .select("vec_id", "embedding"))
     C = _lloyd_centroids(e)
     final = e.select(
         "vec_id", _nearest_udf(C)(F.col("embedding")).alias("a"))
@@ -642,7 +668,7 @@ SEMDEDUP_VECS_PER_CLUSTER = 1024
 # track the Spark side at every SF, so it's derived in-query
 _SEMDEDUP_K_SQL = (f"(SELECT GREATEST({KMEANS_K}, CAST(CEIL(COUNT(*) / "
                    f"{SEMDEDUP_VECS_PER_CLUSTER}.0) AS BIGINT)) "
-                   f"FROM embeddings)")
+                   f"FROM embeddings WHERE embedding IS NOT NULL)")
 
 
 def _semdedup_k(n_vectors: int) -> int:
@@ -654,7 +680,7 @@ asg AS (SELECT vec_id, cluster FROM a{{last}} WHERE rn = 1),
 v AS (
   SELECT g.vec_id, g.cluster, e.embedding,
          sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS nrm
-  FROM asg g JOIN embeddings e ON g.vec_id = e.vec_id),
+  FROM asg g JOIN emb_nn e ON g.vec_id = e.vec_id),
 dups AS (
   SELECT x.vec_id, MIN(y.vec_id) AS dup_of
   FROM v x JOIN v y
@@ -694,7 +720,11 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted it (NULL when kept)."""
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NULL embeddings can't cluster or score (vector-kernel boundary);
+    # k derives from the NON-NULL corpus count, matching _SEMDEDUP_K_SQL
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull())
+         .select("vec_id", "embedding"))
     C = _lloyd_centroids(e, _semdedup_k(e.count()))
     assigned = e.select(
         "vec_id", "embedding",
@@ -808,11 +838,13 @@ _CAST_DOUBLE = "list_transform({v}, x -> CAST(x AS DOUBLE))"
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, {_CAST_DOUBLE.format(v='embedding')} AS e
-      FROM embeddings WHERE vec_id < {ANN_BATCH_QUERIES}
+      FROM embeddings
+      WHERE vec_id < {ANN_BATCH_QUERIES} AND embedding IS NOT NULL
     ),
     c AS (
       SELECT vec_id, {_CAST_DOUBLE.format(v='embedding')} AS e
-      FROM embeddings WHERE vec_id >= {ANN_BATCH_QUERIES}
+      FROM embeddings
+      WHERE vec_id >= {ANN_BATCH_QUERIES} AND embedding IS NOT NULL
     ),
     s AS (
       SELECT q.query_id, c.vec_id,
@@ -845,7 +877,9 @@ def sim_ann_batch_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scale data. The final per-query rank is a window over that
     tiny candidate relation. Both engines do float64 math; the output
     rounds AFTER ranking, so order is decided at full precision."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings can't be scored (vector-kernel boundary contract)
+    e = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("embedding").isNotNull()))
     qrows = (e.filter(F.col("vec_id") < ANN_BATCH_QUERIES)
              .select("vec_id", "embedding").collect())
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
@@ -942,11 +976,13 @@ def lsh_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, {_CAST_DOUBLE.format(v='embedding')} AS e
-      FROM embeddings WHERE vec_id < {ANN_BATCH_QUERIES}
+      FROM embeddings
+      WHERE vec_id < {ANN_BATCH_QUERIES} AND embedding IS NOT NULL
     ),
     c AS (
       SELECT vec_id, {_CAST_DOUBLE.format(v='embedding')} AS e
-      FROM embeddings WHERE vec_id >= {ANN_BATCH_QUERIES}
+      FROM embeddings
+      WHERE vec_id >= {ANN_BATCH_QUERIES} AND embedding IS NOT NULL
     ),
     s AS (
       SELECT q.query_id, c.vec_id,

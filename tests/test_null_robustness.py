@@ -82,3 +82,52 @@ def null_duck(null_corpus_dir):
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_null_corpus_parity(name, spark, null_duck, null_corpus_dir):
     _assert_parity(name, spark, null_duck, null_corpus_dir)
+
+
+EMB_QUERIES = sorted(
+    n for n, q in REGISTRY.items() if q.oracle and "embeddings" in q.oracle
+)
+
+# NULL embedding (undecodable vector) and NULL label (unlabeled vector).
+# Vectors keep the corpus dim (64) — ragged dims are a generator bug,
+# not a NULL-semantics case.
+EMB_AUGMENT_ROWS = [
+    (900001, None, 3),
+    (900002, [0.25] * 64, None),
+]
+
+
+@pytest.fixture(scope="session")
+def null_emb_dir(spark, tmp_path_factory) -> str:
+    sf001 = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                           "/root/testdata/sf0.001")
+    base = spark.read.parquet(os.path.join(sf001, "embeddings.parquet"))
+    extra = spark.createDataFrame(
+        EMB_AUGMENT_ROWS,
+        "vec_id long, embedding array<float>, label int")
+    out = str(tmp_path_factory.mktemp("null_embeddings"))
+    base.unionByName(extra).coalesce(1).write.parquet(
+        os.path.join(out, "embeddings.parquet"))
+    for name in ("documents",):
+        src = os.path.join(sf001, f"{name}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out, f"{name}.parquet"))
+    return out
+
+
+@pytest.fixture(scope="session")
+def null_emb_duck(null_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{null_emb_dir}/embeddings.parquet/*.parquet')")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{null_emb_dir}/documents.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_null_embedding_parity(name, spark, null_emb_duck, null_emb_dir):
+    _assert_parity(name, spark, null_emb_duck, null_emb_dir)
