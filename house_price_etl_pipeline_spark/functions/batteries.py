@@ -303,7 +303,9 @@ def scalar_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(event_id) AS BIGINT) AS first_event
-    FROM events
+    FROM (SELECT event_id,
+                 CASE WHEN json_valid(props) THEN props END AS props
+          FROM events)
     GROUP BY 1 ORDER BY 1
     """,
 )
@@ -319,7 +321,11 @@ def events_json_infer_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-sample query; the corpus-scale parse is a JVM expression
     with the aggregate pushing through it."""
     ev = load_table(spark, sf_dir, "events")
-    samples = [r["props"] for r in ev.select("props").limit(64).collect()]
+    # NULL props can't feed the inference RDD (read.json rejects None
+    # elements); malformed blobs are fine — they infer a
+    # _corrupt_record column, and the typed from_json below NULLs them
+    samples = [r["props"] for r in ev.select("props").limit(64).collect()
+               if r["props"] is not None]
     inferred = spark.read.json(
         spark.sparkContext.parallelize(samples, 1)).schema
     parsed = ev.select(

@@ -40,7 +40,8 @@ from ..sources.tables import load_table
       SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS gts
       FROM bounds
     ),
-    ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 20)
+    ev AS (SELECT user_id, ts, value FROM events
+           WHERE user_id < 20 AND value IS NOT NULL)
     SELECT g.user_id, CAST(g.gts AS VARCHAR) AS grid_ts,
            round(CAST(e.value AS DOUBLE), 6) AS ffill_value
     FROM grid g ASOF LEFT JOIN ev e
@@ -62,7 +63,13 @@ def ts_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS")))
         .alias("gts"))
-    return _resample_fill(grid, e).orderBy("user_id", "grid_ts")
+    # a NULL value is a non-observation, not a new fill anchor: both
+    # sides fill from non-NULL observations only (the window's
+    # ignorenulls would skip them anyway; the explicit filter keeps the
+    # oracle's ASOF join on the same relation). Grid bounds still span
+    # ALL events, so a user with only NULL values gets NULL-filled rows.
+    return (_resample_fill(grid, e.filter(F.col("value").isNotNull()))
+            .orderBy("user_id", "grid_ts"))
 
 
 def _resample_fill(grid: DataFrame, events: DataFrame) -> DataFrame:

@@ -640,7 +640,10 @@ def setop_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM (SELECT event_type,
+                 CASE WHEN json_valid(props) THEN props END AS props
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
     """,
 )
 def events_json_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1067,7 +1070,8 @@ def window_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT unnest(json_keys(props)) AS k,
              json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
-      FROM events
+      FROM (SELECT CASE WHEN json_valid(props) THEN props END AS props
+            FROM events)
     )
     GROUP BY k ORDER BY k
     """,
@@ -1307,7 +1311,10 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS max_k,
            CAST(COUNT(CAST(json_extract_string(props, '$.missing') AS BIGINT))
                 AS BIGINT) AS n_missing
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM (SELECT event_type,
+                 CASE WHEN json_valid(props) THEN props END AS props
+          FROM events)
+    GROUP BY event_type ORDER BY event_type
     """,
 )
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1318,7 +1325,10 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shreddable; get_json_object re-parses the string per call). Missing
     paths yield NULL (counted to pin that semantics)."""
     e = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    # try_parse_json: malformed/NULL props → NULL variant (every
+    # extraction NULLs out), matching the oracle's json_valid guard —
+    # plain parse_json would raise mid-scan on the first bad blob
+    v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "bigint")
     missing = F.try_variant_get(v, "$.missing", "bigint")
     return (
@@ -1336,7 +1346,8 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n * 2 AS BIGINT) AS v_scaled
     FROM (
       SELECT user_id, event_type, COUNT(*) AS n
-      FROM events GROUP BY user_id, event_type
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY user_id, event_type
     )
     WHERE n >= 3
     ORDER BY user_id, k
@@ -1351,7 +1362,12 @@ def maps_function_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     that it runs. Map ops are JVM-side; the only shuffle is the
     (user_id, event_type) count."""
     e = _t(spark, sf_dir, "events")
-    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # maps cannot carry a NULL key (Spark raises NULL_MAP_KEY at
+    # map_from_entries): NULL event_type rows are excluded from the
+    # map assembly on both sides
+    counts = (e.filter(F.col("event_type").isNotNull())
+              .groupBy("user_id", "event_type")
+              .agg(F.count("*").alias("n")))
     per_user = counts.groupBy("user_id").agg(
         F.map_from_entries(F.collect_list(F.struct("event_type", "n")))
         .alias("m"))

@@ -896,19 +896,20 @@ def _cdc_target_root(sf_dir: str) -> str:
     "cdc_upsert_changes",
     oracle="""
     WITH pre AS (
-      SELECT user_id,
-             max(event_id) AS event_id,
-             arg_max(event_type, event_id) AS event_type,
-             arg_max(value, event_id) AS value
-      FROM events WHERE event_id % 2 = 0 AND user_id < 100
-      GROUP BY user_id
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0 AND user_id < 100)
+      WHERE rn = 1
     ),
     post AS (
-      SELECT user_id,
-             max(event_id) AS event_id,
-             arg_max(event_type, event_id) AS event_type,
-             arg_max(value, event_id) AS value
-      FROM events GROUP BY user_id
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
     )
     SELECT * FROM (
       SELECT p.user_id, 'insert' AS change_type,
@@ -963,12 +964,13 @@ def cdc_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_schema_evolution_changes",
     oracle="""
     WITH pre AS (
-      SELECT user_id,
-             max(event_id) AS event_id,
-             arg_max(event_type, event_id) AS event_type,
-             CAST(NULL AS DOUBLE) AS value
-      FROM events WHERE event_id % 2 = 0 AND user_id < 100
-      GROUP BY user_id
+      SELECT user_id, event_id, event_type,
+             CAST(NULL AS DOUBLE) AS value FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 2 = 0 AND user_id < 100)
+      WHERE rn = 1
     ),
     win AS (
       SELECT user_id, max(event_id) AS event_id FROM events GROUP BY user_id

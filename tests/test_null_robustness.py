@@ -131,3 +131,68 @@ def null_emb_duck(null_emb_dir):
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_null_embedding_parity(name, spark, null_emb_duck, null_emb_dir):
     _assert_parity(name, spark, null_emb_duck, null_emb_dir)
+
+
+EVENT_QUERIES = sorted(
+    n for n, q in REGISTRY.items() if q.oracle and "FROM events" in q.oracle
+)
+
+# NULL value + NULL props; malformed JSON props; NULL event_type with a
+# props doc missing the extracted key. ts / event_id / user_id stay
+# non-NULL: event time is the streaming watermark column and the
+# engine's documented ingestion contract (like every Structured
+# Streaming pipeline's) is that event time is present — NULL-ts repair
+# belongs at the source, not in every operator.
+EVENT_AUGMENT_ROWS = [
+    (9000001, "2024-01-15 12:00:00", 3, "click", None, None),
+    (9000002, "2024-01-15 12:05:00", 4, "view", 1.5, "{not valid json"),
+    (9000003, "2024-01-15 12:10:00", 5, None, 2.0, "{}"),
+]
+
+
+@pytest.fixture(scope="session")
+def null_events_dir(spark, tmp_path_factory) -> str:
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.sources.tables import load_table
+
+    sf001 = os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                           "/root/testdata/sf0.001")
+    # through load_table so ts lands as µs on both engines (the raw
+    # file is TIMESTAMP(NANOS), which Spark's writer can't round-trip)
+    base = load_table(spark, sf001, "events")
+    extra = spark.createDataFrame(
+        EVENT_AUGMENT_ROWS,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path_factory.mktemp("null_events"))
+    base.unionByName(extra).coalesce(1).write.parquet(
+        os.path.join(out, "events.parquet"))
+    for name in ("customer", "orders", "lineitem", "nation", "region",
+                 "supplier", "part", "documents", "embeddings"):
+        src = os.path.join(sf001, f"{name}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out, f"{name}.parquet"))
+    return out
+
+
+@pytest.fixture(scope="session")
+def null_events_duck(null_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{null_events_dir}/events.parquet/*.parquet')")
+    for name in ("customer", "orders", "lineitem", "nation", "region",
+                 "supplier", "part", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet("
+            f"'{null_events_dir}/{name}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_null_events_parity(name, spark, null_events_duck,
+                            null_events_dir):
+    _assert_parity(name, spark, null_events_duck, null_events_dir)
