@@ -78,6 +78,8 @@ _MODULES = (
     "house_price_etl_pipeline_spark.streaming.foreach",
     "house_price_etl_pipeline_spark.streaming.ingest",
     "house_price_etl_pipeline_spark.streaming.index",
+    "house_price_etl_pipeline_spark.streaming.skipping",
+    "house_price_etl_pipeline_spark.streaming.matview",
 )
 
 

@@ -511,6 +511,7 @@ def optimize_upsert_target(spark, target_dir: str,
                            writer: str = "optimize",
                            target_file_bytes: int = 128 * 1024 * 1024,
                            zorder_by: list[str] | None = None,
+                           stats_cols: list[str] | None = None,
                            _pre_stage_hook=None) -> str | None:
     """OPTIMIZE: rewrite the journal-head snapshot into sized files
     (small-file compaction — the lakehouse maintenance op that keeps
@@ -534,7 +535,13 @@ def optimize_upsert_target(spark, target_dir: str,
     the interleaved bucket ranks, so parquet min/max stats prune scans
     filtered on ANY zorder column — the multi-column data-skipping
     property a single-key sort cannot give. The zorder column set is
-    recorded in the journal entry for observability."""
+    recorded in the journal entry for observability.
+
+    ``stats_cols`` (default: the zorder columns) additionally writes a
+    per-file min/max manifest into the rewritten snapshot
+    (skipping.write_stats_manifest — Delta's add.stats analog), which
+    ``skipping.read_skipping`` uses to drop whole files before the
+    scan; pass [] to disable."""
     import math
     import os
     import shutil
@@ -581,6 +588,12 @@ def optimize_upsert_target(spark, target_dir: str,
              .write.mode("overwrite")
              .option("maxRecordsPerFile", str(max_records_per_file))
              .parquet(os.path.join(versions_root, stage)))
+            manifest_cols = (list(zorder_by or [])
+                             if stats_cols is None else list(stats_cols))
+            if manifest_cols:
+                from .skipping import write_stats_manifest
+                write_stats_manifest(os.path.join(versions_root, stage),
+                                     manifest_cols)
         except Exception as exc:
             # Same stale-input window as the upsert merge: concurrent
             # commits can retire the head we are compacting and prune it

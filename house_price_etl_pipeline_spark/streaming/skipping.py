@@ -1,0 +1,238 @@
+"""File-level data skipping for the versioned upsert table format —
+the manifest half of Delta's data-skipping statistics, completing what
+OPTIMIZE ZORDER started (ingest.py): ZORDER makes every output file
+NARROW in each clustered dimension; this module records each file's
+per-column [min, max] in a sidecar manifest so a reader can drop whole
+files from the scan list BEFORE Spark ever opens a footer.
+
+Why this matters at 100 TB: parquet row-group pruning still costs one
+footer read per file per query — at ~800k files (100 TB / 128 MB) the
+listing+footer pass alone is minutes of driver/executor time. A
+manifest is one small JSON (one row per file, a few stats columns) read
+once; combined with z-ordering, a point/range predicate on any
+clustered column typically keeps O(files^(1/dims)) of the files. This
+is exactly the statistics layout Delta stores in the transaction log
+(add.stats) and Iceberg keeps in manifest files.
+
+Correctness contract: pruning is PERFORMANCE ONLY. ``read_skipping``
+re-applies the predicate ranges as real Spark filters, so a stale or
+missing manifest can only cost speed, never rows. A file with no
+usable stats for a predicate column is always kept. Range predicates
+are over non-NULL values (SQL BETWEEN semantics) — a file whose
+predicate column is all-NULL can be dropped because NULL never
+satisfies a range.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec_sum_expr, fixed_sum
+from ..plans.catalog import register
+
+STATS_MANIFEST = "_skipping_stats.json"
+
+# stat-typed parquet logical types we serialize; anything else (nested,
+# binary, timestamps with exotic units) gets no stats → never pruned
+_SCALAR_KINDS = (int, float, str, bool)
+
+
+def _file_column_stats(path: str, cols: list[str]) -> dict:
+    """Per-column [min, max, n_nulls] for ONE parquet file, from footer
+    metadata only (no data pages read). Columns without complete stats
+    in every row group are omitted — absent stats means 'keep'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        idx = name_to_idx.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        nulls = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if not (isinstance(mn, _SCALAR_KINDS)
+                    and isinstance(mx, _SCALAR_KINDS)):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+            nulls += st.null_count or 0
+        if ok and lo is not None:
+            out[col] = [lo, hi, nulls]
+    return out
+
+
+def write_stats_manifest(snapshot_dir: str, cols: list[str]) -> str:
+    """Collect footer stats for every data file in a snapshot dir and
+    write the ``_skipping_stats.json`` manifest beside them (underscore
+    prefix: invisible to Spark's scans and to the format's size
+    accounting). Returns the manifest path. Cost is one footer read per
+    file — the same pass a writer's commit already pays in Delta, done
+    here at OPTIMIZE time."""
+    files = sorted(
+        f for f in os.listdir(snapshot_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    manifest = {
+        "columns": list(cols),
+        "files": {
+            f: _file_column_stats(os.path.join(snapshot_dir, f), cols)
+            for f in files
+        },
+    }
+    path = os.path.join(snapshot_dir, STATS_MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, path)
+    return path
+
+
+def read_stats_manifest(snapshot_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(snapshot_dir, STATS_MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def prune_files(snapshot_dir: str,
+                predicates: dict[str, tuple]) -> tuple[list[str], int]:
+    """File names whose stats ranges intersect EVERY predicate range,
+    plus the total data-file count. ``predicates`` maps column →
+    (lo, hi) inclusive bounds; either bound may be None (half-open).
+    Files without a manifest entry or without stats for a predicate
+    column are kept (skipping never risks correctness)."""
+    files = sorted(
+        f for f in os.listdir(snapshot_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    manifest = read_stats_manifest(snapshot_dir)
+    if manifest is None:
+        return files, len(files)
+    kept = []
+    for f in files:
+        stats = manifest["files"].get(f)
+        keep = True
+        if stats is not None:
+            for col, (lo, hi) in predicates.items():
+                st = stats.get(col)
+                if st is None:
+                    continue  # no stats for this column: can't prune
+                fmin, fmax = st[0], st[1]
+                if (hi is not None and fmin > hi) or \
+                        (lo is not None and fmax < lo):
+                    keep = False
+                    break
+        if keep:
+            kept.append(f)
+    return kept, len(files)
+
+
+def read_skipping(spark: SparkSession, target_dir: str,
+                  predicates: dict[str, tuple]) -> tuple[DataFrame, int, int]:
+    """Manifest-pruned read of the CURRENT upsert snapshot: resolve the
+    published head (the symlink the commit protocol maintains), drop
+    files whose stats exclude the predicate ranges, and scan only the
+    survivors — with the ranges RE-APPLIED as real filters so the
+    result is exactly ``read(target).filter(ranges)`` regardless of
+    manifest state. Returns (df, n_files_scanned, n_files_total)."""
+    snapshot_dir = os.path.realpath(target_dir)
+    kept, total = prune_files(snapshot_dir, predicates)
+    if kept:
+        df = spark.read.parquet(
+            *[os.path.join(snapshot_dir, f) for f in kept])
+    else:
+        # every file pruned: preserve the schema via an empty scan of
+        # the full snapshot (filters below make it empty anyway)
+        df = spark.read.parquet(snapshot_dir)
+    for col, (lo, hi) in predicates.items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df, len(kept), total
+
+
+def _skipping_workspace(sf_dir: str) -> str:
+    import tempfile
+
+    tag = f"{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
+    return os.path.join(tempfile.gettempdir(), f"file_skip_{tag}")
+
+
+@register(
+    "maintenance_file_skipping",
+    oracle=f"""
+    WITH b AS (SELECT MIN(user_id) AS lo,
+                      MIN(user_id) + (MAX(user_id) - MIN(user_id)) // 16
+                        AS hi
+               FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dec_sum_expr('value')} AS sum_value,
+           TRUE AS pruning_effective
+    FROM events, b
+    WHERE user_id BETWEEN b.lo AND b.hi
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping end-to-end under the value-hash gate:
+    events are committed to an upsert table, OPTIMIZE ZORDER clusters
+    the snapshot on (user_id, event_id) into ~8 files and writes the
+    per-file stats manifest, then a user_id range slice (the lowest
+    1/16th of the id space) is served through read_skipping — whole
+    files outside the range are dropped from the scan list BEFORE Spark
+    opens them. Rows must equal the oracle's direct filter of the
+    events table (pruning is performance-only by contract), and
+    ``pruning_effective`` pins that the manifest actually dropped files
+    (the exact-twin boolean pattern: a manifest/clustering regression
+    that stops pruning flips it and fails the hash)."""
+    import shutil
+
+    from ..sources.tables import load_table
+    from .ingest import (_data_file_bytes, optimize_upsert_target,
+                         upsert_commit_batch)
+
+    root = _skipping_workspace(sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    upsert_commit_batch(ev, target, 0, key_cols=["event_id"],
+                        order_col="event_id", keep_versions=2)
+    # size the rewrite to ~8 files regardless of SF so the prune ratio
+    # is layout-stable from sf0.001 through sf0.1
+    snap_bytes = _data_file_bytes(os.path.realpath(target))
+    optimize_upsert_target(
+        spark, target, keep_versions=2,
+        target_file_bytes=max(1, snap_bytes // 8),
+        zorder_by=["user_id", "event_id"])
+    lo_hi = ev.agg(F.min("user_id").alias("lo"),
+                   F.max("user_id").alias("hi")).collect()[0]
+    lo = int(lo_hi.lo)
+    hi = lo + (int(lo_hi.hi) - lo) // 16
+    df, n_scanned, n_total = read_skipping(spark, target,
+                                           {"user_id": (lo, hi)})
+    return (
+        df.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             fixed_sum("value", 2).alias("sum_value"))
+        .withColumn("pruning_effective",
+                    F.lit(bool(n_scanned < n_total)))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,119 @@
+"""File-level data-skipping manifest (streaming/skipping.py): stats
+correctness, prune safety (never drops a matching row), and the
+ZORDER+manifest integration in OPTIMIZE."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.streaming.ingest import (
+    optimize_upsert_target, upsert_commit_batch)
+from house_price_etl_pipeline_spark.streaming.skipping import (
+    STATS_MANIFEST, prune_files, read_skipping, read_stats_manifest,
+    write_stats_manifest)
+
+
+def _build_table(spark, root, n=4096, zorder=True):
+    """Upsert n synthetic rows and OPTIMIZE ZORDER into ~8 files with a
+    stats manifest on (a, b)."""
+    target = os.path.join(root, "tbl")
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("a"),
+        ((F.col("id") * 7919) % 64).alias("b"),
+        (F.col("id") % 10).cast("double").alias("v"))
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="k")
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        _data_file_bytes
+    snap_bytes = _data_file_bytes(os.path.realpath(target))
+    optimize_upsert_target(
+        spark, target, target_file_bytes=max(1, snap_bytes // 8),
+        zorder_by=["a", "b"] if zorder else None,
+        stats_cols=["a", "b"])
+    return target
+
+
+def test_manifest_stats_match_file_contents(spark, tmp_path):
+    """Every manifest [min, max] equals the file's actual column range
+    (footer stats are the source of truth a prune decision rides on)."""
+    target = _build_table(spark, str(tmp_path))
+    snap = os.path.realpath(target)
+    manifest = read_stats_manifest(snap)
+    assert manifest is not None and manifest["columns"] == ["a", "b"]
+    files = [f for f in os.listdir(snap)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    assert len(files) > 1              # the rewrite really multi-filed
+    assert set(manifest["files"]) == set(files)
+    for f, stats in manifest["files"].items():
+        pdf = spark.read.parquet(os.path.join(snap, f)) \
+            .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b")) \
+            .collect()[0]
+        assert stats["a"][0] == pdf[0] and stats["a"][1] == pdf[1]
+        assert stats["b"][0] == pdf[2] and stats["b"][1] == pdf[3]
+
+
+def test_skipping_read_equals_full_filter_and_prunes(spark, tmp_path):
+    """read_skipping == plain filter on every row, while scanning
+    strictly fewer files (the zorder clustering makes ranges on either
+    dimension selective)."""
+    target = _build_table(spark, str(tmp_path))
+    for col, bounds in (("a", (0, 7)), ("b", (56, 63)), ("a", (30, 33))):
+        df, n_scan, n_total = read_skipping(spark, target, {col: bounds})
+        expect = (spark.read.parquet(target)
+                  .filter(F.col(col).between(*bounds)))
+        got = sorted(r.k for r in df.collect())
+        want = sorted(r.k for r in expect.collect())
+        assert got == want, (col, bounds)
+        assert n_scan < n_total, (col, bounds, n_scan, n_total)
+
+
+def test_prune_is_safe_without_manifest_or_stats(spark, tmp_path):
+    """No manifest → keep everything; a column missing from the stats →
+    unprunable on that column; both still return exact results."""
+    target = _build_table(spark, str(tmp_path))
+    snap = os.path.realpath(target)
+    # drop column 'b' stats from every file entry
+    manifest = read_stats_manifest(snap)
+    for f in manifest["files"]:
+        manifest["files"][f].pop("b", None)
+    with open(os.path.join(snap, STATS_MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    kept_b, total = prune_files(snap, {"b": (0, 1)})
+    assert kept_b == sorted(manifest["files"])     # b unprunable now
+    kept_a, _ = prune_files(snap, {"a": (0, 7)})
+    assert len(kept_a) < total                     # a still prunes
+    # no manifest at all
+    os.remove(os.path.join(snap, STATS_MANIFEST))
+    kept_none, total2 = prune_files(snap, {"a": (0, 7)})
+    assert kept_none == sorted(manifest["files"]) and total2 == total
+    df, n_scan, n_total = read_skipping(spark, target, {"a": (0, 7)})
+    assert n_scan == n_total                       # kept all — safe
+    assert df.filter(~F.col("a").between(0, 7)).count() == 0
+    assert df.count() == 4096 // 8                 # exact result anyway
+
+
+def test_all_files_pruned_returns_empty_with_schema(spark, tmp_path):
+    target = _build_table(spark, str(tmp_path))
+    df, n_scan, n_total = read_skipping(spark, target,
+                                        {"a": (1000, 2000)})
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "a", "b", "v"}
+
+
+def test_unzordered_rewrite_prunes_poorly_or_not(spark, tmp_path):
+    """Negative control: without ZORDER the same range predicate keeps
+    (almost) every file — the manifest only pays off on clustered
+    layouts, which is the documented contract."""
+    target = _build_table(spark, str(tmp_path), zorder=False)
+    _, n_scan_plain, n_total = read_skipping(spark, target,
+                                             {"a": (0, 7)})
+    target_z = _build_table(spark, str(tmp_path / "z"), zorder=True)
+    _, n_scan_z, n_total_z = read_skipping(spark, target_z,
+                                           {"a": (0, 7)})
+    # round-robin repartition spreads a∈[0,7] across every file
+    assert n_scan_plain == n_total
+    assert n_scan_z < n_total_z
