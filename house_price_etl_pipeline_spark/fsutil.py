@@ -144,3 +144,12 @@ def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
         raise
     _fsync_dir(commits_dir)
     return True
+
+
+def query_workspace(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-(process, sf_dir) scratch dir for catalog
+    queries that materialize side state (upsert targets, views, CDC
+    feeds): bench retries re-invoke a query, so it must reuse ONE root
+    and wipe it per run instead of leaking a mkdtemp per invocation."""
+    tag = f"{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")

@@ -320,14 +320,24 @@ def events_json_infer_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; never schema-per-row). The driver-side inference cost is one
     bounded-sample query; the corpus-scale parse is a JVM expression
     with the aggregate pushing through it."""
+    from pyspark.sql import types as T
+
     ev = load_table(spark, sf_dir, "events")
-    # NULL props can't feed the inference RDD (read.json rejects None
-    # elements); malformed blobs are fine — they infer a
-    # _corrupt_record column, and the typed from_json below NULLs them
-    samples = [r["props"] for r in ev.select("props").limit(64).collect()
-               if r["props"] is not None]
-    inferred = spark.read.json(
-        spark.sparkContext.parallelize(samples, 1)).schema
+    # Sample NON-NULL props for inference (read.json rejects None
+    # elements, and a NULL-heavy corpus could otherwise blank the whole
+    # sample); malformed blobs are fine — they infer a _corrupt_record
+    # column, and the typed from_json below NULLs them.
+    samples = [r["props"] for r in
+               (ev.filter(F.col("props").isNotNull())
+                .select("props").limit(64).collect())]
+    if samples:
+        inferred = spark.read.json(
+            spark.sparkContext.parallelize(samples, 1)).schema
+    else:
+        # no JSON anywhere in the sample window: fall back to the
+        # query's own projection schema — every extraction is NULL,
+        # exactly what the oracle computes over an all-NULL column
+        inferred = T.StructType([T.StructField("k", T.LongType())])
     parsed = ev.select(
         "event_id", F.from_json("props", inferred).alias("p"))
     return (

@@ -399,13 +399,21 @@ def _output_vanished(exc: Exception, index_dir: str) -> bool:
     'No such file or directory' from a genuinely missing INPUT inside
     ``write_batch`` must classify as a real error, not a transient
     swap race, or the retry loop hides the misconfiguration for 24
-    jittered rounds before surfacing it. Stress-found (round 8): the
-    read-side retry landed in an earlier pass, but an appender whose
-    WRITE straddled the swap still crashed."""
-    if _input_vanished(exc):
-        return True
+    jittered rounds before surfacing it. That applies to the TYPED
+    Spark signatures too (review r9): a '[PATH_NOT_FOUND] … /srv/…'
+    raised by a foreign scan inside write_batch is just as much a real
+    error as the OS-shaped message, so every vanished-shape match —
+    typed or not — additionally requires the message to name a path
+    under this index's ``bands`` tree (a swap race always names one:
+    the committer's dest, or the swapped-away layout a lineage scan
+    read). Stress-found (round 8): the read-side retry landed in an
+    earlier pass, but an appender whose WRITE straddled the swap still
+    crashed."""
     s = str(exc)
-    if "No such file or directory" not in s and "does not exist" not in s:
+    vanished_shape = (_input_vanished(exc)
+                      or "No such file or directory" in s
+                      or "does not exist" in s)
+    if not vanished_shape:
         return False
     bands_root = os.path.join(index_dir, BANDS_SUBDIR)
     if bands_root in s or os.path.abspath(bands_root) in s:

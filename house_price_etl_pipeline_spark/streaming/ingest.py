@@ -895,14 +895,9 @@ def maintenance_zorder_interleave(spark: SparkSession,
 
 
 def _cdc_target_root(sf_dir: str) -> str:
-    """Deterministic per-(process, sf_dir) workspace — bench retries
-    re-invoke the query; reuse one root and wipe it per run instead of
-    leaking a mkdtemp per invocation (same lesson as the Derby sink)."""
-    import os
-    import tempfile
+    from ..fsutil import query_workspace
 
-    tag = f"{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
-    return os.path.join(tempfile.gettempdir(), f"cdc_upsert_{tag}")
+    return query_workspace("cdc_upsert", sf_dir)
 
 
 @_catalog_register(

@@ -43,6 +43,13 @@ from ..plans.catalog import register
 
 MV_META = "_mv_meta.json"
 
+# Retired state dirs are reclaimed only past this age, so a reader
+# whose lazy DataFrame still points at the previous state can finish
+# its scan — the same retention contract as vacuum_upsert_target's
+# mtime gate (an immediate rmtree would break the module's
+# readers-always-consistent promise).
+STATE_GC_AGE_S = 300.0
+
 
 def _mv_meta_path(view_dir: str) -> str:
     return os.path.join(view_dir, MV_META)
@@ -60,19 +67,30 @@ def _write_state(view_dir: str, df: DataFrame, version: int,
                  group_cols: list[str], sum_col: str) -> None:
     """Write the new view state + pointer: data to a fresh subdir, then
     one atomic pointer swap (readers resolve through the meta file, so
-    a crash mid-write leaves the previous state fully readable)."""
+    a crash mid-write leaves the previous state fully readable). The
+    previous state dir is NOT reclaimed inline — a reader's lazy scan
+    may still hold it — only retired states older than STATE_GC_AGE_S
+    are swept, age-gated like VACUUM."""
+    import time
+
     os.makedirs(view_dir, exist_ok=True)
     name = f"state_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(os.path.join(view_dir, name))
-    old = _read_meta(view_dir)
     tmp = _mv_meta_path(view_dir) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"version": version, "state": name,
                    "group_cols": group_cols, "sum_col": sum_col}, fh)
     os.replace(tmp, _mv_meta_path(view_dir))
-    if old and old.get("state"):
-        shutil.rmtree(os.path.join(view_dir, old["state"]),
-                      ignore_errors=True)
+    cutoff = time.time() - STATE_GC_AGE_S
+    for d in os.listdir(view_dir):
+        if not d.startswith("state_") or d == name:
+            continue
+        p = os.path.join(view_dir, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # concurrent GC or reader cleanup — next sweep gets it
 
 
 def _aggregate(df: DataFrame, group_cols: list[str],
@@ -109,26 +127,46 @@ def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
     change feed is keyed on them); ``group_cols`` are the VIEW's
     grouping columns — any payload columns, independent of the keys,
     because the feed carries whole pre/post rows."""
-    from .ingest import _journal_state
+    from .ingest import _journal_state, read_upsert_version
 
     commits, _ = _journal_state(target_dir + "_versions")
     if not commits:
         raise FileNotFoundError(f"no upsert table at {target_dir}")
     head = commits[-1]["version"]
 
-    meta = _read_meta(view_dir)
-    if meta is None:
-        snap = spark.read.parquet(target_dir)
+    def _full_build() -> str:
+        # aggregate the PINNED head snapshot, not the published symlink
+        # (review r9): a concurrent writer can publish head+1 between
+        # our journal read and the scan — recording version=head over
+        # head+1's data would double-count the next change-feed fold
+        snap = read_upsert_version(spark, target_dir, head)
         _write_state(view_dir, _aggregate(snap, group_cols, sum_col),
                      head, group_cols, sum_col)
         return "full"
+
+    meta = _read_meta(view_dir)
+    if meta is None:
+        return _full_build()
+    if (meta.get("group_cols") != list(group_cols)
+            or meta.get("sum_col") != sum_col):
+        raise ValueError(
+            f"view at {view_dir} was built with group_cols="
+            f"{meta.get('group_cols')}, sum_col={meta.get('sum_col')!r} "
+            f"— refusing to fold deltas aggregated on different columns")
     if meta["version"] == head:
         return "noop"
 
     from .ingest import read_upsert_changes
 
-    ch = read_upsert_changes(spark, target_dir, meta["version"], head,
-                             key_cols)
+    try:
+        ch = read_upsert_changes(spark, target_dir, meta["version"], head,
+                                 key_cols)
+    except FileNotFoundError:
+        # the view's base version fell out of the table's retention
+        # window (refreshed less often than keep_versions commits):
+        # the change feed is gone, so rebuild from the head snapshot —
+        # the view stays maintainable instead of permanently failing
+        return _full_build()
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -171,10 +209,9 @@ def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
 
 
 def _mv_workspace(sf_dir: str) -> str:
-    import tempfile
+    from ..fsutil import query_workspace
 
-    tag = f"{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
-    return os.path.join(tempfile.gettempdir(), f"mv_refresh_{tag}")
+    return query_workspace("mv_refresh", sf_dir)
 
 
 @register(

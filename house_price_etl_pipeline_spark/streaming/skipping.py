@@ -42,27 +42,39 @@ _SCALAR_KINDS = (int, float, str, bool)
 
 
 def _file_column_stats(path: str, cols: list[str]) -> dict:
-    """Per-column [min, max, n_nulls] for ONE parquet file, from footer
-    metadata only (no data pages read). Columns without complete stats
-    in every row group are omitted — absent stats means 'keep'."""
+    """One file's manifest entry from footer metadata only (no data
+    pages read): {"rows": N, "stats": {col: [min, max, n_nulls]}}.
+    An all-NULL column carries [None, None, N] (parquet writes no
+    min/max for it but the null count proves no value can match a
+    range predicate); a column whose stats are incomplete for any
+    other reason is omitted — absent stats means 'keep'."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     name_to_idx = {md.schema.column(i).name: i
                    for i in range(md.num_columns)}
-    out: dict = {}
+    stats: dict = {}
     for col in cols:
         idx = name_to_idx.get(col)
         if idx is None:
             continue
         lo = hi = None
         nulls = 0
+        nulls_known = True
         ok = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
+            if st is None:
                 ok = False
                 break
+            if st.null_count is None:
+                nulls_known = False
+            else:
+                nulls += st.null_count
+            if not st.has_min_max:
+                # legitimate for an all-NULL row group; min/max stay
+                # as accumulated from the other row groups
+                continue
             mn, mx = st.min, st.max
             if not (isinstance(mn, _SCALAR_KINDS)
                     and isinstance(mx, _SCALAR_KINDS)):
@@ -70,10 +82,13 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
                 break
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
-            nulls += st.null_count or 0
-        if ok and lo is not None:
-            out[col] = [lo, hi, nulls]
-    return out
+        if not ok:
+            continue
+        if lo is not None:
+            stats[col] = [lo, hi, nulls if nulls_known else None]
+        elif nulls_known and nulls == md.num_rows:
+            stats[col] = [None, None, nulls]  # provably all-NULL
+    return {"rows": md.num_rows, "stats": stats}
 
 
 def write_stats_manifest(snapshot_dir: str, cols: list[str]) -> str:
@@ -124,14 +139,20 @@ def prune_files(snapshot_dir: str,
         return files, len(files)
     kept = []
     for f in files:
-        stats = manifest["files"].get(f)
+        entry = manifest["files"].get(f)
         keep = True
-        if stats is not None:
+        if entry is not None:
+            stats = entry.get("stats", {})
             for col, (lo, hi) in predicates.items():
                 st = stats.get(col)
                 if st is None:
                     continue  # no stats for this column: can't prune
                 fmin, fmax = st[0], st[1]
+                if fmin is None:
+                    # [None, None, rows]: provably all-NULL — no value
+                    # can satisfy a range predicate (SQL BETWEEN)
+                    keep = False
+                    break
                 if (hi is not None and fmin > hi) or \
                         (lo is not None and fmax < lo):
                     keep = False
@@ -167,10 +188,9 @@ def read_skipping(spark: SparkSession, target_dir: str,
 
 
 def _skipping_workspace(sf_dir: str) -> str:
-    import tempfile
+    from ..fsutil import query_workspace
 
-    tag = f"{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
-    return os.path.join(tempfile.gettempdir(), f"file_skip_{tag}")
+    return query_workspace("file_skip", sf_dir)
 
 
 @register(

@@ -94,9 +94,69 @@ def test_null_only_group_sum_stays_null(spark, tmp_path):
     assert _view_state(spark, view) == {("X",): (2, None)}
 
 
-def test_reader_sees_consistent_state_after_crashless_swap(spark, tmp_path):
-    """The pointer swap leaves exactly one live state dir and read_mv
-    resolves it (the previous state dir is reclaimed)."""
+def test_retired_state_reclaim_is_age_gated(spark, tmp_path):
+    """The pointer swap retires the previous state dir WITHOUT deleting
+    it (a reader's lazy scan may still hold it); only states older than
+    STATE_GC_AGE_S are swept on a later refresh — the VACUUM retention
+    contract applied to the view."""
+    import time
+
+    from house_price_etl_pipeline_spark.streaming.matview import \
+        STATE_GC_AGE_S
+
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    upsert_commit_batch(_frame(spark, [(1, 0, "A", 1.0)]), target, 0,
+                        key_cols=["uid"], order_col="seq")
+    refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
+    # hold a lazy reader on the CURRENT state before it is retired
+    held = read_mv(spark, view)
+    upsert_commit_batch(_frame(spark, [(2, 0, "A", 2.0)]), target, 1,
+                        key_cols=["uid"], order_col="seq")
+    refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
+    states = [d for d in os.listdir(view) if d.startswith("state_")]
+    assert len(states) == 2            # retired state survives the swap
+    # the in-flight reader still scans its pinned (old) state cleanly
+    assert {(r.grp, r.n_rows) for r in held.collect()} == {("A", 1)}
+    assert _view_state(spark, view) == {("A",): (2, 3.0)}
+    # age the retired state past the GC window; the next swap sweeps it
+    old = time.time() - STATE_GC_AGE_S - 60
+    from house_price_etl_pipeline_spark.streaming.matview import \
+        _read_meta
+    current = _read_meta(view)["state"]
+    for d in states:
+        if d != current:
+            os.utime(os.path.join(view, d), (old, old))
+    upsert_commit_batch(_frame(spark, [(3, 0, "B", 5.0)]), target, 2,
+                        key_cols=["uid"], order_col="seq")
+    refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
+    remaining = [d for d in os.listdir(view) if d.startswith("state_")]
+    assert len(remaining) == 2         # aged one GC'd, fresh one kept
+
+
+def test_refresh_falls_back_to_full_when_base_version_pruned(
+        spark, tmp_path):
+    """A view refreshed less often than the table's retention window
+    loses its change-feed base — refresh must rebuild from the head
+    snapshot instead of failing forever."""
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    upsert_commit_batch(_frame(spark, [(1, 0, "A", 1.0)]), target, 0,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=2)
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") == "full"
+    # three more versions at keep_versions=2: version 0 gets pruned
+    for i in (1, 2, 3):
+        upsert_commit_batch(
+            _frame(spark, [(i + 1, 0, "B", float(i))]), target, i,
+            key_cols=["uid"], order_col="seq", keep_versions=2)
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") == "full"
+    assert _view_state(spark, view) == _recompute(spark, target)
+
+
+def test_refresh_rejects_mismatched_view_spec(spark, tmp_path):
+    """Folding deltas aggregated on different columns into an existing
+    state would silently corrupt it — refuse loudly."""
     target = str(tmp_path / "tbl")
     view = str(tmp_path / "mv")
     upsert_commit_batch(_frame(spark, [(1, 0, "A", 1.0)]), target, 0,
@@ -104,7 +164,37 @@ def test_reader_sees_consistent_state_after_crashless_swap(spark, tmp_path):
     refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
     upsert_commit_batch(_frame(spark, [(2, 0, "A", 2.0)]), target, 1,
                         key_cols=["uid"], order_col="seq")
-    refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
-    states = [d for d in os.listdir(view) if d.startswith("state_")]
-    assert len(states) == 1
+    with pytest.raises(ValueError, match="different columns"):
+        refresh_mv(spark, target, view, ["uid"], ["uid"], "v")
+
+
+def test_full_build_aggregates_pinned_head_not_symlink(spark, tmp_path):
+    """The first build must aggregate the journal-head SNAPSHOT, not
+    the published symlink: if publication lags (or races ahead), a
+    symlink read would record a version over different data and the
+    next incremental fold would double-count or skip changes."""
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    upsert_commit_batch(_frame(spark, [(1, 0, "A", 1.0)]), target, 0,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+    upsert_commit_batch(_frame(spark, [(2, 0, "A", 2.0)]), target, 1,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+    # simulate a lagging publisher: re-point the symlink at version 0
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        _journal_state
+    commits, _ = _journal_state(target + "_versions")
+    v0_name = commits[0]["version_name"]
+    os.remove(target)
+    os.symlink(os.path.join(target + "_versions", v0_name), target)
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") == "full"
+    # the view reflects head (2 rows), not the stale symlink (1 row)
     assert _view_state(spark, view) == {("A",): (2, 3.0)}
+    # and a subsequent commit folds exactly once
+    upsert_commit_batch(_frame(spark, [(3, 0, "B", 9.0)]), target, 2,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") \
+        == "incremental"
+    assert _view_state(spark, view) == _recompute(spark, target)

@@ -48,12 +48,15 @@ def test_manifest_stats_match_file_contents(spark, tmp_path):
              if f.endswith(".parquet") and not f.startswith(("_", "."))]
     assert len(files) > 1              # the rewrite really multi-filed
     assert set(manifest["files"]) == set(files)
-    for f, stats in manifest["files"].items():
+    for f, entry in manifest["files"].items():
         pdf = spark.read.parquet(os.path.join(snap, f)) \
-            .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b")) \
+            .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b"),
+                 F.count("*")) \
             .collect()[0]
+        stats = entry["stats"]
         assert stats["a"][0] == pdf[0] and stats["a"][1] == pdf[1]
         assert stats["b"][0] == pdf[2] and stats["b"][1] == pdf[3]
+        assert entry["rows"] == pdf[4]
 
 
 def test_skipping_read_equals_full_filter_and_prunes(spark, tmp_path):
@@ -79,7 +82,7 @@ def test_prune_is_safe_without_manifest_or_stats(spark, tmp_path):
     # drop column 'b' stats from every file entry
     manifest = read_stats_manifest(snap)
     for f in manifest["files"]:
-        manifest["files"][f].pop("b", None)
+        manifest["files"][f]["stats"].pop("b", None)
     with open(os.path.join(snap, STATS_MANIFEST), "w") as fh:
         json.dump(manifest, fh)
     kept_b, total = prune_files(snap, {"b": (0, 1)})
@@ -117,3 +120,31 @@ def test_unzordered_rewrite_prunes_poorly_or_not(spark, tmp_path):
     # round-robin repartition spreads a∈[0,7] across every file
     assert n_scan_plain == n_total
     assert n_scan_z < n_total_z
+
+
+def test_all_null_column_file_is_droppable(spark, tmp_path):
+    """A file whose predicate column is entirely NULL carries
+    [None, None, rows] in the manifest and is pruned for ANY range
+    (NULL never satisfies BETWEEN) — while mixed-null files keep their
+    real min/max plus the null count."""
+    d = str(tmp_path / "nullfiles")
+    spark.createDataFrame(
+        [(1, None), (2, None)], "k long, a int").coalesce(1) \
+        .write.parquet(os.path.join(d, "f_allnull"))
+    spark.createDataFrame(
+        [(3, 5), (4, None)], "k long, a int").coalesce(1) \
+        .write.parquet(os.path.join(d, "f_mixed"))
+    import shutil
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, sub in enumerate(("f_allnull", "f_mixed")):
+        src = next(f for f in os.listdir(os.path.join(d, sub))
+                   if f.endswith(".parquet"))
+        shutil.copy(os.path.join(d, sub, src),
+                    os.path.join(flat, f"part-{i}.parquet"))
+    write_stats_manifest(flat, ["a"])
+    manifest = read_stats_manifest(flat)
+    assert manifest["files"]["part-0.parquet"]["stats"]["a"] == [None, None, 2]
+    assert manifest["files"]["part-1.parquet"]["stats"]["a"] == [5, 5, 1]
+    kept, total = prune_files(flat, {"a": (0, 100)})
+    assert total == 2 and kept == ["part-1.parquet"]

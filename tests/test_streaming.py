@@ -2282,9 +2282,12 @@ def test_output_vanished_requires_index_path_or_committer_signature(
         RuntimeError("ExitCodeException exitCode=1: chmod: cannot "
                      "access '_temporary/0/f.parquet': "
                      "No such file or directory"), index_dir)
-    # typed Spark read-side signatures pass through unchanged
+    # typed Spark read-side signatures also need the index path (the
+    # real race always names the swapped-away file — see the companion
+    # typed-errors test below)
     assert _output_vanished(
-        RuntimeError("[FAILED_READ_FILE] could not read file"),
+        RuntimeError(f"[FAILED_READ_FILE] could not read file "
+                     f"{index_dir}/bands/batch-y-2/part-0.parquet"),
         index_dir)
     # and an entirely unrelated error is never swallowed
     assert not _output_vanished(
@@ -2440,3 +2443,31 @@ def test_publish_converge_loop_is_bounded(spark, tmp_path, monkeypatch):
         _publish_commit(target, versions_root, commits,
                         keep_versions=100,
                         _pre_swap_hook=always_advance)
+
+
+def test_output_vanished_typed_spark_errors_also_need_index_path(
+        tmp_path):
+    """Review r9: the typed Spark signatures (PATH_NOT_FOUND /
+    FAILED_READ_FILE / FileNotFoundException) must ALSO name a path
+    under the index's bands tree to classify as a swap race — a
+    foreign scan's typed missing-input error inside write_batch is a
+    real error, not a retryable race."""
+    from house_price_etl_pipeline_spark.streaming.index import \
+        _output_vanished
+
+    index_dir = str(tmp_path / "ov_typed_index")
+    # typed error naming a FOREIGN path: real error, propagate
+    assert not _output_vanished(
+        RuntimeError("[PATH_NOT_FOUND] Path does not exist: "
+                     "/srv/landing/never_there.parquet"), index_dir)
+    assert not _output_vanished(
+        RuntimeError("java.io.FileNotFoundException: "
+                     "/etc/app/input.csv"), index_dir)
+    # same typed shapes naming the index's bands tree: the swap race
+    assert _output_vanished(
+        RuntimeError(f"[PATH_NOT_FOUND] Path does not exist: "
+                     f"{index_dir}/bands/batch-x-3"), index_dir)
+    assert _output_vanished(
+        RuntimeError(f"[FAILED_READ_FILE] could not read "
+                     f"{index_dir}/bands/batch-x-3/part-0.parquet"),
+        index_dir)
