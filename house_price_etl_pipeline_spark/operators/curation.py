@@ -126,8 +126,6 @@ def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     successor via lead(); the open interval is the current row. One
     shuffle on the key — the dimension-history maintenance shape that
     replaces point-in-time snapshots at scale."""
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = F.lead("o_orderdate").over(w)
@@ -179,10 +177,15 @@ def ts_ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     is small; the unbounded-stream form of this state lives in
     streaming/stateful.py."""
     ev = load_table(spark, sf_dir, "events")
+    # day mean = double(decimal sum) / count — the DIVISION happens in
+    # double on BOTH sides (review r9: an inline decimal division here
+    # produced a DECIMAL(38,19) quotient whose double cast can differ
+    # from the oracle's IEEE division in the last ulps for >~16
+    # significant-digit day sums, and the EWMA fold amplifies ulps)
     daily = (
         ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
-        .agg((F.sum(F.col("value").cast("decimal(25,6)")) / F.count("*"))
-             .cast("double").alias("mean_value"))
+        .agg((F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+              / F.count("*")).alias("mean_value"))
     )
     series = (
         daily.groupBy("user_id")
@@ -284,7 +287,7 @@ N_DEPTH_BINS = 10
 )
 def feature_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) discretization of order value into
-    {N_DEPTH_BINS} bins — the feature-bucketing step that beats
+    N_DEPTH_BINS (10) bins — the feature-bucketing step that beats
     equi-width histograms on skewed money-like columns. Boundaries come
     from ONE global percentile aggregate (a 1-row relation, broadcast
     back — the allowlisted 1-row-side nested-loop class, same as the

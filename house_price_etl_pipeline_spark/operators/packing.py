@@ -142,16 +142,50 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing manifest: concatenate all docs (in doc_id order)
-    into one token stream and cut fixed {CONTEXT_LEN}-token training
+    into one token stream and cut fixed CONTEXT_LEN-token training
     windows. Computed purely from per-doc lengths: global start offsets
-    via prefix sum, each doc exploded only to the CHUNKS it overlaps,
-    overlap arithmetic per (doc, chunk) — every window is full except
-    the last, and no token is ever materialized."""
+    via a TWO-PHASE prefix sum, each doc exploded only to the CHUNKS it
+    overlaps, overlap arithmetic per (doc, chunk) — every window is
+    full except the last, and no token is ever materialized.
+
+    The prefix sum is the scale-critical step: a bare
+    ``Window.orderBy(doc_id)`` (no partitionBy) funnels every per-doc
+    row through ONE task — the global-ORDER-BY anti-pattern
+    curation.py's depth-binning deliberately avoids. Instead doc_ids
+    are range-bucketed with a DETERMINISTIC width (so no sampling
+    nondeterminism between the totals job and the window job), phase 1
+    aggregates one subtotal per bucket (a bucket-count-sized collect),
+    and phase 2 runs the running sum as a PER-BUCKET window plus the
+    broadcast cumulative offset of all earlier buckets — the window
+    never sees more than one bucket's rows in a task."""
     d = load_table(spark, sf_dir, "documents")
     lens = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding,
-                                             Window.currentRow)
-    offs = lens.withColumn("start_off", F.sum("n").over(w) - F.col("n"))
+
+    par = spark.sparkContext.defaultParallelism
+    bounds = lens.agg(F.min("doc_id").alias("lo"),
+                      F.max("doc_id").alias("hi")).collect()[0]
+    if bounds.lo is None:
+        return lens.select(
+            F.col("doc_id").alias("chunk_id"), F.col("n").alias("n_tokens"),
+            F.col("n").alias("n_docs"), F.col("doc_id").alias("first_doc"),
+            F.col("doc_id").alias("last_doc")).limit(0)
+    width = max(1, (int(bounds.hi) - int(bounds.lo)) // par + 1)
+    bucket = ((F.col("doc_id") - int(bounds.lo)) / width).cast("int")
+    lens = lens.withColumn("_b", bucket)
+    subtotals = {int(r._b): int(r.t) for r in
+                 lens.groupBy("_b").agg(F.sum("n").alias("t")).collect()}
+    running, offsets = 0, {}
+    for b in range(par + 1):
+        offsets[b] = running
+        running += subtotals.get(b, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (Window.partitionBy("_b").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = lens.withColumn(
+        "start_off",
+        F.sum("n").over(w) - F.col("n")
+        + F.element_at(off_map, F.col("_b")))
     spans = offs.select(
         "doc_id", "n", "start_off",
         (F.col("start_off") + F.col("n")).alias("end_off"),

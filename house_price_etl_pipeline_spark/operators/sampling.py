@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import fixed_sum
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -126,11 +127,18 @@ def sample_bernoulli_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("ns"), F.avg("o_totalprice").alias("ms")))
     p = F.lit(0.1)
     size_tol = F.lit(5.0) * F.sqrt(F.col("n") * p * (1 - p))
-    mean_tol = F.lit(5.0) * F.col("sd") / F.sqrt(F.col("ns"))
+    # greatest(ns, 1): an EMPTY seeded sample (possible on a tiny
+    # population) must report mean_ok=false honestly, not raise ANSI
+    # DIVIDE_BY_ZERO in sqrt's argument; the NULL sample mean is
+    # coalesced into an explicit false for the same reason
+    mean_tol = (F.lit(5.0) * F.col("sd")
+                / F.sqrt(F.greatest(F.col("ns"), F.lit(1))))
+    mean_ok = ((F.col("ns") > 0)
+               & (F.abs(F.col("ms") - F.col("mu")) <= mean_tol))
     return pop.crossJoin(F.broadcast(smp)).select(
         F.col("n").cast("bigint").alias("n_total"),
         (F.abs(F.col("ns") - F.col("n") * p) <= size_tol).alias("size_ok"),
-        (F.abs(F.col("ms") - F.col("mu")) <= mean_tol).alias("mean_ok"),
+        F.coalesce(mean_ok, F.lit(False)).alias("mean_ok"),
     )
 
 
@@ -202,8 +210,7 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n_orders"),
-             F.round(F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-                     .cast("double"), 6).alias("sum_price"))
+             F.round(fixed_sum("o_totalprice", 2), 6).alias("sum_price"))
         .orderBy("bucket")
     )
 

@@ -118,7 +118,10 @@ def _tok_bucket(tok: Column) -> Column:
                   16, 10).cast("long") % CDC_MOD
 
 
-_CDC_MAIN_SQL = f"""
+# ONE definition of the CDC chunk CTE chain (review r9: a second,
+# hand-duplicated copy of these CTEs would silently desynchronize the
+# two oracles from the shared Spark kernel on any boundary-rule edit)
+_CDC_CHUNKS_SQL = f"""
     WITH b AS (
       SELECT doc_id, string_split(text, ' ') AS t,
              list_filter(generate_series(1, len(string_split(text, ' '))),
@@ -131,12 +134,19 @@ _CDC_MAIN_SQL = f"""
              list_concat([1], list_transform(bpos, x -> x + 1)) AS starts,
              list_concat(bpos, [len(t)]) AS ends
       FROM b
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_tokens,
+             md5(array_to_string(t[starts[i]:ends[i]], ' ')) AS chunk_md5
+      FROM se, UNNEST(generate_series(1, len(starts))) AS u(i)
+      WHERE starts[i] <= ends[i]
     )
-    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-           CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_tokens,
-           md5(array_to_string(t[starts[i]:ends[i]], ' ')) AS chunk_md5
-    FROM se, UNNEST(generate_series(1, len(starts))) AS u(i)
-    WHERE starts[i] <= ends[i]
+"""
+
+_CDC_MAIN_SQL = _CDC_CHUNKS_SQL + """
+    SELECT doc_id, chunk_idx, n_tokens, chunk_md5
+    FROM chunks
     ORDER BY doc_id, chunk_idx
     """
 
@@ -200,30 +210,6 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB CTE producing the same chunk rows as _cdc_chunk_rows — shared
 # by the text_cdc_chunks and dedup_cdc_shared_chunks oracles.
-_CDC_CHUNKS_SQL = f"""
-    WITH b AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             list_filter(generate_series(1, len(string_split(text, ' '))),
-                         i -> ('0x' || substr(md5(string_split(text, ' ')[i]), 1, 4))::UBIGINT
-                              % {CDC_MOD} = 0) AS bpos
-      FROM documents
-    ),
-    se AS (
-      SELECT doc_id, t,
-             list_concat([1], list_transform(bpos, x -> x + 1)) AS starts,
-             list_concat(bpos, [len(t)]) AS ends
-      FROM b
-    ),
-    chunks AS (
-      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-             CAST(ends[i] - starts[i] + 1 AS BIGINT) AS n_tokens,
-             md5(array_to_string(t[starts[i]:ends[i]], ' ')) AS chunk_md5
-      FROM se, UNNEST(generate_series(1, len(starts))) AS u(i)
-      WHERE starts[i] <= ends[i]
-    )
-"""
-
-
 @register(
     "dedup_cdc_shared_chunks",
     oracle=_CDC_CHUNKS_SQL + """
