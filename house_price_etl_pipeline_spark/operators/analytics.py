@@ -56,13 +56,7 @@ def ts_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     time span, not event count), fill via the engine's as-of join —
     verified against DuckDB's native ASOF LEFT JOIN."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    bounds = e.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"))
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS")))
-        .alias("gts"))
+    grid = _user_grid(e)
     # a NULL value is a non-observation, not a new fill anchor: both
     # sides fill from non-NULL observations only (the window's
     # ignorenulls would skip them anyway; the explicit filter keeps the
@@ -70,6 +64,21 @@ def ts_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ALL events, so a user with only NULL values gets NULL-filled rows.
     return (_resample_fill(grid, e.filter(F.col("value").isNotNull()))
             .orderBy("user_id", "grid_ts"))
+
+
+def _user_grid(events: DataFrame) -> DataFrame:
+    """Per-user 6-hour resample grid spanning the user's FULL event
+    range (hour-truncated min..max over all events, NULL values
+    included — both resample queries and their oracles share this
+    definition; a private copy is how the bounds drifted in review
+    r9's finding)."""
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    return bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS")))
+        .alias("gts"))
 
 
 def _resample_fill(grid: DataFrame, events: DataFrame) -> DataFrame:
@@ -342,15 +351,15 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds. The grid row sorts AFTER a same-instant event
     (side ordering), so an exact hit returns the observation itself —
     mirrored by the oracle's gts = pt guard."""
-    e = (load_table(spark, sf_dir, "events")
-         .filter((F.col("user_id") < 20) & F.col("value").isNotNull()))
-    bounds = e.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"))
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS")))
-        .alias("gts"))
+    all_ev = (load_table(spark, sf_dir, "events")
+              .filter(F.col("user_id") < 20))
+    # grid bounds span ALL of a user's events (review r9: bounds from
+    # the value-filtered relation silently shrank the grid whenever a
+    # user's earliest/latest event carried a NULL value — the oracle
+    # and ts_resample_forward_fill both span the full event range);
+    # only the FILL SOURCE excludes NULL observations
+    grid = _user_grid(all_ev)
+    e = all_ev.filter(F.col("value").isNotNull())
 
     left = grid.select(F.lit(1).alias("_side"), "user_id",
                        F.col("gts").alias("t"),
@@ -484,8 +493,10 @@ def rollup_incremental_maintenance(spark: SparkSession,
       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
       FROM documents GROUP BY lang, source
     ),
-    m AS (SELECT lang, SUM(o) AS rl FROM obs GROUP BY lang),
-    n AS (SELECT source, SUM(o) AS cs FROM obs GROUP BY source),
+    m AS (SELECT lang, CAST(SUM(o) AS DOUBLE) AS rl
+          FROM obs GROUP BY lang),
+    n AS (SELECT source, CAST(SUM(o) AS DOUBLE) AS cs
+          FROM obs GROUP BY source),
     t AS (SELECT SUM(o) AS total FROM obs)
     SELECT obs.lang, obs.source, o,
            round(rl * cs / CAST(total AS DOUBLE), 6) AS expected,
@@ -510,8 +521,13 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     obs = (d.groupBy("lang", "source")
            .agg(F.count("*").cast("bigint").alias("o")))
-    row_m = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
-    col_m = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    # marginals as DOUBLE before the product (review r9): a
+    # bigint*bigint rl*cs silently wraps past 2^63 (~3e9-doc marginals
+    # at 100 TB) while DuckDB's HUGEINT stays exact — double-first
+    # multiplication on BOTH sides is overflow-free and fold-identical
+    row_m = obs.groupBy("lang").agg(F.sum("o").cast("double").alias("rl"))
+    col_m = obs.groupBy("source").agg(
+        F.sum("o").cast("double").alias("cs"))
     tot = obs.agg(F.sum("o").alias("total"))
     exp = F.col("rl") * F.col("cs") / F.col("total").cast("double")
     return (

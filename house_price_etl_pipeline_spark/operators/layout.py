@@ -41,10 +41,14 @@ def zorder_key(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
     return z
 
 
-_ZKEY_SQL = """
-    CAST(list_sum(list_transform(range(0, 16), i ->
-        ((((l_partkey % 65536) >> i) & 1) << (2*i))
-      | ((((l_suppkey % 65536) >> i) & 1) << (2*i+1)))) AS BIGINT)
+# every 16/65536/>>16 below derives from ZORDER_BITS so retuning the
+# knob can never desynchronize the Spark key from the oracle (review r9)
+_ZMOD = 1 << ZORDER_BITS
+
+_ZKEY_SQL = f"""
+    CAST(list_sum(list_transform(range(0, {ZORDER_BITS}), i ->
+        ((((l_partkey % {_ZMOD}) >> i) & 1) << (2*i))
+      | ((((l_suppkey % {_ZMOD}) >> i) & 1) << (2*i+1)))) AS BIGINT)
 """
 
 
@@ -55,7 +59,7 @@ _ZKEY_SQL = """
       SELECT l_partkey, l_suppkey, {_ZKEY_SQL} AS zkey
       FROM lineitem
     )
-    SELECT CAST(zkey >> 16 AS BIGINT) AS bucket,
+    SELECT CAST(zkey >> {ZORDER_BITS} AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS part_span,
            CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS supp_span
@@ -71,11 +75,12 @@ def layout_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle replays the identical interleave, so the bit math is
     value-hash-pinned cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
-    z = zorder_key(F.pmod(F.col("l_partkey"), F.lit(65536)),
-                   F.pmod(F.col("l_suppkey"), F.lit(65536)))
+    z = zorder_key(F.pmod(F.col("l_partkey"), F.lit(_ZMOD)),
+                   F.pmod(F.col("l_suppkey"), F.lit(_ZMOD)))
     return (
         li.select("l_partkey", "l_suppkey", z.alias("zkey"))
-        .groupBy(F.shiftright(F.col("zkey"), 16).alias("bucket"))
+        .groupBy(F.shiftright(F.col("zkey"), ZORDER_BITS)
+                 .alias("bucket"))
         .agg(
             F.count("*").cast("bigint").alias("n_rows"),
             (F.max("l_partkey") - F.min("l_partkey")).cast("bigint")

@@ -40,7 +40,11 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
             f"replicated small side would duplicate unmatched rows "
             f"{n_salts}x under right/full outer joins"
         )
-    salt = (F.abs(F.xxhash64(*big.columns)) % n_salts).cast("int")
+    # pmod, not abs(...)%n: abs(Long.MIN_VALUE) overflows back to
+    # MIN_VALUE, whose sign-following % yields a NEGATIVE salt the
+    # replicated small side never carries — a silently dropped row
+    # (2^-64 per row, but a correctness hole in a generic helper)
+    salt = F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -331,16 +331,18 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window_builtin",
     oracle=f"""
     WITH marks AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                       OR ts >= lag(ts) OVER w
+                               + INTERVAL {SESSION_GAP_S} SECOND
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marks
     )
@@ -355,10 +357,15 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's BUILT-IN batch ``session_window`` (gap-merged windows in
     the aggregation itself — no lag/running-sum decomposition), checked
-    against the classic window-function rewrite in the oracle: both must
-    merge events <= 30 min apart into identical sessions. One shuffle on
-    (user_id, session merge), same as the manual form — the built-in
-    just moves the merge into the agg operator."""
+    against the classic window-function rewrite in the oracle: both
+    merge events whose exact-microsecond gap is STRICTLY under the
+    30-minute gap (an event at exactly prev+gap lands on the previous
+    window's exclusive end and opens a new session — the oracle's
+    ``ts >= lag(ts) + INTERVAL`` comparison is µs-exact for the same
+    boundary; a second-truncated date_diff would merge gaps in
+    [1800 s, 1801 s), review r9). One shuffle on (user_id, session
+    merge), same as the manual form — the built-in just moves the
+    merge into the agg operator."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(

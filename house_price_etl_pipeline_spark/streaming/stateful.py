@@ -183,24 +183,29 @@ class RunningTotalsProcessor(StatefulProcessor):
         # integer cents, not a float accumulator: the input values are
         # 2-decimal doubles, so per-element x*100 rounds exactly and the
         # running sum is EXACT across any batch split — which is what
-        # lets the DuckDB oracle hash-match the drained totals
+        # lets the DuckDB oracle hash-match the drained totals. n_vals
+        # counts NON-NULL values so a user whose values are all NULL
+        # reports sum_value NULL like SQL SUM, not pandas' NaN-skipping
+        # 0.0 (NULL audit, round 9).
         self.totals = handle.getValueState(
-            "totals", "n_events long, sum_cents long")
+            "totals", "n_events long, n_vals long, sum_cents long")
 
     def handleInputRows(self, key, rows, timerValues):
-        n, c = 0, 0
+        n, nv, c = 0, 0, 0
         for pdf in rows:
             n += len(pdf)
+            nv += int(pdf["value"].notna().sum())
             c += int((pdf["value"] * 100).round().sum())
         prev = self.totals.get()
         if prev is not None:
             n += prev[0]
-            c += prev[1]
-        self.totals.update((n, c))
+            nv += prev[1]
+            c += prev[2]
+        self.totals.update((n, nv, c))
         yield pd.DataFrame({
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [c / 100.0],
+            "sum_value": [c / 100.0 if nv > 0 else None],
         })
 
     def close(self) -> None:

@@ -147,6 +147,13 @@ EVENT_AUGMENT_ROWS = [
     (9000001, "2024-01-15 12:00:00", 3, "click", None, None),
     (9000002, "2024-01-15 12:05:00", 4, "view", 1.5, "{not valid json"),
     (9000003, "2024-01-15 12:10:00", 5, None, 2.0, "{}"),
+    # NULL-value event OUTSIDE user 6's existing ts range: a resample
+    # grid whose bounds ignore NULL-value events would shrink vs the
+    # oracle's (review r9 — the in-range NULL above dodged it)
+    (9000004, "2024-02-05 00:00:00", 6, "view", None, '{"k": 5}'),
+    # a user (< 20, not in the generated data) whose ONLY event has a
+    # NULL value: the grid must still exist, filled with NULLs
+    (9000005, "2024-02-06 00:00:00", 19, "click", None, "{}"),
 ]
 
 
