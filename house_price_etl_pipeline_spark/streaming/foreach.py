@@ -102,7 +102,8 @@ def run_upsert_stream(spark: SparkSession, state_root: str,
         .option("partitions", str(partitions))
         .load()
     )
-    # per-batch merge shuffles (delta agg + full-outer join) carry a few
+    # per-batch merge shuffles (delta agg + union/re-agg — the monoid
+    # merge, NOT a full-outer join; see upsert_batch) carry a few
     # hundred keys: size them like the other streaming state paths (fixed
     # per-task cost dominates at 32 partitions x stages x batches)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -126,10 +127,10 @@ def run_upsert_stream(spark: SparkSession, state_root: str,
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     n_batches = -(-rows // per_batch)
-    applied = _load_pointer(state_root)["applied"]
-    if len(applied) < n_batches:  # defensive: drain contract violated
-        raise RuntimeError(f"expected {n_batches} applied batches, got {applied}")
-    ptr = _load_pointer(state_root)
+    ptr = _load_pointer(state_root)  # one snapshot for both reads
+    if len(ptr["applied"]) < n_batches:  # defensive: drain contract violated
+        raise RuntimeError(
+            f"expected {n_batches} applied batches, got {ptr['applied']}")
     return spark.read.parquet(os.path.join(state_root, f"v{ptr['version']}"))
 
 

@@ -194,8 +194,9 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events WHERE event_type = 'click'),
     e AS (SELECT event_id AS error_id, user_id AS e_user_id, ts AS ets
           FROM events WHERE event_type = 'error'),
-    wm AS (SELECT LEAST((SELECT MAX(cts) FROM c),
-                        (SELECT MAX(ets) FROM e))
+    wm AS (SELECT date_trunc('millisecond',
+                        LEAST((SELECT MAX(cts) FROM c),
+                              (SELECT MAX(ets) FROM e)))
                   - INTERVAL 10 MINUTE AS gw),
     j AS (SELECT c.click_id, c.user_id, c.cts, e.error_id, e.ets
           FROM c LEFT JOIN e
@@ -204,7 +205,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, click_id, error_id,
            CAST(date_diff('second', cts, ets) AS BIGINT) AS gap_s
     FROM j, wm
-    WHERE error_id IS NOT NULL OR cts + INTERVAL 5 MINUTE < wm.gw
+    WHERE error_id IS NOT NULL OR cts + INTERVAL 5 MINUTE <= wm.gw
     ORDER BY user_id, click_id, error_id
     """,
 )
@@ -242,20 +243,28 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = _drain(joined, spark, output_mode="append")
 
-    # the finite source's final watermark, recomputed batch-side so the
-    # boundary trim is bit-identical to the oracle's
+    # The finite source's final watermark, recomputed batch-side so
+    # the boundary trim is bit-identical to the oracle's — and to the
+    # STREAM's own eviction rule. Spark tracks event-time stats in
+    # MILLISECONDS (EventTimeStatsAccum), so the watermark is
+    # floor_ms(max ts) - 10min, up to 999µs earlier than the exact-µs
+    # max, and a row null-emits when its upper bound is <= that
+    # (probe-verified, round 9: cts+5m == wm_ms emits, wm_ms + 500µs
+    # does not). An exact-µs strict-< rule here and in the oracle
+    # claimed rows the stream never emitted.
     from ..sources.tables import load_table
     ev = load_table(spark, sf_dir, "events")
     gw = (ev.agg(F.least(
         F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
         F.max(F.when(F.col("event_type") == "error", F.col("ts"))))
         .alias("gw"))
-        .select((F.col("gw") - F.expr("INTERVAL 10 MINUTES")).alias("gw")))
+        .select((F.date_trunc("millisecond", F.col("gw"))
+                 - F.expr("INTERVAL 10 MINUTES")).alias("gw")))
     return (
         out.crossJoin(F.broadcast(gw))
         .filter(F.col("error_id").isNotNull()
                 | (F.col("cts") + F.expr("INTERVAL 5 MINUTES")
-                   < F.col("gw")))
+                   <= F.col("gw")))
         .select("user_id", "click_id", "error_id",
                 (F.unix_timestamp("ets") - F.unix_timestamp("cts"))
                 .cast("long").alias("gap_s"))
@@ -278,7 +287,16 @@ def _rowwise_band_keys(df):
     from ..operators.dedup import (
         LSH_BANDS, LSH_ROWS, MINHASH_K, shingle_expr)
 
-    sh = F.array_distinct(shingle_expr(F.col("ws"), 3))
+    # Degenerate docs (NULL text / empty token array) have no shingles:
+    # array_min over the empty transform is NULL, so every such doc
+    # would carry the SAME constant all-NULL band hashes and bucket
+    # together — N null docs arriving × M null corpus docs = O(N·M)
+    # spurious candidate pairs through the dedup state (review r9).
+    # They can never be near-dups of anything, so drop them here; the
+    # batch twin's shingle explode drops them implicitly.
+    df = df.filter(F.size("ws") > 0)
+    # shingle_expr already array_distincts both of its branches
+    sh = shingle_expr(F.col("ws"), 3)
     sigs = [
         F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
         .alias(f"h{i}")
@@ -367,17 +385,10 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("new_doc"), "corpus_doc")
         .dropDuplicates(["new_doc", "corpus_doc"])
     )
-    name = "stream_dedup_ingest_out"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(dedup_shuffle_partitions()))
-    try:
-        q = (cand_stream.writeStream.outputMode("append").format("memory")
-             .queryName(name).trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    found = spark.table(name).localCheckpoint(eager=True)
+    found = _drain(cand_stream, spark, output_mode="append",
+                   name="stream_dedup_ingest_out",
+                   partitions=dedup_shuffle_partitions()
+                   ).localCheckpoint(eager=True)
 
     if not exact_twin_enabled():
         tok = _shared_shingle_tok(spark, sf_dir)

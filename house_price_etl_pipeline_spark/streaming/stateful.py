@@ -17,7 +17,6 @@ separately in tests/test_streaming.py with a two-file source.
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Iterator
 from typing import Any
 
@@ -39,8 +38,6 @@ from .windows import stream_events
 # version gate is relaxed) in the driver, the driver-side schema worker,
 # and every executor worker, with no environment plumbing.
 HAVE_PROTOBUF = ensure_protobuf()
-
-_counter = itertools.count()
 
 STATE_SCHEMA = T.StructType([
     T.StructField("n_events", T.LongType()),
@@ -104,7 +101,7 @@ def drain_user_profiles(spark: SparkSession, events: DataFrame) -> DataFrame:
     monotone in batch order."""
     from .windows import stream_shuffle_partitions
 
-    name = f"user_profiles_{next(_counter)}"
+    name = "user_profiles_out"  # stable: reruns replace the buffer
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     # see windows.stream_shuffle_partitions: state-store count = shuffle
     # partition count; fixed per-store commit cost dwarfs the work here
@@ -251,7 +248,7 @@ def drain_running_totals(spark, stream_df):
         else:
             spark.conf.set(store_key, prev_store)
     out = spark.table(name)
-    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    from pyspark.sql import Window as w
     latest = (out.withColumn(
         "_rn", F.row_number().over(
             w.partitionBy("user_id").orderBy(F.col("n_events").desc())))
