@@ -39,4 +39,8 @@ def load_raw_csv(spark: SparkSession, path_glob: str) -> DataFrame:
         df = df.withColumnRenamed(old, new)
     df = df.withColumn("檔名", F.input_file_name())
     # Drop the per-file embedded English header row once, at the source.
-    return df.filter(F.col("交易標的") != ENGLISH_HEADER_MARKER)
+    # NULL-safe: a data row with an EMPTY 交易標的 cell reads as NULL, and
+    # a bare != would silently drop it too (review r9) — only the
+    # literal header marker is a header row.
+    return df.filter((F.col("交易標的") != ENGLISH_HEADER_MARKER)
+                     | F.col("交易標的").isNull())

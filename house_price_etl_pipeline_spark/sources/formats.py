@@ -58,8 +58,16 @@ def format_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     format == lossless round-trip. Timestamps travel as ISO strings in
     JSON (schema-applied on read); doubles survive via Spark's
     full-precision JSON serialization."""
+    import shutil
+
+    from ..fsutil import query_workspace
+
     o = load_table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    # reused per (process, sf_dir): bench retries re-invoke this query —
+    # a mkdtemp per call leaks a full table copy each time
+    base = query_workspace("fmt_roundtrip", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
     json_path = os.path.join(base, "orders_json")
     orc_path = os.path.join(base, "orders_orc")
     o.write.mode("overwrite").json(json_path)
@@ -93,8 +101,14 @@ def format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text format (tag-per-field, no pushdown/pruning); like JSON it's an
     interchange edge, never the analytics store — the engine ingests it
     once and persists parquet."""
+    import shutil
+
+    from ..fsutil import query_workspace
+
     c = load_table(spark, sf_dir, "customer")
-    base = tempfile.mkdtemp(prefix="fmt_xml_")
+    base = query_workspace("fmt_xml", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
     xml_path = os.path.join(base, "customer_xml")
     (c.write.mode("overwrite").format("xml")
      .option("rowTag", "customer").save(xml_path))

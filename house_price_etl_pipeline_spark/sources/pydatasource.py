@@ -136,14 +136,20 @@ class SyntheticEventsReader(DataSourceReader):
         )
 
 
+# one schema definition shared by the generator and every read-back
+# (review r9: a hardcoded copy in stream_pysink_jsonl could silently
+# drift and NULL out evolved columns)
+SYNTH_EVENTS_SCHEMA = ("event_id bigint, ts_s bigint, user_id bigint, "
+                       "event_type string, value double")
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "synthetic_events"
 
     def schema(self) -> str:
-        return ("event_id bigint, ts_s bigint, user_id bigint, "
-                "event_type string, value double")
+        return SYNTH_EVENTS_SCHEMA
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
@@ -256,6 +262,32 @@ class _ShardCommit:
         self.shard, self.n_rows = shard, n_rows
 
 
+# crashed-task staging shards older than this are reclaimed at the next
+# commit (any mode): old enough that no in-flight speculative attempt of
+# the CURRENT write still holds one — the VACUUM age-gate pattern
+STAGING_GC_AGE_S = 300.0
+
+
+def _stage_jsonl_shard(stage_dir: str, iterator) -> tuple[str, int]:
+    """Write one partition's rows as a staged JSON-lines shard (shared
+    by the batch and streaming writers — review r9: two hand-copies of
+    this loop could drift in durability/encoding). Staging names never
+    match the *.jsonl reader glob, so a crashed task's orphan is never
+    readable as data."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(stage_dir, exist_ok=True)
+    shard = os.path.join(stage_dir, f"_staging_{uuid.uuid4().hex}.tmp")
+    n = 0
+    with open(shard, "w") as f:
+        for row in iterator:
+            f.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return shard, n
+
+
 class JsonAuditWriter:
     """Per-partition JSON-lines shards with two-phase commit: executors
     write to a staging name and report a commit message; only the driver
@@ -263,52 +295,63 @@ class JsonAuditWriter:
     with per-shard row counts. A failed/speculative task's shard is
     never visible (abort() deletes staging) — the exactly-once recipe
     every distributed sink follows (same contract as Spark's own
-    HadoopMapReduceCommitProtocol)."""
+    HadoopMapReduceCommitProtocol).
+
+    Append mode ACCUMULATES (the reference's WRITE_APPEND, K3): each
+    write renames its shards under a per-write unique prefix and MERGES
+    the manifest — a fixed part-{i} naming would silently clobber the
+    previous write's shards (reproduced in review r9: 100 rows + 50
+    appended left 50 on disk)."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import json
-        import os
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        # staging names must NOT match the *.jsonl reader glob — a crashed
-        # task's orphan must never be readable as data
-        shard = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}.tmp")
-        n = 0
-        with open(shard, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
+        shard, n = _stage_jsonl_shard(self.path, iterator)
         return _ShardCommit(shard, n)
 
     def commit(self, messages):
         import glob
         import json
         import os
+        import time
+        import uuid
 
+        wid = uuid.uuid4().hex[:8]
         manifest = {}
+        if not self.overwrite:
+            # merge with what earlier writes published
+            mpath = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    manifest = json.load(f)
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{wid}-{i:05d}.jsonl")
             os.rename(m.shard, final)
             manifest[os.path.basename(final)] = m.n_rows
         if self.overwrite:
-            # a previous LARGER write may have left part-NNNNN shards past
-            # this write's count — a naive *.jsonl glob would read stale
-            # rows alongside the new manifest. Also sweep orphaned staging
-            # files from crashed earlier attempts.
+            # previous writes' shards are stale under overwrite — a
+            # naive *.jsonl glob would read them alongside the manifest
             for f in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                 if os.path.basename(f) not in manifest:
                     os.remove(f)
-            for f in glob.glob(os.path.join(self.path, "_staging_*")):
-                os.remove(f)
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
-            json.dump(manifest, f, sort_keys=True)
+        # Orphaned staging from crashed/lost-speculative attempts is
+        # swept in EVERY mode (append-only sinks accumulated them
+        # forever), age-gated so a concurrent write's in-flight shard
+        # is never deleted.
+        cutoff = time.time() - STAGING_GC_AGE_S
+        for f in glob.glob(os.path.join(self.path, "_staging_*")):
+            try:
+                if self.overwrite or os.path.getmtime(f) < cutoff:
+                    os.remove(f)
+            except OSError:
+                pass
+        from ..fsutil import atomic_write_json
+        atomic_write_json(os.path.join(self.path, "_MANIFEST.json"),
+                          dict(sorted(manifest.items())))
 
     def abort(self, messages):
         import os
@@ -339,24 +382,23 @@ try:  # writer base classes exist on Spark >= 4.0 only
         batch, and a batch id already present in the manifest is
         skipped (replay after failure is a no-op: the exactly-once
         recipe, now at per-batch granularity). abort(batchId) deletes
-        that batch's staging shards only."""
+        that batch's staging shards only.
 
-        def __init__(self, options: dict):
+        ``overwrite`` is Spark's complete/truncate output-mode signal
+        (review r9 — it was silently dropped, so complete-mode queries
+        duplicated every group once per committed batch): when set,
+        each commit publishes a manifest containing ONLY the new batch
+        and then prunes the retired batch dirs."""
+
+        def __init__(self, options: dict, overwrite: bool = False):
             self.path = options["path"]
+            self.overwrite = overwrite
 
         def write(self, iterator):
-            import json as _json
             import os as _os
-            import uuid as _uuid
 
-            _os.makedirs(_os.path.join(self.path, "_staging"), exist_ok=True)
-            shard = _os.path.join(self.path, "_staging",
-                                  f"{_uuid.uuid4().hex}.tmp")
-            n = 0
-            with open(shard, "w") as f:
-                for row in iterator:
-                    f.write(_json.dumps(row.asDict()) + "\n")
-                    n += 1
+            shard, n = _stage_jsonl_shard(
+                _os.path.join(self.path, "_staging"), iterator)
             return _ShardCommitMsg(shard, n)
 
         def _manifest_path(self) -> str:
@@ -385,12 +427,26 @@ try:  # writer base classes exist on Spark >= 4.0 only
                     continue
                 os.rename(m.shard, os.path.join(bdir, f"part-{i:05d}.jsonl"))
                 rows += m.n_rows
-            manifest["batches"][str(batchId)] = rows
+            if self.overwrite:
+                # complete mode: this batch REPLACES all prior results —
+                # manifest lists only it; retired dirs pruned after the
+                # publish so a manifest-following reader never sees a
+                # half state
+                stale = [b for b in manifest["batches"]
+                         if b != str(batchId)]
+                manifest = {"batches": {str(batchId): rows}}
+            else:
+                stale = []
+                manifest["batches"][str(batchId)] = rows
             # publish LAST, atomically: temp-file + rename, so a crash
             # mid-write can't leave truncated JSON that breaks
             # _load_manifest on recovery (ADVICE r3)
             from ..fsutil import atomic_write_json
             atomic_write_json(self._manifest_path(), manifest)
+            import shutil as _shutil
+            for b in stale:
+                _shutil.rmtree(os.path.join(self.path, f"batch-{b}"),
+                               ignore_errors=True)
 
         def abort(self, messages, batchId: int) -> None:
             for m in messages:
@@ -409,7 +465,7 @@ try:  # writer base classes exist on Spark >= 4.0 only
             return _JsonAuditDataSourceWriter(self.options, overwrite)
 
         def streamWriter(self, schema, overwrite: bool):
-            return JsonAuditStreamWriter(self.options)
+            return JsonAuditStreamWriter(self.options, overwrite)
 
     def register_jsonaudit_sink(spark: SparkSession) -> None:
         spark.dataSource.register(JsonAuditDataSource)
@@ -443,13 +499,18 @@ def stream_pysink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol, AND the round-trip fidelity of every row. Values are
     1-decimal by construction, so tenth-exact integer sums reproduce
     the double totals bit-for-bit in both engines."""
-    import tempfile
+    import shutil
 
+    from ..fsutil import query_workspace
     from .tables import load_table  # noqa: F401  (module convention)
 
     register_synthetic_source(spark)
     register_jsonaudit_sink(spark)
-    out_dir = tempfile.mkdtemp(prefix="pysink_jsonl_")
+    # one reused workspace per (process, sf_dir): bench retries re-run
+    # this query — a mkdtemp per call leaks a full sink + checkpoint copy
+    out_dir = query_workspace("pysink_jsonl", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
     stream = (
         spark.readStream.format("synthetic_events")
         .option("rows", "4000").option("rows_per_batch", "2000")
@@ -464,10 +525,8 @@ def stream_pysink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     # explicit schema: json inference would cost a second full pass
-    back = spark.read.schema(
-        "event_id bigint, ts_s bigint, user_id bigint, "
-        "event_type string, value double"
-    ).json(os.path.join(out_dir, "batch-*", "*.jsonl"))
+    back = spark.read.schema(SYNTH_EVENTS_SCHEMA).json(
+        os.path.join(out_dir, "batch-*", "*.jsonl"))
     return (
         back.groupBy("user_id")
         .agg(F.count("*").alias("n_events"),

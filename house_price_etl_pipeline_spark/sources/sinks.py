@@ -157,7 +157,6 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOUBLE on both engines and the warehouse column is declared DOUBLE
     (bit-preserving round-trip)."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -175,9 +174,8 @@ def sink_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orphaned Derby directories AND booted embedded-Derby instances in
     # the JVM. Reuse one database; the overwrite-write makes each
     # invocation's state fresh anyway.
-    db_root = os.path.join(
-        tempfile.gettempdir(),
-        f"jdbc_sink_{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}")
+    from ..fsutil import query_workspace
+    db_root = query_workspace("jdbc_sink", sf_dir)
     url = derby_url(db_root + "/db")
     write_jdbc_table(agg, url, "order_stats", mode="overwrite",
                      schema_ddl="o_orderstatus VARCHAR(4), "

@@ -49,7 +49,9 @@ def stream_house_csv(spark: SparkSession, src_dir: str) -> DataFrame:
         .csv(src_dir)
     )
     raw = raw.withColumn("檔名", F.input_file_name())
-    return raw.filter(F.col("交易標的") != "transaction sign")
+    # NULL-safe header drop, same rule as sources/csv_house.py
+    return raw.filter((F.col("交易標的") != "transaction sign")
+                      | F.col("交易標的").isNull())
 
 
 def run_ingest_available_now(

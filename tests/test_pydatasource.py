@@ -274,3 +274,72 @@ def test_python_source_filter_pushdown(spark):
     assert ev.filter("event_id >= 300").count() == 700
     assert ev.count() == 1000
     assert ev.filter("event_id < 10").count() == 10
+
+
+def test_json_audit_append_accumulates(spark, tmp_path):
+    """Append mode must ACCUMULATE (the reference's WRITE_APPEND): a
+    second append used to rename its shards over the first write's
+    part-{i} names and rewrite the manifest — reproduced as 100+50
+    rows leaving only 50 on disk (review r9)."""
+    import glob
+    import json
+    import os
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import \
+        register_jsonaudit_sink
+
+    register_jsonaudit_sink(spark)
+    out = str(tmp_path / "audit_acc")
+    spark.range(100).selectExpr("id AS k").coalesce(2) \
+        .write.format("jsonaudit").option("path", out).mode("append").save()
+    spark.range(100, 150).selectExpr("id AS k").coalesce(2) \
+        .write.format("jsonaudit").option("path", out).mode("append").save()
+    rows = []
+    for f in glob.glob(os.path.join(out, "part-*.jsonl")):
+        with open(f) as fh:
+            rows += [json.loads(line)["k"] for line in fh]
+    assert sorted(rows) == list(range(150))
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert sum(manifest.values()) == 150
+    assert len(manifest) == 4          # 2 shards per write, both retained
+
+
+def test_stream_writer_complete_mode_replaces_batches(spark, tmp_path):
+    """outputMode('complete') passes overwrite=True to the stream
+    writer: each committed batch must REPLACE prior results, not stack
+    beside them (review r9 — the flag was dropped and a complete-mode
+    reader saw every group duplicated once per batch)."""
+    import glob
+    import json
+    import os
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        register_jsonaudit_sink, register_synthetic_source)
+
+    register_synthetic_source(spark)
+    register_jsonaudit_sink(spark)
+    out = str(tmp_path / "audit_complete")
+    stream = (spark.readStream.format("synthetic_events")
+              .option("rows", "400").option("rows_per_batch", "100")
+              .option("partitions", "2").load())
+    agg = stream.groupBy("event_type").count()
+    q = (agg.writeStream.outputMode("complete").format("jsonaudit")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(out, "_ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(os.path.join(out, "_STREAM_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert len(manifest["batches"]) == 1      # only the FINAL batch
+    batch_dirs = glob.glob(os.path.join(out, "batch-*"))
+    assert len(batch_dirs) == 1               # stale dirs pruned
+    rows = []
+    for f in glob.glob(os.path.join(batch_dirs[0], "*.jsonl")):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh]
+    # the final complete-mode table == the batch aggregate of all rows
+    assert sum(r["count"] for r in rows) == 400
