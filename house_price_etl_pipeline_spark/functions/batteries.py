@@ -334,10 +334,15 @@ def events_json_infer_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         inferred = spark.read.json(
             spark.sparkContext.parallelize(samples, 1)).schema
     else:
-        # no JSON anywhere in the sample window: fall back to the
-        # query's own projection schema — every extraction is NULL,
-        # exactly what the oracle computes over an all-NULL column
-        inferred = T.StructType([T.StructField("k", T.LongType())])
+        inferred = T.StructType([])
+    if "k" not in inferred.fieldNames():
+        # no JSON in the sample window, or none of it carried the
+        # extracted key (e.g. 64 malformed blobs infer only
+        # _corrupt_record): p.k would fail RESOLUTION, not return NULL
+        # — extend the schema so every extraction is NULL, exactly
+        # what the oracle computes over such a column (review r9)
+        inferred = T.StructType(
+            list(inferred.fields) + [T.StructField("k", T.LongType())])
     parsed = ev.select(
         "event_id", F.from_json("props", inferred).alias("p"))
     return (

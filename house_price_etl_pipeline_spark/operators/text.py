@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec_sum, dec_sum_expr
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -289,13 +288,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = F.round(
         F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("n_docs_with")), 6
     )
+    # top-100 via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps + one bounded merge). The previous row_number over a global
+    # un-partitioned window shuffled the ENTIRE scored (doc, term)
+    # relation into a single task — the one-partition anti-pattern this
+    # module's docstring forbids (review r9).
     return (
         tok.join(df_tbl, "t")
         .select("doc_id", F.col("t").alias("term"), "tf", tfidf.alias("tfidf"))
-        .withColumn("rn", F.row_number().over(
-            Window.orderBy(F.col("tfidf").desc(), "doc_id", "term")))
-        .filter(F.col("rn") <= 100).drop("rn")
         .orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(100)
     )
 
 
@@ -322,7 +324,11 @@ def text_udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class PositionalTokens:
         def eval(self, text: str):
-            for i, t in enumerate((text or "").split(" ")):
+            if text is None:
+                return  # no text, no rows — the oracle's UNNEST(range(
+                #         1, len(NULL)+1)) semantics; '' still yields
+                #         one ('', pos 0) row in both engines
+            for i, t in enumerate(text.split(" ")):
                 yield i, t
 
     spark.udtf.register("positional_tokens", PositionalTokens)
@@ -574,7 +580,7 @@ BM25_K1, BM25_B = 1.2, 0.75
 
 @register(
     "text_bm25_topk",
-    oracle="""
+    oracle=f"""
     WITH toks AS (SELECT doc_id,
                          string_split(coalesce(text, ''), ' ') AS t
                   FROM documents),
@@ -591,8 +597,9 @@ BM25_K1, BM25_B = 1.2, 0.75
       SELECT tf.doc_id,
              CAST(ln((stats.n_docs - dfq.n_docs_with + 0.5)
                      / (dfq.n_docs_with + 0.5) + 1.0)
-                  * (tf.tf * 2.2)
-                  / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / stats.avgdl))
+                  * (tf.tf * {BM25_K1 + 1.0})
+                  / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                             + ({BM25_B} * tf.dl) / stats.avgdl))
                   AS DECIMAL(25,12)) AS c
       FROM tf JOIN dfq USING (term) CROSS JOIN stats)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
@@ -627,7 +634,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = d.select(F.size(toks).alias("dl")) \
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")) \
         .collect()[0]
-    n_docs, avgdl = float(stats.n), float(stats.avgdl)
+    n_docs = float(stats.n)
+    # empty corpus: avg over zero rows is NULL — any non-zero avgdl
+    # keeps the (vacuously empty) plan well-formed instead of float(None)
+    avgdl = float(stats.avgdl) if stats.avgdl is not None else 1.0
 
     tok = (d.select("doc_id", F.size(toks).alias("dl"),
                     F.explode(toks).alias("term"))
@@ -638,9 +648,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs_with"))
     idf = F.log((F.lit(n_docs) - F.col("n_docs_with") + 0.5)
                 / (F.col("n_docs_with") + 0.5) + 1.0)
-    contrib = (idf * (F.col("tf") * 2.2)
+    contrib = (idf * (F.col("tf") * (BM25_K1 + 1.0))
                / (F.col("tf")
-                  + 1.2 * (0.25 + (0.75 * F.col("dl")) / F.lit(avgdl)))
+                  + BM25_K1 * ((1.0 - BM25_B)
+                               + (BM25_B * F.col("dl")) / F.lit(avgdl)))
                ).cast("decimal(25,12)")
     return (
         tf_tbl.join(F.broadcast(df_tbl), "term")
