@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import exact_twin_enabled
-from ..functions.numeric import (dec_avg_expr, dec_sum_expr, fixed_avg,
-                                 fixed_sum)
+from ..functions.numeric import (dec_avg_expr, dec_sum, dec_sum_expr,
+                                 fixed_avg, fixed_sum)
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -143,8 +143,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC))
-            .cast("double").alias("revenue"),
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -336,8 +336,8 @@ def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC))
-             .cast("double").alias("revenue"),
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"),
              F.count("*").alias("n_items"))
         .orderBy("p_brand")
     )
@@ -387,8 +387,8 @@ def join_left_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_orders"),
              F.count("*").alias("n_rows"),
-             F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)).cast(_DEC))
-             .cast("double").alias("total_spend"))
+             dec_sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)))
+             .alias("total_spend"))
         .orderBy("c_mktsegment")
     )
 
@@ -421,13 +421,20 @@ def join_semi_big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
 )
 def join_anti_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI flavor: customers with no BIG order. The predicate is
+    load-bearing (review r9): in this generator EVERY customer has some
+    order, so a bare no-orders anti-join returned zero rows at the
+    gate SF and verified nothing — the >400k filter keeps the output
+    non-empty and the anti semantics value-checked at every SF."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -638,8 +645,10 @@ def setop_union_all_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_k_stats",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_k
     FROM (SELECT event_type,
                  CASE WHEN json_valid(props) THEN props END AS props
           FROM events)
@@ -858,7 +867,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue.cast(_DEC)).cast("double").alias("revenue"))
+        .agg(dec_sum(revenue).alias("revenue"))
         .select("l_orderkey", "revenue",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
                 "o_orderpriority")
@@ -878,8 +887,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= DATE '1994-01-01'
-      AND o.o_orderdate < DATE '1994-07-01'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
@@ -890,9 +899,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed to the scans, top-k tail."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    # 1996H1, not the canonical 1994 window: the generator's orderdates
+    # span 1995-2001, so the 1994 window matched ZERO rows and the whole
+    # join/agg/top-k shape was never value-checked (review r9)
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1994-07-01").cast("date")))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date")))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -900,7 +912,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue.cast(_DEC)).cast("double").alias("revenue"),
+        .agg(dec_sum(revenue).alias("revenue"),
              F.count("*").alias("n_items"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -918,7 +930,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'F'
-                        AND o.o_totalprice < 1000)
+                        AND o.o_totalprice < 10000)
     ORDER BY c.c_custkey
     """,
 )
@@ -938,7 +950,7 @@ def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'F'
-                            AND o.o_totalprice < 1000)
+                            AND o.o_totalprice < 10000)
         ORDER BY c.c_custkey
     """)
 
@@ -998,7 +1010,8 @@ def join_interval_self_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            {dec_sum_expr('o_totalprice')} AS day_spend,
            round(CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(25,6))))
-                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE)
                        RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
                  AS DOUBLE), 6) AS rolling_7d_spend
     FROM orders WHERE o_custkey <= 200
@@ -1010,7 +1023,12 @@ def window_range_frame_weekly_spend(spark: SparkSession, sf_dir: str) -> DataFra
     """RANGE frame (value-based, not row-based): 7-day rolling spend per
     customer — rangeBetween over a day ordinal, the frame spec ROWS
     BETWEEN can't express when days are missing. Aggregated to one row
-    per (customer, day) first so the window input is deterministic."""
+    per (customer, day) first so the window input is deterministic.
+    Both sides frame on CALENDAR DAYS explicitly — the Spark ordinal is
+    datediff (date-truncated) and the oracle orders by CAST(... AS
+    DATE); framing the raw TIMESTAMP would silently change the
+    semantics to a sliding 6x24h window the moment an intraday order
+    timestamp appears (review r9)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
     daily = (
         o.groupBy("o_custkey", "o_orderdate")
@@ -1631,19 +1649,34 @@ def agg_mode_listagg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     value ASC), ordered ``listagg DISTINCT`` (WITHIN GROUP), and an
     EXACT distinct count via roaring-style bitmap aggregation —
     ``bitmap_construct_agg`` ORs fixed-size bitmaps map-side, so the
-    shuffle carries one bitmap per group instead of one row per distinct
-    key (the exact-count analog of HLL; keys must fit one 32k-bit
-    segment, hence the +1 shift — ``bitmap_bit_position`` is 1-based and
-    would drop key 0)."""
+    shuffle carries one bitmap per (group, 32k-key bucket) instead of
+    one row per distinct key (the exact-count analog of HLL). Keys are
+    bucketed with ``bitmap_bucket_number`` and the per-bucket counts
+    summed: ``bitmap_bit_position`` alone wraps modulo 32768, which
+    silently UNDERCOUNTS once keys exceed 32767 (review r9 — the
+    bucket group-by is what makes the pattern key-range-safe at any
+    SF; the +1 shift keeps 1-based positions from dropping key 0)."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql("""
-        SELECT l_returnflag,
-               mode(l_linestatus, true) AS mode_status,
-               listagg(DISTINCT l_linestatus, ',')
-                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
-               CAST(bitmap_count(bitmap_construct_agg(
-                    bitmap_bit_position(l_suppkey + 1))) AS BIGINT)
-                 AS n_suppliers
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        WITH per_bucket AS (
+          SELECT l_returnflag,
+                 bitmap_bucket_number(l_suppkey + 1) AS bkt,
+                 bitmap_count(bitmap_construct_agg(
+                     bitmap_bit_position(l_suppkey + 1))) AS cnt
+          FROM lineitem GROUP BY l_returnflag, bkt
+        ),
+        exact AS (
+          SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n_suppliers
+          FROM per_bucket GROUP BY l_returnflag
+        )
+        SELECT g.l_returnflag, g.mode_status, g.statuses, e.n_suppliers
+        FROM (
+          SELECT l_returnflag,
+                 mode(l_linestatus, true) AS mode_status,
+                 listagg(DISTINCT l_linestatus, ',')
+                   WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+          FROM lineitem GROUP BY l_returnflag
+        ) g JOIN exact e ON g.l_returnflag = e.l_returnflag
+        ORDER BY g.l_returnflag
     """)

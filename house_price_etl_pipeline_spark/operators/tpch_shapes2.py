@@ -19,8 +19,11 @@ Scale notes (local[32] today, 1000 executors tomorrow):
 - Q4/Q21's EXISTS/NOT EXISTS become semi/anti joins keyed on l_orderkey
   — the same key every orders↔lineitem join here shuffles on, so AQE
   reuses one exchange instead of re-shuffling per predicate;
-- Q8/Q9 join nation/region/part/supplier as broadcasts (dimension
-  tables stay small at every SF — they scale with nations, not rows);
+- Q8/Q9 broadcast only nation/region (fixed cardinality at every SF —
+  sources/tables.BROADCAST_TABLES); part/supplier grow LINEARLY with
+  SF (TPC-H: SF x 200k / SF x 10k rows), so their joins are left to
+  AQE: broadcast while they fit, sort-merge when they don't — a forced
+  broadcast would OOM the driver at the 100 TB target (review r9);
 - Q13's left join aggregates count-per-customer then distribution —
   both aggs partial (map-side combine) before any shuffle;
 - Q20's threshold compare stays in exact DECIMAL so the qualifying set
@@ -122,8 +125,8 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     sales = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
@@ -176,8 +179,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
               - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("supp_nation"),
@@ -299,7 +302,9 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum("qty").alias("total_qty")))
     qualifying = (
         shipped.join(tot, shipped.l_partkey == tot.tk)
-        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        # the 'small%' slice is a fixed FRACTION of part — linear in SF
+        # like its parent, so AQE decides broadcast vs shuffle
+        .join(p, shipped.l_partkey == p.p_partkey)
         .filter(F.col("qty") > F.lit(0.3).cast("decimal(2,1)") * F.col("total_qty"))
         .select("l_suppkey"))
     return (
@@ -358,7 +363,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(multi_supp, late.l_orderkey == F.col("mk"), "left_semi")
         .join(one_late, late.l_orderkey == F.col("lk"), "left_semi")
-        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .join(s, late.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
