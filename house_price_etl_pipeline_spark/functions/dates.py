@@ -36,7 +36,12 @@ def minguo_to_iso(col: Column | str) -> Column:
     greg_year = roc_year.cast("int") + F.lit(1911)
     mm = F.substring(digits, -4, 2)
     dd = F.substring(digits, -2, 2)
-    return F.concat_ws("-", greg_year.cast("string"), mm, dd)
+    # concat, NOT concat_ws: concat propagates NULL (malformed/NULL in →
+    # NULL out, the documented contract), while concat_ws SKIPS NULL
+    # arguments and returned '' for garbage — a .isNotNull() filter kept
+    # every bad row (review r9, empirically confirmed)
+    return F.concat(greg_year.cast("string"), F.lit("-"), mm,
+                    F.lit("-"), dd)
 
 
 def minguo_to_date(col: Column | str) -> Column:

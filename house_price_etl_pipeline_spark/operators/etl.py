@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dates import minguo_to_date
 from ..functions.geo import city_code_from_filename, city_from_code
-from ..functions.numeric import m2_to_ping, ping_price_from_m2
+from ..functions.numeric import dec_avg, m2_to_ping, ping_price_from_m2
 
 # Chinese → English rename maps (reference etl_pipeline_spark.py:43-45,
 # etl_pipeline_beam.py:41-45).
@@ -66,10 +66,14 @@ def _common_tail(df: DataFrame, area_col: str) -> DataFrame:
         # (etl_pipeline_spark.py:63-67) with pushdown-friendly expressions.
         .withColumn("transaction_date", minguo_to_date("transaction_date"))
         .filter(F.col("transaction_date").isNotNull())
-        # Lenient numeric coercion: try_cast yields NULL on garbage under
-        # ANSI mode (Spark 4 default), matching pd.to_numeric(
-        # errors='coerce') at etl_pipeline_beam.py:98.
-        .withColumn("total_price", F.col("total_price").try_cast("long"))
+        # Lenient numeric coercion matching pd.to_numeric(errors=
+        # 'coerce') at etl_pipeline_beam.py:98: parse as DOUBLE first —
+        # a direct try_cast('long') silently NULLs decimal-formatted
+        # strings like '2000000.0' that pandas coerces fine (review r9)
+        # — then truncate to the reference's integer TWD type.
+        .withColumn("total_price",
+                    F.col("total_price").try_cast("double")
+                    .try_cast("long"))
         .withColumn("unit_price_m2", repaired_unit_price)
         .withColumn(area_col, F.col(area_col).try_cast("double"))
         # m² → 坪 with 2-decimal rounding (etl_pipeline_spark.py:76-78).
@@ -123,7 +127,10 @@ def avg_price_by_year(cleaned: DataFrame, city: str = "宜蘭縣") -> DataFrame:
     return (
         cleaned.filter(F.col("city") == city)
         .groupBy(F.year("transaction_date").alias("year"))
-        .agg(F.round(F.avg("unit_price_ping"), 2).alias("avg_unit_price_ping"))
+        # dec_avg, not plain avg: partition-order-independent result
+        # (the numeric.py discipline every oracled aggregate follows)
+        .agg(F.round(dec_avg("unit_price_ping"), 2)
+             .alias("avg_unit_price_ping"))
         .orderBy("year")
     )
 

@@ -219,22 +219,31 @@ def ref_conditional_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_unit_conversion_ping",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           round(l_quantity / {M2_PER_PING}, 2) AS area_ping,
-           round(l_extendedprice * {M2_PER_PING}, 2) AS price_ping
+           floor(l_quantity / {M2_PER_PING} * 100 + 0.5) / 100 AS area_ping,
+           floor(l_extendedprice * {M2_PER_PING} * 100 + 0.5) / 100
+             AS price_ping
     FROM lineitem WHERE l_orderkey <= 200
     ORDER BY l_orderkey, l_linenumber
     """,
 )
 def ref_unit_conversion_ping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8+X9: m²→坪 division and its inverse on prices, rounded to 2 —
-    row-level output so every value is checked, not just aggregates."""
+    row-level output so every value is checked, not just aggregates.
+    Rounding is spelled floor(x*100+0.5)/100 on BOTH sides: engine
+    round() tie-handling on doubles differs between Spark (BigDecimal
+    HALF_UP on the exact binary expansion) and DuckDB (C-library FP),
+    so a half-cent boundary value could flake the per-row hash — the
+    explicit floor idiom is one deterministic rule both engines compute
+    identically (review r9; same trick as emb_normalize_quantize)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") <= 200)
         .select(
             "l_orderkey", "l_linenumber",
-            F.round(F.col("l_quantity") / F.lit(M2_PER_PING), 2).alias("area_ping"),
-            F.round(F.col("l_extendedprice") * F.lit(M2_PER_PING), 2).alias("price_ping"),
+            (F.floor(F.col("l_quantity") / F.lit(M2_PER_PING) * 100
+                     + 0.5) / 100).alias("area_ping"),
+            (F.floor(F.col("l_extendedprice") * F.lit(M2_PER_PING) * 100
+                     + 0.5) / 100).alias("price_ping"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

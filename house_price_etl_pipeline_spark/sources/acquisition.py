@@ -46,7 +46,10 @@ def extract_completed_downloads(download_dir: str) -> tuple[bool, list[str]]:
         return False, []
     extracted = []
     for fname in sorted(names):
-        if not fname.endswith(".zip"):
+        if not fname.endswith(".zip") or fname == ".zip":
+            # a zero-stem archive would make out_dir == download_dir and
+            # the stale-dir rmtree below would destroy every pending
+            # download (review r9)
             continue
         zpath = os.path.join(download_dir, fname)
         out_dir = os.path.join(download_dir, fname[:-4])
@@ -67,9 +70,12 @@ def extract_completed_downloads(download_dir: str) -> tuple[bool, list[str]]:
 def wait_for_downloads(download_dir: str, poll_seconds: float = 2.0,
                        max_polls: int | None = None) -> list[str]:
     """The reference's blocking completion poll (crawler.py:44-50):
-    sleep-and-rescan until no partial remains, extracting completed
-    archives as they appear. ``max_polls`` bounds the loop for tests /
-    batch jobs (None = poll forever, the reference's behavior)."""
+    sleep-and-rescan until NO partial download remains, then extract
+    every completed archive in one pass — extraction is deliberately
+    all-or-nothing per poll (matching the reference's behavior), NOT
+    incremental while downloads are still in flight. ``max_polls``
+    bounds the loop for tests / batch jobs (None = poll forever, the
+    reference's behavior)."""
     import time
 
     extracted: list[str] = []
