@@ -595,7 +595,7 @@ def optimize_upsert_target(spark, target_dir: str,
             if manifest_cols:
                 from .skipping import write_stats_manifest
                 write_stats_manifest(os.path.join(versions_root, stage),
-                                     manifest_cols)
+                                     manifest_cols, spark=spark)
         except Exception as exc:
             # Same stale-input window as the upsert merge: concurrent
             # commits can retire the head we are compacting and prune it

@@ -41,13 +41,27 @@ STATS_MANIFEST = "_skipping_stats.json"
 _SCALAR_KINDS = (int, float, str, bool)
 
 
+# parquet min/max statistics EXCLUDE NaN, and Spark orders NaN above
+# every double — a keep/drop decision from float stats could discard a
+# file whose only matching rows are NaN. No safe bound is provable from
+# the footer alone, so floating-point columns get no range stats (the
+# provably-all-NULL form stays valid: all-NULL means no values, hence
+# no NaN either).
+_FLOAT_PHYSICAL = ("FLOAT", "DOUBLE")
+
+
 def _file_column_stats(path: str, cols: list[str]) -> dict:
     """One file's manifest entry from footer metadata only (no data
     pages read): {"rows": N, "stats": {col: [min, max, n_nulls]}}.
     An all-NULL column carries [None, None, N] (parquet writes no
     min/max for it but the null count proves no value can match a
     range predicate); a column whose stats are incomplete for any
-    other reason is omitted — absent stats means 'keep'."""
+    other reason is omitted — absent stats means 'keep'. A row group
+    with has_min_max=False counts toward the range ONLY when it is
+    provably all-NULL (null_count == row-group rows); writers also
+    suppress min/max for NaN-bearing doubles and other reasons, and
+    silently narrowing the range there would let pruning drop matching
+    rows — the one thing the module contract forbids."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -58,12 +72,14 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
         idx = name_to_idx.get(col)
         if idx is None:
             continue
+        is_float = md.schema.column(idx).physical_type in _FLOAT_PHYSICAL
         lo = hi = None
         nulls = 0
         nulls_known = True
         ok = True
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
+            rgmd = md.row_group(rg)
+            st = rgmd.column(idx).statistics
             if st is None:
                 ok = False
                 break
@@ -72,9 +88,15 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
             else:
                 nulls += st.null_count
             if not st.has_min_max:
-                # legitimate for an all-NULL row group; min/max stay
-                # as accumulated from the other row groups
-                continue
+                if st.null_count is not None \
+                        and st.null_count == rgmd.num_rows:
+                    # provably all-NULL row group: contributes no values
+                    continue
+                ok = False       # unexplained missing min/max: no stats
+                break
+            if is_float:
+                ok = False       # NaN-invisible stats: never serialize
+                break
             mn, mx = st.min, st.max
             if not (isinstance(mn, _SCALAR_KINDS)
                     and isinstance(mx, _SCALAR_KINDS)):
@@ -91,23 +113,60 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
     return {"rows": md.num_rows, "stats": stats}
 
 
-def write_stats_manifest(snapshot_dir: str, cols: list[str]) -> str:
+def _collect_stats_distributed(spark: SparkSession, snapshot_dir: str,
+                               files: list[str], cols: list[str]) -> dict:
+    """Footer-stat collection as a Spark job over the file list: each
+    executor partition reads its share of footers and returns the
+    (small) per-file stats entry JSON-encoded — the driver only
+    assembles the manifest, never walks files serially. At the 100 TB
+    target (~800k files) the footer pass parallelizes across the
+    cluster instead of costing hours of driver time; the collect is
+    bounded by the manifest size itself, which one writer must hold to
+    publish anyway (Delta's add.stats are likewise driver-assembled
+    into the commit)."""
+    import pandas as pd
+
+    pairs = [(f, os.path.join(snapshot_dir, f)) for f in files]
+    n_slices = max(1, min(len(pairs),
+                          spark.sparkContext.defaultParallelism))
+
+    def footer_stats(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "file": pdf["file"],
+                "entry": [json.dumps(_file_column_stats(p, cols))
+                          for p in pdf["path"]],
+            })
+
+    rows = (spark.createDataFrame(pairs, "file string, path string")
+            .repartition(n_slices)
+            .mapInPandas(footer_stats, "file string, entry string")
+            .collect())
+    return {r.file: json.loads(r.entry) for r in rows}
+
+
+def write_stats_manifest(snapshot_dir: str, cols: list[str],
+                         spark: SparkSession | None = None) -> str:
     """Collect footer stats for every data file in a snapshot dir and
     write the ``_skipping_stats.json`` manifest beside them (underscore
     prefix: invisible to Spark's scans and to the format's size
     accounting). Returns the manifest path. Cost is one footer read per
     file — the same pass a writer's commit already pays in Delta, done
-    here at OPTIMIZE time."""
+    here at OPTIMIZE time. With ``spark`` the footer reads run as a
+    distributed job (the scale path — no O(files) driver loop);
+    without, a serial driver loop handles small/ad-hoc directories."""
+    cols = list(cols)
     files = sorted(
         f for f in os.listdir(snapshot_dir)
         if f.endswith(".parquet") and not f.startswith(("_", ".")))
-    manifest = {
-        "columns": list(cols),
-        "files": {
-            f: _file_column_stats(os.path.join(snapshot_dir, f), cols)
-            for f in files
-        },
-    }
+    if spark is not None and len(files) > 1:
+        entries = _collect_stats_distributed(spark, snapshot_dir,
+                                             files, cols)
+    else:
+        entries = {f: _file_column_stats(os.path.join(snapshot_dir, f),
+                                         cols)
+                   for f in files}
+    manifest = {"columns": cols, "files": entries}
     path = os.path.join(snapshot_dir, STATS_MANIFEST)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:

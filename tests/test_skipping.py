@@ -148,3 +148,49 @@ def test_all_null_column_file_is_droppable(spark, tmp_path):
     assert manifest["files"]["part-1.parquet"]["stats"]["a"] == [5, 5, 1]
     kept, total = prune_files(flat, {"a": (0, 100)})
     assert total == 2 and kept == ["part-1.parquet"]
+
+
+def test_float_columns_get_no_range_stats(spark, tmp_path):
+    """Parquet min/max exclude NaN and Spark orders NaN above every
+    double, so a float range decided from footer stats could drop a
+    file whose only matching rows are NaN: float columns must carry NO
+    range stats (always kept), while a provably all-NULL float column
+    keeps the droppable [None, None, rows] form (no values → no NaN)."""
+    import shutil
+    d = str(tmp_path / "floatsrc")
+    spark.createDataFrame(
+        [(1, 1.5), (2, float("nan"))], "k long, v double").coalesce(1) \
+        .write.parquet(os.path.join(d, "f_nan"))
+    spark.createDataFrame(
+        [(3, None), (4, None)], "k long, v double").coalesce(1) \
+        .write.parquet(os.path.join(d, "f_allnull"))
+    flat = str(tmp_path / "floatflat")
+    os.makedirs(flat)
+    for i, sub in enumerate(("f_nan", "f_allnull")):
+        src = next(f for f in os.listdir(os.path.join(d, sub))
+                   if f.endswith(".parquet"))
+        shutil.copy(os.path.join(d, sub, src),
+                    os.path.join(flat, f"part-{i}.parquet"))
+    write_stats_manifest(flat, ["v", "k"])
+    manifest = read_stats_manifest(flat)
+    assert "v" not in manifest["files"]["part-0.parquet"]["stats"]
+    assert manifest["files"]["part-1.parquet"]["stats"]["v"] == \
+        [None, None, 2]
+    assert manifest["files"]["part-0.parquet"]["stats"]["k"] == [1, 2, 0]
+    # range above the finite values must NOT prune the NaN file (Spark
+    # treats NaN > any double, so v >= 100.0 matches the NaN row)
+    kept, total = prune_files(flat, {"v": (100.0, None)})
+    assert total == 2 and "part-0.parquet" in kept
+
+
+def test_distributed_manifest_matches_serial(spark, tmp_path):
+    """write_stats_manifest(spark=...) — the executor-side footer walk
+    used by OPTIMIZE — produces a byte-identical manifest to the serial
+    driver loop."""
+    target = _build_table(spark, str(tmp_path))
+    snap = os.path.realpath(target)
+    write_stats_manifest(snap, ["a", "b"])
+    serial = read_stats_manifest(snap)
+    write_stats_manifest(snap, ["a", "b"], spark=spark)
+    dist = read_stats_manifest(snap)
+    assert dist == serial and len(dist["files"]) > 1
