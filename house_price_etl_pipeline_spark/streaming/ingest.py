@@ -177,10 +177,17 @@ def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
             .start())
 
 
+# journal ops that introduce a NEW table version (OPTIMIZE rewrites an
+# existing version in place and shares its number, so it is excluded
+# from exactly-once replay detection and the applied-versions pointer)
+_VERSIONING_OPS = ("upsert", "delete")
+
+
 def _journal_state(versions_root: str) -> tuple[list[dict], set[int]]:
     from ..fsutil import read_commit_journal
     commits = read_commit_journal(_commits_dir(versions_root))
-    applied = {c["version"] for c in commits if c.get("op") == "upsert"}
+    applied = {c["version"] for c in commits
+               if c.get("op") in _VERSIONING_OPS}
     return commits, applied
 
 
@@ -257,7 +264,7 @@ def _publish_commit(target_dir: str, versions_root: str,
         atomic_symlink_swap(
             target_dir, os.path.join(versions_root, head["version_name"]))
         applied = sorted(c["version"] for c in commits
-                         if c.get("op") == "upsert")
+                         if c.get("op") in _VERSIONING_OPS)
         atomic_write_json(os.path.join(versions_root, "_POINTER.json"),
                           {"version": head["version"], "applied": applied})
         # Prune ONLY snapshots referenced by commits now outside the
@@ -397,6 +404,90 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                       ignore_errors=True)
     raise RuntimeError(
         f"upsert commit for version {batch_id} lost {max_retries} "
+        f"consecutive CAS races — livelocked writer set?")
+
+
+def upsert_delete_where(spark, target_dir: str, batch_id: int,
+                        condition, keep_versions: int = 2,
+                        writer: str = "w0",
+                        max_retries: int = 24) -> str:
+    """Delta-style ``DELETE WHERE`` committed through the same
+    optimistic journal as the upserts: stages the current snapshot
+    MINUS the matching rows as the next version, CAS-claims the journal
+    slot, publishes. SQL DELETE semantics — a row is removed iff the
+    predicate is TRUE; FALSE and NULL (three-valued logic) keep the
+    row. ``condition`` is a Column or a SQL expression string.
+
+    This is what makes the change feed's ``delete`` rows reachable
+    (read_upsert_changes emits one per key present in v_from but absent
+    in v_to), and with them the −1 legs of the incremental-MV fold.
+    Exactly-once by ``batch_id`` like the upserts; at 100 TB the stage
+    is one full-snapshot filter scan — the same copy-on-write cost a
+    non-deletion-vector Delta DELETE pays."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..fsutil import cas_backoff, try_commit
+    from .index import _input_vanished
+
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    versions_root = target_dir + "_versions"
+    retried = False
+    for _attempt in range(max_retries):
+        if _attempt:
+            cas_backoff(_attempt)
+        commits, applied = _journal_state(versions_root)
+        if not commits:
+            raise FileNotFoundError(f"no upsert table at {target_dir}")
+        if batch_id in applied:
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "replayed"
+        base = commits[-1]["version_name"]
+        seq = commits[-1]["seq"] + 1
+        stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        try:
+            snapshot = spark.read.parquet(
+                os.path.join(versions_root, base))
+            kept = snapshot.filter(
+                F.coalesce(~condition, F.lit(True)))
+            kept.write.mode("overwrite").parquet(
+                os.path.join(versions_root, stage))
+        except Exception as exc:
+            # same stale-base window as the upsert merge: a concurrent
+            # publish can prune our base under the running scan
+            shutil.rmtree(os.path.join(versions_root, stage),
+                          ignore_errors=True)
+            now, _ = _journal_state(versions_root)
+            now_seq = now[-1]["seq"] if now else -1
+            if now_seq != commits[-1]["seq"] and _input_vanished(exc):
+                retried = True
+                continue
+            raise
+        perm = f"v{batch_id}"
+        try:
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        except OSError:
+            perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        if try_commit(_commits_dir(versions_root), seq,
+                      {"op": "delete", "version": batch_id,
+                       "version_name": perm, "writer": writer}):
+            commits, _ = _journal_state(versions_root)
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "applied-after-retry" if retried else "applied"
+        retried = True
+        shutil.rmtree(os.path.join(versions_root, perm),
+                      ignore_errors=True)
+    raise RuntimeError(
+        f"delete commit for version {batch_id} lost {max_retries} "
         f"consecutive CAS races — livelocked writer set?")
 
 

@@ -20,12 +20,21 @@ functions.numeric.dec_sum). A group's sum is NULL iff it has no
 non-NULL values, tracked via an n_values counter so NULL-only groups
 round-trip exactly like a recompute's SUM.
 
-Concurrency contract: one maintainer per view (the view directory is
-swapped atomically via os.replace of a pointer file, so READERS are
-always consistent, but two concurrent refreshes of the same view_dir
-race on the staging names). Refreshes against a concurrently-committing
-TABLE are safe: the version pair is pinned before the change-feed read,
-and both versions are retained snapshots.
+Concurrency contract: refreshes of one view are serialized through the
+same optimistic CAS journal the upsert table uses (fsutil.try_commit —
+O_EXCL creation of the next sequence-numbered entry): each refresh
+stages its new state, then claims the next journal slot; exactly one
+claimant wins, the loser discards its staged state and re-reads (its
+fold was based on a now-stale view version). The meta pointer file is
+derived from the journal tail and repaired on the next refresh if a
+maintainer crashed between CAS and publish — so READERS (who resolve
+through the pointer) are always consistent, and concurrent maintainers
+can never interleave a stale version pair over a newer one. Refreshes
+against a concurrently-committing TABLE are safe: the version pair is
+pinned before the change-feed read, and both versions are retained
+snapshots; a maintainer that pinned an older table head than a peer
+already published simply no-ops (folding a reversed version pair would
+regress the view).
 """
 
 from __future__ import annotations
@@ -55,6 +64,10 @@ def _mv_meta_path(view_dir: str) -> str:
     return os.path.join(view_dir, MV_META)
 
 
+def _mv_commits_dir(view_dir: str) -> str:
+    return os.path.join(view_dir, "_commits")
+
+
 def _read_meta(view_dir: str) -> dict | None:
     try:
         with open(_mv_meta_path(view_dir)) as fh:
@@ -63,27 +76,35 @@ def _read_meta(view_dir: str) -> dict | None:
         return None
 
 
-def _write_state(view_dir: str, df: DataFrame, version: int,
-                 group_cols: list[str], sum_col: str) -> None:
-    """Write the new view state + pointer: data to a fresh subdir, then
-    one atomic pointer swap (readers resolve through the meta file, so
-    a crash mid-write leaves the previous state fully readable). The
-    previous state dir is NOT reclaimed inline — a reader's lazy scan
-    may still hold it — only retired states older than STATE_GC_AGE_S
-    are swept, age-gated like VACUUM."""
-    import time
+_META_KEYS = ("version", "state", "group_cols", "sum_col")
 
+
+def _stage_state(view_dir: str, df: DataFrame) -> str:
+    """Materialize a candidate view state to a fresh uniquely-named
+    subdir — data only, no pointer: the journal must only ever
+    reference fully-written state (the same staging-before-CAS ordering
+    the upsert table uses)."""
     os.makedirs(view_dir, exist_ok=True)
     name = f"state_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(os.path.join(view_dir, name))
-    tmp = _mv_meta_path(view_dir) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "state": name,
-                   "group_cols": group_cols, "sum_col": sum_col}, fh)
-    os.replace(tmp, _mv_meta_path(view_dir))
+    return name
+
+
+def _publish_meta(view_dir: str, entry: dict) -> None:
+    """Swap the reader-facing pointer to a journal entry's state, then
+    sweep retired state dirs. The previous state dir is NOT reclaimed
+    inline — a reader's lazy scan may still hold it — only states older
+    than STATE_GC_AGE_S are swept, age-gated like VACUUM (the gate also
+    protects a concurrent maintainer's freshly-staged candidate)."""
+    import time
+
+    from ..fsutil import atomic_write_json
+
+    atomic_write_json(_mv_meta_path(view_dir),
+                      {k: entry[k] for k in _META_KEYS})
     cutoff = time.time() - STATE_GC_AGE_S
     for d in os.listdir(view_dir):
-        if not d.startswith("state_") or d == name:
+        if not d.startswith("state_") or d == entry["state"]:
             continue
         p = os.path.join(view_dir, d)
         try:
@@ -91,6 +112,23 @@ def _write_state(view_dir: str, df: DataFrame, version: int,
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             pass  # concurrent GC or reader cleanup — next sweep gets it
+
+
+def _repair_meta(view_dir: str, mv_commits: list[dict]) -> None:
+    """Re-derive the reader pointer from the journal tail if a
+    maintainer crashed (or is mid-publish) between winning the CAS and
+    swapping the pointer — the same repair-publication idiom as the
+    upsert table's replayed-batch path. A legacy pointer AHEAD of the
+    journal (view built before the journal existed) is left alone."""
+    if not mv_commits:
+        return
+    tail = mv_commits[-1]
+    meta = _read_meta(view_dir)
+    if meta is not None and meta.get("version", -1) > tail["version"]:
+        return
+    if meta is None or meta.get("version") != tail["version"] \
+            or meta.get("state") != tail["state"]:
+        _publish_meta(view_dir, tail)
 
 
 def _aggregate(df: DataFrame, group_cols: list[str],
@@ -118,55 +156,12 @@ def read_mv(spark: SparkSession, view_dir: str) -> DataFrame:
     )
 
 
-def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
-               key_cols: list[str], group_cols: list[str],
-               sum_col: str) -> str:
-    """Bring the view up to the table's journal head. Returns how:
-    'full' (first build), 'incremental' (change-feed fold), or 'noop'
-    (already at head). ``key_cols`` are the TABLE's upsert keys (the
-    change feed is keyed on them); ``group_cols`` are the VIEW's
-    grouping columns — any payload columns, independent of the keys,
-    because the feed carries whole pre/post rows."""
-    from .ingest import _journal_state, read_upsert_version
-
-    commits, _ = _journal_state(target_dir + "_versions")
-    if not commits:
-        raise FileNotFoundError(f"no upsert table at {target_dir}")
-    head = commits[-1]["version"]
-
-    def _full_build() -> str:
-        # aggregate the PINNED head snapshot, not the published symlink
-        # (review r9): a concurrent writer can publish head+1 between
-        # our journal read and the scan — recording version=head over
-        # head+1's data would double-count the next change-feed fold
-        snap = read_upsert_version(spark, target_dir, head)
-        _write_state(view_dir, _aggregate(snap, group_cols, sum_col),
-                     head, group_cols, sum_col)
-        return "full"
-
-    meta = _read_meta(view_dir)
-    if meta is None:
-        return _full_build()
-    if (meta.get("group_cols") != list(group_cols)
-            or meta.get("sum_col") != sum_col):
-        raise ValueError(
-            f"view at {view_dir} was built with group_cols="
-            f"{meta.get('group_cols')}, sum_col={meta.get('sum_col')!r} "
-            f"— refusing to fold deltas aggregated on different columns")
-    if meta["version"] == head:
-        return "noop"
-
-    from .ingest import read_upsert_changes
-
-    try:
-        ch = read_upsert_changes(spark, target_dir, meta["version"], head,
-                                 key_cols)
-    except FileNotFoundError:
-        # the view's base version fell out of the table's retention
-        # window (refreshed less often than keep_versions commits):
-        # the change feed is gone, so rebuild from the head snapshot —
-        # the view stays maintainable instead of permanently failing
-        return _full_build()
+def _fold_changes(spark: SparkSession, view_dir: str, meta: dict,
+                  ch: DataFrame, group_cols: list[str],
+                  sum_col: str) -> DataFrame:
+    """The incremental merge: per-group change-feed deltas (+1 inserts /
+    update_postimages, −1 deletes / update_preimages) full-outer-joined
+    into the stored state. Change-sized work, DECIMAL-exact."""
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
@@ -187,7 +182,7 @@ def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
     for c in group_cols:
         term = F.col(f"o.{c}").eqNullSafe(F.col(f"d.{c}"))
         cond = term if cond is None else (cond & term)
-    merged = (
+    return (
         o.join(d, cond, "full_outer")
         .select(
             *[F.coalesce(F.col(f"o.{c}"), F.col(f"d.{c}")).alias(c)
@@ -204,8 +199,103 @@ def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
         )
         .filter(F.col("n_rows") > 0)
     )
-    _write_state(view_dir, merged, head, group_cols, sum_col)
-    return "incremental"
+
+
+def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
+               key_cols: list[str], group_cols: list[str],
+               sum_col: str, max_retries: int = 24) -> str:
+    """Bring the view up to the table's journal head. Returns how:
+    'full' (first build), 'incremental' (change-feed fold), or 'noop'
+    (already at — or past — the head this call pinned). ``key_cols``
+    are the TABLE's upsert keys (the change feed is keyed on them);
+    ``group_cols`` are the VIEW's grouping columns — any payload
+    columns, independent of the keys, because the feed carries whole
+    pre/post rows.
+
+    Multi-maintainer safe: the staged state is published by claiming
+    the next slot in the view's own CAS journal (fsutil.try_commit); a
+    losing claimant's fold was based on a stale view version, so it
+    discards the staged state and retries against the new tail. A view
+    already refreshed PAST our pinned head by a peer is a 'noop' —
+    folding the feed with a reversed (v_from > v_to) pair would apply
+    inverse deltas and silently regress the view."""
+    from ..fsutil import cas_backoff, read_commit_journal, try_commit
+    from .ingest import (_journal_state, read_upsert_changes,
+                         read_upsert_version)
+
+    commits, _ = _journal_state(target_dir + "_versions")
+    if not commits:
+        raise FileNotFoundError(f"no upsert table at {target_dir}")
+    head = commits[-1]["version"]
+    os.makedirs(view_dir, exist_ok=True)
+
+    for _attempt in range(max_retries):
+        if _attempt:
+            cas_backoff(_attempt)
+        mv_commits = read_commit_journal(_mv_commits_dir(view_dir))
+        _repair_meta(view_dir, mv_commits)
+        meta = _read_meta(view_dir)
+        seq = mv_commits[-1]["seq"] + 1 if mv_commits else 0
+        if meta is not None:
+            if (meta.get("group_cols") != list(group_cols)
+                    or meta.get("sum_col") != sum_col):
+                raise ValueError(
+                    f"view at {view_dir} was built with group_cols="
+                    f"{meta.get('group_cols')}, "
+                    f"sum_col={meta.get('sum_col')!r} — refusing to "
+                    f"fold deltas aggregated on different columns")
+            if meta["version"] >= head:
+                return "noop"
+        if meta is None:
+            # aggregate the PINNED head snapshot, not the published
+            # symlink (review r9): a concurrent writer can publish
+            # head+1 between our journal read and the scan — recording
+            # version=head over head+1's data would double-count the
+            # next change-feed fold
+            snap = read_upsert_version(spark, target_dir, head)
+            new_state = _aggregate(snap, group_cols, sum_col)
+            mode = "full"
+        else:
+            try:
+                ch = read_upsert_changes(spark, target_dir,
+                                         meta["version"], head, key_cols)
+                new_state = _fold_changes(spark, view_dir, meta, ch,
+                                          group_cols, sum_col)
+                mode = "incremental"
+            except FileNotFoundError:
+                # the view's base version fell out of the table's
+                # retention window (refreshed less often than
+                # keep_versions commits): the change feed is gone, so
+                # rebuild from the head snapshot — the view stays
+                # maintainable instead of permanently failing
+                snap = read_upsert_version(spark, target_dir, head)
+                new_state = _aggregate(snap, group_cols, sum_col)
+                mode = "full"
+        try:
+            name = _stage_state(view_dir, new_state)
+        except Exception as exc:
+            # The fold scans the base state lazily; a peer that wins the
+            # race can publish and (age-gated) GC our base under the
+            # running scan. Journal moved past our base → routine lost
+            # race, re-read and retry; journal unmoved → real error.
+            from .index import _input_vanished
+
+            now = read_commit_journal(_mv_commits_dir(view_dir))
+            now_seq = now[-1]["seq"] if now else -1
+            if now_seq >= seq and _input_vanished(exc):
+                continue
+            raise
+        entry = {"version": head, "state": name,
+                 "group_cols": list(group_cols), "sum_col": sum_col}
+        if try_commit(_mv_commits_dir(view_dir), seq, entry):
+            _publish_meta(view_dir, entry)
+            return mode
+        # lost the CAS: a peer advanced the view — our fold is based on
+        # a stale version; discard the staged state and retry
+        shutil.rmtree(os.path.join(view_dir, name), ignore_errors=True)
+    raise RuntimeError(
+        f"mv refresh for {view_dir} lost {max_retries} consecutive CAS "
+        f"races — livelocked maintainer set?")
 
 
 def _mv_workspace(sf_dir: str) -> str:
@@ -233,15 +323,17 @@ def _mv_workspace(sf_dir: str) -> str:
 )
 def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MV maintenance under the value-hash gate: events are
-    committed to a keep-latest-per-user upsert table in THREE batches
-    (split by event_id % 3), and a per-event_type (count, sum(value))
+    committed to a keep-latest-per-user upsert table in TWO batches
+    (split by event_id % 2), and a per-event_type (count, sum(value))
     view is refreshed after each — the first build is a full aggregate,
-    the next two fold ONLY the change feed between consecutive
-    versions. The final view must equal the oracle's direct aggregate
-    over the latest-event-per-user state (exact decimal folding makes
-    that bit-for-bit, not approximately), and
-    ``refreshed_incrementally`` pins that the two follow-up refreshes
-    really took the incremental path (exact-twin boolean pattern)."""
+    the second folds ONLY the change feed between the versions. The
+    final view must equal the oracle's direct aggregate over the
+    latest-event-per-user state (exact decimal folding makes that
+    bit-for-bit, not approximately), and ``refreshed_incrementally``
+    pins that the follow-up refresh really took the incremental path
+    (exact-twin boolean pattern). Longer refresh sequences — with
+    deletes and update pre/postimages — are pinned by the companion
+    ``mv_multi_refresh_equivalence``."""
     import shutil
 
     from ..sources.tables import load_table
@@ -255,18 +347,86 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value")
     modes = []
-    for i in range(3):
-        upsert_commit_batch(ev.filter(F.col("event_id") % 3 == i),
+    for i in range(2):
+        upsert_commit_batch(ev.filter(F.col("event_id") % 2 == i),
                             target, i, key_cols=["user_id"],
-                            order_col="event_id", keep_versions=3)
+                            order_col="event_id", keep_versions=2)
         modes.append(refresh_mv(spark, target, view,
                                 key_cols=["user_id"],
                                 group_cols=["event_type"],
                                 sum_col="value"))
-    ok = modes == ["full", "incremental", "incremental"]
+    ok = modes == ["full", "incremental"]
     return (
         read_mv(spark, view)
         .select("event_type", "n_rows", "sum_value",
                 F.lit(bool(ok)).alias("refreshed_incrementally"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "mv_multi_refresh_equivalence",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_id % 3 < 2) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT * FROM latest WHERE user_id % 5 IS DISTINCT FROM 0
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_expr('value')} AS sum_value,
+           TRUE AS folded_incrementally
+    FROM kept GROUP BY event_type ORDER BY event_type
+    """,
+)
+def mv_multi_refresh_equivalence(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The exactness contract over a refresh SEQUENCE: the view must be
+    bit-identical to a full recompute after commit → refresh → commit
+    (key updates: update pre/postimages) → refresh → DELETE WHERE
+    (change-feed delete rows, the −1 fold legs) → refresh. Batches
+    split events by event_id % 3 (thirds 0 and 1; the second third
+    updates users already present, exercising the ±1 postimage/preimage
+    pair), then user_id % 5 == 0 rows are deleted via
+    upsert_delete_where — NULL user_ids survive the delete (SQL
+    three-valued DELETE), which the oracle mirrors with IS DISTINCT
+    FROM. ``folded_incrementally`` pins that both follow-up refreshes
+    took the change-feed path, never a rebuild."""
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+    from .ingest import upsert_commit_batch, upsert_delete_where
+
+    root = query_workspace("mv_multi", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    view = os.path.join(root, "mv")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    modes = []
+    for i in range(2):
+        upsert_commit_batch(ev.filter(F.col("event_id") % 3 == i),
+                            target, i, key_cols=["user_id"],
+                            order_col="event_id", keep_versions=2)
+        modes.append(refresh_mv(spark, target, view,
+                                key_cols=["user_id"],
+                                group_cols=["event_type"],
+                                sum_col="value"))
+    upsert_delete_where(spark, target, 2, "user_id % 5 = 0",
+                        keep_versions=2)
+    modes.append(refresh_mv(spark, target, view, key_cols=["user_id"],
+                            group_cols=["event_type"], sum_col="value"))
+    ok = modes == ["full", "incremental", "incremental"]
+    return (
+        read_mv(spark, view)
+        .select("event_type", "n_rows", "sum_value",
+                F.lit(bool(ok)).alias("folded_incrementally"))
         .orderBy("event_type")
     )

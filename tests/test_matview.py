@@ -198,3 +198,139 @@ def test_full_build_aggregates_pinned_head_not_symlink(spark, tmp_path):
     assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") \
         == "incremental"
     assert _view_state(spark, view) == _recompute(spark, target)
+
+
+def test_delete_where_folds_into_view(spark, tmp_path):
+    """upsert_delete_where's change-feed delete rows fold as −1 legs:
+    the view tracks row removal, group shrink, and delete-driven group
+    extinction, staying bit-equal to a recompute."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_delete_where
+
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    rows = [(1, 0, "A", 1.5), (2, 0, "A", 2.5), (3, 0, "B", 10.0),
+            (4, 0, "B", None), (5, 0, "C", 7.0)]
+    upsert_commit_batch(_frame(spark, rows), target, 0,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") == "full"
+    # delete one of two A rows, the NULL-value B row, and ALL of C
+    assert upsert_delete_where(
+        spark, target, 1, "uid IN (2, 4, 5)",
+        keep_versions=4) == "applied"
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") \
+        == "incremental"
+    state = _view_state(spark, view)
+    assert state == _recompute(spark, target)
+    assert state[("A",)] == (1, 1.5)
+    assert state[("B",)] == (1, 10.0)
+    assert ("C",) not in state                 # extinct via delete
+
+
+def test_refresh_noops_when_view_ahead_of_pinned_head(spark, tmp_path):
+    """ADVICE r9: a maintainer whose table-journal read is staler than
+    the view (a peer already refreshed past it) must NOT fold the feed
+    with a reversed version pair — that applies inverse deltas and
+    regresses the view. It no-ops and leaves the state untouched."""
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    upsert_commit_batch(_frame(spark, [(1, 0, "A", 1.0)]), target, 0,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+    upsert_commit_batch(_frame(spark, [(2, 0, "A", 2.0)]), target, 1,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+    refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
+    before = _view_state(spark, view)
+    # simulate the stale journal read: drop the last table commit file
+    # so head appears as 0 while the view is pinned at 1
+    from house_price_etl_pipeline_spark.fsutil import commit_path
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, _journal_state)
+    commits, _ = _journal_state(target + "_versions")
+    os.remove(commit_path(_commits_dir(target + "_versions"),
+                          commits[-1]["seq"]))
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") == "noop"
+    assert _view_state(spark, view) == before
+
+
+def test_crash_between_cas_and_publish_is_repaired(spark, tmp_path,
+                                                   monkeypatch):
+    """A maintainer that dies after winning the CAS but before the
+    pointer swap leaves the journal ahead of the meta file; the next
+    refresh repairs publication from the journal tail (the upsert
+    table's replayed-batch idiom) instead of re-folding or diverging."""
+    import house_price_etl_pipeline_spark.streaming.matview as mv
+
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    upsert_commit_batch(_frame(spark, [(1, 0, "A", 1.0)]), target, 0,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+    refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
+    upsert_commit_batch(_frame(spark, [(2, 0, "B", 5.0)]), target, 1,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=4)
+
+    def crash(view_dir, entry):
+        raise RuntimeError("simulated crash after CAS")
+
+    monkeypatch.setattr(mv, "_publish_meta", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_mv(spark, target, view, ["uid"], ["grp"], "v")
+    monkeypatch.undo()
+    # journal is at version 1, meta still at version 0
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    tail = read_commit_journal(mv._mv_commits_dir(view))[-1]
+    assert tail["version"] == 1
+    assert mv._read_meta(view)["version"] == 0
+    # next refresh repairs the pointer and recognizes head is reached
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") == "noop"
+    assert mv._read_meta(view)["version"] == 1
+    assert _view_state(spark, view) == _recompute(spark, target)
+
+
+def test_concurrent_refreshes_one_winner_no_lost_updates(spark, tmp_path):
+    """VERDICT r9 item 4: two maintainers refreshing the same view
+    concurrently — the CAS journal serializes them (exactly one winner
+    per slot), the loser retries/no-ops cleanly, and the final state is
+    bit-equal to a recompute (zero lost updates, no double-folds)."""
+    import threading
+
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    upsert_commit_batch(_frame(spark, [(1, 0, "A", 1.0)]), target, 0,
+                        key_cols=["uid"], order_col="seq",
+                        keep_versions=8)
+    assert refresh_mv(spark, target, view, ["uid"], ["grp"], "v") == "full"
+    for i in range(1, 5):
+        upsert_commit_batch(
+            _frame(spark, [(i + 1, 0, "AB"[i % 2], float(i))]), target, i,
+            key_cols=["uid"], order_col="seq", keep_versions=8)
+
+    barrier = threading.Barrier(2)
+    results, errors = [], []
+
+    def maintain():
+        try:
+            barrier.wait()
+            results.append(refresh_mv(spark, target, view, ["uid"],
+                                      ["grp"], "v"))
+        except Exception as exc:  # surfaced below — don't swallow
+            errors.append(exc)
+
+    threads = [threading.Thread(target=maintain) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # both completed; at least one really folded, any loser no-opped
+    assert len(results) == 2 and "incremental" in results
+    import house_price_etl_pipeline_spark.streaming.matview as mv
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    journal = read_commit_journal(mv._mv_commits_dir(view))
+    assert [c["seq"] for c in journal] == list(range(len(journal)))
+    assert mv._read_meta(view)["version"] == 4
+    assert _view_state(spark, view) == _recompute(spark, target)

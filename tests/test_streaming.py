@@ -2471,3 +2471,66 @@ def test_output_vanished_typed_spark_errors_also_need_index_path(
         RuntimeError(f"[FAILED_READ_FILE] could not read "
                      f"{index_dir}/bands/batch-x-3/part-0.parquet"),
         index_dir)
+
+
+def test_upsert_delete_where_sql_semantics(spark, tmp_path):
+    """DELETE WHERE removes rows iff the predicate is TRUE — FALSE and
+    NULL keep the row (three-valued logic), the SQL DELETE contract."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_delete_where)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20), (3, 0, None), (4, 0, 40)],
+        "k long, ord long, v int")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    # v > 15 is TRUE for k=2,4; FALSE for k=1; NULL for k=3 → k=3 stays
+    assert upsert_delete_where(spark, target, 1, "v > 15",
+                               keep_versions=4) == "applied"
+    got = sorted(r.k for r in spark.read.parquet(target).collect())
+    assert got == [1, 3]
+
+
+def test_upsert_delete_where_exactly_once_and_history(spark, tmp_path):
+    """A replayed delete batch id is a no-op; the journal records the
+    delete as its own op with a distinct version; time travel still
+    reads the pre-delete snapshot."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, upsert_commit_batch, upsert_delete_where)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, 0, i * 10) for i in range(8)], "k long, ord long, v int")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    assert upsert_delete_where(spark, target, 1, "k % 2 = 0",
+                               keep_versions=4) == "applied"
+    assert upsert_delete_where(spark, target, 1, "k % 2 = 0",
+                               keep_versions=4) == "replayed"
+    assert spark.read.parquet(target).count() == 4
+    # time travel: version 0 still has all 8 rows
+    assert read_upsert_version(spark, target, 0).count() == 8
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import _commits_dir
+    journal = read_commit_journal(_commits_dir(target + "_versions"))
+    assert [(c["op"], c["version"]) for c in journal] == \
+        [("upsert", 0), ("delete", 1)]
+
+
+def test_upsert_delete_where_emits_cdc_delete_rows(spark, tmp_path):
+    """The change feed between the pre- and post-delete versions emits
+    exactly one `delete` row per removed key — the leg the incremental
+    MV folds with sign −1."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_changes, upsert_commit_batch, upsert_delete_where)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, 0, i * 10) for i in range(6)], "k long, ord long, v int")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    upsert_delete_where(spark, target, 1, "k >= 4", keep_versions=4)
+    ch = read_upsert_changes(spark, target, 0, 1, key_cols=["k"])
+    rows = sorted((r.change_type, r.k) for r in ch.collect())
+    assert rows == [("delete", 4), ("delete", 5)]
