@@ -535,10 +535,11 @@ def _lloyd_centroids(e: DataFrame, k: int = KMEANS_K) -> "np.ndarray":
     a k×dim-row centroid collect — see sim_kmeans_lloyd. The collect
     and the closure-shipped centroid matrix stay bounded because k is
     either the fixed demo KMEANS_K or SemDeDup's corpus-derived
-    n/SEMDEDUP_VECS_PER_CLUSTER; past ~10^5 clusters a production
-    build trains on a sample and broadcast-joins assignments instead
-    of closure-shipping C — the per-cluster engine shape downstream is
-    unchanged."""
+    n/SEMDEDUP_VECS_PER_CLUSTER at the gate SFs; past ~10^5 clusters
+    the production build (_lloyd_centroids_production, wired behind
+    SPARK_GRAFT_EXACT_TWIN=0) trains on a sample and broadcast-joins
+    assignments instead of closure-shipping C — the per-cluster engine
+    shape downstream is unchanged."""
     init = (e.orderBy("vec_id").limit(k)
             .select("embedding").collect())
     C = np.array([r.embedding for r in init], dtype=np.float64)
@@ -558,6 +559,103 @@ def _lloyd_centroids(e: DataFrame, k: int = KMEANS_K) -> "np.ndarray":
         for r in upd:                   # empty clusters keep their centroid
             C[r.cluster, r.pos] = r.c
     return C
+
+
+# --- production Lloyd: centroids never leave the cluster -------------------
+
+# vectors used to train Lloyd in production mode — FAISS-style
+# sample-train: centroid quality needs a bounded sample (~dozens of
+# vectors per centroid), not the corpus; assignment of the full corpus
+# happens once, against the trained centroids
+SEMDEDUP_TRAIN_SAMPLE = 1 << 16
+
+
+def _pair_dist2_udf():
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def dist2(emb: pd.Series, cen: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        C = np.vstack(cen.to_numpy()).astype(np.float64)
+        d = X - C
+        return pd.Series((d * d).sum(axis=1))
+
+    return dist2
+
+
+def _assign_broadcast_join(e: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment with the centroids in a DATAFRAME —
+    the production path (VERDICT r9 item 3): no driver-collected k×dim
+    matrix, no closure shipping. The k-row centroid side broadcasts
+    into a nested-loop join (a deliberate k-row crossJoin — the ANN
+    assignment shape, not a scalar), per-pair distance is one
+    Arrow-vectorized kernel, and the argmin is a map-side-partial
+    min(struct(dist2, cluster)) groupBy — ties break to the lowest
+    cluster index, numpy argmin semantics. Work is O(n·k·dim) flops
+    either way; this shape keeps every piece executor-side and
+    memory-bounded at any k."""
+    pairs = e.crossJoin(F.broadcast(cdf))
+    scored = pairs.withColumn(
+        "dist2", _pair_dist2_udf()(F.col("embedding"), F.col("centroid")))
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist2"), F.col("cluster"))).alias("m"),
+             F.any_value("embedding").alias("embedding"))
+        .select("vec_id", "embedding",
+                F.col("m.cluster").alias("cluster"))
+    )
+
+
+def _lloyd_centroids_production(e: DataFrame, k: int,
+                                iters: int = KMEANS_ITERS,
+                                sample_cap: int = SEMDEDUP_TRAIN_SAMPLE
+                                ) -> DataFrame:
+    """Lloyd training with the centroid set kept distributed end-to-end
+    (returns a (cluster, centroid) DataFrame): train on a deterministic
+    hash-ordered sample of ≤ sample_cap vectors, assign each round via
+    the broadcast-join kernel, update as a (k×dim)-key decimal-exact
+    mean, and rebuild the centroid arrays with a collect_list sorted by
+    position — no step collects the centroid matrix to the driver, so
+    corpus-derived k (SemDeDup's n/SEMDEDUP_VECS_PER_CLUSTER) has no
+    driver-memory cliff. Init is the k lowest vec_ids of the sample
+    (one k-row window task — bounded by k, not n). localCheckpoint per
+    round truncates the iterative lineage, the pagerank discipline."""
+    from pyspark.sql import Window
+
+    train = (e.withColumn("_h", F.xxhash64("vec_id"))
+             .orderBy("_h").limit(sample_cap).drop("_h")
+             .localCheckpoint(eager=True))
+    cdf = (train.orderBy("vec_id").limit(k)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("centroid"))
+           .withColumn("cluster",
+                       (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                       .cast("int"))
+           .select("cluster", "centroid")
+           .localCheckpoint(eager=True))
+    for _ in range(iters):
+        assigned = _assign_broadcast_join(train, cdf)
+        upd = (
+            assigned.select("cluster",
+                            F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                  / F.count("*")).alias("c"))
+        )
+        new_c = (
+            upd.groupBy("cluster")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"]).alias("centroid"))
+        )
+        cdf = (cdf.alias("o")
+               .join(new_c.alias("n"), "cluster", "left")
+               .select("cluster",
+                       F.coalesce(F.col("n.centroid"), F.col("o.centroid"))
+                       .alias("centroid"))    # empty clusters keep theirs
+               .localCheckpoint(eager=True))
+    return cdf
 
 
 def _kmeans_oracle(k=None, iters: int = None,
@@ -717,7 +815,16 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right float64 fold as the oracle's list_sum —
     bit-identical cosines, same τ boundary. Output: every vector with
     its cluster, keep verdict, and the lowest-id duplicate that
-    evicted it (NULL when kept)."""
+    evicted it (NULL when kept).
+
+    SPARK_GRAFT_EXACT_TWIN=0 → production training/assignment (VERDICT
+    r9 item 3): Lloyd trains on a hash-ordered ≤SEMDEDUP_TRAIN_SAMPLE
+    sample with the centroids kept in a DataFrame end-to-end, and the
+    full corpus is assigned via the broadcast-join argmin — no
+    driver-collected k×dim matrix anywhere, so corpus-derived k has no
+    driver-memory cliff. The twin-on path keeps the closure-shipped
+    exact loop (bounded-k by construction at the gate SFs) because its
+    centroids are what the DuckDB oracle replays bit-for-bit."""
     import pandas as pd
 
     # NULL embeddings can't cluster or score (vector-kernel boundary);
@@ -725,10 +832,15 @@ def sim_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (load_table(spark, sf_dir, "embeddings")
          .filter(F.col("embedding").isNotNull())
          .select("vec_id", "embedding"))
-    C = _lloyd_centroids(e, _semdedup_k(e.count()))
-    assigned = e.select(
-        "vec_id", "embedding",
-        _nearest_udf(C)(F.col("embedding"))["cluster"].alias("cluster"))
+    k = _semdedup_k(e.count())
+    if exact_twin_enabled():
+        C = _lloyd_centroids(e, k)
+        assigned = e.select(
+            "vec_id", "embedding",
+            _nearest_udf(C)(F.col("embedding"))["cluster"].alias("cluster"))
+    else:
+        cdf = _lloyd_centroids_production(e, k)
+        assigned = _assign_broadcast_join(e, cdf)
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)

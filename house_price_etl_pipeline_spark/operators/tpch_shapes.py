@@ -350,16 +350,23 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer c
     WHERE c.c_acctbal > (SELECT {dec_avg_expr('c_acctbal')}
                          FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY c.c_nationkey ORDER BY c.c_nationkey
     """,
 )
 def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: global scalar AVG subquery + NOT EXISTS anti
     join — rich-but-inactive accounts per nation. The scalar threshold
-    broadcasts; the anti join shuffles on custkey."""
+    broadcasts; the anti join shuffles on custkey. 'Idle' is no order
+    SINCE 1999 (not never-ordered: this generator gives virtually every
+    customer an order, which left the original never-ordered predicate
+    returning 0 rows at the gate SFs — the r9 dead-predicate class the
+    non-empty gate now catches)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
     thr = (c.filter(F.col("c_acctbal") > 0)
            .agg(fixed_avg("c_acctbal", 2).alias("thr")))
     return (

@@ -64,12 +64,25 @@ def test_normalize_rejects_array_cells():
         _normalize(pd.DataFrame({"k": [1], "v": [[1, 2, 3]]}))
 
 
+# Queries whose semantics are LEGITIMATELY empty at the gate SF — every
+# addition needs a comment saying why. Round 9's review found three
+# queries that had returned 0 rows at every SF and therefore trivially
+# "hash-matched" an equally-empty oracle for eight rounds (dead
+# predicates, commit 136562a); this gate keeps that class out.
+EMPTY_OK: set[str] = set()
+
+
 def _assert_parity(name, spark, duck, sf_dir):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     duck_pdf = duck.execute(q.oracle).fetchdf()
 
+    assert len(spark_pdf) > 0 or name in EMPTY_OK, (
+        f"{name}: 0 rows at the gate SF — an empty result trivially "
+        f"'matches' an equally-empty oracle (dead predicate?); only "
+        f"add to EMPTY_OK with a justification"
+    )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
     )
@@ -148,10 +161,12 @@ def test_oracle_parity_sf01_rotation(name, spark, duck01):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_queries_run(name, spark, sf_dir):
-    """Non-SQL-expressible ops at least run and return a stable schema."""
+    """Non-SQL-expressible ops at least run, return rows (the same
+    dead-predicate guard as the oracled set), and a stable schema."""
     q = REGISTRY[name]
     df = q.fn(spark, sf_dir)
-    assert df.count() >= 0
+    assert df.count() > 0 or name in EMPTY_OK, (
+        f"{name}: 0 rows at the gate SF — dead predicate?")
     assert df.schema == q.fn(spark, sf_dir).schema
 
 

@@ -160,3 +160,45 @@ def test_ann_batch_lsh_production(production, spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rnk)
     assert all(rnks == list(range(1, len(rnks) + 1))
                for rnks in per_q.values())
+
+
+def test_semdedup_production_no_driver_centroids(production, spark, sf_dir,
+                                                 monkeypatch):
+    """VERDICT r9 item 3: in production mode the SemDeDup assignment
+    pass must not collect a centroid matrix to the driver — the
+    closure-shipping helpers are poisoned and the query must still run
+    end-to-end via the DataFrame-native broadcast-join path."""
+    import house_price_etl_pipeline_spark.operators.similarity as sim
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "driver-collected centroid path used in production mode")
+
+    monkeypatch.setattr(sim, "_lloyd_centroids", boom)
+    monkeypatch.setattr(sim, "_nearest_udf", boom)
+    df = REGISTRY["sim_semdedup_prune"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert df.columns == ["vec_id", "cluster", "is_kept", "dup_of"]
+    assert len(rows) > 0
+
+
+def test_semdedup_production_agreement_floor(spark, sf_dir, monkeypatch):
+    """The production (sample-train + broadcast-join) clustering must
+    agree with the exact twin's verdicts: at the gate SF the sample
+    covers the corpus and the init is identical, so keep/drop decisions
+    should match near-perfectly — the floor guards against a silently
+    divergent production path."""
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_TWIN", "1")
+    exact = {r.vec_id: (r.cluster, r.is_kept)
+             for r in REGISTRY["sim_semdedup_prune"].fn(
+                 spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_TWIN", "0")
+    prod = {r.vec_id: (r.cluster, r.is_kept)
+            for r in REGISTRY["sim_semdedup_prune"].fn(
+                spark, sf_dir).collect()}
+    assert prod.keys() == exact.keys() and len(prod) > 0
+    n = len(prod)
+    same_cluster = sum(prod[v][0] == exact[v][0] for v in prod) / n
+    same_keep = sum(prod[v][1] == exact[v][1] for v in prod) / n
+    assert same_cluster >= 0.95, same_cluster
+    assert same_keep >= 0.95, same_keep
