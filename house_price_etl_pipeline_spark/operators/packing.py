@@ -170,7 +170,13 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_docs"), F.col("doc_id").alias("first_doc"),
             F.col("doc_id").alias("last_doc")).limit(0)
     width = max(1, (int(bounds.hi) - int(bounds.lo)) // par + 1)
-    bucket = ((F.col("doc_id") - int(bounds.lo)) / width).cast("int")
+    # integer DIV on longs (ADVICE r9): a double-division quotient stops
+    # being exact past 2^53 doc_id spans and an int cast caps bucket
+    # headroom at 2^31 — DIV keeps the deterministic width-based ranges
+    # exact over the full long domain (doc_id - lo >= 0, so truncation
+    # and floor agree)
+    bucket = F.expr(
+        f"(doc_id - {int(bounds.lo)}L) DIV {width}L").alias("_b")
     lens = lens.withColumn("_b", bucket)
     subtotals = {int(r._b): int(r.t) for r in
                  lens.groupBy("_b").agg(F.sum("n").alias("t")).collect()}
@@ -179,7 +185,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         offsets[b] = running
         running += subtotals.get(b, 0)
     off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv])
+        *[F.lit(x).cast("long") for kv in offsets.items() for x in kv])
     w = (Window.partitionBy("_b").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offs = lens.withColumn(

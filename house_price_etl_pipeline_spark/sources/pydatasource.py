@@ -311,6 +311,35 @@ class JsonAuditWriter:
         shard, n = _stage_jsonl_shard(self.path, iterator)
         return _ShardCommit(shard, n)
 
+    def _acquire_manifest_lock(self) -> int:
+        """O_EXCL lock file serializing the manifest read-modify-write
+        (ADVICE r9: two concurrent appends both read the old manifest
+        and the last publish silently dropped the other's shard
+        entries). A crashed committer's lock older than
+        STAGING_GC_AGE_S is broken — the same staleness-takeover gate
+        as the staging sweep."""
+        import os
+        import time
+
+        from ..fsutil import cas_backoff
+
+        lock = os.path.join(self.path, "_MANIFEST.lock")
+        for losses in range(240):
+            try:
+                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) \
+                            > STAGING_GC_AGE_S:
+                        os.remove(lock)   # stale holder: take over
+                        continue
+                except OSError:
+                    continue              # holder released mid-check
+                cas_backoff(losses)
+        raise RuntimeError(
+            f"could not acquire manifest lock in {self.path} — "
+            f"a committer is livelocked or the lock is orphaned")
+
     def commit(self, messages):
         import glob
         import json
@@ -318,40 +347,53 @@ class JsonAuditWriter:
         import time
         import uuid
 
-        wid = uuid.uuid4().hex[:8]
-        manifest = {}
-        if not self.overwrite:
-            # merge with what earlier writes published
-            mpath = os.path.join(self.path, "_MANIFEST.json")
-            if os.path.exists(mpath):
-                with open(mpath) as f:
-                    manifest = json.load(f)
-        for i, m in enumerate(messages):
-            if m is None:
-                continue
-            final = os.path.join(self.path, f"part-{wid}-{i:05d}.jsonl")
-            os.rename(m.shard, final)
-            manifest[os.path.basename(final)] = m.n_rows
-        if self.overwrite:
-            # previous writes' shards are stale under overwrite — a
-            # naive *.jsonl glob would read them alongside the manifest
-            for f in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                if os.path.basename(f) not in manifest:
-                    os.remove(f)
-        # Orphaned staging from crashed/lost-speculative attempts is
-        # swept in EVERY mode (append-only sinks accumulated them
-        # forever), age-gated so a concurrent write's in-flight shard
-        # is never deleted.
-        cutoff = time.time() - STAGING_GC_AGE_S
-        for f in glob.glob(os.path.join(self.path, "_staging_*")):
+        os.makedirs(self.path, exist_ok=True)
+        lock_fd = self._acquire_manifest_lock()
+        try:
+            wid = uuid.uuid4().hex[:8]
+            manifest = {}
+            if not self.overwrite:
+                # merge with what earlier writes published — read UNDER
+                # the lock so a concurrent append's entries survive
+                mpath = os.path.join(self.path, "_MANIFEST.json")
+                if os.path.exists(mpath):
+                    with open(mpath) as f:
+                        manifest = json.load(f)
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                final = os.path.join(self.path,
+                                     f"part-{wid}-{i:05d}.jsonl")
+                os.rename(m.shard, final)
+                manifest[os.path.basename(final)] = m.n_rows
+            if self.overwrite:
+                # previous writes' shards are stale under overwrite — a
+                # naive *.jsonl glob would read them alongside the
+                # manifest
+                for f in glob.glob(os.path.join(self.path,
+                                                "part-*.jsonl")):
+                    if os.path.basename(f) not in manifest:
+                        os.remove(f)
+            # Orphaned staging from crashed/lost-speculative attempts is
+            # swept in EVERY mode (append-only sinks accumulated them
+            # forever), age-gated so a concurrent write's in-flight
+            # shard is never deleted.
+            cutoff = time.time() - STAGING_GC_AGE_S
+            for f in glob.glob(os.path.join(self.path, "_staging_*")):
+                try:
+                    if self.overwrite or os.path.getmtime(f) < cutoff:
+                        os.remove(f)
+                except OSError:
+                    pass
+            from ..fsutil import atomic_write_json
+            atomic_write_json(os.path.join(self.path, "_MANIFEST.json"),
+                              dict(sorted(manifest.items())))
+        finally:
+            os.close(lock_fd)
             try:
-                if self.overwrite or os.path.getmtime(f) < cutoff:
-                    os.remove(f)
+                os.unlink(os.path.join(self.path, "_MANIFEST.lock"))
             except OSError:
                 pass
-        from ..fsutil import atomic_write_json
-        atomic_write_json(os.path.join(self.path, "_MANIFEST.json"),
-                          dict(sorted(manifest.items())))
 
     def abort(self, messages):
         import os

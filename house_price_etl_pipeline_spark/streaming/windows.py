@@ -82,13 +82,21 @@ def _drain(agg: DataFrame, spark: SparkSession,
     the previous run's driver-side buffer instead of accumulating a
     fresh memory sink per invocation (review r9: the old per-call
     counter names leaked every drained result set for the session's
-    lifetime). ``partitions`` overrides the stateful-stream shuffle
+    lifetime). If a stream with that name is STILL ACTIVE — a
+    concurrent execution of the same query, or two call sites sharing
+    a function name — a per-run token is appended so the two drains
+    cannot interleave into one sink (ADVICE r9); only the concurrent
+    loser leaks its one view, the serial-rerun replacement property is
+    unchanged. ``partitions`` overrides the stateful-stream shuffle
     sizing for queries whose state is keyed differently (the dedup
     ingest path) — previously an inline copy of this whole block."""
     import sys
+    import uuid
 
     if name is None:
         name = f"drain_{sys._getframe(1).f_code.co_name}"
+    if any(q.name == name for q in spark.streams.active):
+        name = f"{name}_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
                    str(partitions if partitions is not None

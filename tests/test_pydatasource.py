@@ -343,3 +343,81 @@ def test_stream_writer_complete_mode_replaces_batches(spark, tmp_path):
             rows += [json.loads(line) for line in fh]
     # the final complete-mode table == the batch aggregate of all rows
     assert sum(r["count"] for r in rows) == 400
+
+
+def test_json_audit_concurrent_appends_keep_both_manifests(tmp_path):
+    """ADVICE r9: two concurrent append commits to one path must both
+    land in _MANIFEST.json — the read-modify-write runs under the
+    O_EXCL manifest lock, so neither writer's shard entries are
+    dropped by the other's publish."""
+    import json
+    import os
+    import threading
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        JsonAuditWriter, _ShardCommit)
+
+    path = str(tmp_path / "audit")
+    os.makedirs(path)
+
+    def staged(tag, rows):
+        shard = os.path.join(path, f"_staging_{tag}.tmp")
+        with open(shard, "w") as f:
+            for r in range(rows):
+                f.write(json.dumps({"tag": tag, "r": r}) + "\n")
+        return _ShardCommit(shard, rows)
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def committer(tag, rows):
+        try:
+            w = JsonAuditWriter({"path": path}, overwrite=False)
+            msgs = [staged(f"{tag}{i}", rows) for i in range(3)]
+            barrier.wait()
+            w.commit(msgs)
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=committer, args=("a", 5)),
+               threading.Thread(target=committer, args=("b", 7))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest) == 6                      # 3 shards per writer
+    assert sorted(manifest.values()) == [5, 5, 5, 7, 7, 7]
+    # every manifest entry exists on disk and the lock is released
+    for shard in manifest:
+        assert os.path.exists(os.path.join(path, shard))
+    assert not os.path.exists(os.path.join(path, "_MANIFEST.lock"))
+
+
+def test_json_audit_stale_manifest_lock_taken_over(tmp_path):
+    """A crashed committer's orphaned lock older than the staging GC
+    age is broken instead of deadlocking every future commit."""
+    import json
+    import os
+    import time
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        STAGING_GC_AGE_S, JsonAuditWriter, _ShardCommit)
+
+    path = str(tmp_path / "audit")
+    os.makedirs(path)
+    lock = os.path.join(path, "_MANIFEST.lock")
+    with open(lock, "w"):
+        pass
+    old = time.time() - STAGING_GC_AGE_S - 60
+    os.utime(lock, (old, old))
+    shard = os.path.join(path, "_staging_x.tmp")
+    with open(shard, "w") as f:
+        f.write(json.dumps({"r": 1}) + "\n")
+    JsonAuditWriter({"path": path}, overwrite=False).commit(
+        [_ShardCommit(shard, 1)])
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        assert sum(json.load(f).values()) == 1
+    assert not os.path.exists(lock)
