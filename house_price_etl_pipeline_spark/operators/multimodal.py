@@ -250,8 +250,12 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
                 out["sum_r"].append(int(ch[:, 2].sum()))
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        run, BMP_FEATURE_SCHEMA)
+    # NULL payloads are undecodable (bytes(None) crashes the Arrow
+    # kernel) — dropped JVM-side, the media-boundary contract (r10
+    # NULL audit), matching the vector-kernel isNotNull discipline
+    return (media.select("doc_id", "payload")
+            .filter(F.col("payload").isNotNull())
+            .mapInPandas(run, BMP_FEATURE_SCHEMA))
 
 
 def decode_wav_features(media: DataFrame) -> DataFrame:
@@ -271,8 +275,10 @@ def decode_wav_features(media: DataFrame) -> DataFrame:
                 out["energy"].append(int(((x - 128) ** 2).sum()))
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        run, WAV_FEATURE_SCHEMA)
+    # NULL payloads are undecodable — dropped JVM-side (r10 NULL audit)
+    return (media.select("doc_id", "payload")
+            .filter(F.col("payload").isNotNull())
+            .mapInPandas(run, WAV_FEATURE_SCHEMA))
 
 
 _BMP_SUM_SQL = ("CAST(list_sum(list_transform(range(0, width * height), "
@@ -766,9 +772,12 @@ def decode_png_features(media: DataFrame) -> DataFrame:
                 out["sum_b"].append(int(ch[:, 2].sum()))
             yield pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        run, "doc_id long, width int, height int, n_pixels long, "
-             "sum_r long, sum_g long, sum_b long")
+    # NULL payloads are undecodable — dropped JVM-side (r10 NULL audit)
+    return (media.select("doc_id", "payload")
+            .filter(F.col("payload").isNotNull())
+            .mapInPandas(run, "doc_id long, width int, height int, "
+                              "n_pixels long, sum_r long, sum_g long, "
+                              "sum_b long"))
 
 
 @register(
@@ -1074,9 +1083,13 @@ def decode_doc_protobuf(payloads: DataFrame) -> DataFrame:
                 out["wire_bytes"].append(len(blob))
             yield pd.DataFrame(out)
 
-    return payloads.select("payload").mapInPandas(
-        run, "doc_id long, lang string, n_chars long, tokens long, "
-             "wire_bytes long")
+    # NULL payloads are unparseable (FromString(bytes(None)) crashes
+    # the kernel) — dropped JVM-side (r10 NULL audit)
+    return (payloads.select("payload")
+            .filter(F.col("payload").isNotNull())
+            .mapInPandas(
+                run, "doc_id long, lang string, n_chars long, "
+                     "tokens long, wire_bytes long"))
 
 
 @register(
