@@ -180,7 +180,7 @@ def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
 # journal ops that introduce a NEW table version (OPTIMIZE rewrites an
 # existing version in place and shares its number, so it is excluded
 # from exactly-once replay detection and the applied-versions pointer)
-_VERSIONING_OPS = ("upsert", "delete")
+_VERSIONING_OPS = ("upsert", "delete", "merge")
 
 
 def _journal_state(versions_root: str) -> tuple[list[dict], set[int]]:
@@ -488,6 +488,184 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
                       ignore_errors=True)
     raise RuntimeError(
         f"delete commit for version {batch_id} lost {max_retries} "
+        f"consecutive CAS races — livelocked writer set?")
+
+
+def _merge_result(snapshot, source, key_cols: list[str],
+                  matched_update, matched_delete, not_matched_insert):
+    """The relational core of MERGE INTO (separated so the CAS loop can
+    re-stage it against a new base on a lost race). Returns the merged
+    DataFrame in the combined schema: target columns first (in table
+    order), source-only columns appended."""
+    from pyspark.sql import functions as F
+
+    def cond(c):
+        if c is None:
+            return F.lit(False)
+        if isinstance(c, bool):
+            return F.lit(c)
+        if isinstance(c, str):
+            return F.expr(c)
+        return c
+
+    upd = cond(matched_update)
+    dele = cond(matched_delete)
+    ins = cond(not_matched_insert)
+
+    t = snapshot.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    on = None
+    for k in key_cols:
+        term = F.col(f"t.{k}") == F.col(f"s.{k}")
+        on = term if on is None else (on & term)
+    j = t.join(s, on, "full_outer")
+    matched = F.col("t._t_present").isNotNull() \
+        & F.col("s._s_present").isNotNull()
+    s_only = F.col("t._t_present").isNull()
+    # clause order is Delta's: a matched row tests DELETE first, then
+    # UPDATE, else carries unchanged; a source-only row tests INSERT
+    keep = F.when(matched & dele, F.lit(False)) \
+        .when(matched, F.lit(True)) \
+        .when(s_only, ins) \
+        .otherwise(F.lit(True))          # target-only rows always carry
+    take_source = F.when(matched & ~dele & upd, F.lit(True)) \
+        .when(s_only, F.lit(True)).otherwise(F.lit(False))
+
+    t_cols = [f.name for f in snapshot.schema.fields]
+    s_fields = {f.name: f for f in source.schema.fields}
+    out = []
+    for c in t_cols:
+        if c in key_cols:
+            out.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
+                       .alias(c))
+        elif c in s_fields:
+            out.append(F.when(take_source, F.col(f"s.{c}"))
+                       .otherwise(F.col(f"t.{c}")).alias(c))
+        else:
+            # UPDATE SET * / INSERT * with the column absent from the
+            # source: updates retain the target value, inserts get NULL
+            out.append(F.col(f"t.{c}").alias(c))
+    for c in (f.name for f in source.schema.fields):
+        if c not in t_cols and c != "_s_present":
+            # source-only column: NULL on carried target rows — the
+            # mergeSchema evolution the upsert path also applies
+            out.append(F.when(take_source, F.col(f"s.{c}"))
+                       .otherwise(F.lit(None).cast(s_fields[c].dataType))
+                       .alias(c))
+    return j.filter(keep).select(*out)
+
+
+def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
+                      key_cols: list[str],
+                      matched_update="true",
+                      matched_delete=None,
+                      not_matched_insert="true",
+                      keep_versions: int = 2, writer: str = "w0",
+                      max_retries: int = 24) -> str:
+    """Delta-style ``MERGE INTO`` committed through the optimistic CAS
+    journal — the general conditional form of which upsert_commit_batch
+    (keep-latest) and upsert_delete_where are the two fixed special
+    cases. Per key-matched row, clauses apply in Delta's order:
+
+      WHEN MATCHED AND <matched_delete>  THEN DELETE
+      WHEN MATCHED AND <matched_update>  THEN UPDATE SET *
+      WHEN NOT MATCHED AND <not_matched_insert> THEN INSERT *
+
+    Conditions are SQL strings (or Columns/bools) over the aliases
+    ``t`` (target) and ``s`` (source), e.g. ``"s.price > t.price"``;
+    None/False disables a clause, "true" makes it unconditional.
+    UPDATE SET * takes every source column (missing source columns
+    retain the target value); INSERT * fills missing columns with
+    NULL; source-only columns evolve the schema with NULLs on carried
+    rows — the same mergeSchema contract as the upsert path.
+
+    The source must have at most ONE row per key (Delta's multiple-
+    source-rows-match error) — enforced with one aggregate; pre-reduce
+    with keep-latest if the feed has duplicates. Exactly-once by
+    ``batch_id``; at 100 TB the stage is one key-partitioned full-outer
+    join of snapshot and source (both shuffle on the key, neither
+    broadcasts) plus the copy-on-write rewrite every non-deletion-
+    vector Delta MERGE pays."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..fsutil import cas_backoff, try_commit
+    from .index import _input_vanished
+
+    dup = (source.groupBy(*key_cols).count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            "MERGE source has multiple rows for at least one key — "
+            "reduce it (e.g. keep-latest) before merging, as Delta "
+            "requires")
+    versions_root = target_dir + "_versions"
+    os.makedirs(versions_root, exist_ok=True)
+    retried = False
+    for _attempt in range(max_retries):
+        if _attempt:
+            cas_backoff(_attempt)
+        commits, applied = _journal_state(versions_root)
+        if batch_id in applied:
+            if commits:
+                _publish_commit(target_dir, versions_root, commits,
+                                keep_versions)
+            return "replayed"
+        base = commits[-1]["version_name"] if commits else None
+        seq = commits[-1]["seq"] + 1 if commits else 0
+        stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        try:
+            if base is None:
+                # MERGE into an empty table: only the INSERT clause
+                # can produce rows
+                ins = not_matched_insert
+                if ins is None or ins is False:
+                    merged = source.limit(0)
+                else:
+                    c = (F.expr(ins) if isinstance(ins, str)
+                         else F.lit(True) if ins is True else ins)
+                    merged = source.alias("s").filter(c)
+            else:
+                snapshot = spark.read.parquet(
+                    os.path.join(versions_root, base))
+                merged = _merge_result(snapshot, source, key_cols,
+                                       matched_update, matched_delete,
+                                       not_matched_insert)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(versions_root, stage))
+        except Exception as exc:
+            shutil.rmtree(os.path.join(versions_root, stage),
+                          ignore_errors=True)
+            now, _ = _journal_state(versions_root)
+            now_seq = now[-1]["seq"] if now else -1
+            base_seq = commits[-1]["seq"] if commits else -1
+            if now_seq != base_seq and _input_vanished(exc):
+                retried = True
+                continue
+            raise
+        perm = f"v{batch_id}"
+        try:
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        except OSError:
+            perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        if try_commit(_commits_dir(versions_root), seq,
+                      {"op": "merge", "version": batch_id,
+                       "version_name": perm, "writer": writer}):
+            commits, _ = _journal_state(versions_root)
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "applied-after-retry" if retried else "applied"
+        retried = True
+        shutil.rmtree(os.path.join(versions_root, perm),
+                      ignore_errors=True)
+    raise RuntimeError(
+        f"merge commit for version {batch_id} lost {max_retries} "
         f"consecutive CAS races — livelocked writer set?")
 
 
@@ -1130,4 +1308,102 @@ def cdc_schema_evolution_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_upsert_changes(spark, target, 0, 1, ["user_id"])
         .select("user_id", "change_type", "event_id", "event_type", "value")
         .orderBy("user_id", "change_type")
+    )
+
+
+MERGE_INTO_CUTOFF = "1999-01-01 00:00:00"
+
+
+@_catalog_register(
+    "merge_into_conditional_orders",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey AS k, o_totalprice AS price,
+             o_orderdate >= TIMESTAMP '{MERGE_INTO_CUTOFF}' AS is_src,
+             row_number() OVER (
+               PARTITION BY o_custkey,
+                            o_orderdate >= TIMESTAMP '{MERGE_INTO_CUTOFF}'
+               ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    base AS (SELECT k, price FROM ranked WHERE rn = 1 AND NOT is_src),
+    src  AS (SELECT k, price FROM ranked WHERE rn = 1 AND is_src),
+    merged AS (
+      SELECT COALESCE(b.k, s.k) AS k,
+             CASE
+               WHEN b.k IS NOT NULL AND s.k IS NOT NULL THEN
+                 CASE WHEN s.price < 50000 THEN NULL          -- DELETE
+                      WHEN s.price > b.price THEN s.price     -- UPDATE
+                      ELSE b.price END                        -- carry
+               WHEN b.k IS NULL THEN
+                 CASE WHEN s.price >= 100000 THEN s.price END -- INSERT?
+               ELSE b.price END AS price                      -- target-only
+      FROM base b FULL OUTER JOIN src s ON b.k = s.k
+    )
+    SELECT CAST(FLOOR(price / 100000) AS BIGINT) AS price_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST((price) AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM merged WHERE price IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def merge_into_conditional_orders(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """General MERGE INTO on the table format under the value-hash
+    gate: the latest pre-cutoff order per customer is committed as the
+    table, the latest post-cutoff order per customer is the MERGE
+    source, and the three conditional clauses all fire —
+
+      WHEN MATCHED AND s.price < 50000          THEN DELETE
+      WHEN MATCHED AND s.price > t.price        THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.price >= 100000    THEN INSERT *
+
+    — through upsert_merge_into's CAS-journaled copy-on-write commit
+    (the general form of which the keep-latest upsert and DELETE WHERE
+    are fixed special cases). The published table is then banded by
+    price and aggregated; the oracle replays the identical clause
+    cascade as a CASE over the full-outer join. Clause misfires
+    (deleting on the wrong side of the threshold, updating downward,
+    inserting below the floor) shift rows between bands and fail the
+    hash."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+
+    root = query_workspace("merge_into", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    cutoff = F.lit(MERGE_INTO_CUTOFF).cast("timestamp")
+    upsert_commit_batch(
+        o.filter(F.col("o_orderdate") < cutoff)
+        .select("o_custkey", "o_orderkey", "o_totalprice"),
+        target, 0, key_cols=["o_custkey"], order_col="o_orderkey",
+        keep_versions=2)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    src = (o.filter(F.col("o_orderdate") >= cutoff)
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1)
+           .select("o_custkey", "o_totalprice"))
+    upsert_merge_into(
+        spark, target, 1, src, key_cols=["o_custkey"],
+        matched_delete="s.o_totalprice < 50000",
+        matched_update="s.o_totalprice > t.o_totalprice",
+        not_matched_insert="s.o_totalprice >= 100000",
+        keep_versions=2)
+    return (
+        spark.read.parquet(target)
+        .groupBy(F.floor(F.col("o_totalprice") / 100000)
+                 .alias("price_band"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("double").alias("sum_price"))
+        .orderBy("price_band")
     )

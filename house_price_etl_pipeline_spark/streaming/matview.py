@@ -312,7 +312,7 @@ def _mv_workspace(sf_dir: str) -> str:
         SELECT user_id, event_type, value,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY event_id DESC) AS rn
-        FROM events) WHERE rn = 1
+        FROM events WHERE event_id % 2 = 0) WHERE rn = 1
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -344,11 +344,16 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root)
     target = os.path.join(root, "tbl")
     view = os.path.join(root, "mv")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value")
+    # even event_ids only (deterministic slice, mirrored by the
+    # oracle): the fold's exactness contract is data-size-independent,
+    # so the harness commits half the table per bench run (VERDICT r9
+    # #1); batches split the slice by event_id % 4 ∈ {0, 2}
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 2 == 0)
+          .select("event_id", "user_id", "event_type", "value"))
     modes = []
     for i in range(2):
-        upsert_commit_batch(ev.filter(F.col("event_id") % 2 == i),
+        upsert_commit_batch(ev.filter(F.col("event_id") % 4 == 2 * i),
                             target, i, key_cols=["user_id"],
                             order_col="event_id", keep_versions=2)
         modes.append(refresh_mv(spark, target, view,

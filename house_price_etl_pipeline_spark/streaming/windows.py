@@ -262,7 +262,12 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_events"),
              F.sum("s").cast("double").alias("sum_value"))
     )
-    out = _drain(daily, spark, output_mode="append")
+    # TWO stateful operators in one query → per-batch state-store
+    # commit cost doubles; halving the store count pays for itself at
+    # the window key cardinality here (hours/days, not users) — A/B'd
+    # at sf0.1: 1.96 s → 1.44 s warm vs the default 8
+    out = _drain(daily, spark, output_mode="append",
+                 partitions=max(2, stream_shuffle_partitions() // 2))
     return (
         out.select(
             F.col("window.start").cast("date").cast("string").alias("day"),

@@ -183,14 +183,17 @@ def test_float_columns_get_no_range_stats(spark, tmp_path):
     assert total == 2 and "part-0.parquet" in kept
 
 
-def test_distributed_manifest_matches_serial(spark, tmp_path):
+def test_distributed_manifest_matches_serial(spark, tmp_path, monkeypatch):
     """write_stats_manifest(spark=...) — the executor-side footer walk
-    used by OPTIMIZE — produces a byte-identical manifest to the serial
-    driver loop."""
+    used by OPTIMIZE past the file-count threshold — produces a
+    byte-identical manifest to the serial driver loop."""
+    import house_price_etl_pipeline_spark.streaming.skipping as sk
+
     target = _build_table(spark, str(tmp_path))
     snap = os.path.realpath(target)
     write_stats_manifest(snap, ["a", "b"])
     serial = read_stats_manifest(snap)
+    monkeypatch.setattr(sk, "_DISTRIBUTE_STATS_MIN_FILES", 2)
     write_stats_manifest(snap, ["a", "b"], spark=spark)
     dist = read_stats_manifest(snap)
     assert dist == serial and len(dist["files"]) > 1

@@ -2534,3 +2534,80 @@ def test_upsert_delete_where_emits_cdc_delete_rows(spark, tmp_path):
     ch = read_upsert_changes(spark, target, 0, 1, key_cols=["k"])
     rows = sorted((r.change_type, r.k) for r in ch.collect())
     assert rows == [("delete", 4), ("delete", 5)]
+
+
+def test_merge_into_clause_cascade(spark, tmp_path):
+    """MERGE INTO applies Delta's clause order per matched key: DELETE
+    first, then UPDATE SET * (missing source columns retain target
+    values), then carry; source-only keys honor the INSERT condition
+    (missing columns NULL); target-only keys always carry; source-only
+    columns evolve the schema with NULLs on carried rows."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_merge_into)
+
+    target = str(tmp_path / "tbl")
+    t0 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c"), (4, 40, "d")],
+        "k long, v int, tag string")
+    upsert_commit_batch(t0, target, 0, key_cols=["k"], order_col="v",
+                        keep_versions=4)
+    src = spark.createDataFrame(
+        [(2, 15, 99), (3, 35, 98), (5, 50, 97), (6, 5, 96)],
+        "k long, v int, extra int")
+    assert upsert_merge_into(
+        spark, target, 1, src, ["k"],
+        matched_update="s.v > t.v",
+        matched_delete="s.v < 18",
+        not_matched_insert="s.v >= 50") == "applied"
+    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert got == sorted([
+        (1, 10, "a", None),    # target-only: carried, evolved col NULL
+        (3, 35, "c", 98),      # matched update: source v, target tag
+        (4, 40, "d", None),    # target-only: carried
+        (5, 50, None, 97),     # insert: missing tag NULL
+    ])                          # k=2 deleted (15<18); k=6 insert cond false
+
+
+def test_merge_into_replay_cdc_and_dup_source(spark, tmp_path):
+    """Exactly-once by batch_id; the change feed across a merge emits
+    the right insert/delete/update rows; a multi-row-per-key source is
+    refused (Delta's multiple-source-rows-match error)."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_changes, upsert_commit_batch, upsert_merge_into)
+
+    target = str(tmp_path / "tbl")
+    t0 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v int")
+    upsert_commit_batch(t0, target, 0, key_cols=["k"], order_col="v",
+                        keep_versions=4)
+    src = spark.createDataFrame([(2, 25), (3, 1), (9, 90)],
+                                "k long, v int")
+    assert upsert_merge_into(
+        spark, target, 1, src, ["k"],
+        matched_delete="s.v < 5") == "applied"
+    assert upsert_merge_into(
+        spark, target, 1, src, ["k"],
+        matched_delete="s.v < 5") == "replayed"
+    ch = read_upsert_changes(spark, target, 0, 1, key_cols=["k"])
+    rows = sorted((r.change_type, r.k) for r in ch.collect())
+    assert rows == [("delete", 3), ("insert", 9),
+                    ("update_postimage", 2), ("update_preimage", 2)]
+    with _pytest.raises(ValueError, match="multiple rows"):
+        upsert_merge_into(spark, target, 2, src.unionAll(src), ["k"])
+
+
+def test_merge_into_empty_table_inserts_only(spark, tmp_path):
+    """MERGE into a table with no commits: only the INSERT clause can
+    produce rows, and its condition is honored."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_merge_into
+
+    target = str(tmp_path / "tbl")
+    src = spark.createDataFrame([(1, 5), (2, 50)], "k long, v int")
+    assert upsert_merge_into(
+        spark, target, 0, src, ["k"],
+        not_matched_insert="s.v >= 10") == "applied"
+    assert [tuple(r) for r in spark.read.parquet(target).collect()] \
+        == [(2, 50)]
