@@ -291,6 +291,101 @@ def _publish_commit(target_dir: str, versions_root: str,
         f"(pathological sustained commit traffic or a livelock bug)")
 
 
+# --- file-granular copy-on-write (round 10) --------------------------------
+#
+# A commit that touches 1 GB of keys in a 100 TB table must not rewrite
+# 100 TB. Delta solves this with add/remove file actions: the MERGE plan
+# first computes the TOUCHED file set (an inner join of the source keys
+# against the table scan's _metadata.file_path), rewrites only those
+# files, and carries every other file into the new version by reference.
+# This format's versions are materialized directories rather than log
+# manifests (so a published snapshot stays readable with a plain
+# ``spark.read.parquet``), which makes "carry by reference" a hard link:
+# the new version dir links the untouched files' inodes instead of
+# copying bytes. Retention pruning and VACUUM keep working unchanged —
+# rmtree unlinks names, and a shared inode lives until its last
+# referencing version is pruned. On an object store the same plan ships
+# as manifest references instead of links; the hard link is the local-FS
+# analog, and the part that matters at scale — staging cost proportional
+# to the CHANGED data, not the table — is in the plan shape, not the
+# link.
+
+def _snapshot_data_files(snapshot_dir: str) -> list[str]:
+    import os
+    return sorted(
+        f for f in os.listdir(snapshot_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+
+
+def _file_paths_to_basenames(rows) -> set[str]:
+    """``_metadata.file_path`` values are URIs (``file:///…``); map them
+    to basenames for comparison against the snapshot dir listing."""
+    import os
+    from urllib.parse import unquote, urlparse
+    return {os.path.basename(unquote(urlparse(r[0]).path)) for r in rows}
+
+
+def _touched_files_by_keys(spark, base_dir: str, keys_df,
+                           key_cols: list[str]) -> set[str]:
+    """Basenames of the base snapshot's data files holding at least one
+    row whose key appears in ``keys_df`` — Delta's touched-file join.
+    The scan reads ONLY the key columns (parquet column pruning) plus
+    the free ``_metadata.file_path`` constant; the join is null-safe so
+    a NULL-keyed delta row claims the file holding the NULL-keyed base
+    row (the window in keep_latest groups NULLs as a real key, and the
+    join must agree or the carried twin would duplicate the key). The
+    collect is bounded by the touched-file count — the same driver-side
+    file list every Delta MERGE materializes."""
+    from pyspark.sql import functions as F
+
+    snap = (spark.read.parquet(base_dir)
+            .select(*key_cols)
+            .withColumn("_file", F.col("_metadata.file_path"))
+            .alias("t"))
+    keys = keys_df.select(*key_cols).dropDuplicates().alias("d")
+    cond = None
+    for k in key_cols:
+        term = F.col(f"t.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = term if cond is None else (cond & term)
+    rows = (snap.join(keys, cond, "leftsemi")
+            .select("_file").distinct().collect())
+    return _file_paths_to_basenames(rows)
+
+
+def _stage_with_reuse(snapshot_dir: str, stage_dir: str,
+                      kept_files: list[str], rewritten_df) -> None:
+    """Materialize a staged snapshot as ``rewritten_df``'s output plus
+    hard links to the base snapshot's untouched data files. The Spark
+    write runs FIRST (mode=overwrite clears the dir), links after; link
+    falls back to copy on filesystems without hard-link support."""
+    import os
+    import shutil
+
+    if rewritten_df is not None:
+        rewritten_df.write.mode("overwrite").parquet(stage_dir)
+    else:
+        os.makedirs(stage_dir, exist_ok=True)
+    for name in kept_files:
+        src = os.path.join(snapshot_dir, name)
+        dst = os.path.join(stage_dir, name)
+        if os.path.exists(dst):          # freak part-name collision
+            root, ext = os.path.splitext(name)
+            dst = os.path.join(stage_dir, f"{root}-linked{ext}")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+
+def _schemas_match(a, b) -> bool:
+    """Incremental reuse requires the delta to neither add, drop, nor
+    retype columns vs the snapshot — linked files can't be evolved in
+    place, and a mixed-schema dir would break the plain-parquet read
+    contract. Name order and nullability don't matter."""
+    return ({(f.name, f.dataType) for f in a.fields}
+            == {(f.name, f.dataType) for f in b.fields})
+
+
 def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         key_cols: list[str], order_col: str,
                         keep_versions: int = 2, writer: str = "w0",
@@ -299,7 +394,16 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         _pre_swap_hook=None) -> str:
     """One keep-latest merge committed through the optimistic journal.
     Returns "applied", "replayed" (exactly-once no-op), or
-    "applied-after-retry" (lost at least one CAS race). ``_race_hook``
+    "applied-after-retry" (lost at least one CAS race).
+
+    When the batch's schema matches the snapshot's, the stage is
+    file-granular copy-on-write: a key semi-join against the snapshot
+    scan's ``_metadata.file_path`` finds the files holding keys the
+    batch touches, only those are re-merged and rewritten, and every
+    other file carries into the new version by hard link — commit cost
+    proportional to the CHANGED data, not the table (see the module
+    block comment above _snapshot_data_files). Schema-evolving batches
+    take the full mergeSchema rewrite. ``_race_hook``
     is a test seam invoked between base-read and CAS attempt so a
     conflicting writer can be interleaved deterministically;
     ``_pre_stage_hook`` fires just before the staging write (the window
@@ -313,6 +417,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..config import incremental_commits_enabled
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
@@ -345,21 +450,47 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         # stage under a unique name BEFORE the CAS: the journal must
         # only ever reference fully-written data (Delta's ordering)
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        reuse_stats = None
         try:
             delta = keep_latest(batch_df)
-            if base is not None:
-                snapshot = spark.read.parquet(
-                    os.path.join(versions_root, base))
-                # schema evolution (VERDICT r5 item 3): a batch may ADD
-                # columns vs the current snapshot (or arrive without
-                # columns the snapshot has) — union to the merged schema
-                # with nulls, Delta mergeSchema semantics, not an error
-                merged = keep_latest(
-                    snapshot.unionByName(delta, allowMissingColumns=True))
+            base_dir = (os.path.join(versions_root, base)
+                        if base is not None else None)
+            snapshot = (spark.read.parquet(base_dir)
+                        if base is not None else None)
+            if (snapshot is not None
+                    and incremental_commits_enabled()
+                    and _schemas_match(snapshot.schema, delta.schema)):
+                # file-granular copy-on-write: rewrite only the files
+                # holding keys the delta touches; hard-link the rest
+                touched = _touched_files_by_keys(
+                    spark, base_dir, delta, key_cols)
+                kept = [f for f in _snapshot_data_files(base_dir)
+                        if f not in touched]
+                if touched:
+                    sub = spark.read.parquet(
+                        *(os.path.join(base_dir, f) for f in touched))
+                    merged = keep_latest(sub.unionByName(delta))
+                else:
+                    merged = delta
+                _stage_with_reuse(base_dir,
+                                  os.path.join(versions_root, stage),
+                                  kept, merged)
+                reuse_stats = (len(touched), len(kept))
             else:
-                merged = delta
-            merged.write.mode("overwrite").parquet(
-                os.path.join(versions_root, stage))
+                if snapshot is not None:
+                    # schema evolution (VERDICT r5 item 3): a batch may
+                    # ADD columns vs the current snapshot (or arrive
+                    # without columns the snapshot has) — union to the
+                    # merged schema with nulls, Delta mergeSchema
+                    # semantics, not an error. Evolution forces a full
+                    # rewrite: linked files can't change schema.
+                    merged = keep_latest(
+                        snapshot.unionByName(delta,
+                                             allowMissingColumns=True))
+                else:
+                    merged = delta
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(versions_root, stage))
         except Exception as exc:
             # The merge scans the base snapshot lazily; if concurrent
             # writers advance the journal by keep_versions commits while
@@ -390,9 +521,11 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                       os.path.join(versions_root, perm))
         if _race_hook is not None:
             _race_hook(_attempt)
-        if try_commit(_commits_dir(versions_root), seq,
-                      {"op": "upsert", "version": batch_id,
-                       "version_name": perm, "writer": writer}):
+        entry = {"op": "upsert", "version": batch_id,
+                 "version_name": perm, "writer": writer}
+        if reuse_stats is not None:
+            entry["files_rewritten"], entry["files_reused"] = reuse_stats
+        if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
                             keep_versions, _pre_swap_hook=_pre_swap_hook)
@@ -421,15 +554,19 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
     This is what makes the change feed's ``delete`` rows reachable
     (read_upsert_changes emits one per key present in v_from but absent
     in v_to), and with them the −1 legs of the incremental-MV fold.
-    Exactly-once by ``batch_id`` like the upserts; at 100 TB the stage
-    is one full-snapshot filter scan — the same copy-on-write cost a
-    non-deletion-vector Delta DELETE pays."""
+    Exactly-once by ``batch_id`` like the upserts. At 100 TB the stage
+    rewrites ONLY the files that contain rows the predicate deletes
+    (one pushed-down scan finds them via ``_metadata.file_path``);
+    every untouched file carries into the new version by hard link —
+    Delta's file-granular copy-on-write, so a selective DELETE costs
+    the changed files, not the table."""
     import os
     import shutil
     import uuid
 
     from pyspark.sql import functions as F
 
+    from ..config import incremental_commits_enabled
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
@@ -450,13 +587,35 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
         base = commits[-1]["version_name"]
         seq = commits[-1]["seq"] + 1
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        reuse_stats = None
         try:
-            snapshot = spark.read.parquet(
-                os.path.join(versions_root, base))
-            kept = snapshot.filter(
-                F.coalesce(~condition, F.lit(True)))
-            kept.write.mode("overwrite").parquet(
-                os.path.join(versions_root, stage))
+            base_dir = os.path.join(versions_root, base)
+            snapshot = spark.read.parquet(base_dir)
+            if incremental_commits_enabled():
+                # touched = files holding at least one row the predicate
+                # actually deletes (predicate pushed to the scan); every
+                # other file carries into the new version as a hard link
+                rows = (snapshot
+                        .withColumn("_file", F.col("_metadata.file_path"))
+                        .filter(condition)
+                        .select("_file").distinct().collect())
+                touched = _file_paths_to_basenames(rows)
+                kept_files = [f for f in _snapshot_data_files(base_dir)
+                              if f not in touched]
+                rewritten = None
+                if touched:
+                    rewritten = (spark.read.parquet(
+                        *(os.path.join(base_dir, f) for f in touched))
+                        .filter(F.coalesce(~condition, F.lit(True))))
+                _stage_with_reuse(base_dir,
+                                  os.path.join(versions_root, stage),
+                                  kept_files, rewritten)
+                reuse_stats = (len(touched), len(kept_files))
+            else:
+                kept = snapshot.filter(
+                    F.coalesce(~condition, F.lit(True)))
+                kept.write.mode("overwrite").parquet(
+                    os.path.join(versions_root, stage))
         except Exception as exc:
             # same stale-base window as the upsert merge: a concurrent
             # publish can prune our base under the running scan
@@ -476,9 +635,11 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
             perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
             os.rename(os.path.join(versions_root, stage),
                       os.path.join(versions_root, perm))
-        if try_commit(_commits_dir(versions_root), seq,
-                      {"op": "delete", "version": batch_id,
-                       "version_name": perm, "writer": writer}):
+        entry = {"op": "delete", "version": batch_id,
+                 "version_name": perm, "writer": writer}
+        if reuse_stats is not None:
+            entry["files_rewritten"], entry["files_reused"] = reuse_stats
+        if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
                             keep_versions)
@@ -582,16 +743,21 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
     The source must have at most ONE row per key (Delta's multiple-
     source-rows-match error) — enforced with one aggregate; pre-reduce
     with keep-latest if the feed has duplicates. Exactly-once by
-    ``batch_id``; at 100 TB the stage is one key-partitioned full-outer
-    join of snapshot and source (both shuffle on the key, neither
-    broadcasts) plus the copy-on-write rewrite every non-deletion-
-    vector Delta MERGE pays."""
+    ``batch_id``. At 100 TB the stage first computes the TOUCHED file
+    set (a key semi-join against the snapshot scan's ``_metadata.
+    file_path`` — Delta's touched-file join), full-outer-joins only
+    those files' rows with the source, and carries every untouched
+    file into the new version by hard link — so a MERGE whose source
+    hits 1 GB of keys rewrites ~1 GB, not the table. Schema-evolving
+    merges (source-only or retyped columns) fall back to the full
+    rewrite, since linked files can't be evolved in place."""
     import os
     import shutil
     import uuid
 
     from pyspark.sql import functions as F
 
+    from ..config import incremental_commits_enabled
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
@@ -617,6 +783,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
         base = commits[-1]["version_name"] if commits else None
         seq = commits[-1]["seq"] + 1 if commits else 0
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        reuse_stats = None
         try:
             if base is None:
                 # MERGE into an empty table: only the INSERT clause
@@ -628,14 +795,43 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     c = (F.expr(ins) if isinstance(ins, str)
                          else F.lit(True) if ins is True else ins)
                     merged = source.alias("s").filter(c)
+                merged.write.mode("overwrite").parquet(
+                    os.path.join(versions_root, stage))
             else:
-                snapshot = spark.read.parquet(
-                    os.path.join(versions_root, base))
-                merged = _merge_result(snapshot, source, key_cols,
-                                       matched_update, matched_delete,
-                                       not_matched_insert)
-            merged.write.mode("overwrite").parquet(
-                os.path.join(versions_root, stage))
+                base_dir = os.path.join(versions_root, base)
+                snapshot = spark.read.parquet(base_dir)
+                t_types = {f.name: f.dataType
+                           for f in snapshot.schema.fields}
+                s_types = {f.name: f.dataType
+                           for f in source.schema.fields}
+                # incremental reuse needs the merge to neither evolve
+                # the schema (source-only columns) nor widen a shared
+                # column's type — either would leave linked files on a
+                # schema the rewritten files no longer share
+                no_evolution = all(
+                    c in t_types and t_types[c] == s_types[c]
+                    for c in s_types)
+                if incremental_commits_enabled() and no_evolution:
+                    touched = _touched_files_by_keys(
+                        spark, base_dir, source, key_cols)
+                    kept = [f for f in _snapshot_data_files(base_dir)
+                            if f not in touched]
+                    sub = (spark.read.parquet(
+                        *(os.path.join(base_dir, f) for f in touched))
+                        if touched else snapshot.limit(0))
+                    merged = _merge_result(sub, source, key_cols,
+                                           matched_update, matched_delete,
+                                           not_matched_insert)
+                    _stage_with_reuse(base_dir,
+                                      os.path.join(versions_root, stage),
+                                      kept, merged)
+                    reuse_stats = (len(touched), len(kept))
+                else:
+                    merged = _merge_result(snapshot, source, key_cols,
+                                           matched_update, matched_delete,
+                                           not_matched_insert)
+                    merged.write.mode("overwrite").parquet(
+                        os.path.join(versions_root, stage))
         except Exception as exc:
             shutil.rmtree(os.path.join(versions_root, stage),
                           ignore_errors=True)
@@ -654,9 +850,11 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
             os.rename(os.path.join(versions_root, stage),
                       os.path.join(versions_root, perm))
-        if try_commit(_commits_dir(versions_root), seq,
-                      {"op": "merge", "version": batch_id,
-                       "version_name": perm, "writer": writer}):
+        entry = {"op": "merge", "version": batch_id,
+                 "version_name": perm, "writer": writer}
+        if reuse_stats is not None:
+            entry["files_rewritten"], entry["files_reused"] = reuse_stats
+        if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
                             keep_versions)
@@ -921,6 +1119,8 @@ def describe_upsert_history(spark, target_dir: str) -> DataFrame:
         T.StructField("version_name", T.StringType()),
         T.StructField("writer", T.StringType()),
         T.StructField("retained", T.BooleanType()),
+        T.StructField("files_rewritten", T.LongType()),
+        T.StructField("files_reused", T.LongType()),
     ])
     # A commit missing version_name must report retained=False: joining
     # '' onto versions_root yields versions_root itself, which always
@@ -929,7 +1129,8 @@ def describe_upsert_history(spark, target_dir: str) -> DataFrame:
              c.get("version_name"), c.get("writer"),
              bool(c.get("version_name"))
              and os.path.isdir(os.path.join(versions_root,
-                                            c["version_name"])))
+                                            c["version_name"])),
+             c.get("files_rewritten"), c.get("files_reused"))
             for c in reversed(commits)]
     return spark.createDataFrame(rows, schema)
 

@@ -2611,3 +2611,243 @@ def test_merge_into_empty_table_inserts_only(spark, tmp_path):
         not_matched_insert="s.v >= 10") == "applied"
     assert [tuple(r) for r in spark.read.parquet(target).collect()] \
         == [(2, 50)]
+
+
+# --- file-granular copy-on-write commits (round 10) ------------------------
+
+def _journal_entries(target):
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import _commits_dir
+    return read_commit_journal(_commits_dir(target + "_versions"))
+
+
+def _version_dir(target, version):
+    import os
+    for c in reversed(_journal_entries(target)):
+        if c["version"] == version:
+            return os.path.join(target + "_versions", c["version_name"])
+    raise KeyError(version)
+
+
+def _shares_inode(dir_a, dir_b):
+    """True if any data file in dir_a is the same inode as one in
+    dir_b — the hard-link reuse signature."""
+    import os
+    def files(d):
+        return {f: os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))}
+    fa, fb = files(dir_a), files(dir_b)
+    return any(n in fb and os.path.samefile(p, fb[n])
+               for n, p in fa.items())
+
+
+def test_incremental_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """An upsert whose keys live in a subset of the snapshot's files
+    rewrites only those files; the rest carry into the new version as
+    hard links, and the journal records the rewrite/reuse split."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_commit_batch
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50)], "k long, ord long, v long")
+    b1 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50, 100)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    ops = {c["version"]: c for c in _journal_entries(target)}
+    # batch 1's keys touch nothing: zero rewrites, all files linked
+    assert ops[1]["files_rewritten"] == 0 and ops[1]["files_reused"] >= 1
+    assert spark.read.parquet(target).count() == 100
+
+    # batch 2 updates keys 60..69 (only batch-1's files hold them)
+    b2 = spark.createDataFrame(
+        [(i, 1, i + 1000) for i in range(60, 70)],
+        "k long, ord long, v long")
+    upsert_commit_batch(b2, target, 2, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    ops = {c["version"]: c for c in _journal_entries(target)}
+    assert ops[2]["files_rewritten"] >= 1 and ops[2]["files_reused"] >= 1
+    # batch-0's untouched files are the SAME inodes in the new version
+    assert _shares_inode(_version_dir(target, 0), _version_dir(target, 2))
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert len(got) == 100
+    assert all(got[i] == i + 1000 for i in range(60, 70))
+    assert all(got[i] == i for i in range(60)) and got[99] == 99
+
+
+def test_incremental_delete_links_untouched_files(spark, tmp_path):
+    """DELETE WHERE rewrites only files containing matching rows; the
+    predicate-free files are hard-linked, and results match SQL DELETE
+    semantics."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_delete_where)
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50)], "k long, ord long, v long")
+    b1 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50, 100)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    assert upsert_delete_where(spark, target, 2, "k >= 90",
+                               keep_versions=8) == "applied"
+    ops = {c["version"]: c for c in _journal_entries(target)}
+    assert ops[2]["files_rewritten"] >= 1
+    assert ops[2]["files_reused"] >= 1
+    assert _shares_inode(_version_dir(target, 0), _version_dir(target, 2))
+    assert sorted(r.k for r in spark.read.parquet(target).collect()) \
+        == list(range(90))
+
+
+def test_incremental_delete_all_rows(spark, tmp_path):
+    """Deleting every row leaves a readable empty snapshot (schema
+    preserved by the empty-write metadata file)."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_delete_where)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 0, 1), (2, 0, 2)],
+                               "k long, ord long, v long")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    assert upsert_delete_where(spark, target, 1, "true",
+                               keep_versions=4) == "applied"
+    out = spark.read.parquet(target)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "ord", "v"}
+
+
+def test_incremental_merge_links_untouched_files(spark, tmp_path):
+    """MERGE INTO's touched-file join confines the rewrite to files
+    holding source keys; inserts land in the rewritten portion and the
+    rest is linked."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_merge_into)
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50)], "k long, ord long, v long")
+    b1 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50, 100)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    src = spark.createDataFrame(
+        [(95, 0, 9500), (96, 0, 6), (200, 0, 4242)],
+        "k long, ord long, v long")
+    assert upsert_merge_into(
+        spark, target, 2, src, ["k"],
+        matched_update="s.v > t.v",          # fires for 95, not 96
+        not_matched_insert="true", keep_versions=8) == "applied"
+    ops = {c["version"]: c for c in _journal_entries(target)}
+    assert ops[2]["files_rewritten"] >= 1 and ops[2]["files_reused"] >= 1
+    assert _shares_inode(_version_dir(target, 0), _version_dir(target, 2))
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert len(got) == 101
+    assert got[95] == 9500 and got[96] == 96 and got[200] == 4242
+
+
+def test_incremental_null_key_claims_null_file(spark, tmp_path):
+    """The touched-file join is null-safe: a NULL-keyed delta row must
+    claim the file holding the NULL-keyed base row, or the carried twin
+    would duplicate the key that keep_latest treats as one group."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_commit_batch
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(None, 0, 1), (1, 0, 2)],
+                               "k long, ord long, v long")
+    b1 = spark.createDataFrame([(None, 1, 99)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    rows = sorted(((r.k, r.v) for r in
+                   spark.read.parquet(target).collect()),
+                  key=lambda t: (t[0] is None, t))
+    assert rows == [(1, 2), (None, 99)]
+
+
+def test_incremental_schema_evolution_falls_back(spark, tmp_path):
+    """A batch that ADDS a column cannot reuse linked files (they can't
+    be evolved in place): the commit takes the full mergeSchema rewrite
+    and records no reuse stats."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_commit_batch
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, 0, 1), (2, 0, 2)],
+                               "k long, ord long, v long")
+    b1 = spark.createDataFrame([(3, 0, 3, "x")],
+                               "k long, ord long, v long, tag string")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    ops = {c["version"]: c for c in _journal_entries(target)}
+    assert "files_rewritten" not in ops[1]
+    got = {r.k: (r.v, r.tag) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (1, None), 2: (2, None), 3: (3, "x")}
+
+
+def test_incremental_disabled_by_env(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_INCREMENTAL_COMMITS=0 restores the full-rewrite
+    path: same results, no reuse stats, no shared inodes."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_commit_batch
+
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_COMMITS", "0")
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(20)], "k long, ord long, v long")
+    b1 = spark.createDataFrame(
+        [(i, 1, i + 100) for i in range(5)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    ops = {c["version"]: c for c in _journal_entries(target)}
+    assert "files_rewritten" not in ops[1]
+    assert not _shares_inode(_version_dir(target, 0),
+                             _version_dir(target, 1))
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert all(got[i] == i + 100 for i in range(5))
+    assert all(got[i] == i for i in range(5, 20))
+
+
+def test_incremental_prune_keeps_shared_inodes_alive(spark, tmp_path):
+    """Retention pruning of an old version only unlinks NAMES: data
+    files hard-linked into the surviving head stay readable — the
+    inode-refcount property the reuse design rests on."""
+    import os
+
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_commit_batch
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50)], "k long, ord long, v long")
+    b1 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50, 100)], "k long, ord long, v long")
+    b2 = spark.createDataFrame(
+        [(60, 1, 9999)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=1)
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=1)
+    upsert_commit_batch(b2, target, 2, key_cols=["k"], order_col="ord",
+                        keep_versions=1)
+    # keep_versions=1: v0 and v1 dirs are pruned at publish
+    versions_root = target + "_versions"
+    dirs = [d for d in os.listdir(versions_root)
+            if os.path.isdir(os.path.join(versions_root, d))
+            and not d.startswith("_")]
+    assert len(dirs) == 1
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert len(got) == 100 and got[60] == 9999 and got[0] == 0
