@@ -35,3 +35,16 @@ def incremental_commits_enabled() -> bool:
     for A/B and for filesystems without hard links where the copy
     fallback would negate the win."""
     return os.environ.get("SPARK_GRAFT_INCREMENTAL_COMMITS", "1") != "0"
+
+
+def incremental_commit_min_bytes() -> int:
+    """SPARK_GRAFT_INCREMENTAL_MIN_BYTES (default 64 MiB): snapshots
+    smaller than this take the plain full rewrite even when incremental
+    commits are enabled — the touched-file join costs a fixed extra
+    Spark job per commit (~0.5 s locally), which beats rewriting a big
+    table but LOSES to just rewriting a small one. The cost-based
+    cutover a real engine makes; at the 100 TB target every snapshot
+    clears it. Set to 0 to force the incremental plan regardless of
+    size (tests and the oracled cow query do)."""
+    return int(os.environ.get("SPARK_GRAFT_INCREMENTAL_MIN_BYTES",
+                              str(64 * 1024 * 1024)))

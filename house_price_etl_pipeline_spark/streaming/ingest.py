@@ -417,7 +417,8 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..config import incremental_commits_enabled
+    from ..config import (incremental_commit_min_bytes,
+                          incremental_commits_enabled)
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
@@ -459,6 +460,8 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         if base is not None else None)
             if (snapshot is not None
                     and incremental_commits_enabled()
+                    and _data_file_bytes(base_dir)
+                    >= incremental_commit_min_bytes()
                     and _schemas_match(snapshot.schema, delta.schema)):
                 # file-granular copy-on-write: rewrite only the files
                 # holding keys the delta touches; hard-link the rest
@@ -566,7 +569,8 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
 
     from pyspark.sql import functions as F
 
-    from ..config import incremental_commits_enabled
+    from ..config import (incremental_commit_min_bytes,
+                          incremental_commits_enabled)
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
@@ -591,7 +595,9 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
         try:
             base_dir = os.path.join(versions_root, base)
             snapshot = spark.read.parquet(base_dir)
-            if incremental_commits_enabled():
+            if (incremental_commits_enabled()
+                    and _data_file_bytes(base_dir)
+                    >= incremental_commit_min_bytes()):
                 # touched = files holding at least one row the predicate
                 # actually deletes (predicate pushed to the scan); every
                 # other file carries into the new version as a hard link
@@ -757,7 +763,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
 
     from pyspark.sql import functions as F
 
-    from ..config import incremental_commits_enabled
+    from ..config import (incremental_commit_min_bytes,
+                          incremental_commits_enabled)
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
@@ -811,7 +818,9 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                 no_evolution = all(
                     c in t_types and t_types[c] == s_types[c]
                     for c in s_types)
-                if incremental_commits_enabled() and no_evolution:
+                if (incremental_commits_enabled() and no_evolution
+                        and _data_file_bytes(base_dir)
+                        >= incremental_commit_min_bytes()):
                     touched = _touched_files_by_keys(
                         spark, base_dir, source, key_cols)
                     kept = [f for f in _snapshot_data_files(base_dir)
@@ -1607,4 +1616,98 @@ def merge_into_conditional_orders(spark: SparkSession,
              F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
              .cast("double").alias("sum_price"))
         .orderBy("price_band")
+    )
+
+
+def _incremental_cow_oracle_sql() -> str:
+    from ..functions.numeric import dec_sum_expr
+    return f"""
+    WITH e AS (SELECT event_id, event_type, value
+               FROM events WHERE event_id % 4 = 0),
+    b AS (SELECT MIN(event_id)
+                 + (MAX(event_id) - MIN(event_id)) * 15 // 16 AS hi_cut
+          FROM e),
+    final AS (
+      SELECT event_type,
+             CASE WHEN event_id >= b.hi_cut THEN value * 2
+                  ELSE value END AS value
+      FROM e, b
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dec_sum_expr('value')} AS sum_value,
+           TRUE AS files_reused
+    FROM final GROUP BY event_type ORDER BY event_type
+    """
+
+
+@_catalog_register("maintenance_incremental_cow",
+                   oracle=_incremental_cow_oracle_sql())
+def maintenance_incremental_cow(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """File-granular copy-on-write under the value-hash gate: a quarter
+    slice of events lands in two key-disjoint batches (the second must
+    rewrite NOTHING — every first-batch file carries by hard link),
+    then a third batch doubles the value of the top 1/16th of event_ids
+    (confined to the second batch's files — the first batch's files
+    must link again). The published table is aggregated by event_type;
+    the oracle replays the update over the slice. ``files_reused`` is
+    fed by the journal's per-commit rewrite/reuse split: it is TRUE
+    only if batch 1 rewrote zero files while reusing ≥1 AND batch 2
+    both rewrote ≥1 and reused ≥1 — a misrouted touched-file join
+    (rewriting everything, or linking a file it should have rewritten)
+    fails the flag or the hash respectively."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..functions.numeric import dec_sum
+    from ..sources.tables import load_table
+
+    root = query_workspace("incremental_cow", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 4 == 0)
+          .select("event_id", "event_type", "value")
+          .withColumn("ord", F.lit(0)))
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = lo + (hi - lo) // 2
+    cut = lo + (hi - lo) * 15 // 16
+    # the harness table is tiny, so force the incremental plan past the
+    # cost-based size cutover — the point here is pinning the plan
+    saved = os.environ.get("SPARK_GRAFT_INCREMENTAL_MIN_BYTES")
+    os.environ["SPARK_GRAFT_INCREMENTAL_MIN_BYTES"] = "0"
+    try:
+        upsert_commit_batch(ev.filter(F.col("event_id") < mid),
+                            target, 0, key_cols=["event_id"],
+                            order_col="ord", keep_versions=2)
+        upsert_commit_batch(ev.filter(F.col("event_id") >= mid),
+                            target, 1, key_cols=["event_id"],
+                            order_col="ord", keep_versions=2)
+        upsert_commit_batch(
+            ev.filter(F.col("event_id") >= cut)
+            .withColumn("value", F.col("value") * 2)
+            .withColumn("ord", F.lit(1)),
+            target, 2, key_cols=["event_id"], order_col="ord",
+            keep_versions=2)
+    finally:
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", None)
+        else:
+            os.environ["SPARK_GRAFT_INCREMENTAL_MIN_BYTES"] = saved
+    ops = {c["version"]: c for c in
+           _journal_state(target + "_versions")[0]}
+    reused = bool(
+        ops[1].get("files_rewritten") == 0
+        and ops[1].get("files_reused", 0) >= 1
+        and ops[2].get("files_rewritten", 0) >= 1
+        and ops[2].get("files_reused", 0) >= 1)
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             dec_sum("value").alias("sum_value"))
+        .withColumn("files_reused", F.lit(reused))
+        .orderBy("event_type")
     )

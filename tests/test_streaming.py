@@ -2641,10 +2641,11 @@ def _shares_inode(dir_a, dir_b):
                for n, p in fa.items())
 
 
-def test_incremental_upsert_rewrites_only_touched_files(spark, tmp_path):
+def test_incremental_upsert_rewrites_only_touched_files(spark, tmp_path, monkeypatch):
     """An upsert whose keys live in a subset of the snapshot's files
     rewrites only those files; the rest carry into the new version as
     hard links, and the journal records the rewrite/reuse split."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     from house_price_etl_pipeline_spark.streaming.ingest import \
         upsert_commit_batch
 
@@ -2678,10 +2679,11 @@ def test_incremental_upsert_rewrites_only_touched_files(spark, tmp_path):
     assert all(got[i] == i for i in range(60)) and got[99] == 99
 
 
-def test_incremental_delete_links_untouched_files(spark, tmp_path):
+def test_incremental_delete_links_untouched_files(spark, tmp_path, monkeypatch):
     """DELETE WHERE rewrites only files containing matching rows; the
     predicate-free files are hard-linked, and results match SQL DELETE
     semantics."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     from house_price_etl_pipeline_spark.streaming.ingest import (
         upsert_commit_batch, upsert_delete_where)
 
@@ -2704,9 +2706,10 @@ def test_incremental_delete_links_untouched_files(spark, tmp_path):
         == list(range(90))
 
 
-def test_incremental_delete_all_rows(spark, tmp_path):
+def test_incremental_delete_all_rows(spark, tmp_path, monkeypatch):
     """Deleting every row leaves a readable empty snapshot (schema
     preserved by the empty-write metadata file)."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     from house_price_etl_pipeline_spark.streaming.ingest import (
         upsert_commit_batch, upsert_delete_where)
 
@@ -2722,10 +2725,11 @@ def test_incremental_delete_all_rows(spark, tmp_path):
     assert set(out.columns) == {"k", "ord", "v"}
 
 
-def test_incremental_merge_links_untouched_files(spark, tmp_path):
+def test_incremental_merge_links_untouched_files(spark, tmp_path, monkeypatch):
     """MERGE INTO's touched-file join confines the rewrite to files
     holding source keys; inserts land in the rewritten portion and the
     rest is linked."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     from house_price_etl_pipeline_spark.streaming.ingest import (
         upsert_commit_batch, upsert_merge_into)
 
@@ -2753,10 +2757,11 @@ def test_incremental_merge_links_untouched_files(spark, tmp_path):
     assert got[95] == 9500 and got[96] == 96 and got[200] == 4242
 
 
-def test_incremental_null_key_claims_null_file(spark, tmp_path):
+def test_incremental_null_key_claims_null_file(spark, tmp_path, monkeypatch):
     """The touched-file join is null-safe: a NULL-keyed delta row must
     claim the file holding the NULL-keyed base row, or the carried twin
     would duplicate the key that keep_latest treats as one group."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     from house_price_etl_pipeline_spark.streaming.ingest import \
         upsert_commit_batch
 
@@ -2774,10 +2779,11 @@ def test_incremental_null_key_claims_null_file(spark, tmp_path):
     assert rows == [(1, 2), (None, 99)]
 
 
-def test_incremental_schema_evolution_falls_back(spark, tmp_path):
+def test_incremental_schema_evolution_falls_back(spark, tmp_path, monkeypatch):
     """A batch that ADDS a column cannot reuse linked files (they can't
     be evolved in place): the commit takes the full mergeSchema rewrite
     and records no reuse stats."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     from house_price_etl_pipeline_spark.streaming.ingest import \
         upsert_commit_batch
 
@@ -2799,6 +2805,7 @@ def test_incremental_schema_evolution_falls_back(spark, tmp_path):
 def test_incremental_disabled_by_env(spark, tmp_path, monkeypatch):
     """SPARK_GRAFT_INCREMENTAL_COMMITS=0 restores the full-rewrite
     path: same results, no reuse stats, no shared inodes."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     from house_price_etl_pipeline_spark.streaming.ingest import \
         upsert_commit_batch
 
@@ -2821,10 +2828,11 @@ def test_incremental_disabled_by_env(spark, tmp_path, monkeypatch):
     assert all(got[i] == i for i in range(5, 20))
 
 
-def test_incremental_prune_keeps_shared_inodes_alive(spark, tmp_path):
+def test_incremental_prune_keeps_shared_inodes_alive(spark, tmp_path, monkeypatch):
     """Retention pruning of an old version only unlinks NAMES: data
     files hard-linked into the surviving head stay readable — the
     inode-refcount property the reuse design rests on."""
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
     import os
 
     from house_price_etl_pipeline_spark.streaming.ingest import \
