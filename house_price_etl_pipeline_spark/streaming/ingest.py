@@ -507,7 +507,15 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
             now, _ = _journal_state(versions_root)
             now_seq = now[-1]["seq"] if now else -1
             base_seq = commits[-1]["seq"] if commits else -1
-            if now_seq != base_seq and _input_vanished(exc):
+            # vanished-base signature: a Spark scan error on the
+            # pruned layout, OR a Python ENOENT from the hard-link pass
+            # (_stage_with_reuse links base files by absolute path; a
+            # concurrent publish can retire them mid-link). Either is a
+            # lost race IFF the journal moved; journal unmoved means a
+            # real error and propagates.
+            if now_seq != base_seq and (
+                    _input_vanished(exc)
+                    or isinstance(exc, FileNotFoundError)):
                 retried = True
                 continue
             raise
@@ -629,7 +637,15 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
                           ignore_errors=True)
             now, _ = _journal_state(versions_root)
             now_seq = now[-1]["seq"] if now else -1
-            if now_seq != commits[-1]["seq"] and _input_vanished(exc):
+            # vanished-base signature: a Spark scan error on the
+            # pruned layout, OR a Python ENOENT from the hard-link pass
+            # (_stage_with_reuse links base files by absolute path; a
+            # concurrent publish can retire them mid-link). Either is a
+            # lost race IFF the journal moved; journal unmoved means a
+            # real error and propagates.
+            if now_seq != commits[-1]["seq"] and (
+                    _input_vanished(exc)
+                    or isinstance(exc, FileNotFoundError)):
                 retried = True
                 continue
             raise
@@ -847,7 +863,15 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             now, _ = _journal_state(versions_root)
             now_seq = now[-1]["seq"] if now else -1
             base_seq = commits[-1]["seq"] if commits else -1
-            if now_seq != base_seq and _input_vanished(exc):
+            # vanished-base signature: a Spark scan error on the
+            # pruned layout, OR a Python ENOENT from the hard-link pass
+            # (_stage_with_reuse links base files by absolute path; a
+            # concurrent publish can retire them mid-link). Either is a
+            # lost race IFF the journal moved; journal unmoved means a
+            # real error and propagates.
+            if now_seq != base_seq and (
+                    _input_vanished(exc)
+                    or isinstance(exc, FileNotFoundError)):
                 retried = True
                 continue
             raise

@@ -2859,3 +2859,44 @@ def test_incremental_prune_keeps_shared_inodes_alive(spark, tmp_path, monkeypatc
     assert len(dirs) == 1
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert len(got) == 100 and got[60] == 9999 and got[0] == 0
+
+
+def test_link_phase_vanished_base_retries(spark, tmp_path, monkeypatch):
+    """A concurrent publish can retire the base snapshot between the
+    touched-file join and the hard-link pass; the Python ENOENT that
+    the link raises must classify as a lost race (journal moved) and
+    retry against the new head — not crash the writer."""
+    import house_price_etl_pipeline_spark.streaming.ingest as ing
+
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(20)], "k long, ord long, v long")
+    ing.upsert_commit_batch(b0, target, 0, key_cols=["k"],
+                            order_col="ord", keep_versions=8)
+    other = spark.createDataFrame(
+        [(100, 0, 100)], "k long, ord long, v long")
+    delta = spark.createDataFrame(
+        [(5, 1, 5000)], "k long, ord long, v long")
+    real = ing._stage_with_reuse
+    state = {"raised": False}
+
+    def flaky(base_dir, stage_dir, kept, df):
+        if not state["raised"]:
+            state["raised"] = True
+            # another writer lands a commit while we stage, then our
+            # link pass observes the pruned base
+            ing.upsert_commit_batch(other, target, 5, key_cols=["k"],
+                                    order_col="ord", keep_versions=8,
+                                    writer="w-other")
+            raise FileNotFoundError(
+                2, "No such file or directory",
+                base_dir + "/part-gone.parquet")
+        return real(base_dir, stage_dir, kept, df)
+
+    monkeypatch.setattr(ing, "_stage_with_reuse", flaky)
+    assert ing.upsert_commit_batch(
+        delta, target, 1, key_cols=["k"], order_col="ord",
+        keep_versions=8) == "applied-after-retry"
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got[5] == 5000 and got[100] == 100 and len(got) == 21
