@@ -80,6 +80,7 @@ _MODULES = (
     "house_price_etl_pipeline_spark.streaming.index",
     "house_price_etl_pipeline_spark.streaming.skipping",
     "house_price_etl_pipeline_spark.streaming.matview",
+    "house_price_etl_pipeline_spark.streaming.cdf",
 )
 
 

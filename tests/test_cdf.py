@@ -1,0 +1,174 @@
+"""Streaming change-data-feed source (streaming/cdf.py): offsets over
+the commit journal, per-transition changed-file diffs, exactly-once
+restart from a checkpoint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.streaming.cdf import (
+    UpsertChangesStreamReader, _vals_equal, stream_upsert_changes)
+from house_price_etl_pipeline_spark.streaming.ingest import (
+    upsert_commit_batch, upsert_delete_where, upsert_merge_into)
+
+
+def _build(spark, tmp_path, keep_versions=8):
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20), (3, 0, 30)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=keep_versions)
+    b1 = spark.createDataFrame(
+        [(2, 1, 25), (3, 0, 30), (4, 1, 40)], "k long, ord long, v long")
+    # k=2 update; k=3 re-upserted byte-EQUAL incl ord (must not
+    # surface); k=4 insert
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=keep_versions)
+    upsert_delete_where(spark, target, 2, "k = 1",
+                        keep_versions=keep_versions)
+    return target
+
+
+def _drain_changes(spark, target, **kw):
+    from house_price_etl_pipeline_spark.streaming.windows import _drain
+    return _drain(stream_upsert_changes(spark, target, ["k"], **kw),
+                  spark, output_mode="append")
+
+
+def test_cdf_change_rows_and_version_attribution(spark, tmp_path):
+    """Initial snapshot emits as version-0 inserts; an equal re-upsert
+    emits nothing; update emits pre+post at the updating version;
+    delete emits at the deleting version."""
+    target = _build(spark, tmp_path)
+    rows = sorted((r._commit_version, r.change_type, r.k, r.v)
+                  for r in _drain_changes(spark, target).collect())
+    assert rows == [
+        (0, "insert", 1, 10), (0, "insert", 2, 20), (0, "insert", 3, 30),
+        (1, "insert", 4, 40),
+        (1, "update_postimage", 2, 25), (1, "update_preimage", 2, 20),
+        (2, "delete", 1, 10),
+    ]
+
+
+def test_cdf_ord_column_counts_as_payload(spark, tmp_path):
+    """Every table column is payload for the diff: a re-upsert that
+    changes ONLY the order column surfaces as an update (matching
+    read_upsert_changes' full-row eqNullSafe comparison)."""
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(7, 0, 70)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    b1 = spark.createDataFrame([(7, 1, 70)], "k long, ord long, v long")
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    rows = sorted((r.change_type, r.ord) for r in
+                  _drain_changes(spark, target).collect()
+                  if r._commit_version == 1)
+    assert rows == [("update_postimage", 1), ("update_preimage", 0)]
+
+
+def test_cdf_merge_commit_feeds_stream(spark, tmp_path):
+    """A MERGE commit's changes flow through the feed like any other
+    versioning op."""
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, 0, 10), (2, 0, 20)],
+                               "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    src = spark.createDataFrame([(2, 0, 99), (5, 0, 50)],
+                                "k long, ord long, v long")
+    upsert_merge_into(spark, target, 1, src, ["k"], keep_versions=8)
+    rows = sorted((r._commit_version, r.change_type, r.k)
+                  for r in _drain_changes(spark, target).collect())
+    assert rows == [(0, "insert", 1), (0, "insert", 2),
+                    (1, "insert", 5),
+                    (1, "update_postimage", 2), (1, "update_preimage", 2)]
+
+
+def test_cdf_reads_changed_files_only(spark, tmp_path, monkeypatch):
+    """With incremental commits, a transition's diff must open only the
+    files the commit actually rewrote/retired — not the table."""
+    import pyarrow.parquet as pq
+
+    import house_price_etl_pipeline_spark.streaming.cdf as cdf
+
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50)], "k long, ord long, v long")
+    b1 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50, 100)], "k long, ord long, v long")
+    b2 = spark.createDataFrame([(60, 1, 9999)], "k long, ord long, v long")
+    for bid, b in ((0, b0), (1, b1), (2, b2)):
+        upsert_commit_batch(b, target, bid, key_cols=["k"],
+                            order_col="ord", keep_versions=8)
+    reader = UpsertChangesStreamReader(
+        {"path": target, "key_cols": "k"})
+    # transition 1→2: only the files the narrow update touched
+    parts = reader.partitions({"n": 2}, {"n": 3})
+    opened = []
+    real = pq.read_table
+    monkeypatch.setattr(pq, "read_table",
+                        lambda p, *a, **k: (opened.append(p), real(p))[1])
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(r[-2] for r in rows) == ["update_postimage",
+                                           "update_preimage"]
+    # the transition rewrote exactly one file: the diff opens that
+    # file's old and new incarnations and nothing else — a full diff
+    # would open every file of BOTH versions (4 here)
+    assert len(opened) == 2
+    linked = {f for f in os.listdir(parts[0].prev_dir)
+              if f.endswith(".parquet")} \
+        & {f for f in os.listdir(parts[0].cur_dir)
+           if f.endswith(".parquet")}
+    assert linked and all(os.path.basename(p) not in linked
+                          for p in opened)
+
+
+def test_cdf_split_partitions_union_is_complete(spark, tmp_path):
+    """partitions_per_version splits by stable key hash: the union of
+    splits equals the unsplit feed, no dupes, no losses."""
+    target = _build(spark, tmp_path)
+    one = sorted(map(tuple, _drain_changes(spark, target).collect()))
+    four = sorted(map(tuple, _drain_changes(
+        spark, target, partitions_per_version=4).collect()))
+    assert one == four and len(one) == 7
+
+
+def test_cdf_checkpoint_restart_resumes_at_cursor(spark, tmp_path):
+    """A file-sink drain with a checkpoint consumes versions 0-2; after
+    a NEW commit, re-running the same checkpointed query emits ONLY the
+    new version's changes — exactly-once across restarts."""
+    target = _build(spark, tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (stream_upsert_changes(spark, target, ["k"])
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 7
+    b3 = spark.createDataFrame([(9, 9, 90)], "k long, ord long, v long")
+    upsert_commit_batch(b3, target, 3, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    run_once()
+    after = spark.read.parquet(out)
+    assert after.count() == 8
+    new = [(r.change_type, r.k) for r in
+           after.filter(F.col("_commit_version") == 3).collect()]
+    assert new == [("insert", 9)]
+
+
+def test_cdf_vals_equal_nan_and_null():
+    assert _vals_equal(float("nan"), float("nan"))
+    assert _vals_equal(None, None)
+    assert not _vals_equal(None, 0)
+    assert not _vals_equal(1.0, float("nan"))
