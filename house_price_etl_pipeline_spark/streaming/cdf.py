@@ -151,11 +151,21 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.path = options["path"]
-        self.key_cols = [c.strip() for c in options["key_cols"].split(",")
+        self.key_cols = [c.strip() for c in
+                         options.get("key_cols", "").split(",")
                          if c.strip()]
+        if not self.key_cols:
+            raise ValueError(
+                "upsert_changes requires option key_cols (the table's "
+                "merge keys) — an empty key set would collapse every "
+                "row into one diff group")
         self.n_splits = max(1, int(options.get("partitions_per_version",
                                                "1")))
         self.columns = [c for c, _ in _table_columns(self.path)]
+        missing = [k for k in self.key_cols if k not in self.columns]
+        if missing:
+            raise ValueError(
+                f"key_cols {missing} not in table columns {self.columns}")
 
     def _journal(self):
         from ..fsutil import read_commit_journal

@@ -435,3 +435,41 @@ def mv_multi_refresh_equivalence(spark: SparkSession,
                 F.lit(bool(ok)).alias("folded_incrementally"))
         .orderBy("event_type")
     )
+
+
+def maintain_mv_from_feed(spark: SparkSession, target_dir: str,
+                          view_dir: str, key_cols: list[str],
+                          group_cols: list[str], sum_col: str,
+                          checkpoint_dir: str) -> list[str]:
+    """Commit-driven materialized-view maintenance: a foreachBatch
+    consumer of the table's streaming change feed (streaming/cdf.py)
+    triggers :func:`refresh_mv` whenever new versions land — the
+    composition that turns polling refreshes into event-driven ones
+    (Delta: readChangeFeed → foreachBatch → MERGE into the downstream
+    aggregate). Run here with AvailableNow (drain pending commits and
+    stop — re-run on a schedule); swap the trigger for a processing-time
+    one for continuous maintenance.
+
+    The arriving micro-batch is only the SIGNAL: refresh_mv reads the
+    exact (view version → journal head) range itself, because the fold
+    must be version-pinned while the feed's checkpoint may replay a
+    batch after a crash — and refresh_mv's noop/CAS guards make a
+    replayed or racing trigger harmless, which is what lets any number
+    of feed consumers drive the same view. Returns the refresh modes
+    this drain performed (full/incremental/noop), in order."""
+    from .cdf import stream_upsert_changes
+
+    modes: list[str] = []
+
+    def on_batch(batch_df, _batch_id: int) -> None:
+        if batch_df.take(1):
+            modes.append(refresh_mv(spark, target_dir, view_dir,
+                                    key_cols, group_cols, sum_col))
+
+    q = (stream_upsert_changes(spark, target_dir, key_cols)
+         .writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return modes

@@ -334,3 +334,49 @@ def test_concurrent_refreshes_one_winner_no_lost_updates(spark, tmp_path):
     assert [c["seq"] for c in journal] == list(range(len(journal)))
     assert mv._read_meta(view)["version"] == 4
     assert _view_state(spark, view) == _recompute(spark, target)
+
+
+def test_maintain_mv_from_feed_commit_driven(spark, tmp_path):
+    """The CDF-driven maintainer refreshes exactly when commits land:
+    first drain builds the view, a later drain after a new commit folds
+    incrementally, a drain with nothing pending performs no refresh —
+    and the view always equals the from-scratch recompute."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_commit_batch
+    from house_price_etl_pipeline_spark.streaming.matview import (
+        maintain_mv_from_feed, read_mv)
+
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    b0 = spark.createDataFrame(
+        [(1, 0, "a", 1.0), (2, 0, "b", 2.0), (3, 0, "a", 3.0)],
+        "k long, ord long, g string, v double")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+
+    def run():
+        return maintain_mv_from_feed(spark, target, view, ["k"], ["g"],
+                                     "v", ckpt)
+
+    assert run() == ["full"]
+
+    def recompute():
+        return {(r.g, r.n_rows, round(r.sum_value, 6)) for r in
+                spark.read.parquet(target)
+                .groupBy(F.col("g"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum("v").alias("sum_value")).collect()}
+
+    def view_rows():
+        return {(r.g, r.n_rows, round(r.sum_value, 6)) for r in
+                read_mv(spark, view).collect()}
+
+    assert view_rows() == recompute()
+    b1 = spark.createDataFrame([(2, 1, "b", 9.0), (4, 1, "c", 4.0)],
+                               "k long, ord long, g string, v double")
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    assert run() == ["incremental"]
+    assert view_rows() == recompute()
+    assert run() == []              # nothing pending: no refresh at all
