@@ -408,24 +408,66 @@ def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget selection: rank each language's docs by
     a quality proxy (token diversity) and keep the best until the
     language's cumulative token count hits the budget — the mixing/
-    rebalancing step that follows the composition report above. One
-    shuffle keyed on lang; the running sum is a per-stratum window with
-    a deterministic (score, doc_id) order shared with the oracle."""
+    rebalancing step that follows the composition report above.
+
+    Scale shape (round 10): the running sum is NOT one window per
+    language — ``Window.partitionBy(lang)`` funnels each language's
+    ENTIRE stratum through a single sort task, and a 100 TB corpus has
+    maybe 30 languages for thousands of cores. Instead the per-stratum
+    prefix sum is two-phase (packing.py's pattern, per stratum): rows
+    are bucketed by a DETERMINISTIC band of the score itself (bucket
+    asc ≡ score desc, ties inside one bucket by construction), phase 1
+    aggregates one subtotal per (lang, bucket) — a langs×parallelism-
+    sized collect — and phase 2 runs the window per (lang, bucket) plus
+    the broadcast offset of all earlier buckets of that language. Same
+    (score desc, doc_id) total order as the oracle, no stratum-sized
+    task anywhere."""
     d = load_table(spark, sf_dir, "documents")
     dt = d.select("lang", "doc_id", _toks().alias("t"))  # tokenize once
     toks = F.col("t")
     n_tokens = F.size(toks).cast("bigint")
     score = F.round(
         F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6)
-    w = (Window.partitionBy("lang")
+    n_buckets = max(2, spark.sparkContext.defaultParallelism)
+    # deterministic score-band bucket: score ∈ [0, 1]; bucket ascending
+    # == score descending, and equal scores share a bucket, so
+    # (bucket, score desc, doc_id) is the same total order both phases
+    # see — no sampled range partitioner, no cross-job nondeterminism
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.lit(1.0) - F.col("score")) * n_buckets)).cast("int")
+    # NULL-lang rows form their own stratum (Spark window partitioning
+    # groups NULLs); the join below is keyed on a NULL-free sentinel so
+    # they are not silently dropped by equi-join NULL semantics
+    base = (
+        dt.select("lang", "doc_id", n_tokens.alias("n_tokens"),
+                  score.alias("score"))
+        .withColumn("_lg", F.coalesce(F.col("lang"), F.lit("\x00null")))
+        .withColumn("_b", bucket)
+    )
+    subs = (base.groupBy("_lg", "_b")
+            .agg(F.sum("n_tokens").alias("t")).collect())
+    per: dict = {}
+    for r in subs:
+        per.setdefault(r._lg, {})[int(r._b)] = int(r.t)
+    rows = []
+    for lg, d_ in per.items():
+        running = 0
+        for b in range(n_buckets):
+            rows.append((lg, b, running))
+            running += d_.get(b, 0)
+    off = spark.createDataFrame(rows, "_lg string, _b int, _off long")
+    w = (Window.partitionBy("_lg", "_b")
          .orderBy(F.col("score").desc(), "doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        dt.select("lang", "doc_id", n_tokens.alias("n_tokens"),
-                  score.alias("score"))
-        .select("lang", "doc_id", "n_tokens",
-                F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"))
+        base.join(F.broadcast(off), ["_lg", "_b"])
+        .select("lang", "doc_id", "n_tokens", "score", "_lg", "_b", "_off")
+        .withColumn("cum_tokens",
+                    (F.sum("n_tokens").over(w) + F.col("_off"))
+                    .cast("bigint"))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
         .orderBy("lang", "doc_id")
     )
 

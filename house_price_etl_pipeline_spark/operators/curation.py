@@ -30,7 +30,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..config import exact_twin_enabled
 from ..functions.numeric import dec_sum, dec_sum_expr, fixed_sum
+
+
+def _pctl(col, fracs):
+    """Exact interpolating percentile under the value-hash gate (DuckDB
+    quantile_cont agrees bit-for-bit); SPARK_GRAFT_EXACT_TWIN=0 swaps in
+    the KLL-style approx_percentile sketch — the mergeable, bounded-
+    memory form a 100 TB run uses, same plan shape (one aggregate,
+    broadcast back), no total-sort anywhere."""
+    if exact_twin_enabled():
+        return F.percentile(col, fracs)
+    return F.percentile_approx(col, fracs, 10_000)
 from ..plans.catalog import register
 from ..sources.tables import load_table
 
@@ -240,7 +252,7 @@ def clean_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch at 100 TB) broadcast back onto the fact, then least/greatest
     clipping — no sort, no extra shuffle beyond the group-by."""
     li = load_table(spark, sf_dir, "lineitem")
-    qs = F.percentile("l_extendedprice", F.array(F.lit(0.05), F.lit(0.95)))
+    qs = _pctl("l_extendedprice", F.array(F.lit(0.05), F.lit(0.95)))
     bounds = (
         li.groupBy("l_returnflag")
         .agg(qs.alias("b"))
@@ -296,7 +308,7 @@ def feature_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would serialize the whole relation through one partition."""
     o = load_table(spark, sf_dir, "orders")
     fracs = F.array(*[F.lit(i / N_DEPTH_BINS) for i in range(1, N_DEPTH_BINS)])
-    bounds = o.agg(F.percentile("o_totalprice", fracs).alias("bs"))
+    bounds = o.agg(_pctl("o_totalprice", fracs).alias("bs"))
     x = F.col("o_totalprice")
     bin_id = (1 + F.size(F.filter("bs", lambda v: x > v))).cast("int")
     return (
@@ -424,7 +436,7 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.col("o_orderpriority").alias("grp"),
         "o_totalprice", F.percent_rank().over(w).alias("pr"))
     fracs = F.array(*[F.lit(i / QN_GRID) for i in range(QN_GRID + 1)])
-    grid = o.agg(F.percentile("o_totalprice", fracs).alias("qs"))
+    grid = o.agg(_pctl("o_totalprice", fracs).alias("qs"))
     snapped = F.floor(F.col("pr") * QN_GRID).cast("int")
     return (
         ranked.filter(F.col("o_orderkey") <= 500)

@@ -259,6 +259,7 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRATA_N = 50
+PRETHIN_SAFETY = 64  # production pre-thin: expected survivors = SAFETY × N
 
 
 @register(
@@ -281,20 +282,47 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows by the md5 of their key and keep the first N — reproducible on
     any engine (contrast `sample_stratified_returnflag`, whose sampleBy
     fractions are Spark-RNG-bound and rows-only). One shuffle keyed on
-    the stratum. Scale note: with very few strata the window funnels each
-    stratum through one task; at 100 TB you'd pre-thin with a hash-prefix
-    band (keep md5 < bound covering ≫N expected rows) before the exact
-    rank — same plan shape, bounded task input."""
+    the stratum.
+
+    With few strata the rank window funnels each stratum through one
+    task, so the PRODUCTION plan (SPARK_GRAFT_EXACT_TWIN=0) pre-thins
+    before ranking: one count aggregate per stratum, then keep only
+    rows whose hash prefix falls under a per-stratum band sized to
+    PRETHIN_SAFETY×N expected survivors (binomial mean 6400 for N=50 —
+    the chance of thinning below N is astronomically small, and the
+    band keeps the SMALLEST hashes, which is exactly the set the rank
+    would pick). The window then sorts ~SAFETY×N rows per stratum
+    instead of the stratum — same md5 order, same result, bounded task
+    input at any corpus size. Gate mode keeps the unthinned plan so the
+    oracle compares the full ranking."""
+    from ..config import exact_twin_enabled
+
     li = load_table(spark, sf_dir, "lineitem")
     h = F.md5(
         F.concat_ws(
             "-", F.col("l_orderkey").cast("string"),
             F.col("l_linenumber").cast("string")).cast("binary"))
+    base = li.select("l_returnflag", "l_orderkey", "l_linenumber",
+                     h.alias("_h"))
+    if not exact_twin_enabled():
+        counts = base.groupBy("l_returnflag").agg(
+            F.count("*").alias("_n"))
+        # band on the first 8 hex chars as uint32: keep the smallest
+        # fraction SAFETY*N/n of hashes (the rank keeps smallest md5,
+        # so the band is a superset of the final sample almost surely)
+        band = F.least(
+            F.lit(float(1 << 32)),
+            F.lit(float(PRETHIN_SAFETY * STRATA_N)) / F.col("_n")
+            * float(1 << 32))
+        base = (base.join(F.broadcast(counts), "l_returnflag")
+                .filter(F.conv(F.substring("_h", 1, 8), 16, 10)
+                        .cast("double") < band)
+                .drop("_n"))
     w = (Window.partitionBy("l_returnflag")
-         .orderBy(h, "l_orderkey", "l_linenumber"))
+         .orderBy("_h", "l_orderkey", "l_linenumber"))
     return (
-        li.select("l_returnflag", "l_orderkey", "l_linenumber",
-                  F.row_number().over(w).alias("rn"))
+        base.select("l_returnflag", "l_orderkey", "l_linenumber",
+                    F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= STRATA_N)
         .select("l_returnflag", "l_orderkey", "l_linenumber")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")

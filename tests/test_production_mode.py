@@ -202,3 +202,49 @@ def test_semdedup_production_agreement_floor(spark, sf_dir, monkeypatch):
     same_keep = sum(prod[v][1] == exact[v][1] for v in prod) / n
     assert same_cluster >= 0.95, same_cluster
     assert same_keep >= 0.95, same_keep
+
+
+def test_curation_percentiles_production(production, spark, sf_dir, duck):
+    """The three percentile-based curation/feature queries swap the
+    exact interpolating percentile for the approx sketch in production
+    mode — same plan shape, values within the sketch envelope."""
+    df = REGISTRY["clean_winsorize_prices"].fn(spark, sf_dir)
+    assert "percentile(" not in _plan(df).replace("approx_percentile", "")
+    got = {r.l_returnflag: r.mean_winsorized for r in df.collect()}
+    exact = dict(duck.execute("""
+        WITH bounds AS (
+          SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) lo,
+                 quantile_cont(l_extendedprice, 0.95) hi
+          FROM lineitem GROUP BY 1)
+        SELECT l.l_returnflag,
+               SUM(least(greatest(l.l_extendedprice, b.lo), b.hi))
+                 / COUNT(*)
+        FROM lineitem l JOIN bounds b USING (l_returnflag)
+        GROUP BY 1""").fetchall())
+    for flag, m in got.items():
+        assert abs(m - exact[flag]) / exact[flag] <= 0.02
+
+    for name in ("feature_equidepth_bins", "feature_quantile_normalize"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert "percentile(" not in _plan(df).replace("approx_percentile",
+                                                      ""), name
+        assert df.count() > 0, name
+
+
+def test_stratified_exact_prethin_production(production, spark, sf_dir):
+    """Production mode pre-thins each stratum with a hash-prefix band
+    before the rank window — the result must still be EXACTLY the
+    gate-mode sample (the band keeps the smallest hashes, a superset of
+    the final pick), while the window input is bounded."""
+    import os
+
+    from house_price_etl_pipeline_spark.plans.catalog import REGISTRY
+    thin = REGISTRY["sample_stratified_exact"].fn(spark, sf_dir)
+    prod_rows = sorted(map(tuple, thin.collect()))
+    os.environ["SPARK_GRAFT_EXACT_TWIN"] = "1"
+    try:
+        full = REGISTRY["sample_stratified_exact"].fn(spark, sf_dir)
+        gate_rows = sorted(map(tuple, full.collect()))
+    finally:
+        os.environ["SPARK_GRAFT_EXACT_TWIN"] = "0"
+    assert prod_rows == gate_rows and len(prod_rows) > 0
