@@ -2164,9 +2164,14 @@ def test_band_index_concurrent_ingest_compaction_stress(spark, tmp_path):
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=300)
-    assert not any(t.is_alive() for t in threads)
-    assert errors == []
+        # generous: six threads each drive real Spark jobs, and a
+        # saturated host (a concurrent bench run) can stretch the whole
+        # interleaving well past wall-clock expectations — a hang is
+        # still caught, just not misreported as one under load
+        t.join(timeout=600)
+    stuck = [t.name for t in threads if t.is_alive()]
+    assert not stuck, f"threads still alive after 600s: {stuck}"
+    assert not errors, f"worker exceptions: {errors!r}"
 
     _recover_compaction(index_dir)
     idx = read_band_index(spark, index_dir)
