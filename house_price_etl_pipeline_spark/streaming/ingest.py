@@ -426,6 +426,12 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     os.makedirs(versions_root, exist_ok=True)
     spark = batch_df.sparkSession
 
+    cons = table_check_constraints(target_dir)
+    if cons:
+        # CHECK enforcement on the INCOMING rows (one delta-sized pass,
+        # never the table) — before any staging work is spent
+        _validate_constraints(batch_df, cons, "the incoming batch")
+
     def keep_latest(df):
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         return (df.withColumn("_rn", F.row_number().over(w))
@@ -791,6 +797,9 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             "MERGE source has multiple rows for at least one key — "
             "reduce it (e.g. keep-latest) before merging, as Delta "
             "requires")
+    cons = table_check_constraints(target_dir)
+    if cons:
+        _validate_constraints(source, cons, "the MERGE source")
     versions_root = target_dir + "_versions"
     os.makedirs(versions_root, exist_ok=True)
     retried = False
@@ -1735,3 +1744,153 @@ def maintenance_incremental_cow(spark: SparkSession,
         .withColumn("files_reused", F.lit(reused))
         .orderBy("event_type")
     )
+
+
+# --- SHALLOW CLONE ----------------------------------------------------------
+
+def clone_upsert_table(src_target: str, dst_target: str,
+                       writer: str = "clone") -> str:
+    """Delta's ``CREATE TABLE ... SHALLOW CLONE``: a new independent
+    table whose first version REFERENCES the source head's data files
+    instead of copying them — here as hard links, the same mechanism
+    incremental commits use to carry untouched files (module comment
+    above _snapshot_data_files). Zero data movement at any size; the
+    clone then diverges freely (its commits rewrite only ITS touched
+    files; retention/VACUUM on either table only unlinks its own
+    names, and a shared inode lives until the last referencing
+    version on either side is pruned).
+
+    The clone's journal starts fresh (its own CAS namespace, its own
+    batch-id replay domain) with one entry carrying the source head's
+    version number and a ``cloned_from`` provenance field — DESCRIBE
+    HISTORY on the clone shows where it came from; time travel works
+    from the cloned version forward. Pure filesystem op, no Spark
+    session needed. Raises FileExistsError if dst already exists."""
+    import os
+    import shutil
+    import uuid
+
+    from ..fsutil import read_commit_journal, try_commit
+
+    src_root = src_target + "_versions"
+    commits, _ = _journal_state(src_root)
+    if not commits:
+        raise FileNotFoundError(f"no upsert table at {src_target}")
+    dst_root = dst_target + "_versions"
+    if os.path.exists(dst_target) or (
+            os.path.isdir(dst_root)
+            and read_commit_journal(_commits_dir(dst_root))):
+        raise FileExistsError(
+            f"clone destination {dst_target} already exists")
+    head = commits[-1]
+    src_dir = os.path.join(src_root, head["version_name"])
+    os.makedirs(dst_root, exist_ok=True)
+    stage = os.path.join(dst_root, f"_stage_{writer}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    for f in os.listdir(src_dir):
+        if f.startswith(".") or f == "_SUCCESS":
+            continue                     # data files + stats manifest
+        src_f = os.path.join(src_dir, f)
+        if not os.path.isfile(src_f):
+            continue
+        try:
+            os.link(src_f, os.path.join(stage, f))
+        except OSError:
+            shutil.copy2(src_f, os.path.join(stage, f))
+    perm = f"v{head['version']}_clone_{uuid.uuid4().hex[:8]}"
+    os.rename(stage, os.path.join(dst_root, perm))
+    entry = {"op": "upsert", "version": head["version"],
+             "version_name": perm, "writer": writer,
+             "cloned_from": os.path.abspath(src_target),
+             "files_rewritten": 0,
+             "files_reused": len(_snapshot_data_files(
+                 os.path.join(dst_root, perm)))}
+    if not try_commit(_commits_dir(dst_root), 0, entry):
+        shutil.rmtree(os.path.join(dst_root, perm), ignore_errors=True)
+        raise FileExistsError(
+            f"clone destination {dst_target} was created concurrently")
+    cms, _ = _journal_state(dst_root)
+    _publish_commit(dst_target, dst_root, cms, keep_versions=2)
+    return perm
+
+
+# --- CHECK constraints ------------------------------------------------------
+
+_CONSTRAINTS_FILE = "_CONSTRAINTS.json"
+
+
+def _constraints_path(target_dir: str) -> str:
+    import os
+    return os.path.join(target_dir + "_versions", _CONSTRAINTS_FILE)
+
+
+def table_check_constraints(target_dir: str) -> dict[str, str]:
+    """{name: sql_expr} of the table's CHECK constraints (empty if
+    none). Stored beside the journal; read on every commit."""
+    import json
+    import os
+
+    p = _constraints_path(target_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+class CheckConstraintViolation(ValueError):
+    pass
+
+
+def _validate_constraints(df, constraints: dict[str, str],
+                          what: str) -> None:
+    """SQL CHECK semantics: a row violates iff the expression is FALSE
+    — NULL (unknown) passes, as in every SQL engine. One pass over the
+    INCOMING rows only (never the table), and only when constraints
+    exist; the first violating row is surfaced in the error."""
+    from pyspark.sql import functions as F
+
+    for name, expr in constraints.items():
+        try:
+            bad = df.filter(F.expr(expr).isNotNull()
+                            & ~F.expr(expr)).limit(1).collect()
+        except Exception as exc:
+            if "UNRESOLVED_COLUMN" in str(exc):
+                raise CheckConstraintViolation(
+                    f"CHECK constraint {name!r} ({expr}) references a "
+                    f"column absent from {what} — supply the column or "
+                    f"drop the constraint before this write") from exc
+            raise
+        if bad:
+            raise CheckConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated by {what}: "
+                f"first offending row {bad[0].asDict()!r}")
+
+
+def set_table_check_constraint(spark, target_dir: str, name: str,
+                               expr: str) -> None:
+    """ALTER TABLE ADD CONSTRAINT CHECK: validates the CURRENT snapshot
+    first (Delta refuses to add a constraint existing data violates),
+    then persists it; every subsequent upsert/MERGE validates its
+    incoming rows before committing. Single-admin op (last write wins
+    on the constraints file); the enforcement path is what multi-writer
+    commits share."""
+    import os
+
+    from ..fsutil import atomic_write_json
+
+    cons = table_check_constraints(target_dir)
+    commits, _ = _journal_state(target_dir + "_versions")
+    if commits:
+        snap = spark.read.parquet(os.path.join(
+            target_dir + "_versions", commits[-1]["version_name"]))
+        _validate_constraints(snap, {name: expr}, "existing table data")
+    cons[name] = expr
+    atomic_write_json(_constraints_path(target_dir), cons)
+
+
+def drop_table_check_constraint(target_dir: str, name: str) -> None:
+    from ..fsutil import atomic_write_json
+
+    cons = table_check_constraints(target_dir)
+    cons.pop(name, None)
+    atomic_write_json(_constraints_path(target_dir), cons)

@@ -2905,3 +2905,146 @@ def test_link_phase_vanished_base_retries(spark, tmp_path, monkeypatch):
         keep_versions=8) == "applied-after-retry"
     got = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert got[5] == 5000 and got[100] == 100 and len(got) == 21
+
+
+# --- SHALLOW CLONE + CHECK constraints (round 10) ---------------------------
+
+def test_shallow_clone_shares_files_then_diverges(spark, tmp_path):
+    """A clone's first version hard-links the source head's data files
+    (zero copy); afterwards the two tables evolve independently, and
+    history records the provenance."""
+    import os
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        clone_upsert_table, describe_upsert_history, upsert_commit_batch)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    b0 = spark.createDataFrame([(1, 0, 10), (2, 0, 20)],
+                               "k long, ord long, v long")
+    upsert_commit_batch(b0, src, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    clone_upsert_table(src, dst)
+    assert _shares_inode(os.path.realpath(src), os.path.realpath(dst))
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) \
+        == sorted(map(tuple, spark.read.parquet(src).collect()))
+    hist = describe_upsert_history(spark, dst).collect()
+    assert hist[0].writer == "clone" and hist[0].files_reused >= 1
+
+    # divergence: a commit to the clone must not touch the source
+    b1 = spark.createDataFrame([(2, 1, 99), (3, 1, 30)],
+                               "k long, ord long, v long")
+    upsert_commit_batch(b1, dst, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    assert {r.k: r.v for r in spark.read.parquet(dst).collect()} \
+        == {1: 10, 2: 99, 3: 30}
+    assert {r.k: r.v for r in spark.read.parquet(src).collect()} \
+        == {1: 10, 2: 20}
+    # and vice versa
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 2, 77)], "k long, ord long, v long"),
+        src, 1, key_cols=["k"], order_col="ord", keep_versions=4)
+    assert {r.k: r.v for r in spark.read.parquet(dst).collect()} \
+        == {1: 10, 2: 99, 3: 30}
+
+
+def test_shallow_clone_refuses_existing_destination(spark, tmp_path):
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        clone_upsert_table, upsert_commit_batch)
+
+    src = str(tmp_path / "src")
+    b0 = spark.createDataFrame([(1, 0, 10)], "k long, ord long, v long")
+    upsert_commit_batch(b0, src, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    clone_upsert_table(src, str(tmp_path / "dst"))
+    with _pytest.raises(FileExistsError):
+        clone_upsert_table(src, str(tmp_path / "dst"))
+    with _pytest.raises(FileNotFoundError):
+        clone_upsert_table(str(tmp_path / "nope"), str(tmp_path / "d2"))
+
+
+def test_shallow_clone_survives_source_retention(spark, tmp_path):
+    """Pruning the source's old versions only unlinks the source's
+    NAMES — the clone keeps reading the shared inodes."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        clone_upsert_table, upsert_commit_batch)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(10)], "k long, ord long, v long")
+    upsert_commit_batch(b0, src, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=1)
+    clone_upsert_table(src, dst)
+    # two source commits with keep_versions=1 retire the cloned version
+    for bid in (1, 2):
+        upsert_commit_batch(
+            spark.createDataFrame([(bid, bid, bid * 100)],
+                                  "k long, ord long, v long"),
+            src, bid, key_cols=["k"], order_col="ord", keep_versions=1)
+    assert spark.read.parquet(dst).count() == 10
+
+
+def test_check_constraint_rejects_bad_batch_and_merge(spark, tmp_path):
+    """CHECK semantics: FALSE rows rejected BEFORE any commit (journal
+    unmoved), NULL passes (three-valued), MERGE sources validated too,
+    dropping the constraint re-opens the gate, and adding a constraint
+    existing data violates is refused."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        CheckConstraintViolation, drop_table_check_constraint,
+        set_table_check_constraint, upsert_commit_batch,
+        upsert_merge_into)
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, 0, 10), (2, 0, None)],
+                               "k long, ord long, v int")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    set_table_check_constraint(spark, target, "v_nonneg", "v >= 0")
+
+    bad = spark.createDataFrame([(3, 9, -5)], "k long, ord long, v int")
+    with _pytest.raises(CheckConstraintViolation, match="v_nonneg"):
+        upsert_commit_batch(bad, target, 1, key_cols=["k"],
+                            order_col="ord", keep_versions=4)
+    assert spark.read.parquet(target).count() == 2   # nothing committed
+
+    with _pytest.raises(CheckConstraintViolation, match="v_nonneg"):
+        upsert_merge_into(spark, target, 1, bad, ["k"], keep_versions=4)
+
+    # NULL v passes (unknown is not a violation), valid rows commit
+    ok = spark.createDataFrame([(3, 1, None), (4, 1, 40)],
+                               "k long, ord long, v int")
+    assert upsert_commit_batch(ok, target, 1, key_cols=["k"],
+                               order_col="ord", keep_versions=4) \
+        == "applied"
+
+    drop_table_check_constraint(target, "v_nonneg")
+    assert upsert_commit_batch(bad, target, 2, key_cols=["k"],
+                               order_col="ord", keep_versions=4) \
+        == "applied"
+
+    # re-adding now fails on the existing -5 row
+    with _pytest.raises(CheckConstraintViolation, match="existing"):
+        set_table_check_constraint(spark, target, "v_nonneg", "v >= 0")
+
+
+def test_check_constraint_missing_column_is_explained(spark, tmp_path):
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        CheckConstraintViolation, set_table_check_constraint,
+        upsert_commit_batch)
+
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame([(1, 0, 10)], "k long, ord long, v int")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    set_table_check_constraint(spark, target, "v_ok", "v >= 0")
+    narrow = spark.createDataFrame([(2, 1)], "k long, ord long")
+    with _pytest.raises(CheckConstraintViolation, match="absent"):
+        upsert_commit_batch(narrow, target, 1, key_cols=["k"],
+                            order_col="ord", keep_versions=4)
