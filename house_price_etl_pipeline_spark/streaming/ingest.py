@@ -1894,3 +1894,96 @@ def drop_table_check_constraint(target_dir: str, name: str) -> None:
     cons = table_check_constraints(target_dir)
     cons.pop(name, None)
     atomic_write_json(_constraints_path(target_dir), cons)
+
+
+CLONE_CUST_CAP = 200
+
+
+@_catalog_register(
+    "maintenance_clone_constraint",
+    oracle=f"""
+    WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey <= {CLONE_CUST_CAP}),
+    src AS (
+      SELECT o_custkey, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM o WHERE o_orderkey % 2 = 0) WHERE rn = 1
+    ),
+    cl AS (
+      SELECT o_custkey, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM o) WHERE rn = 1
+    )
+    SELECT tbl, n_customers, sum_price, TRUE AS constraint_enforced
+    FROM (
+      SELECT 'clone' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS sum_price
+      FROM cl
+      UNION ALL
+      SELECT 'src', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+      FROM src
+    ) ORDER BY tbl
+    """,
+)
+def maintenance_clone_constraint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE + CHECK constraint under the value-hash gate: the
+    latest even-orderkey order per small customer is committed as the
+    source table with a ``o_totalprice > 0`` CHECK; the table is
+    cloned (hard-linked first version), the CLONE absorbs the odd-
+    orderkey orders (keep-latest — divergence must not leak back), and
+    a negated-price batch against the SOURCE must be rejected by the
+    constraint with the journal unmoved. The output aggregates BOTH
+    tables (clone evolved, source frozen) plus the enforcement flag;
+    clone/source cross-contamination or a constraint that lets the bad
+    batch through shifts the aggregates or flips the flag."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+
+    root = query_workspace("clone_constraint", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "clone")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") <= CLONE_CUST_CAP)
+         .select("o_custkey", "o_orderkey", "o_totalprice"))
+    upsert_commit_batch(o.filter(F.col("o_orderkey") % 2 == 0),
+                        src, 0, key_cols=["o_custkey"],
+                        order_col="o_orderkey", keep_versions=2)
+    set_table_check_constraint(spark, src, "price_pos",
+                               "o_totalprice > 0")
+    clone_upsert_table(src, dst)
+    upsert_commit_batch(o.filter(F.col("o_orderkey") % 2 == 1),
+                        dst, 1, key_cols=["o_custkey"],
+                        order_col="o_orderkey", keep_versions=2)
+    enforced = False
+    try:
+        upsert_commit_batch(
+            o.limit(50).withColumn("o_totalprice", -F.col("o_totalprice")),
+            src, 1, key_cols=["o_custkey"], order_col="o_orderkey",
+            keep_versions=2)
+    except CheckConstraintViolation:
+        enforced = True
+
+    def agg(path: str, tag: str) -> DataFrame:
+        return (spark.read.parquet(path)
+                .agg(F.count("*").cast("bigint").alias("n_customers"),
+                     F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+                     .cast("double").alias("sum_price"))
+                .select(F.lit(tag).alias("tbl"), "n_customers",
+                        "sum_price"))
+    return (
+        agg(dst, "clone").unionAll(agg(src, "src"))
+        .withColumn("constraint_enforced", F.lit(enforced))
+        .orderBy("tbl")
+    )
