@@ -432,10 +432,16 @@ def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic score-band bucket: score ∈ [0, 1]; bucket ascending
     # == score descending, and equal scores share a bucket, so
     # (bucket, score desc, doc_id) is the same total order both phases
-    # see — no sampled range partitioner, no cross-job nondeterminism
-    bucket = F.least(
+    # see — no sampled range partitioner, no cross-job nondeterminism.
+    # NULL scores (NULL-text docs, the standing NULL audit's corpus)
+    # sort LAST under desc in both engines, so they land in the last
+    # bucket explicitly — a NULL bucket would silently drop the row at
+    # the offsets equi-join (found by test_null_corpus_parity)
+    bucket = F.when(
+        F.col("score").isNull(), F.lit(n_buckets - 1)
+    ).otherwise(F.least(
         F.lit(n_buckets - 1),
-        F.floor((F.lit(1.0) - F.col("score")) * n_buckets)).cast("int")
+        F.floor((F.lit(1.0) - F.col("score")) * n_buckets))).cast("int")
     # NULL-lang rows form their own stratum (Spark window partitioning
     # groups NULLs); the join below is keyed on a NULL-free sentinel so
     # they are not silently dropped by equi-join NULL semantics
@@ -449,7 +455,9 @@ def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n_tokens").alias("t")).collect())
     per: dict = {}
     for r in subs:
-        per.setdefault(r._lg, {})[int(r._b)] = int(r.t)
+        # a bucket whose rows all have NULL n_tokens sums to NULL —
+        # zero contribution to later buckets' offsets
+        per.setdefault(r._lg, {})[int(r._b)] = int(r.t or 0)
     rows = []
     for lg, d_ in per.items():
         running = 0
