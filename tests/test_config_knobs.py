@@ -79,3 +79,15 @@ def test_protobuf_sdk_path_env_extendable(monkeypatch, tmp_path):
         monkeypatch.delenv("SPARK_GRAFT_PROTOBUF_PATH")
         importlib.reload(pc)
 
+
+
+def test_incremental_commit_knobs(monkeypatch):
+    from house_price_etl_pipeline_spark.config import (
+        incremental_commit_min_bytes, incremental_commits_enabled)
+
+    assert incremental_commits_enabled() is True
+    assert incremental_commit_min_bytes() == 64 * 1024 * 1024
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_COMMITS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "1024")
+    assert incremental_commits_enabled() is False
+    assert incremental_commit_min_bytes() == 1024
