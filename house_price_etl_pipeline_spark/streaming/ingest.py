@@ -705,7 +705,14 @@ def _merge_result(snapshot, source, key_cols: list[str],
     s = source.withColumn("_s_present", F.lit(True)).alias("s")
     on = None
     for k in key_cols:
-        term = F.col(f"t.{k}") == F.col(f"s.{k}")
+        # null-safe ON: the table format treats NULL as ONE key group
+        # (keep_latest windows group NULLs; the touched-file join is
+        # eqNullSafe), so MERGE must match a NULL-keyed source row to
+        # the NULL-keyed target row — a plain-equality ON would INSERT
+        # a second NULL-key row and break the unique-keys invariant
+        # every reader (CDC diff, MV fold) relies on. Deliberate
+        # divergence from Delta, whose tables have no key invariant.
+        term = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         on = term if on is None else (on & term)
     j = t.join(s, on, "full_outer")
     matched = F.col("t._t_present").isNotNull() \

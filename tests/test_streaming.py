@@ -3048,3 +3048,26 @@ def test_check_constraint_missing_column_is_explained(spark, tmp_path):
     with _pytest.raises(CheckConstraintViolation, match="absent"):
         upsert_commit_batch(narrow, target, 1, key_cols=["k"],
                             order_col="ord", keep_versions=4)
+
+
+def test_merge_into_null_key_matches_null_target(spark, tmp_path):
+    """MERGE's ON is null-safe: the table format treats NULL as one key
+    group (keep_latest, touched-file join), so a NULL-keyed source row
+    UPDATES the NULL-keyed target row instead of inserting a duplicate
+    that would break the unique-keys invariant CDC and MV folds rely
+    on (deliberate divergence from Delta, which has no key invariant)."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_merge_into)
+
+    target = str(tmp_path / "tbl")
+    t0 = spark.createDataFrame([(None, 0, 1), (1, 0, 2)],
+                               "k long, ord long, v long")
+    upsert_commit_batch(t0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    src = spark.createDataFrame([(None, 1, 99)], "k long, ord long, v long")
+    assert upsert_merge_into(spark, target, 1, src, ["k"],
+                             keep_versions=4) == "applied"
+    rows = sorted(((r.k, r.v) for r in
+                   spark.read.parquet(target).collect()),
+                  key=lambda t: (t[0] is None, t))
+    assert rows == [(1, 2), (None, 99)]
