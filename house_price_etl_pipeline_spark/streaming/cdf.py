@@ -241,6 +241,43 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
                 yield row + ("delete", p.version)
 
 
+try:  # pragma: no cover - import surface depends on Spark version
+    from pyspark.sql.datasource import DataSourceReader
+except ImportError:  # pragma: no cover
+    DataSourceReader = object
+
+
+class UpsertChangesBatchReader(DataSourceReader):
+    """Batch side of the format — Delta's batch ``readChangeFeed`` with
+    ``starting_version``/``ending_version`` (inclusive, matching the
+    journal's public version numbers; defaults = whole history). The
+    per-transition partitions and changed-files-only diff are shared
+    verbatim with the stream reader; the one semantic difference is
+    range selection instead of checkpointed offsets."""
+
+    def __init__(self, options: dict):
+        self._sr = UpsertChangesStreamReader(options)
+        self.starting = options.get("starting_version")
+        self.ending = options.get("ending_version")
+
+    def partitions(self):
+        vc = self._sr._journal()
+        lo = 0
+        hi = len(vc)
+        if self.starting is not None:
+            sv = int(self.starting)
+            lo = next((i for i, c in enumerate(vc)
+                       if c["version"] >= sv), hi)
+        if self.ending is not None:
+            ev = int(self.ending)
+            hi = next((i for i in range(len(vc), 0, -1)
+                       if vc[i - 1]["version"] <= ev), 0)
+        return self._sr.partitions({"n": lo}, {"n": max(lo, hi)})
+
+    def read(self, partition):
+        yield from UpsertChangesStreamReader.read(self._sr, partition)
+
+
 class UpsertChangesDataSource(DataSource):
     """``format("upsert_changes")`` — see module docstring."""
 
@@ -252,6 +289,9 @@ class UpsertChangesDataSource(DataSource):
         cols = _table_columns(self.options["path"])
         ddl = ", ".join(f"{n} {t}" for n, t in cols)
         return ddl + ", change_type string, _commit_version bigint"
+
+    def reader(self, schema) -> UpsertChangesBatchReader:
+        return UpsertChangesBatchReader(self.options)
 
     def streamReader(self, schema) -> UpsertChangesStreamReader:
         return UpsertChangesStreamReader(self.options)
@@ -272,6 +312,25 @@ def stream_upsert_changes(spark: SparkSession, target_dir: str,
             .option("key_cols", ",".join(key_cols))
             .option("partitions_per_version", str(partitions_per_version))
             .load())
+
+
+def read_changes_batch(spark: SparkSession, target_dir: str,
+                       key_cols: list[str],
+                       starting_version: int | None = None,
+                       ending_version: int | None = None) -> DataFrame:
+    """Batch DataFrame of the change feed over an inclusive version
+    range (both bounds default to the whole retained history) — the
+    batch twin of :func:`stream_upsert_changes`, same changed-files-only
+    cost per version."""
+    register_cdf_source(spark)
+    r = (spark.read.format("upsert_changes")
+         .option("path", target_dir)
+         .option("key_cols", ",".join(key_cols)))
+    if starting_version is not None:
+        r = r.option("starting_version", str(starting_version))
+    if ending_version is not None:
+        r = r.option("ending_version", str(ending_version))
+    return r.load()
 
 
 @register(

@@ -172,3 +172,28 @@ def test_cdf_vals_equal_nan_and_null():
     assert _vals_equal(None, None)
     assert not _vals_equal(None, 0)
     assert not _vals_equal(1.0, float("nan"))
+
+
+def test_cdf_batch_reader_version_ranges(spark, tmp_path):
+    """spark.read.format('upsert_changes') with inclusive
+    starting/ending_version bounds returns exactly the in-range
+    transitions; no bounds → the whole retained history, equal to the
+    streamed feed."""
+    from house_price_etl_pipeline_spark.streaming.cdf import \
+        read_changes_batch
+
+    target = _build(spark, tmp_path)
+    full = sorted(map(tuple,
+                      read_changes_batch(spark, target, ["k"]).collect()))
+    streamed = sorted(map(tuple, _drain_changes(spark, target).collect()))
+    assert full == streamed and len(full) == 7
+
+    mid = read_changes_batch(spark, target, ["k"],
+                             starting_version=1, ending_version=1)
+    assert sorted((r.change_type, r.k) for r in mid.collect()) == [
+        ("insert", 4), ("update_postimage", 2), ("update_preimage", 2)]
+    tail = read_changes_batch(spark, target, ["k"], starting_version=2)
+    assert [(r.change_type, r.k) for r in tail.collect()] \
+        == [("delete", 1)]
+    none = read_changes_batch(spark, target, ["k"], starting_version=9)
+    assert none.count() == 0
