@@ -1324,11 +1324,40 @@ def read_upsert_changes(spark, target_dir: str, v_from: int, v_to: int,
     with added columns — so both sides are projected to the MERGED
     payload schema with typed nulls for absent columns (post's column
     order first, pre-only columns appended; post's type wins on a
-    widened column), the Delta CDF contract."""
+    widened column), the Delta CDF contract.
+
+    Changed-files-only scan (round 10): incremental commits carry
+    untouched files into the next version under their original names
+    (hard links), so a file whose NAME appears in BOTH version dirs is
+    byte-identical and can contribute no change rows — the diff reads
+    only each side's name-unique files, the streaming CDF source's
+    trick applied to the batch feed. A full-rewrite chain (or an
+    OPTIMIZE between the versions) shares no names and degrades to the
+    full two-snapshot diff, which is what it rewrote anyway."""
+    import os
+
     from pyspark.sql import functions as F
 
     pre = read_upsert_version(spark, target_dir, v_from)
     post = read_upsert_version(spark, target_dir, v_to)
+    versions_root = target_dir + "_versions"
+    d_from = _resolve_version_dir(versions_root, v_from)
+    d_to = _resolve_version_dir(versions_root, v_to)
+    if d_from and d_to:
+        f_from = set(_snapshot_data_files(d_from))
+        f_to = set(_snapshot_data_files(d_to))
+        u_from = sorted(f_from - f_to)
+        u_to = sorted(f_to - f_from)
+        # keep the full-dir frames' schemas (snapshots are
+        # schema-uniform — evolution forces a full rewrite), read only
+        # the name-unique files; an empty unique side means that side
+        # contributes nothing (pure-insert / pure-delete transitions)
+        pre = (spark.read.parquet(
+            *(os.path.join(d_from, f) for f in u_from))
+            if u_from else pre.limit(0))
+        post = (spark.read.parquet(
+            *(os.path.join(d_to, f) for f in u_to))
+            if u_to else post.limit(0))
     pre_t, post_t = dict(pre.dtypes), dict(post.dtypes)
     payload = [c for c in post.columns if c not in key_cols]
     payload += [c for c in pre.columns

@@ -3071,3 +3071,37 @@ def test_merge_into_null_key_matches_null_target(spark, tmp_path):
                    spark.read.parquet(target).collect()),
                   key=lambda t: (t[0] is None, t))
     assert rows == [(1, 2), (None, 99)]
+
+
+def test_read_upsert_changes_scans_changed_files_only(spark, tmp_path,
+                                                      monkeypatch):
+    """The batch change feed reads only each version's name-unique
+    files: a hard-linked (carried) file contributes no change rows and
+    must not appear in either side's scan."""
+    import os
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_changes, upsert_commit_batch)
+
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50)], "k long, ord long, v long")
+    b1 = spark.createDataFrame(
+        [(i, 0, i) for i in range(50, 100)], "k long, ord long, v long")
+    b2 = spark.createDataFrame([(60, 1, 9999)], "k long, ord long, v long")
+    for bid, b in ((0, b0), (1, b1), (2, b2)):
+        upsert_commit_batch(b, target, bid, key_cols=["k"],
+                            order_col="ord", keep_versions=8)
+    ch = read_upsert_changes(spark, target, 1, 2, key_cols=["k"])
+    rows = sorted((r.change_type, r.k, r.v) for r in ch.collect())
+    assert rows == [("update_postimage", 60, 9999),
+                    ("update_preimage", 60, 60)]
+    # the carried (linked) files must be absent from the scan set
+    v1 = _version_dir(target, 1)
+    v2 = _version_dir(target, 2)
+    linked = {f for f in os.listdir(v1) if f.endswith(".parquet")} \
+        & {f for f in os.listdir(v2) if f.endswith(".parquet")}
+    scanned = {os.path.basename(p) for p in ch.inputFiles()}
+    assert linked and not (scanned & linked)
+    assert len(scanned) == 2            # one retired + one rewritten file
