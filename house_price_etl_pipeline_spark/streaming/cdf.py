@@ -253,7 +253,11 @@ class UpsertChangesBatchReader(DataSourceReader):
     journal's public version numbers; defaults = whole history). The
     per-transition partitions and changed-files-only diff are shared
     verbatim with the stream reader; the one semantic difference is
-    range selection instead of checkpointed offsets."""
+    range selection instead of checkpointed offsets. The bounds assume
+    batch ids grow monotonically along the journal (the convention
+    every producer here follows — Delta enforces the analog); with
+    out-of-order ids the selection is by FIRST commit ≥ start and LAST
+    commit ≤ end in journal order."""
 
     def __init__(self, options: dict):
         self._sr = UpsertChangesStreamReader(options)
