@@ -568,6 +568,10 @@ def _lloyd_centroids(e: DataFrame, k: int = KMEANS_K) -> "np.ndarray":
 # vectors per centroid), not the corpus; assignment of the full corpus
 # happens once, against the trained centroids
 SEMDEDUP_TRAIN_SAMPLE = 1 << 16
+# floor of training vectors per centroid: the Lloyd sample cap widens
+# to this × k when corpus-derived k approaches the fixed cap (ADVICE
+# r10 — otherwise n > ~64M vectors silently under-produces clusters)
+SEMDEDUP_MIN_TRAIN_PER_CLUSTER = 32
 
 
 def _pair_dist2_udf():
@@ -619,9 +623,17 @@ def _lloyd_centroids_production(e: DataFrame, k: int,
     corpus-derived k (SemDeDup's n/SEMDEDUP_VECS_PER_CLUSTER) has no
     driver-memory cliff. Init is the k lowest vec_ids of the sample
     (one k-row window task — bounded by k, not n). localCheckpoint per
-    round truncates the iterative lineage, the pagerank discipline."""
+    round truncates the iterative lineage, the pagerank discipline.
+
+    The sample cap SCALES WITH k (ADVICE r10): corpus-derived k =
+    n/1024 can exceed a fixed cap past ~64M vectors, which would both
+    silently produce fewer than k clusters (init takes k rows from a
+    smaller sample) and train on ~1 vector per centroid. We widen the
+    cap to ≥ SEMDEDUP_MIN_TRAIN_PER_CLUSTER × k so every centroid sees
+    a few dozen training vectors regardless of corpus size."""
     from pyspark.sql import Window
 
+    sample_cap = max(sample_cap, SEMDEDUP_MIN_TRAIN_PER_CLUSTER * k)
     train = (e.withColumn("_h", F.xxhash64("vec_id"))
              .orderBy("_h").limit(sample_cap).drop("_h")
              .localCheckpoint(eager=True))

@@ -386,14 +386,41 @@ class JsonAuditWriter:
                 except OSError:
                     pass
             from ..fsutil import atomic_write_json
+            # A holder stalled past STAGING_GC_AGE_S may have had its
+            # lock broken by a peer; publishing anyway would race the
+            # peer's read-modify-write. Verify we still own the lock
+            # (our fd's inode is still the lock path) and fail loudly
+            # otherwise — the shards are renamed and a retry of the
+            # write re-publishes them.
+            ours = os.fstat(lock_fd)
+            try:
+                cur = os.stat(os.path.join(self.path, "_MANIFEST.lock"))
+            except OSError:
+                cur = None
+            if cur is None or (cur.st_ino, cur.st_dev) != (
+                    ours.st_ino, ours.st_dev):
+                raise RuntimeError(
+                    "manifest lock lost mid-commit (stalled past the "
+                    "staleness takeover) — aborting publish instead of "
+                    "racing the new holder; retry the write")
             atomic_write_json(os.path.join(self.path, "_MANIFEST.json"),
                               dict(sorted(manifest.items())))
         finally:
-            os.close(lock_fd)
+            # Unlink ONLY if the lock file is still OUR inode. A holder
+            # stalled past STAGING_GC_AGE_S gets its lock broken by a
+            # peer; blindly unlinking on resume would delete the PEER's
+            # fresh lock and reintroduce the lost-shard race (ADVICE
+            # r10). Ownership = fstat(our fd) matches stat(lock path).
+            lock = os.path.join(self.path, "_MANIFEST.lock")
             try:
-                os.unlink(os.path.join(self.path, "_MANIFEST.lock"))
+                ours = os.fstat(lock_fd)
+                cur = os.stat(lock)
+                if (cur.st_ino, cur.st_dev) == (ours.st_ino,
+                                                ours.st_dev):
+                    os.unlink(lock)
             except OSError:
                 pass
+            os.close(lock_fd)
 
     def abort(self, messages):
         import os

@@ -724,7 +724,12 @@ def _merge_result(snapshot, source, key_cols: list[str],
         .when(matched, F.lit(True)) \
         .when(s_only, ins) \
         .otherwise(F.lit(True))          # target-only rows always carry
-    take_source = F.when(matched & ~dele & upd, F.lit(True)) \
+    # ~dele must treat a NULL delete condition as "not deleted" (SQL
+    # MERGE: an unsatisfied — including NULL — DELETE clause falls
+    # through to UPDATE); raw ~NULL is NULL and would swallow a
+    # satisfied UPDATE, carrying the row unchanged instead
+    not_deleted = ~F.coalesce(dele, F.lit(False))
+    take_source = F.when(matched & not_deleted & upd, F.lit(True)) \
         .when(s_only, F.lit(True)).otherwise(F.lit(False))
 
     t_cols = [f.name for f in snapshot.schema.fields]

@@ -204,6 +204,23 @@ def test_semdedup_production_agreement_floor(spark, sf_dir, monkeypatch):
     assert same_keep >= 0.95, same_keep
 
 
+def test_lloyd_sample_cap_scales_with_k(spark):
+    """ADVICE r10: a fixed training-sample cap below k silently
+    produces fewer than k clusters (init takes k rows from a smaller
+    sample). The cap must widen to ≥ SEMDEDUP_MIN_TRAIN_PER_CLUSTER×k
+    so corpus-derived k past the cap still yields exactly k centroids."""
+    import house_price_etl_pipeline_spark.operators.similarity as sim
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11)]) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    k = 8
+    # sample_cap=4 < k: the pre-fix behavior trains on 4 vectors and
+    # returns 4 clusters; the scaled cap restores all k
+    cdf = sim._lloyd_centroids_production(e, k, iters=1, sample_cap=4)
+    assert cdf.count() == k
+
+
 def test_curation_percentiles_production(production, spark, sf_dir, duck):
     """The three percentile-based curation/feature queries swap the
     exact interpolating percentile for the approx sketch in production

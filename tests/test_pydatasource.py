@@ -421,3 +421,43 @@ def test_json_audit_stale_manifest_lock_taken_over(tmp_path):
     with open(os.path.join(path, "_MANIFEST.json")) as f:
         assert sum(json.load(f).values()) == 1
     assert not os.path.exists(lock)
+
+
+def test_json_audit_lost_lock_aborts_and_spares_peer_lock(tmp_path):
+    """A committer whose lock was broken by the staleness takeover
+    (its fd's file is no longer the lock path) must NOT publish the
+    manifest and must NOT unlink the new holder's lock — either would
+    reintroduce the lost-shard race the lock exists to prevent
+    (ADVICE r10)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.sources.pydatasource import (
+        JsonAuditWriter, _ShardCommit)
+
+    path = str(tmp_path / "audit")
+    os.makedirs(path)
+    lock = os.path.join(path, "_MANIFEST.lock")
+    w = JsonAuditWriter({"path": path}, overwrite=False)
+    # simulate: we acquired, stalled, a peer broke our lock and created
+    # its own — our fd now points at an unlinked inode
+    stale_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.unlink(lock)
+    with open(lock, "w") as f:
+        f.write("peer")
+    peer_ino = os.stat(lock).st_ino
+    shard = os.path.join(path, "_staging_y.tmp")
+    with open(shard, "w") as f:
+        f.write(json.dumps({"r": 1}) + "\n")
+    orig = JsonAuditWriter._acquire_manifest_lock
+    JsonAuditWriter._acquire_manifest_lock = lambda self: stale_fd
+    try:
+        with _pytest.raises(RuntimeError, match="lock lost"):
+            w.commit([_ShardCommit(shard, 1)])
+    finally:
+        JsonAuditWriter._acquire_manifest_lock = orig
+    assert os.path.exists(lock)                 # peer's lock survives
+    assert os.stat(lock).st_ino == peer_ino
+    assert not os.path.exists(os.path.join(path, "_MANIFEST.json"))

@@ -2573,6 +2573,33 @@ def test_merge_into_clause_cascade(spark, tmp_path):
     ])                          # k=2 deleted (15<18); k=6 insert cond false
 
 
+def test_merge_into_null_delete_condition_falls_through(spark, tmp_path):
+    """A matched DELETE condition that evaluates to NULL (3-valued
+    logic, e.g. comparison on a NULL column) is an UNSATISFIED clause:
+    SQL/Delta MERGE fall through to the UPDATE clause, which must still
+    fire if its own condition holds. Pins the r10-advice bug where raw
+    ``~NULL`` in take_source carried the row unchanged."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_merge_into)
+
+    target = str(tmp_path / "tbl")
+    t0 = spark.createDataFrame([(1, 10, "old")],
+                               "k long, v int, tag string")
+    upsert_commit_batch(t0, target, 0, key_cols=["k"], order_col="v",
+                        keep_versions=4)
+    # flag is NULL → matched_delete "s.flag > 0" is NULL, not TRUE;
+    # matched_update "s.v > t.v" is TRUE and must take the source row
+    src = spark.createDataFrame([(1, 99, "new", None)],
+                                "k long, v int, tag string, flag int")
+    assert upsert_merge_into(
+        spark, target, 1, src, ["k"],
+        matched_update="s.v > t.v",
+        matched_delete="s.flag > 0") == "applied"
+    got = [tuple(r) for r in
+           spark.read.parquet(target).select("k", "v", "tag").collect()]
+    assert got == [(1, 99, "new")]
+
+
 def test_merge_into_replay_cdc_and_dup_source(spark, tmp_path):
     """Exactly-once by batch_id; the change feed across a merge emits
     the right insert/delete/update rows; a multi-row-per-key source is
