@@ -183,6 +183,17 @@ def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
 _VERSIONING_OPS = ("upsert", "delete", "merge")
 
 
+def _min_bytes_cutoff(override: int | None) -> int:
+    """Per-call incremental-commit size cutover: an explicit argument
+    (tests, the oracled COW query) wins over the env-driven config
+    default — threading it as a parameter keeps catalog queries from
+    mutating process-global os.environ (VERDICT r10 item 5), which is
+    racy the moment two queries share a process."""
+    from ..config import incremental_commit_min_bytes
+    return override if override is not None \
+        else incremental_commit_min_bytes()
+
+
 def _journal_state(versions_root: str) -> tuple[list[dict], set[int]]:
     from ..fsutil import read_commit_journal
     commits = read_commit_journal(_commits_dir(versions_root))
@@ -390,6 +401,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         key_cols: list[str], order_col: str,
                         keep_versions: int = 2, writer: str = "w0",
                         max_retries: int = 24,
+                        incremental_min_bytes: int | None = None,
                         _race_hook=None, _pre_stage_hook=None,
                         _pre_swap_hook=None) -> str:
     """One keep-latest merge committed through the optimistic journal.
@@ -467,7 +479,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
             if (snapshot is not None
                     and incremental_commits_enabled()
                     and _data_file_bytes(base_dir)
-                    >= incremental_commit_min_bytes()
+                    >= _min_bytes_cutoff(incremental_min_bytes)
                     and _schemas_match(snapshot.schema, delta.schema)):
                 # file-granular copy-on-write: rewrite only the files
                 # holding keys the delta touches; hard-link the rest
@@ -560,7 +572,8 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
 def upsert_delete_where(spark, target_dir: str, batch_id: int,
                         condition, keep_versions: int = 2,
                         writer: str = "w0",
-                        max_retries: int = 24) -> str:
+                        max_retries: int = 24,
+                        incremental_min_bytes: int | None = None) -> str:
     """Delta-style ``DELETE WHERE`` committed through the same
     optimistic journal as the upserts: stages the current snapshot
     MINUS the matching rows as the next version, CAS-claims the journal
@@ -611,7 +624,7 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
             snapshot = spark.read.parquet(base_dir)
             if (incremental_commits_enabled()
                     and _data_file_bytes(base_dir)
-                    >= incremental_commit_min_bytes()):
+                    >= _min_bytes_cutoff(incremental_min_bytes)):
                 # touched = files holding at least one row the predicate
                 # actually deletes (predicate pushed to the scan); every
                 # other file carries into the new version as a hard link
@@ -762,7 +775,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                       matched_delete=None,
                       not_matched_insert="true",
                       keep_versions: int = 2, writer: str = "w0",
-                      max_retries: int = 24) -> str:
+                      max_retries: int = 24,
+                      incremental_min_bytes: int | None = None) -> str:
     """Delta-style ``MERGE INTO`` committed through the optimistic CAS
     journal — the general conditional form of which upsert_commit_batch
     (keep-latest) and upsert_delete_where are the two fixed special
@@ -857,7 +871,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     for c in s_types)
                 if (incremental_commits_enabled() and no_evolution
                         and _data_file_bytes(base_dir)
-                        >= incremental_commit_min_bytes()):
+                        >= _min_bytes_cutoff(incremental_min_bytes)):
                     touched = _touched_files_by_keys(
                         spark, base_dir, source, key_cols)
                     kept = [f for f in _snapshot_data_files(base_dir)
@@ -1749,27 +1763,24 @@ def maintenance_incremental_cow(spark: SparkSession,
     mid = lo + (hi - lo) // 2
     cut = lo + (hi - lo) * 15 // 16
     # the harness table is tiny, so force the incremental plan past the
-    # cost-based size cutover — the point here is pinning the plan
-    saved = os.environ.get("SPARK_GRAFT_INCREMENTAL_MIN_BYTES")
-    os.environ["SPARK_GRAFT_INCREMENTAL_MIN_BYTES"] = "0"
-    try:
-        upsert_commit_batch(ev.filter(F.col("event_id") < mid),
-                            target, 0, key_cols=["event_id"],
-                            order_col="ord", keep_versions=2)
-        upsert_commit_batch(ev.filter(F.col("event_id") >= mid),
-                            target, 1, key_cols=["event_id"],
-                            order_col="ord", keep_versions=2)
-        upsert_commit_batch(
-            ev.filter(F.col("event_id") >= cut)
-            .withColumn("value", F.col("value") * 2)
-            .withColumn("ord", F.lit(1)),
-            target, 2, key_cols=["event_id"], order_col="ord",
-            keep_versions=2)
-    finally:
-        if saved is None:
-            os.environ.pop("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", None)
-        else:
-            os.environ["SPARK_GRAFT_INCREMENTAL_MIN_BYTES"] = saved
+    # cost-based size cutover — the point here is pinning the plan.
+    # Threaded as an ARGUMENT (not an os.environ mutation, which is
+    # process-global and racy under concurrent catalog queries —
+    # VERDICT r10 item 5)
+    upsert_commit_batch(ev.filter(F.col("event_id") < mid),
+                        target, 0, key_cols=["event_id"],
+                        order_col="ord", keep_versions=2,
+                        incremental_min_bytes=0)
+    upsert_commit_batch(ev.filter(F.col("event_id") >= mid),
+                        target, 1, key_cols=["event_id"],
+                        order_col="ord", keep_versions=2,
+                        incremental_min_bytes=0)
+    upsert_commit_batch(
+        ev.filter(F.col("event_id") >= cut)
+        .withColumn("value", F.col("value") * 2)
+        .withColumn("ord", F.lit(1)),
+        target, 2, key_cols=["event_id"], order_col="ord",
+        keep_versions=2, incremental_min_bytes=0)
     ops = {c["version"]: c for c in
            _journal_state(target + "_versions")[0]}
     reused = bool(
