@@ -37,6 +37,20 @@ def incremental_commits_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_INCREMENTAL_COMMITS", "1") != "0"
 
 
+def cdf_split_bytes() -> int:
+    """SPARK_GRAFT_CDF_SPLIT_BYTES (default 32 MiB): the change-feed
+    stream reader sizes each version transition's partition count as
+    ``ceil(changed_file_bytes / this)``, so one task never has to hold
+    more than ~this much (compressed) changed data as Python objects —
+    a full-rewrite commit on a big table fans out across workers
+    instead of landing two whole snapshots in one Python heap
+    (VERDICT r10 item 2). 32 MiB compressed ≈ a few hundred MB boxed,
+    a comfortable per-worker bound; raise it to trade memory for fewer
+    re-reads of the changed files (each split re-reads and filters)."""
+    return int(os.environ.get("SPARK_GRAFT_CDF_SPLIT_BYTES",
+                              str(32 * 1024 * 1024)))
+
+
 def incremental_commit_min_bytes() -> int:
     """SPARK_GRAFT_INCREMENTAL_MIN_BYTES (default 64 MiB): snapshots
     smaller than this take the plain full rewrite even when incremental

@@ -108,9 +108,13 @@ def test_cdf_reads_changed_files_only(spark, tmp_path, monkeypatch):
     # transition 1→2: only the files the narrow update touched
     parts = reader.partitions({"n": 2}, {"n": 3})
     opened = []
-    real = pq.read_table
-    monkeypatch.setattr(pq, "read_table",
-                        lambda p, *a, **k: (opened.append(p), real(p))[1])
+    real = pq.ParquetFile
+
+    def spy(p, *a, **k):
+        opened.append(p)
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", spy)
     rows = [r for p in parts for r in reader.read(p)]
     assert sorted(r[-2] for r in rows) == ["update_postimage",
                                            "update_preimage"]
@@ -172,6 +176,119 @@ def test_cdf_vals_equal_nan_and_null():
     assert _vals_equal(None, None)
     assert not _vals_equal(None, 0)
     assert not _vals_equal(1.0, float("nan"))
+
+
+def test_cdf_diff_stays_incremental_across_optimize(spark, tmp_path,
+                                                    monkeypatch):
+    """VERDICT r10 item 3: an incremental commit landing AFTER an
+    OPTIMIZE hard-links against the OPTIMIZE dir's renamed files, so a
+    diff against the prior VERSIONING dir would share no names and
+    silently degrade to a whole-snapshot diff. The feed must pair each
+    transition with the immediately preceding JOURNAL dir (compactions
+    included — content-identical to the version they rewrote), keeping
+    files-opened O(changed)."""
+    import pyarrow.parquet as pq
+
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        optimize_upsert_target
+
+    monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "0")
+    target = str(tmp_path / "tbl")
+    b0 = spark.createDataFrame(
+        [(i, 0, i) for i in range(60)], "k long, ord long, v long")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    # compact into 3 files so the post-OPTIMIZE update touches ONE
+    optimize_upsert_target(spark, target, max_records_per_file=20,
+                           keep_versions=8)
+    upsert_commit_batch(
+        spark.createDataFrame([(5, 1, 9999)], "k long, ord long, v long"),
+        target, 1, key_cols=["k"], order_col="ord", keep_versions=8)
+    reader = UpsertChangesStreamReader({"path": target, "key_cols": "k"})
+    parts = reader.partitions({"n": 1}, {"n": 2})   # transition v0→v1
+    opened = []
+    real = pq.ParquetFile
+
+    def spy(p, *a, **k):
+        opened.append(p)
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", spy)
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(r[-2] for r in rows) == ["update_postimage",
+                                           "update_preimage"]
+    # changed-file diff: one rewritten file per side — a whole-snapshot
+    # degradation would open all files of both versions (≥4 here)
+    assert len(opened) == 2, opened
+    # and the prev side must be the OPTIMIZE dir, not the v0 upsert dir
+    assert "_compact_" in parts[0].prev_dir
+
+
+def test_cdf_auto_splits_bound_task_memory(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 2: a large (full-rewrite) transition must fan
+    out across ceil(changed_bytes / cdf_split_bytes()) splits by
+    default, each read() boxing ONLY its split's rows — peak Python
+    heap per task stays ~split-sized instead of two snapshots."""
+    import tracemalloc
+
+    target = str(tmp_path / "tbl")
+    n = 20_000
+    b0 = spark.createDataFrame(
+        [(i, 0, "x" * 64) for i in range(n)], "k long, ord long, pad string")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=8)
+    b1 = spark.createDataFrame(
+        [(i, 1, "y" * 64) for i in range(n)], "k long, ord long, pad string")
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=8)   # full rewrite: every row changes
+    # size the split target at 1/8th of the transition's actual changed
+    # bytes so the auto-derivation must produce ~8 splits
+    changed = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in (os.path.join(target + "_versions", "v0"),
+                  os.path.join(target + "_versions", "v1"))
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    monkeypatch.setenv("SPARK_GRAFT_CDF_SPLIT_BYTES", str(changed // 8))
+    reader = UpsertChangesStreamReader({"path": target, "key_cols": "k"})
+    parts = reader.partitions({"n": 1}, {"n": 2})
+    assert len(parts) >= 4, len(parts)
+    assert {p.split for p in parts} == set(range(parts[0].n_splits))
+    peaks, total = [], 0
+    for p in parts:
+        tracemalloc.start()
+        got = sum(1 for _ in reader.read(p))
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        peaks.append(peak)
+        total += got
+    assert total == 2 * n   # every key is an update: pre+post per key
+    # each task's peak must be a fraction of the whole transition's
+    # boxed size — i.e. the split bound holds (unsplit, one task boxes
+    # all 40k rows of both sides; here each sees ~1/n_splits of that)
+    whole = sum(peaks)
+    assert max(peaks) < 0.5 * whole, (max(peaks), whole)
+
+
+def test_cdf_batch_jvm_route_equals_pysource(spark, tmp_path):
+    """read_changes_batch (JVM full-outer differ, no Python workers)
+    and the Python DataSource batch reader must emit identical rows
+    over the same version range — the format-symmetry path is pinned
+    to the production path."""
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        read_changes_batch, read_changes_batch_pysource)
+
+    target = _build(spark, tmp_path)
+    for kw in ({}, {"starting_version": 1},
+               {"starting_version": 1, "ending_version": 1}):
+        jvm = read_changes_batch(spark, target, ["k"], **kw)
+        py = read_changes_batch_pysource(spark, target, ["k"], **kw)
+        assert jvm.columns == py.columns
+        assert sorted(map(tuple, jvm.collect())) \
+            == sorted(map(tuple, py.collect())), kw
+    # the JVM route's plan must contain no Python datasource scan
+    plan = read_changes_batch(
+        spark, target, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "PythonDataSource" not in plan and "BatchEvalPython" not in plan
 
 
 def test_cdf_batch_reader_version_ranges(spark, tmp_path):
