@@ -511,6 +511,102 @@ def read_changes_batch(spark: SparkSession, target_dir: str,
 
 
 @register(
+    "stream_cdf_schema_evolution",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id FROM events
+               WHERE user_id % 2 = 0),
+    pre AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e WHERE event_id % 2 = 0 AND user_id < 100)
+      WHERE rn = 1
+    ),
+    src AS (
+      SELECT user_id, event_id, event_id % 97 AS score FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e WHERE user_id < 150)
+      WHERE rn = 1
+    ),
+    ch AS (
+      SELECT 0 AS v, 'insert' AS ct, user_id, event_id,
+             CAST(NULL AS BIGINT) AS score
+      FROM pre
+      UNION ALL
+      SELECT 1, 'insert', s.user_id, s.event_id, s.score
+      FROM src s LEFT JOIN pre p USING (user_id) WHERE p.user_id IS NULL
+      UNION ALL
+      SELECT 1, 'update_preimage', p.user_id, p.event_id,
+             CAST(NULL AS BIGINT)
+      FROM pre p JOIN src s USING (user_id) WHERE s.event_id > p.event_id
+      UNION ALL
+      SELECT 1, 'update_postimage', p.user_id, s.event_id, s.score
+      FROM pre p JOIN src s USING (user_id) WHERE s.event_id > p.event_id
+    )
+    SELECT v AS _commit_version, ct AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users,
+           CAST(SUM(event_id) AS BIGINT) AS sum_events,
+           CAST(SUM(score) AS BIGINT) AS sum_scores
+    FROM ch GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_cdf_schema_evolution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The feed across a SCHEMA-EVOLVING MERGE, under the value-hash
+    gate (VERDICT r10 item 4): a source-only ``score`` column forces
+    the full-rewrite MERGE path, so the v0→v1 transition is a
+    whole-snapshot diff whose sides have DIFFERENT schemas — the
+    reader's "update" classification must None-pad the pre-evolution
+    rows (a carried row with NULL score must NOT surface as an update;
+    an updated row's pre-image must carry NULL score). The oracle
+    replays the MERGE relationally: inserts for source-only users,
+    pre/post pairs exactly where the source's event_id wins."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+    from .ingest import upsert_commit_batch, upsert_merge_into
+    from .windows import _drain
+
+    root = query_workspace("cdf_evolution", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 2 == 0)
+          .select("user_id", "event_id"))
+    upsert_commit_batch(
+        ev.filter((F.col("event_id") % 2 == 0) & (F.col("user_id") < 100)),
+        target, 0, key_cols=["user_id"], order_col="event_id",
+        keep_versions=8)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    src = (ev.filter(F.col("user_id") < 150)
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn")
+           .withColumn("score", F.col("event_id") % 97))
+    upsert_merge_into(spark, target, 1, src, ["user_id"],
+                      matched_update="s.event_id > t.event_id",
+                      keep_versions=8)
+    changes = stream_upsert_changes(spark, target, ["user_id"])
+    out = _drain(changes, spark, output_mode="append")
+    return (
+        out.groupBy("_commit_version", "change_type")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum("user_id").cast("bigint").alias("sum_users"),
+             F.sum("event_id").cast("bigint").alias("sum_events"),
+             F.sum("score").cast("bigint").alias("sum_scores"))
+        .orderBy("_commit_version", "change_type")
+    )
+
+
+@register(
     "stream_cdf_changes",
     oracle="""
     WITH e AS (SELECT user_id, event_id FROM events
