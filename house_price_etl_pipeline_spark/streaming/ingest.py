@@ -1205,7 +1205,8 @@ def describe_upsert_history(spark, target_dir: str) -> DataFrame:
 
 def restore_upsert_target(spark, target_dir: str, version: int,
                           as_version: int, keep_versions: int = 2,
-                          writer: str = "restore") -> str:
+                          writer: str = "restore",
+                          enforce_constraints: bool = True) -> str:
     """RESTORE: make a retained historical version the CURRENT table
     state again, as a NEW journal commit (Delta's `RESTORE TABLE ...
     VERSION AS OF` contract — a restore is history-preserving, never a
@@ -1251,6 +1252,20 @@ def restore_upsert_target(spark, target_dir: str, version: int,
             raise FileNotFoundError(
                 f"version {version} not retained — cannot restore "
                 f"(see describe_upsert_history)")
+        # A constraint added AFTER `version` was written validated only
+        # the then-current head — restoring a PRE-constraint version
+        # would otherwise publish violating rows through a path no
+        # commit-time check covers (VERDICT r10 item 6). Re-validate
+        # the restored snapshot against the CURRENT constraint set;
+        # enforce_constraints=False is the deliberate operator override
+        # (restore first, repair data second), mirrored on Delta's
+        # constraint-vs-restore escape hatch.
+        cons = table_check_constraints(target_dir)
+        if cons and enforce_constraints:
+            _validate_constraints(
+                spark.read.parquet(src), cons,
+                f"version {version} being restored (pass "
+                f"enforce_constraints=False to restore anyway)")
         seq = commits[-1]["seq"] + 1 if commits else 0
         stage = os.path.join(versions_root,
                              f"_stage_{writer}_{uuid.uuid4().hex[:8]}")

@@ -3059,6 +3059,45 @@ def test_check_constraint_rejects_bad_batch_and_merge(spark, tmp_path):
         set_table_check_constraint(spark, target, "v_nonneg", "v >= 0")
 
 
+def test_restore_revalidates_current_constraints(spark, tmp_path):
+    """VERDICT r10 item 6: RESTORE to a version written BEFORE a
+    constraint existed must re-validate that snapshot against the
+    CURRENT constraint set — commit-time checks never saw it, so a
+    silent restore would publish violating rows. The deliberate
+    operator override (enforce_constraints=False) still restores."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        CheckConstraintViolation, restore_upsert_target,
+        set_table_check_constraint, upsert_commit_batch)
+
+    target = str(tmp_path / "tbl")
+    # v0 contains a row the future constraint forbids
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 0, -5), (2, 0, 20)],
+                              "k long, ord long, v int"),
+        target, 0, key_cols=["k"], order_col="ord", keep_versions=8)
+    # v1 repairs it; only THEN is the constraint addable
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 1, 5)], "k long, ord long, v int"),
+        target, 1, key_cols=["k"], order_col="ord", keep_versions=8)
+    set_table_check_constraint(spark, target, "v_nonneg", "v >= 0")
+
+    with _pytest.raises(CheckConstraintViolation, match="v_nonneg"):
+        restore_upsert_target(spark, target, version=0, as_version=2,
+                              keep_versions=8)
+    # refused loudly, nothing committed: head is still v1's state
+    assert sorted((r.k, r.v) for r in
+                  spark.read.parquet(target).collect()) \
+        == [(1, 5), (2, 20)]
+
+    restore_upsert_target(spark, target, version=0, as_version=2,
+                          keep_versions=8, enforce_constraints=False)
+    assert sorted((r.k, r.v) for r in
+                  spark.read.parquet(target).collect()) \
+        == [(1, -5), (2, 20)]
+
+
 def test_check_constraint_missing_column_is_explained(spark, tmp_path):
     import pytest as _pytest
 
