@@ -1525,7 +1525,10 @@ def cdc_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     upserts everything else; the feed v0→v1 is `insert` rows for users
     first seen in v1 and update pre/post image pairs for users whose
     latest event is odd — which the oracle restates directly from the
-    events table with arg_max."""
+    events table with arg_max. Version 0 is a session-cached shared
+    base (identical every run) SHALLOW-CLONEd into the run workspace;
+    the v1 commit, the OPTIMIZE, and the feed read — the operators
+    under test — run fresh each time."""
     import os
     import shutil
 
@@ -1538,10 +1541,15 @@ def cdc_upsert_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value")
     is_b0 = (F.col("event_id") % 2 == 0) & (F.col("user_id") < 100)
-    b0 = ev.filter(is_b0)
     b1 = ev.filter(~is_b0)
-    upsert_commit_batch(b0, target, 0, key_cols=["user_id"],
-                        order_col="event_id", keep_versions=4)
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(ev.filter(is_b0), base, 0,
+                            key_cols=["user_id"], order_col="event_id",
+                            keep_versions=4)
+
+    clone_upsert_table(shared_base_table(sf_dir, "cdc_upsert", _build),
+                       target)
     upsert_commit_batch(b1, target, 1, key_cols=["user_id"],
                         order_col="event_id", keep_versions=4)
     optimize_upsert_target(spark, target, keep_versions=4)
@@ -1598,7 +1606,9 @@ def cdc_schema_evolution_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle restates it from the events table: a user's pre row is their
     latest even event (null value); their post row is their overall
     latest event, whose value is visible only when the winning row
-    arrived in the evolved batch."""
+    arrived in the evolved batch. Version 0 (pre-evolution schema) is a
+    session-cached shared base cloned per run; the schema-evolving v1
+    commit and the feed read run fresh each time."""
     import os
     import shutil
 
@@ -1611,10 +1621,16 @@ def cdc_schema_evolution_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value")
     is_b0 = (F.col("event_id") % 2 == 0) & (F.col("user_id") < 100)
-    b0 = ev.filter(is_b0).drop("value")       # pre-evolution schema
     b1 = ev.filter(~is_b0)                    # evolved: adds `value`
-    upsert_commit_batch(b0, target, 0, key_cols=["user_id"],
-                        order_col="event_id", keep_versions=4)
+
+    def _build(base: str) -> None:
+        # pre-evolution schema: no `value` column
+        upsert_commit_batch(ev.filter(is_b0).drop("value"), base, 0,
+                            key_cols=["user_id"], order_col="event_id",
+                            keep_versions=4)
+
+    clone_upsert_table(shared_base_table(sf_dir, "cdc_sev", _build),
+                       target)
     upsert_commit_batch(b1, target, 1, key_cols=["user_id"],
                         order_col="event_id", keep_versions=4)
     return (
@@ -1679,7 +1695,9 @@ def merge_into_conditional_orders(spark: SparkSession,
     cascade as a CASE over the full-outer join. Clause misfires
     (deleting on the wrong side of the threshold, updating downward,
     inserting below the floor) shift rows between bands and fail the
-    hash."""
+    hash. The pre-cutoff target table is a session-cached shared base
+    cloned per run; the MERGE itself — the operator under test — runs
+    fresh each time."""
     import os
     import shutil
 
@@ -1695,11 +1713,16 @@ def merge_into_conditional_orders(spark: SparkSession,
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
     cutoff = F.lit(MERGE_INTO_CUTOFF).cast("timestamp")
-    upsert_commit_batch(
-        o.filter(F.col("o_orderdate") < cutoff)
-        .select("o_custkey", "o_orderkey", "o_totalprice"),
-        target, 0, key_cols=["o_custkey"], order_col="o_orderkey",
-        keep_versions=2)
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(
+            o.filter(F.col("o_orderdate") < cutoff)
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+            base, 0, key_cols=["o_custkey"], order_col="o_orderkey",
+            keep_versions=2)
+
+    clone_upsert_table(shared_base_table(sf_dir, "merge_into", _build),
+                       target)
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
     src = (o.filter(F.col("o_orderdate") >= cutoff)
            .withColumn("_rn", F.row_number().over(w))
@@ -1777,15 +1800,23 @@ def maintenance_incremental_cow(spark: SparkSession,
     lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
     mid = lo + (hi - lo) // 2
     cut = lo + (hi - lo) * 15 // 16
+
+    # version 0 (first half of the slice) is identical every run: a
+    # session-cached shared base, cloned here (the clone's journal
+    # entry carries version 0 with files_rewritten=0, so the reuse
+    # flag below still reads the two PER-RUN commits it pins)
+    def _build(base: str) -> None:
+        upsert_commit_batch(ev.filter(F.col("event_id") < mid),
+                            base, 0, key_cols=["event_id"],
+                            order_col="ord", keep_versions=2)
+
+    clone_upsert_table(shared_base_table(sf_dir, "incr_cow", _build),
+                       target)
     # the harness table is tiny, so force the incremental plan past the
     # cost-based size cutover — the point here is pinning the plan.
     # Threaded as an ARGUMENT (not an os.environ mutation, which is
     # process-global and racy under concurrent catalog queries —
     # VERDICT r10 item 5)
-    upsert_commit_batch(ev.filter(F.col("event_id") < mid),
-                        target, 0, key_cols=["event_id"],
-                        order_col="ord", keep_versions=2,
-                        incremental_min_bytes=0)
     upsert_commit_batch(ev.filter(F.col("event_id") >= mid),
                         target, 1, key_cols=["event_id"],
                         order_col="ord", keep_versions=2,
@@ -1831,8 +1862,12 @@ def clone_upsert_table(src_target: str, dst_target: str,
     batch-id replay domain) with one entry carrying the source head's
     version number and a ``cloned_from`` provenance field — DESCRIBE
     HISTORY on the clone shows where it came from; time travel works
-    from the cloned version forward. Pure filesystem op, no Spark
-    session needed. Raises FileExistsError if dst already exists."""
+    from the cloned version forward. Table METADATA travels with the
+    clone too: CHECK constraints are copied (Delta's SHALLOW CLONE
+    carries table properties and constraints — a clone of a
+    constrained table starts constrained; drop it on the clone to
+    diverge). Pure filesystem op, no Spark session needed. Raises
+    FileExistsError if dst already exists."""
     import os
     import shutil
     import uuid
@@ -1876,9 +1911,57 @@ def clone_upsert_table(src_target: str, dst_target: str,
         shutil.rmtree(os.path.join(dst_root, perm), ignore_errors=True)
         raise FileExistsError(
             f"clone destination {dst_target} was created concurrently")
+    src_cons = table_check_constraints(src_target)
+    if src_cons:
+        from ..fsutil import atomic_write_json
+        atomic_write_json(_constraints_path(dst_target), src_cons)
     cms, _ = _journal_state(dst_root)
     _publish_commit(dst_target, dst_root, cms, keep_versions=2)
     return perm
+
+
+# --- session-cached base tables (VERDICT r10 item 1) -------------------------
+
+_SHARED_BASE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def shared_base_table(sf_dir: str, name: str, build) -> str:
+    """Session-cached committed BASE table for catalog harnesses.
+
+    The maintenance/CDC/MV/CDF catalog queries each need a
+    pre-committed upsert table to exercise their delta operation
+    (MERGE, DELETE WHERE, incremental commit, change-feed drain, MV
+    refresh) against. The base is identical on every run — only the
+    delta is the operator under test — so it is committed ONCE per
+    (query family, sf_dir) per process into its own workspace, and
+    every run layers its per-run work on a SHALLOW CLONE of it (hard
+    links: O(file count), zero data movement) inside the run's own
+    wiped workspace. Same session-cache pattern as the dedup family's
+    shared shingle/pair caches (operators/dedup.py), applied to
+    committed table state; bench stall-retries and repeat runs then
+    pay only the delta commits, never the base rebuild.
+
+    ``build(target)`` must commit the base's version(s) and any
+    immutable metadata (e.g. CHECK constraints — carried to clones);
+    it runs at most once per process per (name, sf_dir). The cache is
+    re-validated against the journal on every hit, so an externally
+    wiped tempdir rebuilds instead of erroring."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+
+    key = (name, os.path.abspath(sf_dir))
+    cached = _SHARED_BASE_CACHE.get(key)
+    if cached is not None and _journal_state(cached + "_versions")[0]:
+        return cached
+    root = query_workspace(f"base_{name}", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    build(target)
+    _SHARED_BASE_CACHE[key] = target
+    return target
 
 
 # --- CHECK constraints ------------------------------------------------------
@@ -2009,7 +2092,12 @@ def maintenance_clone_constraint(spark: SparkSession,
     constraint with the journal unmoved. The output aggregates BOTH
     tables (clone evolved, source frozen) plus the enforcement flag;
     clone/source cross-contamination or a constraint that lets the bad
-    batch through shifts the aggregates or flips the flag."""
+    batch through shifts the aggregates or flips the flag. The
+    constrained source table is a session-cached shared base; each run
+    clones it TWICE (per-run src, then the dst divergence clone), so
+    the run also pins that SHALLOW CLONE carries CHECK constraints —
+    both the dst commit and the rejected src batch validate against
+    the constraint that traveled with the clone."""
     import os
     import shutil
 
@@ -2024,11 +2112,16 @@ def maintenance_clone_constraint(spark: SparkSession,
     o = (load_table(spark, sf_dir, "orders")
          .filter(F.col("o_custkey") <= CLONE_CUST_CAP)
          .select("o_custkey", "o_orderkey", "o_totalprice"))
-    upsert_commit_batch(o.filter(F.col("o_orderkey") % 2 == 0),
-                        src, 0, key_cols=["o_custkey"],
-                        order_col="o_orderkey", keep_versions=2)
-    set_table_check_constraint(spark, src, "price_pos",
-                               "o_totalprice > 0")
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(o.filter(F.col("o_orderkey") % 2 == 0),
+                            base, 0, key_cols=["o_custkey"],
+                            order_col="o_orderkey", keep_versions=2)
+        set_table_check_constraint(spark, base, "price_pos",
+                                   "o_totalprice > 0")
+
+    base = shared_base_table(sf_dir, "clone_constraint", _build)
+    clone_upsert_table(base, src)
     clone_upsert_table(src, dst)
     upsert_commit_batch(o.filter(F.col("o_orderkey") % 2 == 1),
                         dst, 1, key_cols=["o_custkey"],

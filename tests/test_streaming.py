@@ -3,6 +3,7 @@ with exactly-once re-run semantics, which the oracle queries can't cover."""
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -3057,6 +3058,75 @@ def test_check_constraint_rejects_bad_batch_and_merge(spark, tmp_path):
     # re-adding now fails on the existing -5 row
     with _pytest.raises(CheckConstraintViolation, match="existing"):
         set_table_check_constraint(spark, target, "v_nonneg", "v >= 0")
+
+
+def test_shallow_clone_carries_check_constraints(spark, tmp_path):
+    """SHALLOW CLONE copies table metadata, not just data references
+    (Delta parity): a clone of a constrained table starts constrained —
+    a violating batch against the CLONE is rejected — and dropping the
+    constraint on the clone diverges without unconstraining the
+    source."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        CheckConstraintViolation, clone_upsert_table,
+        drop_table_check_constraint, set_table_check_constraint,
+        table_check_constraints, upsert_commit_batch)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 0, 10)], "k long, ord long, v int"),
+        src, 0, key_cols=["k"], order_col="ord", keep_versions=4)
+    set_table_check_constraint(spark, src, "v_nonneg", "v >= 0")
+    clone_upsert_table(src, dst)
+    assert table_check_constraints(dst) == {"v_nonneg": "v >= 0"}
+
+    bad = spark.createDataFrame([(2, 1, -5)], "k long, ord long, v int")
+    with _pytest.raises(CheckConstraintViolation, match="v_nonneg"):
+        upsert_commit_batch(bad, dst, 1, key_cols=["k"],
+                            order_col="ord", keep_versions=4)
+
+    # metadata divergence: dropping on the clone leaves the source shut
+    drop_table_check_constraint(dst, "v_nonneg")
+    assert upsert_commit_batch(bad, dst, 1, key_cols=["k"],
+                               order_col="ord", keep_versions=4) \
+        == "applied"
+    with _pytest.raises(CheckConstraintViolation, match="v_nonneg"):
+        upsert_commit_batch(bad, src, 1, key_cols=["k"],
+                            order_col="ord", keep_versions=4)
+
+
+def test_shared_base_table_builds_once_and_revalidates(spark, tmp_path,
+                                                       monkeypatch):
+    """The session-cached harness base (VERDICT r10 item 1): build runs
+    once per (name, sf_dir); a cache hit returns the same committed
+    table; an externally wiped workspace rebuilds instead of handing
+    out a dangling path."""
+    import shutil
+
+    from house_price_etl_pipeline_spark.streaming import ingest as ing
+
+    monkeypatch.setattr(ing, "_SHARED_BASE_CACHE", {})
+    calls = []
+
+    def build(target):
+        calls.append(target)
+        ing.upsert_commit_batch(
+            spark.createDataFrame([(1, 0, 10)],
+                                  "k long, ord long, v int"),
+            target, 0, key_cols=["k"], order_col="ord", keep_versions=4)
+
+    sf = str(tmp_path)
+    p1 = ing.shared_base_table(sf, "t_base", build)
+    p2 = ing.shared_base_table(sf, "t_base", build)
+    assert p1 == p2 and len(calls) == 1
+    assert spark.read.parquet(p1).count() == 1
+
+    shutil.rmtree(os.path.dirname(p1))
+    p3 = ing.shared_base_table(sf, "t_base", build)
+    assert len(calls) == 2
+    assert spark.read.parquet(p3).count() == 1
 
 
 def test_restore_revalidates_current_constraints(spark, tmp_path):
