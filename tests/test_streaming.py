@@ -2542,6 +2542,134 @@ def test_upsert_delete_where_emits_cdc_delete_rows(spark, tmp_path):
     assert rows == [("delete", 4), ("delete", 5)]
 
 
+def test_upsert_update_where_sql_semantics(spark, tmp_path):
+    """UPDATE ... SET ... WHERE rewrites a row iff the predicate is
+    TRUE (FALSE and NULL untouched, three-valued), every SET sees the
+    OLD row (simultaneous assignment — a swap works), results cast
+    back to the column's type, and SETs on key or absent columns are
+    refused before any work."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_update_where)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 0, 10, 1), (2, 0, 20, 2), (3, 0, None, 3), (4, 0, 40, 4)],
+        "k long, ord long, v int, w int")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    # v > 15: TRUE for k=2,4; FALSE for k=1; NULL for k=3 → k=3 stays.
+    # The swap pins simultaneous assignment; 'v + 0.9' pins the cast
+    # back to int (store-assignment, not schema evolution).
+    assert upsert_update_where(spark, target, 1, "v > 15",
+                               {"v": "w", "w": "v + 0.9"},
+                               key_cols=["k"], keep_versions=4) \
+        == "applied"
+    got = {r.k: (r.v, r.w) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (10, 1), 2: (2, 20), 3: (None, 3), 4: (4, 40)}
+    assert dict(spark.read.parquet(target).dtypes)["w"] == "int"
+
+    with _pytest.raises(ValueError, match="key column"):
+        upsert_update_where(spark, target, 2, "true", {"k": "k + 1"},
+                            key_cols=["k"], keep_versions=4)
+    with _pytest.raises(ValueError, match="absent from the table"):
+        upsert_update_where(spark, target, 2, "true", {"nope": "1"},
+                            key_cols=["k"], keep_versions=4)
+
+
+def test_upsert_update_where_exactly_once_history_cow(spark, tmp_path):
+    """A replayed update batch id is a no-op; the journal records op
+    'update'; time travel reads the pre-update snapshot; on the
+    incremental path only files holding TRUE-predicate rows are
+    rewritten, the rest carry by hard link (reuse stats recorded)."""
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, read_upsert_version, upsert_commit_batch,
+        upsert_update_where)
+
+    target = str(tmp_path / "tbl")
+    lo = spark.createDataFrame(
+        [(i, 0, i * 10) for i in range(8)], "k long, ord long, v int")
+    hi = spark.createDataFrame(
+        [(i, 0, i * 10) for i in range(8, 16)], "k long, ord long, v int")
+    # two key-disjoint incremental commits → v1's dir holds the low
+    # keys in files the k>=12 update must NOT rewrite
+    upsert_commit_batch(lo, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4, incremental_min_bytes=0)
+    upsert_commit_batch(hi, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=4, incremental_min_bytes=0)
+    assert upsert_update_where(spark, target, 2, "k >= 12",
+                               {"v": "v + 1"}, key_cols=["k"],
+                               keep_versions=4,
+                               incremental_min_bytes=0) == "applied"
+    assert upsert_update_where(spark, target, 2, "k >= 12",
+                               {"v": "v + 1"}, key_cols=["k"],
+                               keep_versions=4,
+                               incremental_min_bytes=0) == "replayed"
+    got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert got == {i: i * 10 + (1 if i >= 12 else 0) for i in range(16)}
+    # time travel: version 1 still has the un-updated values
+    pre = {r.k: r.v for r in
+           read_upsert_version(spark, target, 1).collect()}
+    assert pre == {i: i * 10 for i in range(16)}
+    journal = read_commit_journal(_commits_dir(target + "_versions"))
+    assert [(c["op"], c["version"]) for c in journal] == \
+        [("upsert", 0), ("upsert", 1), ("update", 2)]
+    upd = journal[-1]
+    assert upd["files_rewritten"] >= 1 and upd["files_reused"] >= 1
+
+
+def test_upsert_update_where_emits_cdc_update_pairs(spark, tmp_path):
+    """The change feed sees an UPDATE as pre/postimage pairs for the
+    rows the SET changed — carried rows inside rewritten files emit
+    nothing (the equal-row suppression)."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_changes, upsert_commit_batch, upsert_update_where)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, 0, i * 10) for i in range(6)], "k long, ord long, v int")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    upsert_update_where(spark, target, 1, "k >= 4", {"v": "v + 5"},
+                        key_cols=["k"], keep_versions=4)
+    ch = read_upsert_changes(spark, target, 0, 1, key_cols=["k"])
+    rows = sorted((r.change_type, r.k, r.v) for r in ch.collect())
+    assert rows == [("update_postimage", 4, 45),
+                    ("update_postimage", 5, 55),
+                    ("update_preimage", 4, 40),
+                    ("update_preimage", 5, 50)]
+
+
+def test_upsert_update_where_validates_post_image(spark, tmp_path):
+    """VERDICT r10 item 6's partial-update gap: commit-time CHECK
+    validation sees incoming batches, not rows an UPDATE rewrites in
+    place — so UPDATE validates the post-image of the matching rows
+    and refuses with the journal unmoved."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        CheckConstraintViolation, set_table_check_constraint,
+        upsert_commit_batch, upsert_update_where)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20)], "k long, ord long, v int")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    set_table_check_constraint(spark, target, "v_cap", "v <= 25")
+    with _pytest.raises(CheckConstraintViolation, match="v_cap"):
+        upsert_update_where(spark, target, 1, "k = 2", {"v": "v + 10"},
+                            key_cols=["k"], keep_versions=4)
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()} \
+        == {1: 10, 2: 20}   # journal unmoved
+    # a post-image inside the cap commits
+    assert upsert_update_where(spark, target, 1, "k = 1", {"v": "v + 10"},
+                               key_cols=["k"], keep_versions=4) \
+        == "applied"
+
+
 def test_merge_into_clause_cascade(spark, tmp_path):
     """MERGE INTO applies Delta's clause order per matched key: DELETE
     first, then UPDATE SET * (missing source columns retain target
