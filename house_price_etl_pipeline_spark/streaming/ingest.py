@@ -126,6 +126,54 @@ def read_upsert_version(spark, target_dir: str,
     return spark.read.parquet(vdir)
 
 
+def _commit_mtimes(versions_root: str) -> list[tuple[dict, float]]:
+    """(entry, commit-file mtime) for every journal entry, in sequence
+    order. The mtime of the journal file IS the commit timestamp —
+    exactly Delta's convention for TIMESTAMP AS OF (log-file
+    modification time), with the same documented caveats: writer clock
+    skew and mtime-preserving copies move history."""
+    import os
+
+    from ..fsutil import commit_path, read_commit_journal
+
+    cdir = _commits_dir(versions_root)
+    out = []
+    for c in read_commit_journal(cdir):
+        try:
+            out.append((c, os.stat(commit_path(cdir, c["seq"])).st_mtime))
+        except OSError:
+            continue   # pruned/in-flight entry: not resolvable by time
+    return out
+
+
+def read_upsert_as_of_timestamp(spark, target_dir: str, ts) -> DataFrame:
+    """Delta's ``TIMESTAMP AS OF`` time travel: read the snapshot of
+    the LAST versioning commit at or before ``ts``. ``ts`` is an epoch
+    number, a ``datetime``, or an ISO-8601 string (naive values are
+    local time, Delta/SQL session semantics). Raises ValueError if
+    ``ts`` precedes the first commit (Delta's "timestamp before
+    earliest version" error) and FileNotFoundError if the resolved
+    version has been pruned past retention — raise ``keep_versions``
+    to widen the travel window, the same contract as VERSION AS OF."""
+    import datetime as dt
+
+    if isinstance(ts, str):
+        ts = dt.datetime.fromisoformat(ts)
+    if isinstance(ts, dt.datetime):
+        ts = ts.timestamp()
+    versions_root = target_dir + "_versions"
+    cand = [c for c, mt in _commit_mtimes(versions_root)
+            if c.get("op") in _VERSIONING_OPS and mt <= ts]
+    if not cand:
+        first = next((mt for c, mt in _commit_mtimes(versions_root)
+                      if c.get("op") in _VERSIONING_OPS), None)
+        raise ValueError(
+            f"timestamp {ts} precedes the table's earliest commit"
+            + (f" ({dt.datetime.fromtimestamp(first).isoformat()})"
+               if first is not None else " (empty table)"))
+    return read_upsert_version(spark, target_dir, cand[-1]["version"])
+
+
 def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
                                 checkpoint_dir: str, key_cols: list[str],
                                 order_col: str, keep_versions: int = 2):
@@ -1326,19 +1374,24 @@ def optimize_upsert_target(spark, target_dir: str,
 # mini format's commit latency here).
 def describe_upsert_history(spark, target_dir: str) -> DataFrame:
     """DESCRIBE HISTORY for the versioned upsert target: one row per
-    journal commit — (seq, op, version, version_name, writer,
-    retained) — newest first, where ``retained`` marks snapshots still
-    readable via time travel. The Delta `DESCRIBE HISTORY` analog;
-    driver-side journal read (commit metadata is tiny by construction),
-    returned as a DataFrame so it composes with the rest of the API."""
+    journal commit — (seq, timestamp, op, version, version_name,
+    writer, retained) — newest first, where ``retained`` marks
+    snapshots still readable via time travel and ``timestamp`` is the
+    commit-file mtime (the same clock TIMESTAMP AS OF resolves
+    against, Delta's log-mtime convention). The Delta
+    `DESCRIBE HISTORY` analog; driver-side journal read (commit
+    metadata is tiny by construction), returned as a DataFrame so it
+    composes with the rest of the API."""
+    import datetime as dt
+    import os
+
     from pyspark.sql import types as T
 
     versions_root = target_dir + "_versions"
-    commits, _ = _journal_state(versions_root)
-    import os
 
     schema = T.StructType([
         T.StructField("seq", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
         T.StructField("op", T.StringType()),
         T.StructField("version", T.LongType()),
         T.StructField("version_name", T.StringType()),
@@ -1350,13 +1403,15 @@ def describe_upsert_history(spark, target_dir: str) -> DataFrame:
     # A commit missing version_name must report retained=False: joining
     # '' onto versions_root yields versions_root itself, which always
     # exists and would mislabel the row retained=True.
-    rows = [(c["seq"], c.get("op"), c.get("version"),
+    rows = [(c["seq"],
+             dt.datetime.fromtimestamp(mt, dt.timezone.utc),
+             c.get("op"), c.get("version"),
              c.get("version_name"), c.get("writer"),
              bool(c.get("version_name"))
              and os.path.isdir(os.path.join(versions_root,
                                             c["version_name"])),
              c.get("files_rewritten"), c.get("files_reused"))
-            for c in reversed(commits)]
+            for c, mt in reversed(_commit_mtimes(versions_root))]
     return spark.createDataFrame(rows, schema)
 
 
@@ -1972,6 +2027,95 @@ def dml_update_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              dec_sum("value").alias("sum_value"),
              F.sum("user_id").cast("bigint").alias("sum_users"))
         .orderBy("event_type")
+    )
+
+
+def _as_of_ts_oracle_sql() -> str:
+    from ..functions.numeric import dec_sum_expr
+    return f"""
+    WITH e AS (SELECT user_id, event_id, value FROM events
+               WHERE event_id % 5 = 0),
+    v0 AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM e WHERE event_id % 2 = 0) WHERE rn = 1
+    ),
+    head AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    )
+    SELECT snapshot, n_rows, sum_events, sum_value FROM (
+      SELECT 'asof_v0' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(event_id) AS BIGINT) AS sum_events,
+             {dec_sum_expr('value')} AS sum_value
+      FROM v0
+      UNION ALL
+      SELECT 'head', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(event_id) AS BIGINT), {dec_sum_expr('value')}
+      FROM head
+    ) ORDER BY snapshot
+    """
+
+
+@_catalog_register("time_travel_as_of_timestamp",
+                   oracle=_as_of_ts_oracle_sql())
+def time_travel_as_of_timestamp(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel under the value-hash gate: version
+    0 (keep-latest of the even-event half of a fifth-slice) lands,
+    version 1 upserts the rest, and the table is read back twice — AS
+    OF a timestamp cut strictly between the two commit times (must
+    resolve to v0's state) and AS OF now (must be the head). The cut
+    is the midpoint of the two commit files' mtimes — the same clock
+    the resolver uses, so the check is deterministic while the times
+    themselves are not. A resolver that rounds the wrong way, compares
+    against the wrong journal file, or counts maintenance entries
+    lands on the wrong snapshot and shifts every aggregate."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..functions.numeric import dec_sum
+    from ..sources.tables import load_table
+
+    root = query_workspace("as_of_ts", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 5 == 0)
+          .select("user_id", "event_id", "value"))
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(ev.filter(F.col("event_id") % 2 == 0),
+                            base, 0, key_cols=["user_id"],
+                            order_col="event_id", keep_versions=4)
+
+    clone_upsert_table(shared_base_table(sf_dir, "as_of_ts", _build),
+                       target)
+    upsert_commit_batch(ev.filter(F.col("event_id") % 2 == 1),
+                        target, 1, key_cols=["user_id"],
+                        order_col="event_id", keep_versions=4)
+    mts = [mt for _, mt in _commit_mtimes(target + "_versions")]
+    cut = (mts[0] + mts[1]) / 2
+
+    def agg(df, tag: str) -> DataFrame:
+        return (df.agg(F.count("*").cast("bigint").alias("n_rows"),
+                       F.sum("event_id").cast("bigint")
+                       .alias("sum_events"),
+                       dec_sum("value").alias("sum_value"))
+                .select(F.lit(tag).alias("snapshot"), "n_rows",
+                        "sum_events", "sum_value"))
+
+    import time
+    return (
+        agg(read_upsert_as_of_timestamp(spark, target, cut), "asof_v0")
+        .unionAll(agg(read_upsert_as_of_timestamp(spark, target,
+                                                  time.time()), "head"))
+        .orderBy("snapshot")
     )
 
 

@@ -2542,6 +2542,47 @@ def test_upsert_delete_where_emits_cdc_delete_rows(spark, tmp_path):
     assert rows == [("delete", 4), ("delete", 5)]
 
 
+def test_read_upsert_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF resolves to the last versioning commit at or
+    before the cut (commit-file mtime clock, Delta's convention): a
+    midpoint cut reads v0, a post-head cut reads the head, a
+    maintenance entry between versions is invisible to the resolver,
+    and a pre-table timestamp errors with Delta's earliest-version
+    message. History exposes the same clock as a `timestamp` column."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        describe_upsert_history, optimize_upsert_target,
+        read_upsert_as_of_timestamp, upsert_commit_batch)
+
+    target = str(tmp_path / "tbl")
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 0, 10)], "k long, ord long, v int"),
+        target, 0, key_cols=["k"], order_col="ord", keep_versions=8)
+    t_mid = _time.time()
+    _time.sleep(0.01)
+    upsert_commit_batch(
+        spark.createDataFrame([(2, 1, 20)], "k long, ord long, v int"),
+        target, 1, key_cols=["k"], order_col="ord", keep_versions=8)
+    # OPTIMIZE after v1: its journal entry's mtime is newest, but it
+    # must not shadow v1 as "the version at time now"
+    optimize_upsert_target(spark, target, keep_versions=8)
+
+    assert {r.k for r in read_upsert_as_of_timestamp(
+        spark, target, t_mid).collect()} == {1}
+    assert {r.k for r in read_upsert_as_of_timestamp(
+        spark, target, _time.time()).collect()} == {1, 2}
+    with _pytest.raises(ValueError, match="precedes"):
+        read_upsert_as_of_timestamp(spark, target, t_mid - 3600)
+
+    hist = describe_upsert_history(spark, target).collect()
+    assert all(h.timestamp is not None for h in hist)
+    stamps = [h.timestamp for h in hist]          # newest first
+    assert stamps == sorted(stamps, reverse=True)
+
+
 def test_upsert_update_where_sql_semantics(spark, tmp_path):
     """UPDATE ... SET ... WHERE rewrites a row iff the predicate is
     TRUE (FALSE and NULL untouched, three-valued), every SET sees the
