@@ -2711,6 +2711,37 @@ def test_upsert_update_where_validates_post_image(spark, tmp_path):
         == "applied"
 
 
+def test_mv_incremental_fold_over_update_where(spark, tmp_path):
+    """An UPDATE WHERE commit flows through the MV's change-feed fold
+    as ±1 pre/postimage legs: the refresh after the UPDATE must take
+    the incremental path and land bit-identical to a from-scratch
+    recompute (group migration included — the UPDATE moves rows
+    between groups)."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        upsert_commit_batch, upsert_update_where)
+    from house_price_etl_pipeline_spark.streaming.matview import (
+        read_mv, refresh_mv)
+
+    target = str(tmp_path / "tbl")
+    view = str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [(i, 0, "a" if i < 4 else "b", float(i)) for i in range(8)],
+        "k long, ord long, g string, v double")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    assert refresh_mv(spark, target, view, ["k"], ["g"], "v") == "full"
+    # move k in {2,3,6} to group 'c' and triple v
+    upsert_update_where(spark, target, 1, "k % 4 >= 2 AND k != 7",
+                        {"g": "'c'", "v": "v * 3"},
+                        key_cols=["k"], keep_versions=4)
+    assert refresh_mv(spark, target, view, ["k"], ["g"], "v") \
+        == "incremental"
+    got = {r.g: (r.n_rows, r.sum_value)
+           for r in read_mv(spark, view).collect()}
+    assert got == {"a": (2, 0.0 + 1.0), "b": (3, 4.0 + 5.0 + 7.0),
+                   "c": (3, (2.0 + 3.0 + 6.0) * 3)}
+
+
 def test_merge_into_clause_cascade(spark, tmp_path):
     """MERGE INTO applies Delta's clause order per matched key: DELETE
     first, then UPDATE SET * (missing source columns retain target
