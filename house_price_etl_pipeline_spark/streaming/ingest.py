@@ -486,6 +486,11 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     os.makedirs(versions_root, exist_ok=True)
     spark = batch_df.sparkSession
 
+    gens = table_generated_columns(target_dir)
+    if gens:
+        # generated columns first (a CHECK may reference one): omitted
+        # columns computed, supplied ones validated
+        batch_df = _apply_generated(batch_df, gens, "the incoming batch")
     cons = table_check_constraints(target_dir)
     if cons:
         # CHECK enforcement on the INCOMING rows (one delta-sized pass,
@@ -795,6 +800,14 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
             f"UPDATE SET on key column(s) {bad_keys} refused — "
             f"rewriting merge keys breaks the unique-keys invariant; "
             f"re-key with DELETE + upsert or MERGE INTO")
+    gens = table_generated_columns(target_dir)
+    bad_gen = sorted(set(sets) & set(gens))
+    if bad_gen:
+        raise ValueError(
+            f"UPDATE SET on generated column(s) {bad_gen} refused — "
+            f"GENERATED ALWAYS AS columns recompute from their "
+            f"expression when an UPDATE touches their inputs (Delta's "
+            f"contract); SET the inputs instead")
     hit = F.coalesce(condition, F.lit(False))
     cons = table_check_constraints(target_dir)
     versions_root = target_dir + "_versions"
@@ -827,12 +840,23 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
 
             def apply_update(df):
                 # SETs evaluate against the OLD row (select is
-                # simultaneous), cast back to the column's type
-                return df.select(*[
-                    (F.when(hit, sets[c].cast(types[c]))
+                # simultaneous), cast back to the column's type;
+                # generated columns then recompute on the UPDATED row
+                # (their inputs may have just changed — Delta's
+                # recompute-on-update contract)
+                tagged = df.withColumn("_upd_hit", hit)
+                out = tagged.select(*[
+                    (F.when(F.col("_upd_hit"), sets[c].cast(types[c]))
                      .otherwise(F.col(c)).alias(c)
                      if c in sets else F.col(c))
-                    for c in df.columns])
+                    for c in df.columns], "_upd_hit")
+                for g, gexpr in gens.items():
+                    if g in out.columns:
+                        out = out.withColumn(
+                            g, F.when(F.col("_upd_hit"),
+                                      F.expr(gexpr).cast(types[g]))
+                            .otherwise(F.col(g)))
+                return out.drop("_upd_hit")
 
             if cons:
                 # post-image validation, matching rows only (the
@@ -1028,6 +1052,9 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             "MERGE source has multiple rows for at least one key — "
             "reduce it (e.g. keep-latest) before merging, as Delta "
             "requires")
+    gens = table_generated_columns(target_dir)
+    if gens:
+        source = _apply_generated(source, gens, "the MERGE source")
     cons = table_check_constraints(target_dir)
     if cons:
         _validate_constraints(source, cons, "the MERGE source")
@@ -2030,6 +2057,98 @@ def dml_update_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _generated_col_oracle_sql() -> str:
+    return """
+    WITH o AS (
+      SELECT o_custkey, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_custkey <= 300) WHERE rn = 1
+    ),
+    upd AS (
+      SELECT o_custkey,
+             CASE WHEN o_totalprice < 50000 THEN o_totalprice * 4
+                  ELSE o_totalprice END AS o_totalprice
+      FROM o
+    ),
+    final AS (
+      SELECT o_custkey, o_totalprice,
+             CAST(FLOOR(o_totalprice / 100000) AS BIGINT) AS price_band
+      FROM upd
+    )
+    SELECT price_band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS generation_enforced
+    FROM final GROUP BY price_band ORDER BY price_band
+    """
+
+
+@_catalog_register("table_generated_column_bands",
+                   oracle=_generated_col_oracle_sql())
+def table_generated_column_bands(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS columns under the value-hash gate:
+    ``price_band = floor(o_totalprice / 100000)`` is declared before
+    the first commit, the committed batch OMITS the column (the write
+    path must compute it), an UPDATE WHERE quadruples sub-50k prices
+    (the band must RECOMPUTE on the updated rows — Delta's
+    recompute-on-update contract), and a batch supplying a WRONG band
+    value must be refused with the journal unmoved. The output groups
+    by the generated column itself, so a stale band after the UPDATE
+    or a skipped computation shifts rows between groups and fails the
+    hash; the enforcement flag pins the wrong-value refusal."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+
+    root = query_workspace("gen_col", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") <= 300)
+         .select("o_custkey", "o_orderkey", "o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    latest = (o.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def _build(base: str) -> None:
+        set_table_generated_column(
+            spark, base, "price_band",
+            "cast(floor(o_totalprice / 100000) as bigint)")
+        upsert_commit_batch(latest, base, 0, key_cols=["o_custkey"],
+                            order_col="o_orderkey", keep_versions=2)
+
+    clone_upsert_table(shared_base_table(sf_dir, "gen_col", _build),
+                       target)
+    upsert_update_where(spark, target, 1, "o_totalprice < 50000",
+                        {"o_totalprice": "o_totalprice * 4"},
+                        key_cols=["o_custkey"], keep_versions=2)
+    enforced = False
+    try:
+        upsert_commit_batch(
+            latest.limit(20).withColumn("price_band", F.lit(-1)),
+            target, 2, key_cols=["o_custkey"], order_col="o_orderkey",
+            keep_versions=2)
+    except GeneratedColumnViolation:
+        enforced = True
+    return (
+        spark.read.parquet(target)
+        .groupBy("price_band")
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("double").alias("sum_price"))
+        .withColumn("generation_enforced", F.lit(enforced))
+        .orderBy("price_band")
+    )
+
+
 def _as_of_ts_oracle_sql() -> str:
     from ..functions.numeric import dec_sum_expr
     return f"""
@@ -2237,11 +2356,11 @@ def clone_upsert_table(src_target: str, dst_target: str,
     version number and a ``cloned_from`` provenance field — DESCRIBE
     HISTORY on the clone shows where it came from; time travel works
     from the cloned version forward. Table METADATA travels with the
-    clone too: CHECK constraints are copied (Delta's SHALLOW CLONE
-    carries table properties and constraints — a clone of a
-    constrained table starts constrained; drop it on the clone to
-    diverge). Pure filesystem op, no Spark session needed. Raises
-    FileExistsError if dst already exists."""
+    clone too: CHECK constraints and generated-column declarations are
+    copied (Delta's SHALLOW CLONE carries table properties and
+    constraints — a clone of a constrained table starts constrained;
+    drop them on the clone to diverge). Pure filesystem op, no Spark
+    session needed. Raises FileExistsError if dst already exists."""
     import os
     import shutil
     import uuid
@@ -2289,6 +2408,10 @@ def clone_upsert_table(src_target: str, dst_target: str,
     if src_cons:
         from ..fsutil import atomic_write_json
         atomic_write_json(_constraints_path(dst_target), src_cons)
+    src_gens = table_generated_columns(src_target)
+    if src_gens:
+        from ..fsutil import atomic_write_json
+        atomic_write_json(_generated_path(dst_target), src_gens)
     cms, _ = _journal_state(dst_root)
     _publish_commit(dst_target, dst_root, cms, keep_versions=2)
     return perm
@@ -2418,6 +2541,101 @@ def drop_table_check_constraint(target_dir: str, name: str) -> None:
     cons = table_check_constraints(target_dir)
     cons.pop(name, None)
     atomic_write_json(_constraints_path(target_dir), cons)
+
+
+# --- generated columns ------------------------------------------------------
+
+_GENERATED_FILE = "_GENERATED.json"
+
+
+def _generated_path(target_dir: str) -> str:
+    import os
+    return os.path.join(target_dir + "_versions", _GENERATED_FILE)
+
+
+def table_generated_columns(target_dir: str) -> dict[str, str]:
+    """{name: sql_expr} of the table's GENERATED ALWAYS AS columns
+    (empty if none). Stored beside the journal like CHECK constraints;
+    read on every commit."""
+    import json
+    import os
+
+    p = _generated_path(target_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+class GeneratedColumnViolation(ValueError):
+    pass
+
+
+def _apply_generated(df, gens: dict[str, str], what: str):
+    """Delta's generated-column write contract: a batch that OMITS the
+    column gets it computed from the expression; a batch that SUPPLIES
+    it must match the expression exactly (null-safe) or the write is
+    refused. Applied in declaration order so a generated column may
+    reference an earlier one. The expression must resolve against the
+    batch's columns — a MERGE source missing a dependency fails loudly
+    rather than silently NULL-filling."""
+    from pyspark.sql import functions as F
+
+    for name, expr in gens.items():
+        e = F.expr(expr)
+        if name not in df.columns:
+            df = df.withColumn(name, e)
+            continue
+        bad = df.filter(~F.col(name).eqNullSafe(e)).limit(1).collect()
+        if bad:
+            raise GeneratedColumnViolation(
+                f"generated column {name!r} (ALWAYS AS {expr}) "
+                f"supplied with a non-matching value by {what}: first "
+                f"offending row {bad[0].asDict()!r}")
+    return df
+
+
+def set_table_generated_column(spark, target_dir: str, name: str,
+                               expr: str) -> None:
+    """Declare ``name GENERATED ALWAYS AS (expr)``. Like Delta, the
+    declaration belongs at table creation (before the first commit);
+    on a table with data it is accepted ONLY if the head already
+    satisfies ``name <=> expr`` for every row — generated columns
+    never backfill (that would be a disguised table rewrite; run an
+    explicit UPDATE first if that is what you want)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fsutil import atomic_write_json
+
+    gens = table_generated_columns(target_dir)
+    commits, _ = _journal_state(target_dir + "_versions")
+    if commits:
+        snap = spark.read.parquet(os.path.join(
+            target_dir + "_versions", commits[-1]["version_name"]))
+        if name not in snap.columns:
+            raise GeneratedColumnViolation(
+                f"column {name!r} absent from existing table data — "
+                f"generated columns never backfill; declare before the "
+                f"first commit, or add the column with an explicit "
+                f"UPDATE/upsert first")
+        bad = snap.filter(~F.col(name).eqNullSafe(F.expr(expr))) \
+            .limit(1).collect()
+        if bad:
+            raise GeneratedColumnViolation(
+                f"existing table data violates {name!r} ALWAYS AS "
+                f"{expr}: first offending row {bad[0].asDict()!r}")
+    gens[name] = expr
+    atomic_write_json(_generated_path(target_dir), gens)
+
+
+def drop_table_generated_column(target_dir: str, name: str) -> None:
+    from ..fsutil import atomic_write_json
+
+    gens = table_generated_columns(target_dir)
+    gens.pop(name, None)
+    atomic_write_json(_generated_path(target_dir), gens)
 
 
 CLONE_CUST_CAP = 200

@@ -2711,6 +2711,86 @@ def test_upsert_update_where_validates_post_image(spark, tmp_path):
         == "applied"
 
 
+def test_generated_columns_write_update_merge(spark, tmp_path):
+    """GENERATED ALWAYS AS: a batch omitting the column gets it
+    computed; a batch supplying a wrong value is refused (journal
+    unmoved); an UPDATE touching the inputs recomputes it and a SET
+    directly on it is refused; a MERGE source gets it computed too."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        GeneratedColumnViolation, set_table_generated_column,
+        upsert_commit_batch, upsert_merge_into, upsert_update_where)
+
+    target = str(tmp_path / "tbl")
+    set_table_generated_column(spark, target, "band",
+                               "cast(v div 10 as bigint)")
+    b0 = spark.createDataFrame([(1, 0, 5), (2, 0, 25)],
+                               "k long, ord long, v int")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    got = {r.k: r.band for r in spark.read.parquet(target).collect()}
+    assert got == {1: 0, 2: 2}
+
+    # supplying the column: right value passes, wrong value refused
+    from pyspark.sql import functions as F
+    ok = b0.withColumn("band", (F.col("v") / 10).cast("bigint"))
+    upsert_commit_batch(ok, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    bad = b0.withColumn("band", F.lit(99).cast("bigint"))
+    with _pytest.raises(GeneratedColumnViolation, match="band"):
+        upsert_commit_batch(bad, target, 2, key_cols=["k"],
+                            order_col="ord", keep_versions=4)
+
+    # UPDATE: inputs change → band recomputes; SET band directly refused
+    upsert_update_where(spark, target, 2, "k = 1", {"v": "v + 30"},
+                        key_cols=["k"], keep_versions=4)
+    got = {r.k: (r.v, r.band)
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: (35, 3), 2: (25, 2)}
+    with _pytest.raises(ValueError, match="generated column"):
+        upsert_update_where(spark, target, 3, "true", {"band": "0"},
+                            key_cols=["k"], keep_versions=4)
+
+    # MERGE source without the column gets it computed
+    src = spark.createDataFrame([(3, 1, 47)], "k long, ord long, v int")
+    upsert_merge_into(spark, target, 3, src, ["k"], keep_versions=4)
+    got = {r.k: r.band for r in spark.read.parquet(target).collect()}
+    assert got == {1: 3, 2: 2, 3: 4}
+
+
+def test_generated_column_declaration_on_existing_data(spark, tmp_path):
+    """Declaring on a table with data: accepted only if the head
+    already satisfies name <=> expr; an absent column never backfills;
+    a violating expression is refused. Clones carry declarations."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        GeneratedColumnViolation, clone_upsert_table,
+        set_table_generated_column, table_generated_columns,
+        upsert_commit_batch)
+
+    target = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 0, 5, 0), (2, 0, 25, 2)],
+                               "k long, ord long, v int, band long")
+    upsert_commit_batch(df, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    with _pytest.raises(GeneratedColumnViolation, match="backfill"):
+        set_table_generated_column(spark, target, "nope", "v * 2")
+    with _pytest.raises(GeneratedColumnViolation, match="violates"):
+        set_table_generated_column(spark, target, "band",
+                                   "cast(v div 10 + 1 as bigint)")
+    set_table_generated_column(spark, target, "band",
+                               "cast(v div 10 as bigint)")
+    assert table_generated_columns(target) \
+        == {"band": "cast(v div 10 as bigint)"}
+
+    dst = str(tmp_path / "dst")
+    clone_upsert_table(target, dst)
+    assert table_generated_columns(dst) \
+        == {"band": "cast(v div 10 as bigint)"}
+
+
 def test_mv_incremental_fold_over_update_where(spark, tmp_path):
     """An UPDATE WHERE commit flows through the MV's change-feed fold
     as ±1 pre/postimage legs: the refresh after the UPDATE must take
