@@ -491,6 +491,12 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         # generated columns first (a CHECK may reference one): omitted
         # columns computed, supplied ones validated
         batch_df = _apply_generated(batch_df, gens, "the incoming batch")
+    ident = table_identity_column(target_dir)
+    if ident and ident["name"] in batch_df.columns:
+        raise ValueError(
+            f"column {ident['name']!r} is GENERATED ALWAYS AS IDENTITY "
+            f"— it cannot be supplied by a batch (Delta's contract); "
+            f"drop it from the batch and let allocation assign it")
     cons = table_check_constraints(target_dir)
     if cons:
         # CHECK enforcement on the INCOMING rows (one delta-sized pass,
@@ -523,8 +529,14 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         # only ever reference fully-written data (Delta's ordering)
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
         reuse_stats = None
+        ident_hwm = None
         try:
             delta = keep_latest(batch_df)
+            if ident:
+                # allocation is CAS-serialized for free: the range base
+                # comes off the journal head we are about to CAS against
+                ident_hwm = _identity_high_water(commits, ident)
+                delta = _assign_identity(delta, ident, ident_hwm)
             base_dir = (os.path.join(versions_root, base)
                         if base is not None else None)
             snapshot = (spark.read.parquet(base_dir)
@@ -607,6 +619,10 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
+        if ident:
+            entry["identity_hwm"] = _staged_identity_hwm(
+                spark, os.path.join(versions_root, perm), ident,
+                ident_hwm)
         if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
@@ -808,6 +824,12 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
             f"GENERATED ALWAYS AS columns recompute from their "
             f"expression when an UPDATE touches their inputs (Delta's "
             f"contract); SET the inputs instead")
+    ident = table_identity_column(target_dir)
+    if ident and ident["name"] in sets:
+        raise ValueError(
+            f"UPDATE SET on identity column {ident['name']!r} refused "
+            f"— GENERATED ALWAYS AS IDENTITY values are "
+            f"allocation-owned")
     hit = F.coalesce(condition, F.lit(False))
     cons = table_check_constraints(target_dir)
     versions_root = target_dir + "_versions"
@@ -1055,11 +1077,34 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
     gens = table_generated_columns(target_dir)
     if gens:
         source = _apply_generated(source, gens, "the MERGE source")
+    ident = table_identity_column(target_dir)
+    if ident and ident["name"] in source.columns:
+        raise ValueError(
+            f"column {ident['name']!r} is GENERATED ALWAYS AS IDENTITY "
+            f"— a MERGE source cannot supply it; matched rows keep the "
+            f"target's value, inserted rows get fresh allocations")
     cons = table_check_constraints(target_dir)
     if cons:
         _validate_constraints(source, cons, "the MERGE source")
     versions_root = target_dir + "_versions"
     os.makedirs(versions_root, exist_ok=True)
+
+    def fill_identity(merged, commits):
+        """Inserted rows (NULL identity after the full-outer merge —
+        or every row when merging into an empty table) get fresh
+        allocations above the journal head's mark; matched/carried
+        rows keep the target's value."""
+        if not ident:
+            return merged, None
+        hwm = _identity_high_water(commits, ident)
+        name = ident["name"]
+        if name not in merged.columns:
+            return _assign_identity(merged, ident, hwm), hwm
+        has = merged.filter(F.col(name).isNotNull())
+        needs = merged.filter(F.col(name).isNull()).drop(name)
+        return has.unionByName(
+            _assign_identity(needs, ident, hwm)), hwm
+
     retried = False
     for _attempt in range(max_retries):
         if _attempt:
@@ -1074,6 +1119,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
         seq = commits[-1]["seq"] + 1 if commits else 0
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
         reuse_stats = None
+        ident_hwm = None
         try:
             if base is None:
                 # MERGE into an empty table: only the INSERT clause
@@ -1085,6 +1131,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     c = (F.expr(ins) if isinstance(ins, str)
                          else F.lit(True) if ins is True else ins)
                     merged = source.alias("s").filter(c)
+                merged, ident_hwm = fill_identity(merged, commits)
                 merged.write.mode("overwrite").parquet(
                     os.path.join(versions_root, stage))
             else:
@@ -1114,6 +1161,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     merged = _merge_result(sub, source, key_cols,
                                            matched_update, matched_delete,
                                            not_matched_insert)
+                    merged, ident_hwm = fill_identity(merged, commits)
                     _stage_with_reuse(base_dir,
                                       os.path.join(versions_root, stage),
                                       kept, merged)
@@ -1122,6 +1170,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     merged = _merge_result(snapshot, source, key_cols,
                                            matched_update, matched_delete,
                                            not_matched_insert)
+                    merged, ident_hwm = fill_identity(merged, commits)
                     merged.write.mode("overwrite").parquet(
                         os.path.join(versions_root, stage))
         except Exception as exc:
@@ -1154,6 +1203,10 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
+        if ident:
+            entry["identity_hwm"] = _staged_identity_hwm(
+                spark, os.path.join(versions_root, perm), ident,
+                ident_hwm)
         if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
@@ -2149,6 +2202,84 @@ def table_generated_column_bands(spark: SparkSession,
     )
 
 
+IDENTITY_START, IDENTITY_STEP = 1000, 2
+
+
+@_catalog_register(
+    "table_identity_column_ids",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_rows,
+           TRUE AS ids_unique, TRUE AS above_start,
+           TRUE AS step_aligned, TRUE AS disjoint_allocations
+    FROM events WHERE event_id % 6 = 3
+    """,
+)
+def table_identity_column_ids(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY under the value-hash gate. The
+    VALUES are deliberately not pinned — identity allocation is
+    sparse and partitioning-dependent (Delta's documented contract:
+    unique, gap-tolerant, not consecutive) — so the oracle pins the
+    INVARIANTS that make the feature correct: every row got an id,
+    ids are globally unique across two commits (the second allocated
+    on a SHALLOW CLONE, whose journal entry must carry the source's
+    high-water mark), every id respects START WITH, every id is
+    STEP-aligned, and the second commit's allocations all sit above
+    the first commit's maximum (ranges never overlap). A collision,
+    a rewound mark after the clone, or a misaligned allocation flips
+    a flag and fails the hash."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+
+    root = query_workspace("identity_col", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 6 == 3)
+          .select("event_id", "user_id", "event_type")
+          .withColumn("ord", F.lit(0)))
+    # halves of the slice by event_id % 12 ∈ {3, 9} — a modular split
+    # so BOTH commits are non-empty at every scale factor
+    b0 = ev.filter(F.col("event_id") % 12 == 3)
+
+    def _build(base: str) -> None:
+        set_table_identity_column(base, "row_uid",
+                                  start=IDENTITY_START,
+                                  step=IDENTITY_STEP)
+        upsert_commit_batch(b0, base, 0, key_cols=["event_id"],
+                            order_col="ord", keep_versions=4)
+
+    clone_upsert_table(
+        shared_base_table(sf_dir, "identity_col", _build), target)
+    upsert_commit_batch(ev.join(b0.select("event_id"), "event_id",
+                                "left_anti"),
+                        target, 1, key_cols=["event_id"],
+                        order_col="ord", keep_versions=4)
+    v0 = read_upsert_version(spark, target, 0)
+    tbl = spark.read.parquet(target)
+    v0_max = v0.agg(F.max("row_uid")).first()[0]
+    new_min = (tbl.join(v0.select("event_id"), "event_id", "left_anti")
+               .agg(F.min("row_uid")).first()[0])
+    return (
+        tbl.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.count("*") == F.countDistinct("row_uid"))
+            .alias("ids_unique"),
+            (F.min("row_uid") >= IDENTITY_START).alias("above_start"),
+            (F.max((F.col("row_uid") - IDENTITY_START)
+                   % IDENTITY_STEP) == 0).alias("step_aligned"))
+        .withColumn("disjoint_allocations",
+                    F.lit(bool(new_min is not None and v0_max is not None
+                               and new_min > v0_max)))
+        .select("n_rows", "ids_unique", "above_start", "step_aligned",
+                "disjoint_allocations")
+    )
+
+
 def _as_of_ts_oracle_sql() -> str:
     from ..functions.numeric import dec_sum_expr
     return f"""
@@ -2400,6 +2531,10 @@ def clone_upsert_table(src_target: str, dst_target: str,
              "files_rewritten": 0,
              "files_reused": len(_snapshot_data_files(
                  os.path.join(dst_root, perm)))}
+    _src_ident = table_identity_column(src_target)
+    if _src_ident:
+        # allocation on the clone must continue ABOVE the cloned ids
+        entry["identity_hwm"] = _identity_high_water(commits, _src_ident)
     if not try_commit(_commits_dir(dst_root), 0, entry):
         shutil.rmtree(os.path.join(dst_root, perm), ignore_errors=True)
         raise FileExistsError(
@@ -2412,6 +2547,10 @@ def clone_upsert_table(src_target: str, dst_target: str,
     if src_gens:
         from ..fsutil import atomic_write_json
         atomic_write_json(_generated_path(dst_target), src_gens)
+    src_ident = table_identity_column(src_target)
+    if src_ident:
+        from ..fsutil import atomic_write_json
+        atomic_write_json(_identity_path(dst_target), src_ident)
     cms, _ = _journal_state(dst_root)
     _publish_commit(dst_target, dst_root, cms, keep_versions=2)
     return perm
@@ -2636,6 +2775,97 @@ def drop_table_generated_column(target_dir: str, name: str) -> None:
     gens = table_generated_columns(target_dir)
     gens.pop(name, None)
     atomic_write_json(_generated_path(target_dir), gens)
+
+
+# --- IDENTITY columns -------------------------------------------------------
+
+_IDENTITY_FILE = "_IDENTITY.json"
+
+
+def _identity_path(target_dir: str) -> str:
+    import os
+    return os.path.join(target_dir + "_versions", _IDENTITY_FILE)
+
+
+def table_identity_column(target_dir: str) -> dict | None:
+    """{"name": ..., "start": ..., "step": ...} or None. One identity
+    column per table (Delta's limit)."""
+    import json
+    import os
+
+    p = _identity_path(target_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def set_table_identity_column(target_dir: str, name: str,
+                              start: int = 1, step: int = 1) -> None:
+    """Declare ``name GENERATED ALWAYS AS IDENTITY (START WITH start
+    INCREMENT BY step)``. Creation-time only, like Delta: the table
+    must have no commits yet (identity values can never backfill, and
+    a retro-declared column could collide with existing data)."""
+    from ..fsutil import atomic_write_json
+
+    if step == 0:
+        raise ValueError("identity INCREMENT BY must be non-zero")
+    commits, _ = _journal_state(target_dir + "_versions")
+    if commits:
+        raise ValueError(
+            "identity columns are declared at table creation — this "
+            "table already has commits")
+    atomic_write_json(_identity_path(target_dir),
+                      {"name": name, "start": int(start),
+                       "step": int(step)})
+
+
+def _identity_high_water(commits: list[dict], ident: dict) -> int:
+    """The next unallocated identity ordinal: the last commit that
+    allocated a range records its post-allocation mark; absent any,
+    allocation starts at 0 ordinals (value = start). Reading it off
+    the journal head makes allocation CAS-serialized for free — a
+    writer that loses the race re-reads and re-allocates above the
+    winner's mark, so ranges never overlap without any extra lock."""
+    for c in reversed(commits):
+        if "identity_hwm" in c:
+            return c["identity_hwm"]
+    return 0
+
+
+def _assign_identity(df, ident: dict, hwm: int):
+    """Assign identity values to every row of ``df`` from the ordinal
+    range starting at ``hwm``, DISTRIBUTED: value = start + step ×
+    (hwm + monotonically_increasing_id()), whose per-partition 33-bit
+    blocks make values unique with ZERO coordination between tasks —
+    no global row_number sort, no single-partition window. Ranges are
+    sparse; Delta's identity contract explicitly allows gaps for the
+    same reason (it burns id blocks per file). The expression is
+    non-deterministic across plan re-evaluations, so the new
+    high-water mark is derived from the STAGED FILES after the write
+    (``_staged_identity_hwm``) — what was actually written governs,
+    Delta's own read-back-from-stats order."""
+    from pyspark.sql import functions as F
+
+    name, start, step = ident["name"], ident["start"], ident["step"]
+    ordinal = F.monotonically_increasing_id() + F.lit(hwm)
+    return df.withColumn(
+        name, (F.lit(start) + F.lit(step) * ordinal).cast("bigint"))
+
+
+def _staged_identity_hwm(spark, staged_dir: str, ident: dict,
+                         hwm: int) -> int:
+    """Post-allocation mark from the staged snapshot: one max() over
+    the written identity column, never below the previous mark (a
+    keep-latest merge or DELETE can drop the max-id row; the mark must
+    still never rewind, or a later allocation could collide with ids
+    alive in retained history)."""
+    from pyspark.sql import functions as F
+
+    name, start, step = ident["name"], ident["start"], ident["step"]
+    top = spark.read.parquet(staged_dir).agg(F.max(F.expr(
+        f"CAST((`{name}` - {start}) DIV {step} AS BIGINT)"))).first()[0]
+    return max(hwm, int(top) + 1) if top is not None else hwm
 
 
 CLONE_CUST_CAP = 200

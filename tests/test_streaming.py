@@ -2791,6 +2791,76 @@ def test_generated_column_declaration_on_existing_data(spark, tmp_path):
         == {"band": "cast(v div 10 as bigint)"}
 
 
+def test_identity_column_allocation_and_refusals(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: commits allocate unique
+    step-aligned ids above START WITH with disjoint per-commit ranges
+    (the journal's high-water mark serializes allocation); a batch or
+    MERGE source supplying the column is refused; UPDATE SET on it is
+    refused; a MERGE assigns fresh ids to inserts only; declaration on
+    a table with commits is refused; clones carry the declaration AND
+    the mark."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        clone_upsert_table, set_table_identity_column,
+        table_identity_column, upsert_commit_batch, upsert_merge_into,
+        upsert_update_where)
+
+    target = str(tmp_path / "tbl")
+    set_table_identity_column(target, "uid", start=100, step=3)
+    b0 = spark.createDataFrame([(1, 0, 10), (2, 0, 20)],
+                               "k long, ord long, v int")
+    upsert_commit_batch(b0, target, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    ids0 = {r.k: r.uid for r in spark.read.parquet(target).collect()}
+    assert len(set(ids0.values())) == 2
+    assert all(u >= 100 and (u - 100) % 3 == 0 for u in ids0.values())
+
+    # second commit: new key gets a fresh id ABOVE batch 0's; the
+    # updated key keeps getting a fresh id too (it is a new row
+    # version) — both above the recorded mark
+    b1 = spark.createDataFrame([(3, 1, 30)], "k long, ord long, v int")
+    upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=4)
+    ids1 = {r.k: r.uid for r in spark.read.parquet(target).collect()}
+    assert ids1[1] == ids0[1] and ids1[2] == ids0[2]
+    assert ids1[3] > max(ids0.values())
+
+    with _pytest.raises(ValueError, match="cannot be supplied"):
+        upsert_commit_batch(
+            b0.withColumn("uid", b0.k), target, 2, key_cols=["k"],
+            order_col="ord", keep_versions=4)
+    with _pytest.raises(ValueError, match="identity column"):
+        upsert_update_where(spark, target, 2, "true", {"uid": "0"},
+                            key_cols=["k"], keep_versions=4)
+    with _pytest.raises(ValueError, match="table creation"):
+        set_table_identity_column(target, "uid2")
+
+    # MERGE: matched row keeps its id, inserted row gets a fresh one
+    src = spark.createDataFrame([(2, 99), (9, 90)], "k long, v int")
+    upsert_merge_into(spark, target, 2, src, ["k"], keep_versions=4)
+    ids2 = {r.k: r.uid for r in spark.read.parquet(target).collect()}
+    assert ids2[2] == ids0[2]                    # matched: id kept
+    assert ids2[9] > max(ids1.values())          # insert: fresh, above
+    assert len(set(ids2.values())) == 4          # still unique
+    with _pytest.raises(ValueError, match="MERGE source cannot"):
+        upsert_merge_into(spark, target, 3,
+                          src.withColumn("uid", src.k), ["k"],
+                          keep_versions=4)
+
+    # clone: declaration + mark travel; allocation continues above
+    dst = str(tmp_path / "dst")
+    clone_upsert_table(target, dst)
+    assert table_identity_column(dst) \
+        == {"name": "uid", "start": 100, "step": 3}
+    upsert_commit_batch(
+        spark.createDataFrame([(50, 0, 1)], "k long, ord long, v int"),
+        dst, 1, key_cols=["k"], order_col="ord", keep_versions=4)
+    dids = {r.k: r.uid for r in spark.read.parquet(dst).collect()}
+    assert dids[50] > max(ids2.values())
+    assert len(set(dids.values())) == len(dids)
+
+
 def test_mv_incremental_fold_over_update_where(spark, tmp_path):
     """An UPDATE WHERE commit flows through the MV's change-feed fold
     as ±1 pre/postimage legs: the refresh after the UPDATE must take
