@@ -1121,6 +1121,64 @@ if _HAVE_HYPOTHESIS:
             if c["version"] in expect_versions:
                 assert c["version_name"] in retained
 
+    _DML_UPSERT = st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 99)),
+        min_size=1, max_size=5).map(lambda ps: ("upsert", ps))
+    _DML_OP = st.one_of(
+        _DML_UPSERT,
+        st.integers(0, 99).map(lambda t: ("delete", t)),
+        st.tuples(st.integers(0, 99), st.integers(1, 7))
+        .map(lambda tc: ("update", tc)),
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(_DML_UPSERT, st.lists(_DML_OP, max_size=3))
+    def test_dml_sequence_matches_model(spark, first, rest):
+        """Differential property test of the DML triad: an arbitrary
+        upsert/DELETE WHERE/UPDATE WHERE sequence against the table
+        format must land exactly where a dict model of the same
+        semantics lands — keep-latest by order column across batches,
+        three-valued DELETE (predicate TRUE removes), UPDATE SETs
+        against the old row. Catches cross-op interaction bugs the
+        per-op pinning tests can't (e.g. an UPDATE after a DELETE on a
+        COW chain resurrecting a removed key)."""
+        import tempfile
+
+        from house_price_etl_pipeline_spark.streaming.ingest import (
+            upsert_commit_batch, upsert_delete_where,
+            upsert_update_where)
+
+        target = os.path.join(tempfile.mkdtemp(), "tbl")
+        model: dict[int, int] = {}
+        ord_counter = 0
+        for batch_id, (op, arg) in enumerate([first] + rest):
+            if op == "upsert":
+                rows = []
+                for k, v in arg:
+                    rows.append((k, ord_counter, v))
+                    ord_counter += 1
+                    model[k] = v        # later pair wins (higher ord)
+                upsert_commit_batch(
+                    spark.createDataFrame(rows,
+                                          "k long, ord long, v long"),
+                    target, batch_id, key_cols=["k"], order_col="ord",
+                    keep_versions=2)
+            elif op == "delete":
+                upsert_delete_where(spark, target, batch_id,
+                                    f"v > {arg}", keep_versions=2)
+                model = {k: v for k, v in model.items() if not v > arg}
+            else:
+                t, c = arg
+                upsert_update_where(spark, target, batch_id,
+                                    f"v <= {t}", {"v": f"v + {c}"},
+                                    key_cols=["k"], keep_versions=2)
+                model = {k: (v + c if v <= t else v)
+                         for k, v in model.items()}
+        got = {r.k: r.v for r in spark.read.parquet(target).collect()}
+        assert got == model
+        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+
     def _rows_of_equal_width():
         # generate equal-width rows directly (no rejection filter):
         # draw the dimension count k, then rows of exactly k values
