@@ -1163,20 +1163,40 @@ if _HAVE_HYPOTHESIS:
                     spark.createDataFrame(rows,
                                           "k long, ord long, v long"),
                     target, batch_id, key_cols=["k"], order_col="ord",
-                    keep_versions=2)
+                    keep_versions=8)
             elif op == "delete":
                 upsert_delete_where(spark, target, batch_id,
-                                    f"v > {arg}", keep_versions=2)
+                                    f"v > {arg}", keep_versions=8)
                 model = {k: v for k, v in model.items() if not v > arg}
             else:
                 t, c = arg
                 upsert_update_where(spark, target, batch_id,
                                     f"v <= {t}", {"v": f"v + {c}"},
-                                    key_cols=["k"], keep_versions=2)
+                                    key_cols=["k"], keep_versions=8)
                 model = {k: (v + c if v <= t else v)
                          for k, v in model.items()}
         got = {r.k: r.v for r in spark.read.parquet(target).collect()}
         assert got == model
+
+        # the fundamental CDC invariant: replaying the change feed
+        # from empty reconstructs the final table exactly — inserts
+        # add, deletes remove, update postimages replace (preimages
+        # pair 1:1 with postimages by construction)
+        from house_price_etl_pipeline_spark.streaming.ingest import (
+            _journal_state, read_upsert_changes, read_upsert_version)
+        versions = [c["version"] for c in
+                    _journal_state(target + "_versions")[0]]
+        replay = {r.k: r.v for r in
+                  read_upsert_version(spark, target,
+                                      versions[0]).collect()}
+        for prev, v in zip(versions, versions[1:]):
+            for r in read_upsert_changes(spark, target, prev, v,
+                                         ["k"]).collect():
+                if r.change_type in ("insert", "update_postimage"):
+                    replay[r.k] = r.v
+                elif r.change_type == "delete":
+                    replay.pop(r.k, None)
+        assert replay == model
         shutil.rmtree(os.path.dirname(target), ignore_errors=True)
 
     def _rows_of_equal_width():
