@@ -177,6 +177,26 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         # "auto" derives it from each transition's changed-file bytes
         ppv = options.get("partitions_per_version", "auto")
         self.n_splits = None if ppv == "auto" else max(1, int(ppv))
+        # Delta's maxFilesPerTrigger analog in version units: cap how
+        # many versioning commits one micro-batch may take, so a
+        # fast-committing table cannot grow a consumer's batches
+        # without bound. ``self._pos`` tracks the reader's last known
+        # offset (fed by initialOffset/partitions/commit); the cap
+        # applies only when the position is known. The Python
+        # DataSource API exposes no start offset at poll time AND the
+        # JVM polls latestOffset BEFORE initialOffset on a fresh query
+        # (protocol traced — SPARK_GRAFT_CDF_TRACE), so the FIRST
+        # batch of any query run is uncapped; from the first planned
+        # batch onward every trigger is capped. Advisory-limit caveat,
+        # same class Delta documents for maxFilesPerTrigger under
+        # AvailableNow. Returning the full head when the position is
+        # unknown can never regress the offset log, which a blind
+        # "cap from zero" would on a restarted checkpoint.
+        mvpt = options.get("max_versions_per_trigger")
+        self.max_versions = int(mvpt) if mvpt is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError("max_versions_per_trigger must be >= 1")
+        self._pos: int | None = None
         self.columns = [c for c, _ in _table_columns(self.path)]
         missing = [k for k in self.key_cols if k not in self.columns]
         if missing:
@@ -219,11 +239,29 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         return [c for c in self._full_journal()
                 if c.get("op") in _VERSIONING_OPS]
 
+    def _trace(self, msg: str) -> None:
+        """Protocol trace for the driver-side runner process (set
+        SPARK_GRAFT_CDF_TRACE=<path>): the reader lives in a separate
+        Python worker the JVM spawns, so ordinary in-process probes
+        (monkeypatching, print) never see its initialOffset/
+        latestOffset/partitions/commit call order."""
+        p = os.environ.get("SPARK_GRAFT_CDF_TRACE")
+        if p:
+            with open(p, "a") as f:
+                f.write(msg + "\n")
+
     def initialOffset(self) -> dict:
+        self._pos = 0
+        self._trace("initialOffset -> 0")
         return {"n": 0}
 
     def latestOffset(self) -> dict:
-        return {"n": len(self._journal())}
+        full = len(self._journal())
+        self._trace(f"latestOffset pos={self._pos} "
+                    f"cap={self.max_versions} full={full}")
+        if self.max_versions is not None and self._pos is not None:
+            return {"n": min(full, self._pos + self.max_versions)}
+        return {"n": full}
 
     def _transition_parts(self, prev_dir, cur_dir, version):
         """Partitions for ONE version transition: changed-file name
@@ -261,6 +299,8 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         the immediately preceding journal entry keeps the per-transition
         cost O(changed data) across compactions instead of silently
         degrading to a whole-snapshot diff (VERDICT r10 item 2)."""
+        self._trace(f"partitions({start}, {end})")
+        self._pos = max(self._pos or 0, int(start["n"]), int(end["n"]))
         versions_root = self.path + "_versions"
         parts = []
         vi = 0          # index among VERSIONING commits (= offset unit)
@@ -284,7 +324,8 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
                                       self.columns, 0, 1)]
 
     def commit(self, end: dict) -> None:
-        pass
+        self._trace(f"commit({end})")
+        self._pos = max(self._pos or 0, int(end["n"]))
 
     def read(self, p: _VersionDiff):
         """Diff one split of one transition. Rows are boxed PER RECORD
@@ -407,18 +448,27 @@ def register_cdf_source(spark: SparkSession) -> None:
 
 def stream_upsert_changes(spark: SparkSession, target_dir: str,
                           key_cols: list[str],
-                          partitions_per_version: int | str = "auto"
+                          partitions_per_version: int | str = "auto",
+                          max_versions_per_trigger: int | None = None
                           ) -> DataFrame:
     """Streaming DataFrame of the table's change feed from version 0
     (initial snapshot emitted as inserts, Delta's startingVersion=0).
     ``partitions_per_version="auto"`` (default) sizes each transition's
-    task fan-out from its changed-file bytes; an int pins it."""
+    task fan-out from its changed-file bytes; an int pins it.
+    ``max_versions_per_trigger`` bounds how many versioning commits one
+    micro-batch may take once the query is running (Delta's
+    maxFilesPerTrigger analog); the first batch of a query run is
+    uncapped — the Python DataSource offset protocol polls latestOffset
+    before the reader learns its position (see the reader comment)."""
     register_cdf_source(spark)
-    return (spark.readStream.format("upsert_changes")
-            .option("path", target_dir)
-            .option("key_cols", ",".join(key_cols))
-            .option("partitions_per_version", str(partitions_per_version))
-            .load())
+    r = (spark.readStream.format("upsert_changes")
+         .option("path", target_dir)
+         .option("key_cols", ",".join(key_cols))
+         .option("partitions_per_version", str(partitions_per_version)))
+    if max_versions_per_trigger is not None:
+        r = r.option("max_versions_per_trigger",
+                     str(max_versions_per_trigger))
+    return r.load()
 
 
 def read_changes_batch_pysource(spark: SparkSession, target_dir: str,

@@ -314,3 +314,61 @@ def test_cdf_batch_reader_version_ranges(spark, tmp_path):
         == [("delete", 1)]
     none = read_changes_batch(spark, target, ["k"], starting_version=9)
     assert none.count() == 0
+
+
+def test_cdf_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+    """max_versions_per_trigger (Delta's maxFilesPerTrigger analog in
+    version units) caps every trigger after the first: a running query
+    that has drained version 0 sees three NEW commits arrive as three
+    single-version micro-batches, each spanning exactly one version,
+    and the union equals the uncapped drain. (The FIRST batch of a
+    query run is uncapped — the Python DataSource offset protocol
+    polls latestOffset before the reader learns its position.)"""
+    target = str(tmp_path / "tbl")
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 0, 10)], "k long, ord long, v long"),
+        target, 0, key_cols=["k"], order_col="ord", keep_versions=8)
+
+    batches = []
+
+    def on_batch(df, _bid):
+        rows = [(r._commit_version, r.change_type, r.k, r.v)
+                for r in df.collect()]
+        if rows:
+            batches.append(rows)
+
+    q = (stream_upsert_changes(spark, target, ["k"],
+                               max_versions_per_trigger=1)
+         .writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        assert len(batches) == 1          # v0 snapshot drained
+        # backlog: three commits land while the query is running
+        for i in (1, 2, 3):
+            upsert_commit_batch(
+                spark.createDataFrame([(1 + i, i, i * 100)],
+                                      "k long, ord long, v long"),
+                target, i, key_cols=["k"], order_col="ord",
+                keep_versions=8)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(batches) == 4              # 1 snapshot + 3 capped
+    for rows in batches[1:]:
+        assert len({v for v, *_ in rows}) == 1   # one version per batch
+    flat = sorted(r for rows in batches for r in rows)
+    uncapped = sorted((r._commit_version, r.change_type, r.k, r.v)
+                      for r in _drain_changes(spark, target).collect())
+    assert flat == uncapped
+
+
+def test_cdf_max_versions_option_validation(spark, tmp_path):
+    target = _build(spark, tmp_path)
+    with pytest.raises(Exception, match="max_versions_per_trigger"):
+        # the reader raises at construction; Spark surfaces it on start
+        UpsertChangesStreamReader(
+            {"path": target, "key_cols": "k",
+             "max_versions_per_trigger": "0"})
