@@ -150,6 +150,36 @@ def query_workspace(prefix: str, sf_dir: str) -> str:
     """Deterministic per-(process, sf_dir) scratch dir for catalog
     queries that materialize side state (upsert targets, views, CDC
     feeds): bench retries re-invoke a query, so it must reuse ONE root
-    and wipe it per run instead of leaking a mkdtemp per invocation."""
-    tag = f"{os.getpid()}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
-    return os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    and wipe it per run instead of leaking a mkdtemp per invocation.
+
+    Dead-process sweep: the per-PID naming means every bench/test
+    process leaves its dirs behind when it exits — unbounded tempdir
+    growth across a long session. Each call best-effort reclaims
+    SAME-PREFIX dirs whose embedded PID no longer runs (bounded scan:
+    one listdir + a kill(0) probe per candidate; a recycled PID at
+    worst keeps one stale dir alive until the next sweep)."""
+    import shutil
+
+    tmp = tempfile.gettempdir()
+    me = os.getpid()
+    head = f"{prefix}_"
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith(head):
+                continue
+            parts = name[len(head):].split("_")
+            if len(parts) != 2 or not parts[0].isdigit():
+                continue
+            pid = int(parts[0])
+            if pid == me:
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+            except OSError:
+                pass          # EPERM etc.: pid alive under another uid
+    except OSError:
+        pass
+    tag = f"{me}_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32):08x}"
+    return os.path.join(tmp, f"{prefix}_{tag}")

@@ -41,3 +41,25 @@ def test_atomic_symlink_swap_retargets(tmp_path):
     atomic_symlink_swap(link, str(b))
     assert open(os.path.join(link, "f")).read() == "B"
     assert os.path.islink(link)
+
+
+def test_query_workspace_sweeps_dead_pid_dirs(tmp_path, monkeypatch):
+    """query_workspace reclaims same-prefix dirs left by exited
+    processes (per-PID naming leaks otherwise), keeps live-PID dirs
+    and foreign names, and returns a stable per-(pid, sf_dir) path."""
+    import os
+    import tempfile
+
+    from house_price_etl_pipeline_spark import fsutil
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    dead = tmp_path / "wsx_999999999_deadbeef"   # no such pid
+    live = tmp_path / f"wsx_{os.getpid()}_aaaaaaaa"
+    other = tmp_path / "unrelated_999999999_cafecafe"
+    for d in (dead, live, other):
+        d.mkdir()
+    p1 = fsutil.query_workspace("wsx", str(tmp_path))
+    assert not dead.exists()                 # dead pid reclaimed
+    assert live.exists()                     # own pid kept
+    assert other.exists()                    # foreign prefix untouched
+    assert fsutil.query_workspace("wsx", str(tmp_path)) == p1
