@@ -142,6 +142,22 @@ def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
     except BaseException:
         os.unlink(path)  # never leave a half-written claimed slot
         raise
+    if seq > 0:
+        # Monotonic commit timestamps (Delta's adjustment): the commit
+        # file's mtime IS the commit time for TIMESTAMP AS OF and
+        # DESCRIBE HISTORY, and two commits landing inside one
+        # filesystem timestamp tick (coarse-mtime filesystems, or a
+        # clock step) would make time travel resolve the tie to the
+        # wrong snapshot. If our mtime is not strictly above the
+        # previous entry's, bump it 1 ms past it — Delta documents the
+        # identical adjustment for its log timestamps.
+        try:
+            prev = os.stat(commit_path(commits_dir, seq - 1)).st_mtime
+            if os.stat(path).st_mtime <= prev:
+                bumped = prev + 0.001
+                os.utime(path, (bumped, bumped))
+        except OSError:
+            pass   # previous entry pruned/unreadable: nothing to order
     _fsync_dir(commits_dir)
     return True
 

@@ -311,6 +311,22 @@ class JsonAuditWriter:
         shard, n = _stage_jsonl_shard(self.path, iterator)
         return _ShardCommit(shard, n)
 
+    def _owns_lock(self, lock_fd: int) -> bool:
+        """Ownership = our open fd's inode is still what the lock path
+        names. A holder stalled past STAGING_GC_AGE_S gets its lock
+        broken by a peer; a holder that lost ownership must neither
+        publish (racing the new holder's read-modify-write) nor unlink
+        (deleting the PEER's fresh lock — ADVICE r10). One definition,
+        used by both the publish gate and the finally-unlink."""
+        import os
+
+        ours = os.fstat(lock_fd)
+        try:
+            cur = os.stat(os.path.join(self.path, "_MANIFEST.lock"))
+        except OSError:
+            return False
+        return (cur.st_ino, cur.st_dev) == (ours.st_ino, ours.st_dev)
+
     def _acquire_manifest_lock(self) -> int:
         """O_EXCL lock file serializing the manifest read-modify-write
         (ADVICE r9: two concurrent appends both read the old manifest
@@ -389,16 +405,9 @@ class JsonAuditWriter:
             # A holder stalled past STAGING_GC_AGE_S may have had its
             # lock broken by a peer; publishing anyway would race the
             # peer's read-modify-write. Verify we still own the lock
-            # (our fd's inode is still the lock path) and fail loudly
-            # otherwise — the shards are renamed and a retry of the
-            # write re-publishes them.
-            ours = os.fstat(lock_fd)
-            try:
-                cur = os.stat(os.path.join(self.path, "_MANIFEST.lock"))
-            except OSError:
-                cur = None
-            if cur is None or (cur.st_ino, cur.st_dev) != (
-                    ours.st_ino, ours.st_dev):
+            # and fail loudly otherwise — the shards are renamed and a
+            # retry of the write re-publishes them.
+            if not self._owns_lock(lock_fd):
                 raise RuntimeError(
                     "manifest lock lost mid-commit (stalled past the "
                     "staleness takeover) — aborting publish instead of "
@@ -406,18 +415,12 @@ class JsonAuditWriter:
             atomic_write_json(os.path.join(self.path, "_MANIFEST.json"),
                               dict(sorted(manifest.items())))
         finally:
-            # Unlink ONLY if the lock file is still OUR inode. A holder
-            # stalled past STAGING_GC_AGE_S gets its lock broken by a
-            # peer; blindly unlinking on resume would delete the PEER's
-            # fresh lock and reintroduce the lost-shard race (ADVICE
-            # r10). Ownership = fstat(our fd) matches stat(lock path).
-            lock = os.path.join(self.path, "_MANIFEST.lock")
+            # Unlink ONLY if we still own the lock (see _owns_lock):
+            # blindly unlinking on resume would delete the PEER's fresh
+            # lock and reintroduce the lost-shard race (ADVICE r10).
             try:
-                ours = os.fstat(lock_fd)
-                cur = os.stat(lock)
-                if (cur.st_ino, cur.st_dev) == (ours.st_ino,
-                                                ours.st_dev):
-                    os.unlink(lock)
+                if self._owns_lock(lock_fd):
+                    os.unlink(os.path.join(self.path, "_MANIFEST.lock"))
             except OSError:
                 pass
             os.close(lock_fd)

@@ -106,6 +106,28 @@ def _data_files(d: str) -> list[str]:
                   if f.endswith(".parquet") and not f.startswith(("_", ".")))
 
 
+def _version_range_indexes(vc: list[dict], starting_version,
+                           ending_version) -> tuple[int, int]:
+    """[lo, hi) index bounds into the versioning-commit list for an
+    INCLUSIVE public-version range (both bounds optional = whole
+    history). Assumes batch ids grow monotonically along the journal
+    (the convention every producer here follows — Delta enforces the
+    analog); with out-of-order ids the selection is by FIRST commit ≥
+    start and LAST commit ≤ end in journal order. Shared by the batch
+    DataSource reader and the JVM-routed read_changes_batch so the two
+    routes can never disagree about a range."""
+    lo, hi = 0, len(vc)
+    if starting_version is not None:
+        sv = int(starting_version)
+        lo = next((i for i, c in enumerate(vc)
+                   if c["version"] >= sv), hi)
+    if ending_version is not None:
+        ev = int(ending_version)
+        hi = next((i for i in range(len(vc), 0, -1)
+                   if vc[i - 1]["version"] <= ev), 0)
+    return lo, max(lo, hi)
+
+
 def _table_columns(target_dir: str) -> list[tuple[str, str]]:
     """(name, ddl_type) pairs from the published snapshot's footer —
     driver-side, one footer read, no Spark job."""
@@ -407,17 +429,8 @@ class UpsertChangesBatchReader(DataSourceReader):
 
     def partitions(self):
         vc = self._sr._journal()
-        lo = 0
-        hi = len(vc)
-        if self.starting is not None:
-            sv = int(self.starting)
-            lo = next((i for i, c in enumerate(vc)
-                       if c["version"] >= sv), hi)
-        if self.ending is not None:
-            ev = int(self.ending)
-            hi = next((i for i in range(len(vc), 0, -1)
-                       if vc[i - 1]["version"] <= ev), 0)
-        return self._sr.partitions({"n": lo}, {"n": max(lo, hi)})
+        lo, hi = _version_range_indexes(vc, self.starting, self.ending)
+        return self._sr.partitions({"n": lo}, {"n": hi})
 
     def read(self, partition):
         yield from UpsertChangesStreamReader.read(self._sr, partition)
@@ -521,14 +534,7 @@ def read_changes_batch(spark: SparkSession, target_dir: str,
 
     commits = read_commit_journal(_commits_dir(target_dir + "_versions"))
     vc = [c for c in commits if c.get("op") in _VERSIONING_OPS]
-    lo, hi = 0, len(vc)
-    if starting_version is not None:
-        sv = int(starting_version)
-        lo = next((i for i, c in enumerate(vc) if c["version"] >= sv), hi)
-    if ending_version is not None:
-        ev = int(ending_version)
-        hi = next((i for i in range(len(vc), 0, -1)
-                   if vc[i - 1]["version"] <= ev), 0)
+    lo, hi = _version_range_indexes(vc, starting_version, ending_version)
     head_cols = _table_columns(target_dir)
     types = dict(head_cols)
 
@@ -543,7 +549,7 @@ def read_changes_batch(spark: SparkSession, target_dir: str,
                          .alias("_commit_version"))
 
     pieces = []
-    for i in range(lo, max(lo, hi)):
+    for i in range(lo, hi):
         v = vc[i]["version"]
         if i == 0:
             pieces.append(pad(

@@ -530,13 +530,20 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
         reuse_stats = None
         ident_hwm = None
+        ident_carried: list[str] = []   # hard-linked files the hwm scan skips
         try:
             delta = keep_latest(batch_df)
             if ident:
                 # allocation is CAS-serialized for free: the range base
                 # comes off the journal head we are about to CAS against
                 ident_hwm = _identity_high_water(commits, ident)
-                delta = _assign_identity(delta, ident, ident_hwm)
+            # the schema gate compares the delta AS IT WILL BE STAGED —
+            # with the identity column it doesn't have yet (assignment
+            # happens inside the branches so existing keys can inherit
+            # their ids from the rows the branch reads anyway)
+            delta_schema = (delta.withColumn(
+                ident["name"], F.lit(None).cast("bigint")).schema
+                if ident else delta.schema)
             base_dir = (os.path.join(versions_root, base)
                         if base is not None else None)
             snapshot = (spark.read.parquet(base_dir)
@@ -545,7 +552,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                     and incremental_commits_enabled()
                     and _data_file_bytes(base_dir)
                     >= _min_bytes_cutoff(incremental_min_bytes)
-                    and _schemas_match(snapshot.schema, delta.schema)):
+                    and _schemas_match(snapshot.schema, delta_schema)):
                 # file-granular copy-on-write: rewrite only the files
                 # holding keys the delta touches; hard-link the rest
                 touched = _touched_files_by_keys(
@@ -555,15 +562,28 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                 if touched:
                     sub = spark.read.parquet(
                         *(os.path.join(base_dir, f) for f in touched))
+                    if ident:
+                        # touched files hold every key the delta can
+                        # match — inheritance stays change-sized
+                        delta = _inherit_or_assign_identity(
+                            delta, sub, ident, ident_hwm, key_cols)
                     merged = keep_latest(sub.unionByName(delta))
                 else:
+                    if ident:
+                        delta = _assign_identity(delta, ident,
+                                                 ident_hwm)
                     merged = delta
                 _stage_with_reuse(base_dir,
                                   os.path.join(versions_root, stage),
                                   kept, merged)
                 reuse_stats = (len(touched), len(kept))
+                ident_carried = kept
             else:
                 if snapshot is not None:
+                    if ident:
+                        delta = _inherit_or_assign_identity(
+                            delta, snapshot, ident, ident_hwm,
+                            key_cols)
                     # schema evolution (VERDICT r5 item 3): a batch may
                     # ADD columns vs the current snapshot (or arrive
                     # without columns the snapshot has) — union to the
@@ -574,6 +594,9 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         snapshot.unionByName(delta,
                                              allowMissingColumns=True))
                 else:
+                    if ident:
+                        delta = _assign_identity(delta, ident,
+                                                 ident_hwm)
                     merged = delta
                 merged.write.mode("overwrite").parquet(
                     os.path.join(versions_root, stage))
@@ -622,7 +645,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         if ident:
             entry["identity_hwm"] = _staged_identity_hwm(
                 spark, os.path.join(versions_root, perm), ident,
-                ident_hwm)
+                ident_hwm, skip_files=ident_carried)
         if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
@@ -880,11 +903,6 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                             .otherwise(F.col(g)))
                 return out.drop("_upd_hit")
 
-            if cons:
-                # post-image validation, matching rows only (the
-                # delta-sized pass commit-time checks can't cover)
-                _validate_constraints(apply_update(snapshot.filter(hit)),
-                                      cons, "the UPDATE post-image")
             if (incremental_commits_enabled()
                     and _data_file_bytes(base_dir)
                     >= _min_bytes_cutoff(incremental_min_bytes)):
@@ -897,13 +915,30 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                               if f not in touched]
                 rewritten = None
                 if touched:
-                    rewritten = apply_update(spark.read.parquet(
-                        *(os.path.join(base_dir, f) for f in touched)))
+                    sub = spark.read.parquet(
+                        *(os.path.join(base_dir, f) for f in touched))
+                    if cons:
+                        # post-image validation on the TOUCHED subset —
+                        # every predicate-matching row lives there by
+                        # construction, so this covers exactly what a
+                        # snapshot-wide pass would without the second
+                        # full-table scan (the delta-sized check
+                        # commit-time batch validation can't cover)
+                        _validate_constraints(
+                            apply_update(sub.filter(hit)), cons,
+                            "the UPDATE post-image")
+                    rewritten = apply_update(sub)
                 _stage_with_reuse(base_dir,
                                   os.path.join(versions_root, stage),
                                   kept_files, rewritten)
                 reuse_stats = (len(touched), len(kept_files))
             else:
+                if cons:
+                    # full-rewrite path: the snapshot scan is the
+                    # stage's own cost anyway
+                    _validate_constraints(
+                        apply_update(snapshot.filter(hit)), cons,
+                        "the UPDATE post-image")
                 apply_update(snapshot).write.mode("overwrite").parquet(
                     os.path.join(versions_root, stage))
         except Exception as exc:
@@ -1120,6 +1155,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
         reuse_stats = None
         ident_hwm = None
+        ident_carried: list[str] = []
         try:
             if base is None:
                 # MERGE into an empty table: only the INSERT clause
@@ -1166,6 +1202,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                                       os.path.join(versions_root, stage),
                                       kept, merged)
                     reuse_stats = (len(touched), len(kept))
+                    ident_carried = kept
                 else:
                     merged = _merge_result(snapshot, source, key_cols,
                                            matched_update, matched_delete,
@@ -1206,7 +1243,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
         if ident:
             entry["identity_hwm"] = _staged_identity_hwm(
                 spark, os.path.join(versions_root, perm), ident,
-                ident_hwm)
+                ident_hwm, skip_files=ident_carried)
         if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
@@ -2853,18 +2890,64 @@ def _assign_identity(df, ident: dict, hwm: int):
         name, (F.lit(start) + F.lit(step) * ordinal).cast("bigint"))
 
 
-def _staged_identity_hwm(spark, staged_dir: str, ident: dict,
-                         hwm: int) -> int:
-    """Post-allocation mark from the staged snapshot: one max() over
-    the written identity column, never below the previous mark (a
-    keep-latest merge or DELETE can drop the max-id row; the mark must
-    still never rewind, or a later allocation could collide with ids
-    alive in retained history)."""
+def _inherit_or_assign_identity(delta, existing, ident: dict, hwm: int,
+                                key_cols: list[str]):
+    """Delta's stable-identity contract on the keep-latest path: a
+    delta row replacing an EXISTING key keeps that key's identity
+    value (identity is assigned at INSERT and stable across updates —
+    the same rule fill_identity gives MERGE's matched rows), so only
+    genuinely new keys consume fresh allocations. ``existing`` need
+    only cover the keys the delta can touch: the incremental commit
+    passes the touched-file subset it already re-reads, keeping the
+    inheritance join change-sized; the full-rewrite path passes the
+    snapshot it is rewriting anyway. ``existing`` has unique keys by
+    the format's invariant, so the left join cannot fan out."""
     from pyspark.sql import functions as F
 
+    name = ident["name"]
+    e = existing.select(*key_cols, F.col(name).alias("_ident_old")) \
+        .alias("e")
+    d = delta.alias("d")
+    cond = None
+    for k in key_cols:
+        term = F.col(f"d.{k}").eqNullSafe(F.col(f"e.{k}"))
+        cond = term if cond is None else (cond & term)
+    j = d.join(e, cond, "left")
+    dcols = [F.col(f"d.{c}") for c in delta.columns]
+    have = (j.filter(F.col("e._ident_old").isNotNull())
+            .select(*dcols, F.col("e._ident_old").alias(name)))
+    fresh = _assign_identity(
+        j.filter(F.col("e._ident_old").isNull()).select(*dcols),
+        ident, hwm)
+    return have.unionByName(fresh)
+
+
+def _staged_identity_hwm(spark, staged_dir: str, ident: dict,
+                         hwm: int, skip_files=()) -> int:
+    """Post-allocation mark from the staged snapshot: one max() over
+    the identity column of the REWRITTEN files only — ``skip_files``
+    names the hard-linked carries, whose ids are ≤ the previous mark
+    by induction (they were scanned when their own commit wrote them),
+    so scanning them again would make every commit O(table) instead of
+    O(changed data). Never below the previous mark (a keep-latest
+    merge or DELETE can drop the max-id row; the mark must still never
+    rewind, or a later allocation could collide with ids alive in
+    retained history)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    skip = set(skip_files)
+    files = [f for f in _snapshot_data_files(staged_dir)
+             if f not in skip]
+    if not files:
+        return hwm
     name, start, step = ident["name"], ident["start"], ident["step"]
-    top = spark.read.parquet(staged_dir).agg(F.max(F.expr(
-        f"CAST((`{name}` - {start}) DIV {step} AS BIGINT)"))).first()[0]
+    top = (spark.read.parquet(
+        *(os.path.join(staged_dir, f) for f in files))
+        .agg(F.max(F.expr(
+            f"CAST((`{name}` - {start}) DIV {step} AS BIGINT)")))
+        .first()[0])
     return max(hwm, int(top) + 1) if top is not None else hwm
 
 

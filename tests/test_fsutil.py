@@ -63,3 +63,23 @@ def test_query_workspace_sweeps_dead_pid_dirs(tmp_path, monkeypatch):
     assert live.exists()                     # own pid kept
     assert other.exists()                    # foreign prefix untouched
     assert fsutil.query_workspace("wsx", str(tmp_path)) == p1
+
+
+def test_try_commit_monotonic_mtimes(tmp_path):
+    """Commit-file mtimes are the TIMESTAMP AS OF clock, so try_commit
+    enforces strict monotonicity (Delta's adjustment): a commit landing
+    at or before its predecessor's mtime — coarse-mtime filesystems,
+    clock steps — gets bumped 1 ms past it."""
+    import os
+
+    from house_price_etl_pipeline_spark.fsutil import (commit_path,
+                                                       try_commit)
+
+    cdir = str(tmp_path / "c")
+    assert try_commit(cdir, 0, {"op": "upsert", "version": 0})
+    # simulate a clock step / same-tick landing: push seq 0 into the
+    # future, then commit seq 1
+    future = os.stat(commit_path(cdir, 0)).st_mtime + 30.0
+    os.utime(commit_path(cdir, 0), (future, future))
+    assert try_commit(cdir, 1, {"op": "upsert", "version": 1})
+    assert os.stat(commit_path(cdir, 1)).st_mtime > future

@@ -2894,14 +2894,19 @@ def test_identity_column_allocation_and_refusals(spark, tmp_path):
     assert len(set(ids0.values())) == 2
     assert all(u >= 100 and (u - 100) % 3 == 0 for u in ids0.values())
 
-    # second commit: new key gets a fresh id ABOVE batch 0's; the
-    # updated key keeps getting a fresh id too (it is a new row
-    # version) — both above the recorded mark
-    b1 = spark.createDataFrame([(3, 1, 30)], "k long, ord long, v int")
+    # second commit: a NEW key gets a fresh id above batch 0's; a
+    # re-upserted EXISTING key keeps its id (identity is assigned at
+    # insert, stable across updates — Delta's contract, same rule on
+    # the keep-latest path as on MERGE's matched rows)
+    b1 = spark.createDataFrame([(3, 1, 30), (2, 1, 99)],
+                               "k long, ord long, v int")
     upsert_commit_batch(b1, target, 1, key_cols=["k"], order_col="ord",
                         keep_versions=4)
     ids1 = {r.k: r.uid for r in spark.read.parquet(target).collect()}
-    assert ids1[1] == ids0[1] and ids1[2] == ids0[2]
+    assert ids1[1] == ids0[1]
+    assert ids1[2] == ids0[2]        # updated key: id STABLE
+    assert {r.k: r.v for r in spark.read.parquet(target).collect()}[2] \
+        == 99                        # ...but the payload did update
     assert ids1[3] > max(ids0.values())
 
     with _pytest.raises(ValueError, match="cannot be supplied"):
@@ -2925,6 +2930,21 @@ def test_identity_column_allocation_and_refusals(spark, tmp_path):
         upsert_merge_into(spark, target, 3,
                           src.withColumn("uid", src.k), ["k"],
                           keep_versions=4)
+
+    # incremental (COW) path: stability and fresh allocation hold when
+    # untouched files carry by hard link and the hwm scan reads only
+    # the rewritten files
+    tgt2 = str(tmp_path / "tbl2")
+    set_table_identity_column(tgt2, "uid", start=100, step=3)
+    upsert_commit_batch(b0, tgt2, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=4, incremental_min_bytes=0)
+    i0 = {r.k: r.uid for r in spark.read.parquet(tgt2).collect()}
+    upsert_commit_batch(b1, tgt2, 1, key_cols=["k"], order_col="ord",
+                        keep_versions=4, incremental_min_bytes=0)
+    i1 = {r.k: r.uid for r in spark.read.parquet(tgt2).collect()}
+    assert i1[2] == i0[2] and i1[1] == i0[1]
+    assert i1[3] > max(i0.values())
+    assert len(set(i1.values())) == 3
 
     # clone: declaration + mark travel; allocation continues above
     dst = str(tmp_path / "dst")
