@@ -218,6 +218,13 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         self.max_versions = int(mvpt) if mvpt is not None else None
         if self.max_versions is not None and self.max_versions < 1:
             raise ValueError("max_versions_per_trigger must be >= 1")
+        # Delta's streaming startingVersion: begin the feed at the
+        # first versioning commit with version >= this instead of the
+        # initial snapshot. Only consulted by initialOffset, so it
+        # binds a NEW query's start; a checkpointed query keeps its
+        # cursor (Delta's rule: the option is ignored on restart).
+        sv = options.get("starting_version")
+        self.starting_version = int(sv) if sv is not None else None
         self._pos: int | None = None
         self.columns = [c for c, _ in _table_columns(self.path)]
         missing = [k for k in self.key_cols if k not in self.columns]
@@ -273,9 +280,14 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
                 f.write(msg + "\n")
 
     def initialOffset(self) -> dict:
-        self._pos = 0
-        self._trace("initialOffset -> 0")
-        return {"n": 0}
+        n = 0
+        if self.starting_version is not None:
+            lo, _ = _version_range_indexes(self._journal(),
+                                           self.starting_version, None)
+            n = lo
+        self._pos = n
+        self._trace(f"initialOffset -> {n}")
+        return {"n": n}
 
     def latestOffset(self) -> dict:
         full = len(self._journal())
@@ -462,7 +474,8 @@ def register_cdf_source(spark: SparkSession) -> None:
 def stream_upsert_changes(spark: SparkSession, target_dir: str,
                           key_cols: list[str],
                           partitions_per_version: int | str = "auto",
-                          max_versions_per_trigger: int | None = None
+                          max_versions_per_trigger: int | None = None,
+                          starting_version: int | None = None
                           ) -> DataFrame:
     """Streaming DataFrame of the table's change feed from version 0
     (initial snapshot emitted as inserts, Delta's startingVersion=0).
@@ -472,7 +485,11 @@ def stream_upsert_changes(spark: SparkSession, target_dir: str,
     micro-batch may take once the query is running (Delta's
     maxFilesPerTrigger analog); the first batch of a query run is
     uncapped — the Python DataSource offset protocol polls latestOffset
-    before the reader learns its position (see the reader comment)."""
+    before the reader learns its position (see the reader comment).
+    ``starting_version`` begins a NEW query's feed at that version's
+    CHANGES (diff against its predecessor) instead of the initial
+    snapshot; like Delta, the option binds only at first start — a
+    checkpointed query resumes at its cursor."""
     register_cdf_source(spark)
     r = (spark.readStream.format("upsert_changes")
          .option("path", target_dir)
@@ -481,6 +498,8 @@ def stream_upsert_changes(spark: SparkSession, target_dir: str,
     if max_versions_per_trigger is not None:
         r = r.option("max_versions_per_trigger",
                      str(max_versions_per_trigger))
+    if starting_version is not None:
+        r = r.option("starting_version", str(starting_version))
     return r.load()
 
 

@@ -372,3 +372,23 @@ def test_cdf_max_versions_option_validation(spark, tmp_path):
         UpsertChangesStreamReader(
             {"path": target, "key_cols": "k",
              "max_versions_per_trigger": "0"})
+
+
+def test_cdf_stream_starting_version(spark, tmp_path):
+    """Delta's streaming startingVersion: a NEW query with
+    starting_version=1 emits version 1's changes (diff against v0, not
+    an initial snapshot) and everything after — version 0's snapshot
+    inserts never appear."""
+    target = _build(spark, tmp_path)   # versions 0 (3 inserts), 1, 2
+    rows = sorted(
+        (r._commit_version, r.change_type, r.k)
+        for r in _drain_changes(spark, target,
+                                starting_version=1).collect())
+    assert rows == [
+        (1, "insert", 4),
+        (1, "update_postimage", 2), (1, "update_preimage", 2),
+        (2, "delete", 1),
+    ]
+    # starting past the head: an empty (but well-typed) feed
+    assert _drain_changes(spark, target,
+                          starting_version=99).count() == 0
