@@ -1595,6 +1595,31 @@ def restore_upsert_target(spark, target_dir: str, version: int,
                 spark.read.parquet(src), cons,
                 f"version {version} being restored (pass "
                 f"enforce_constraints=False to restore anyway)")
+        # Generated columns are write-path invariants of the same
+        # class: a snapshot written BEFORE a declaration (or before the
+        # expression changed) can violate name <=> expr, and a restore
+        # is the one publish no commit-time computation covers.
+        # Absent columns are also a refusal — a restored snapshot
+        # missing the generated column would break every reader that
+        # selects it.
+        gens = table_generated_columns(target_dir)
+        if gens and enforce_constraints:
+            snap = spark.read.parquet(src)
+            for gname, gexpr in gens.items():
+                if gname not in snap.columns:
+                    raise GeneratedColumnViolation(
+                        f"version {version} predates generated column "
+                        f"{gname!r} — restoring would publish a "
+                        f"snapshot without it (pass "
+                        f"enforce_constraints=False to restore anyway)")
+                bad = snap.filter(~F.col(gname).eqNullSafe(
+                    F.expr(gexpr))).limit(1).collect()
+                if bad:
+                    raise GeneratedColumnViolation(
+                        f"version {version} violates {gname!r} ALWAYS "
+                        f"AS {gexpr}: first offending row "
+                        f"{bad[0].asDict()!r} (pass "
+                        f"enforce_constraints=False to restore anyway)")
         seq = commits[-1]["seq"] + 1 if commits else 0
         stage = os.path.join(versions_root,
                              f"_stage_{writer}_{uuid.uuid4().hex[:8]}")

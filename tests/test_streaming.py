@@ -2959,6 +2959,37 @@ def test_identity_column_allocation_and_refusals(spark, tmp_path):
     assert len(set(dids.values())) == len(dids)
 
 
+def test_restore_revalidates_generated_columns(spark, tmp_path):
+    """RESTORE to a snapshot that predates (or violates) a generated
+    column refuses loudly — write-path computation never covered it;
+    enforce_constraints=False is the operator override."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        GeneratedColumnViolation, restore_upsert_target,
+        set_table_generated_column, upsert_commit_batch)
+
+    target = str(tmp_path / "tbl")
+    # v0 has no `band` column; v1 adds it with correct values — only
+    # then is the generated declaration possible
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 0, 5)], "k long, ord long, v int"),
+        target, 0, key_cols=["k"], order_col="ord", keep_versions=8)
+    upsert_commit_batch(
+        spark.createDataFrame([(1, 1, 25, 2)],
+                              "k long, ord long, v int, band long"),
+        target, 1, key_cols=["k"], order_col="ord", keep_versions=8)
+    set_table_generated_column(spark, target, "band",
+                               "cast(v div 10 as bigint)")
+    with _pytest.raises(GeneratedColumnViolation, match="predates"):
+        restore_upsert_target(spark, target, version=0, as_version=2,
+                              keep_versions=8)
+    # override restores anyway (restore first, repair second)
+    restore_upsert_target(spark, target, version=0, as_version=2,
+                          keep_versions=8, enforce_constraints=False)
+    assert {r.k for r in spark.read.parquet(target).collect()} == {1}
+
+
 def test_mv_incremental_fold_over_update_where(spark, tmp_path):
     """An UPDATE WHERE commit flows through the MV's change-feed fold
     as ±1 pre/postimage legs: the refresh after the UPDATE must take
