@@ -69,41 +69,14 @@ except ImportError:  # pragma: no cover
 CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
 
 
-def _arrow_to_ddl_type(t) -> str:
-    """Minimal Arrow→Spark-DDL mapping for the table-footer schema (the
-    type surface the upsert format's parquet snapshots actually use)."""
-    import pyarrow as pa
-
-    if pa.types.is_int64(t):
-        return "bigint"
-    if pa.types.is_int32(t):
-        return "int"
-    if pa.types.is_int16(t):
-        return "smallint"
-    if pa.types.is_int8(t):
-        return "tinyint"
-    if pa.types.is_float64(t):
-        return "double"
-    if pa.types.is_float32(t):
-        return "float"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "string"
-    if pa.types.is_boolean(t):
-        return "boolean"
-    if pa.types.is_timestamp(t):
-        return "timestamp"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return "binary"
-    if pa.types.is_decimal(t):
-        return f"decimal({t.precision},{t.scale})"
-    raise ValueError(f"unsupported column type for change feed: {t}")
-
-
-def _data_files(d: str) -> list[str]:
-    return sorted(f for f in os.listdir(d)
-                  if f.endswith(".parquet") and not f.startswith(("_", ".")))
+# Arrow→DDL mapping shared with the typed snapshot reader; the data-file
+# walk returns snapshot-RELATIVE paths (partition subdirs included), so
+# the changed-file name set-difference works identically on flat and
+# PARTITIONED BY tables — a carried hard link keeps its full relative
+# path across versions.
+from .partitioning import _walk_data_files as _data_files  # noqa: E402
+from .partitioning import arrow_to_ddl_type as _arrow_to_ddl_type  # noqa: E402
+from .partitioning import partition_values_of, table_partitioning  # noqa: E402
 
 
 def _version_range_indexes(vc: list[dict], starting_version,
@@ -130,15 +103,23 @@ def _version_range_indexes(vc: list[dict], starting_version,
 
 def _table_columns(target_dir: str) -> list[tuple[str, str]]:
     """(name, ddl_type) pairs from the published snapshot's footer —
-    driver-side, one footer read, no Spark job."""
+    driver-side, one footer read, no Spark job. A PARTITIONED BY
+    table's partition columns live in directory names, not footers, so
+    they are appended from the table's declaration (in declaration
+    order, after the data columns — the same order the typed snapshot
+    reader uses)."""
     import pyarrow.parquet as pq
 
+    parts = table_partitioning(target_dir)
     snap = os.path.realpath(target_dir)
     files = _data_files(snap)
     if not files:
         raise FileNotFoundError(f"no data files under {snap}")
     sch = pq.ParquetFile(os.path.join(snap, files[0])).schema_arrow
-    return [(f.name, _arrow_to_ddl_type(f.type)) for f in sch]
+    cols = [(f.name, _arrow_to_ddl_type(f.type)) for f in sch
+            if f.name not in parts]
+    cols += list(parts.items())
+    return cols
 
 
 def _key_norm(v):
@@ -159,7 +140,8 @@ def _vals_equal(a, b) -> bool:
 
 class _VersionDiff(InputPartition):
     def __init__(self, prev_dir, cur_dir, version, key_cols, columns,
-                 split, n_splits, old_files=(), new_files=()):
+                 split, n_splits, old_files=(), new_files=(),
+                 parts=None):
         self.prev_dir = prev_dir        # None for the initial commit
         self.cur_dir = cur_dir
         self.version = version
@@ -169,6 +151,7 @@ class _VersionDiff(InputPartition):
         self.n_splits = n_splits
         self.old_files = list(old_files)   # changed files, prev side
         self.new_files = list(new_files)   # changed files, cur side
+        self.parts = dict(parts or {})  # PARTITIONED BY {col: ddl}
 
 
 class UpsertChangesStreamReader(DataSourceStreamReader):
@@ -226,6 +209,7 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         sv = options.get("starting_version")
         self.starting_version = int(sv) if sv is not None else None
         self._pos: int | None = None
+        self.parts = table_partitioning(self.path)
         self.columns = [c for c, _ in _table_columns(self.path)]
         missing = [k for k in self.key_cols if k not in self.columns]
         if missing:
@@ -320,7 +304,8 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
             n = max(1, math.ceil(changed / max(cdf_split_bytes(), 1)))
         return [
             _VersionDiff(prev_dir, cur_dir, version, self.key_cols,
-                         self.columns, s, n, old_only, new_only)
+                         self.columns, s, n, old_only, new_only,
+                         parts=self.parts)
             for s in range(n)]
 
     def partitions(self, start: dict, end: dict):
@@ -377,13 +362,23 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         def load(d, files):
             rows = {}
             for f in files:
+                # partition-column values live in the file's relative
+                # path, not its footer — typed from the declaration,
+                # constant per file (the Hive layout contract)
+                pvals = (partition_values_of(f, p.parts)
+                         if p.parts else {})
+
+                def colvals(rb, names, c):
+                    if c in names:
+                        return rb.column(names.index(c)).to_pylist()
+                    if c in pvals:
+                        return [pvals[c]] * rb.num_rows
+                    return [None] * rb.num_rows
+
                 pf = pq.ParquetFile(os.path.join(d, f))
                 for rb in pf.iter_batches():
                     names = rb.schema.names
-                    kcols = [
-                        (rb.column(names.index(k)).to_pylist()
-                         if k in names else [None] * rb.num_rows)
-                        for k in p.key_cols]
+                    kcols = [colvals(rb, names, k) for k in p.key_cols]
                     keys = [tuple(_key_norm(kc[i]) for kc in kcols)
                             for i in range(rb.num_rows)]
                     if p.n_splits > 1:
@@ -394,10 +389,8 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
                             continue
                         rb = rb.take(pa.array(sel, type=pa.int32()))
                         keys = [keys[i] for i in sel]
-                    cols = {
-                        c: (rb.column(names.index(c)).to_pylist()
-                            if c in names else [None] * rb.num_rows)
-                        for c in p.columns}
+                    cols = {c: colvals(rb, names, c)
+                            for c in p.columns}
                     for i, key in enumerate(keys):
                         rows[key] = tuple(cols[c][i] for c in p.columns)
             return rows
@@ -786,5 +779,103 @@ def stream_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_rows"),
              F.sum("user_id").cast("bigint").alias("sum_users"),
              F.sum("event_id").cast("bigint").alias("sum_events"))
+        .orderBy("_commit_version", "change_type")
+    )
+
+
+@register(
+    "stream_cdf_partitioned",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, user_id % 3 AS bucket
+               FROM events WHERE user_id < 120),
+    pre AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e WHERE event_id % 2 = 0 AND user_id < 80)
+      WHERE rn = 1
+    ),
+    post AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e)
+      WHERE rn = 1
+    ),
+    ch AS (
+      SELECT 0 AS v, 'insert' AS ct, user_id, event_id FROM pre
+      UNION ALL
+      SELECT 1, 'insert', p.user_id, p.event_id
+      FROM post p LEFT JOIN pre q USING (user_id) WHERE q.user_id IS NULL
+      UNION ALL
+      SELECT 1, 'update_preimage', q.user_id, q.event_id
+      FROM pre q JOIN post p USING (user_id) WHERE p.event_id <> q.event_id
+      UNION ALL
+      SELECT 1, 'update_postimage', p.user_id, p.event_id
+      FROM pre q JOIN post p USING (user_id) WHERE p.event_id <> q.event_id
+      UNION ALL
+      SELECT 2, 'delete', user_id, event_id FROM post
+      WHERE user_id % 3 = 2
+    )
+    SELECT v AS _commit_version, ct AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM ch GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming change feed over a PARTITIONED BY table, under the
+    value-hash gate: the Python DataSource reader must reconstruct the
+    partition column (``bucket = user_id % 3``) from the Hive directory
+    names — typed from the table declaration, never from footers (the
+    files don't contain it) — across an initial snapshot, a keep-latest
+    upsert, and a METADATA-ONLY partition drop whose deletes the feed
+    emits as row-level events from path-parsed rows only. A wrong path
+    parse changes the diff keys (bucket is part of the merge key) and
+    shifts every count/sum; a drop surfacing as anything but deletes
+    for exactly bucket 2 fails the hash."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+    from .ingest import (clone_upsert_table, shared_base_table,
+                         upsert_commit_batch, upsert_drop_partitions)
+    from .partitioning import set_table_partitioning
+    from .windows import _drain
+
+    root = query_workspace("cdf_part", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 120)
+          .select("user_id", "event_id",
+                  (F.col("user_id") % 3).alias("bucket")))
+
+    def _build(base: str) -> None:
+        set_table_partitioning(base, {"bucket": "bigint"})
+        upsert_commit_batch(
+            ev.filter((F.col("event_id") % 2 == 0)
+                      & (F.col("user_id") < 80)),
+            base, 0, key_cols=["user_id", "bucket"],
+            order_col="event_id", keep_versions=8)
+
+    clone_upsert_table(shared_base_table(sf_dir, "cdf_part", _build),
+                       target)
+    upsert_commit_batch(ev, target, 1, key_cols=["user_id", "bucket"],
+                        order_col="event_id", keep_versions=8)
+    upsert_drop_partitions(spark, target, 2, "bucket = 2",
+                           keep_versions=8)
+    changes = stream_upsert_changes(spark, target, ["user_id", "bucket"])
+    out = _drain(changes, spark, output_mode="append")
+    return (
+        out.groupBy("_commit_version", "change_type")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.sum("user_id").cast("bigint").alias("sum_users"))
         .orderBy("_commit_version", "change_type")
     )

@@ -109,7 +109,7 @@ def read_upsert_version(spark, target_dir: str,
     import os
 
     if version is None:
-        return spark.read.parquet(target_dir)
+        return _snapshot_read(spark, target_dir, target_dir)
     versions_root = target_dir + "_versions"
     vdir = _resolve_version_dir(versions_root, version)
     if vdir is None:
@@ -123,7 +123,7 @@ def read_upsert_version(spark, target_dir: str,
         raise FileNotFoundError(
             f"version {version} not retained (applied={ptr['applied']}, "
             f"retained={retained}); raise keep_versions to retain more")
-    return spark.read.parquet(vdir)
+    return _snapshot_read(spark, target_dir, vdir)
 
 
 def _commit_mtimes(versions_root: str) -> list[tuple[dict, float]]:
@@ -228,7 +228,7 @@ def stream_upsert_foreach_batch(stream_df, spark, target_dir: str,
 # journal ops that introduce a NEW table version (OPTIMIZE rewrites an
 # existing version in place and shares its number, so it is excluded
 # from exactly-once replay detection and the applied-versions pointer)
-_VERSIONING_OPS = ("upsert", "delete", "update", "merge")
+_VERSIONING_OPS = ("upsert", "delete", "update", "merge", "overwrite")
 
 
 def _min_bytes_cutoff(override: int | None) -> int:
@@ -370,37 +370,133 @@ def _publish_commit(target_dir: str, versions_root: str,
 # link.
 
 def _snapshot_data_files(snapshot_dir: str) -> list[str]:
-    import os
-    return sorted(
-        f for f in os.listdir(snapshot_dir)
-        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    """Relative paths of a snapshot's data files — basenames for flat
+    snapshots, ``part=value/…`` paths for partitioned ones (the walk
+    lives in partitioning.py so the change-feed source shares it)."""
+    from .partitioning import _walk_data_files
+    return _walk_data_files(snapshot_dir)
 
 
-def _file_paths_to_basenames(rows) -> set[str]:
-    """``_metadata.file_path`` values are URIs (``file:///…``); map them
-    to basenames for comparison against the snapshot dir listing."""
+def _file_paths_to_relpaths(rows, base_dir: str) -> set[str]:
+    """``_metadata.file_path`` values are URIs (``file:///…``); map
+    them to paths RELATIVE to the snapshot dir for comparison against
+    ``_snapshot_data_files`` — relative (not basename) so a partitioned
+    snapshot's ``part=value/part-….parquet`` names compare correctly.
+    Spark reports the path as given to the reader, but tolerate a
+    canonicalized (symlink-resolved) form too; a path under neither
+    base falls back to its basename (the flat pre-partitioning
+    behavior)."""
     import os
     from urllib.parse import unquote, urlparse
-    return {os.path.basename(unquote(urlparse(r[0]).path)) for r in rows}
+
+    bases = {os.path.abspath(base_dir), os.path.realpath(base_dir)}
+    out = set()
+    for r in rows:
+        p = unquote(urlparse(r[0]).path)
+        for b in bases:
+            pre = b.rstrip(os.sep) + os.sep
+            if p.startswith(pre):
+                out.add(p[len(pre):])
+                break
+        else:
+            out.add(os.path.basename(p))
+    return out
+
+
+def _snapshot_read(spark, target_dir: str, snap_dir: str,
+                   files: list[str] | None = None):
+    """THE snapshot read path: plain ``spark.read.parquet`` for flat
+    tables; for partitioned tables an explicit-schema read that types
+    the partition columns from the table's declaration instead of
+    Spark's per-scan inference (partitioning.read_snapshot), with
+    ``basePath`` anchoring so changed-file-subset reads keep their
+    partition columns. ``files`` are relative to ``snap_dir``."""
+    import os
+
+    from .partitioning import read_snapshot, table_partitioning
+
+    parts = table_partitioning(target_dir)
+    if parts:
+        return read_snapshot(spark, snap_dir, parts, files)
+    if files is not None:
+        return spark.read.parquet(
+            *(os.path.join(snap_dir, f) for f in files))
+    return spark.read.parquet(snap_dir)
+
+
+def _staged_write(df, target_dir: str, stage_path: str,
+                  max_records_per_file: int | None = None) -> None:
+    """Staged snapshot write honoring the table's PARTITIONED BY spec
+    (Hive layout via ``partitionBy``); the one write path every full
+    rewrite shares."""
+    from .partitioning import table_partitioning
+
+    w = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    parts = table_partitioning(target_dir)
+    if parts:
+        missing = [c for c in parts if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"staged write is missing partition column(s) "
+                f"{missing} — every batch for a PARTITIONED BY table "
+                f"must supply them")
+        types = dict(df.dtypes)
+        bad = {c: types[c] for c, t in parts.items() if types[c] != t}
+        if bad:
+            raise ValueError(
+                f"partition column type mismatch vs the PARTITIONED BY "
+                f"declaration {parts}: got {bad} — cast the batch "
+                f"before writing (partition types are table metadata, "
+                f"never per-batch)")
+        w = w.partitionBy(*parts)
+    w.parquet(stage_path)
+
+
+# Touched-file partition pruning collects the delta's distinct
+# partition tuples driver-side; above this many it skips pruning (the
+# filter expression would dwarf the listing saved).
+PARTITION_PRUNE_CAP = 1024
 
 
 def _touched_files_by_keys(spark, base_dir: str, keys_df,
-                           key_cols: list[str]) -> set[str]:
-    """Basenames of the base snapshot's data files holding at least one
-    row whose key appears in ``keys_df`` — Delta's touched-file join.
-    The scan reads ONLY the key columns (parquet column pruning) plus
-    the free ``_metadata.file_path`` constant; the join is null-safe so
-    a NULL-keyed delta row claims the file holding the NULL-keyed base
-    row (the window in keep_latest groups NULLs as a real key, and the
-    join must agree or the carried twin would duplicate the key). The
-    collect is bounded by the touched-file count — the same driver-side
-    file list every Delta MERGE materializes."""
+                           key_cols: list[str],
+                           target_dir: str | None = None) -> set[str]:
+    """Relative paths of the base snapshot's data files holding at
+    least one row whose key appears in ``keys_df`` — Delta's
+    touched-file join. The scan reads ONLY the key columns (parquet
+    column pruning) plus the free ``_metadata.file_path`` constant; the
+    join is null-safe so a NULL-keyed delta row claims the file holding
+    the NULL-keyed base row (the window in keep_latest groups NULLs as
+    a real key, and the join must agree or the carried twin would
+    duplicate the key). The collect is bounded by the touched-file
+    count — the same driver-side file list every Delta MERGE
+    materializes.
+
+    When the table is partitioned AND the partition columns are a
+    subset of the merge key, the scan first prunes to the DELTA'S OWN
+    partitions (a matching base row must share the delta row's key,
+    hence its partition values) — directory-level pruning, so a delta
+    touching 3 of 10⁴ partitions lists and scans 3. Partition columns
+    outside the key get no pruning: a key's old row may then live in a
+    different partition than its replacement, and the join must see
+    the whole table to find it."""
     from pyspark.sql import functions as F
 
-    snap = (spark.read.parquet(base_dir)
+    from .partitioning import (partition_tuple_filter, table_partitioning)
+
+    snap = (_snapshot_read(spark, target_dir or base_dir, base_dir)
             .select(*key_cols)
             .withColumn("_file", F.col("_metadata.file_path"))
             .alias("t"))
+    parts = table_partitioning(target_dir) if target_dir else {}
+    if parts and set(parts) <= set(key_cols):
+        tuples = [r.asDict() for r in
+                  keys_df.select(*parts).dropDuplicates()
+                  .limit(PARTITION_PRUNE_CAP + 1).collect()]
+        if len(tuples) <= PARTITION_PRUNE_CAP:
+            snap = snap.filter(partition_tuple_filter(parts, tuples))
     keys = keys_df.select(*key_cols).dropDuplicates().alias("d")
     cond = None
     for k in key_cols:
@@ -408,25 +504,32 @@ def _touched_files_by_keys(spark, base_dir: str, keys_df,
         cond = term if cond is None else (cond & term)
     rows = (snap.join(keys, cond, "leftsemi")
             .select("_file").distinct().collect())
-    return _file_paths_to_basenames(rows)
+    return _file_paths_to_relpaths(rows, base_dir)
 
 
 def _stage_with_reuse(snapshot_dir: str, stage_dir: str,
-                      kept_files: list[str], rewritten_df) -> None:
+                      kept_files: list[str], rewritten_df,
+                      target_dir: str | None = None) -> None:
     """Materialize a staged snapshot as ``rewritten_df``'s output plus
     hard links to the base snapshot's untouched data files. The Spark
     write runs FIRST (mode=overwrite clears the dir), links after; link
-    falls back to copy on filesystems without hard-link support."""
+    falls back to copy on filesystems without hard-link support.
+    ``kept_files`` are snapshot-relative paths — for a partitioned
+    table they carry their ``part=value/`` directories, recreated in
+    the stage so the carried files land in the same Hive layout."""
     import os
     import shutil
 
     if rewritten_df is not None:
-        rewritten_df.write.mode("overwrite").parquet(stage_dir)
+        _staged_write(rewritten_df, target_dir or snapshot_dir,
+                      stage_dir)
     else:
         os.makedirs(stage_dir, exist_ok=True)
     for name in kept_files:
         src = os.path.join(snapshot_dir, name)
         dst = os.path.join(stage_dir, name)
+        if os.path.dirname(name):        # partition subdirectory
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
         if os.path.exists(dst):          # freak part-name collision
             root, ext = os.path.splitext(name)
             dst = os.path.join(stage_dir, f"{root}-linked{ext}")
@@ -546,7 +649,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                 if ident else delta.schema)
             base_dir = (os.path.join(versions_root, base)
                         if base is not None else None)
-            snapshot = (spark.read.parquet(base_dir)
+            snapshot = (_snapshot_read(spark, target_dir, base_dir)
                         if base is not None else None)
             if (snapshot is not None
                     and incremental_commits_enabled()
@@ -556,12 +659,12 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                 # file-granular copy-on-write: rewrite only the files
                 # holding keys the delta touches; hard-link the rest
                 touched = _touched_files_by_keys(
-                    spark, base_dir, delta, key_cols)
+                    spark, base_dir, delta, key_cols, target_dir)
                 kept = [f for f in _snapshot_data_files(base_dir)
                         if f not in touched]
                 if touched:
-                    sub = spark.read.parquet(
-                        *(os.path.join(base_dir, f) for f in touched))
+                    sub = _snapshot_read(spark, target_dir, base_dir,
+                                         files=sorted(touched))
                     if ident:
                         # touched files hold every key the delta can
                         # match — inheritance stays change-sized
@@ -575,7 +678,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                     merged = delta
                 _stage_with_reuse(base_dir,
                                   os.path.join(versions_root, stage),
-                                  kept, merged)
+                                  kept, merged, target_dir=target_dir)
                 reuse_stats = (len(touched), len(kept))
                 ident_carried = kept
             else:
@@ -598,8 +701,8 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         delta = _assign_identity(delta, ident,
                                                  ident_hwm)
                     merged = delta
-                merged.write.mode("overwrite").parquet(
-                    os.path.join(versions_root, stage))
+                _staged_write(merged, target_dir,
+                              os.path.join(versions_root, stage))
         except Exception as exc:
             # The merge scans the base snapshot lazily; if concurrent
             # writers advance the journal by keep_versions commits while
@@ -713,34 +816,38 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
         reuse_stats = None
         try:
             base_dir = os.path.join(versions_root, base)
-            snapshot = spark.read.parquet(base_dir)
+            snapshot = _snapshot_read(spark, target_dir, base_dir)
             if (incremental_commits_enabled()
                     and _data_file_bytes(base_dir)
                     >= _min_bytes_cutoff(incremental_min_bytes)):
                 # touched = files holding at least one row the predicate
-                # actually deletes (predicate pushed to the scan); every
-                # other file carries into the new version as a hard link
+                # actually deletes (predicate pushed to the scan — a
+                # partition-column predicate prunes whole directories
+                # before any file opens); every other file carries into
+                # the new version as a hard link
                 rows = (snapshot
                         .withColumn("_file", F.col("_metadata.file_path"))
                         .filter(condition)
                         .select("_file").distinct().collect())
-                touched = _file_paths_to_basenames(rows)
+                touched = _file_paths_to_relpaths(rows, base_dir)
                 kept_files = [f for f in _snapshot_data_files(base_dir)
                               if f not in touched]
                 rewritten = None
                 if touched:
-                    rewritten = (spark.read.parquet(
-                        *(os.path.join(base_dir, f) for f in touched))
+                    rewritten = (_snapshot_read(
+                        spark, target_dir, base_dir,
+                        files=sorted(touched))
                         .filter(F.coalesce(~condition, F.lit(True))))
                 _stage_with_reuse(base_dir,
                                   os.path.join(versions_root, stage),
-                                  kept_files, rewritten)
+                                  kept_files, rewritten,
+                                  target_dir=target_dir)
                 reuse_stats = (len(touched), len(kept_files))
             else:
                 kept = snapshot.filter(
                     F.coalesce(~condition, F.lit(True)))
-                kept.write.mode("overwrite").parquet(
-                    os.path.join(versions_root, stage))
+                _staged_write(kept, target_dir,
+                              os.path.join(versions_root, stage))
         except Exception as exc:
             # same stale-base window as the upsert merge: a concurrent
             # publish can prune our base under the running scan
@@ -873,7 +980,7 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
         reuse_stats = None
         try:
             base_dir = os.path.join(versions_root, base)
-            snapshot = spark.read.parquet(base_dir)
+            snapshot = _snapshot_read(spark, target_dir, base_dir)
             missing = sorted(set(sets) - set(snapshot.columns))
             if missing:
                 raise ValueError(
@@ -910,13 +1017,13 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                         .withColumn("_file", F.col("_metadata.file_path"))
                         .filter(condition)
                         .select("_file").distinct().collect())
-                touched = _file_paths_to_basenames(rows)
+                touched = _file_paths_to_relpaths(rows, base_dir)
                 kept_files = [f for f in _snapshot_data_files(base_dir)
                               if f not in touched]
                 rewritten = None
                 if touched:
-                    sub = spark.read.parquet(
-                        *(os.path.join(base_dir, f) for f in touched))
+                    sub = _snapshot_read(spark, target_dir, base_dir,
+                                         files=sorted(touched))
                     if cons:
                         # post-image validation on the TOUCHED subset —
                         # every predicate-matching row lives there by
@@ -930,7 +1037,8 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                     rewritten = apply_update(sub)
                 _stage_with_reuse(base_dir,
                                   os.path.join(versions_root, stage),
-                                  kept_files, rewritten)
+                                  kept_files, rewritten,
+                                  target_dir=target_dir)
                 reuse_stats = (len(touched), len(kept_files))
             else:
                 if cons:
@@ -939,8 +1047,8 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                     _validate_constraints(
                         apply_update(snapshot.filter(hit)), cons,
                         "the UPDATE post-image")
-                apply_update(snapshot).write.mode("overwrite").parquet(
-                    os.path.join(versions_root, stage))
+                _staged_write(apply_update(snapshot), target_dir,
+                              os.path.join(versions_root, stage))
         except Exception as exc:
             # same stale-base window as the upsert merge: a concurrent
             # publish can prune our base under the running scan
@@ -976,6 +1084,268 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                       ignore_errors=True)
     raise RuntimeError(
         f"update commit for version {batch_id} lost {max_retries} "
+        f"consecutive CAS races — livelocked writer set?")
+
+
+def upsert_drop_partitions(spark, target_dir: str, batch_id: int,
+                           condition, keep_versions: int = 2,
+                           writer: str = "w0",
+                           max_retries: int = 24) -> str:
+    """METADATA-ONLY partition drop: ``DELETE WHERE <partition
+    predicate>`` where the predicate references ONLY the table's
+    PARTITIONED BY columns, so the whole operation is a journal commit
+    whose staging is pure hard links — zero rows read, zero rows
+    written, at any table size. This is Delta's partition-predicate
+    DELETE fast path (file-level action, no data scan) on the mini
+    format.
+
+    The predicate is evaluated ONCE per distinct partition tuple
+    (driver-assembled from the directory listing — a pure metadata
+    read), through Spark itself so its semantics are exactly SQL
+    three-valued logic: a partition is dropped iff the predicate is
+    TRUE; FALSE and NULL (e.g. the Hive default-partition tuple
+    against a ``>`` comparison) keep it. A predicate referencing a
+    NON-partition column fails loudly — use ``upsert_delete_where``
+    for row-level predicates.
+
+    Exactly-once by ``batch_id``; journal op is ``delete`` (the change
+    feed emits the dropped partitions' rows as ``delete`` events — it
+    diffs the snapshots, so a metadata drop and a row-level delete are
+    indistinguishable downstream, as they should be)."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..fsutil import cas_backoff, try_commit
+    from .partitioning import list_partition_dirs, table_partitioning
+
+    parts = table_partitioning(target_dir)
+    if not parts:
+        raise ValueError(
+            f"{target_dir} is not PARTITIONED BY — "
+            f"upsert_drop_partitions needs partition columns; use "
+            f"upsert_delete_where for row-level deletes")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    versions_root = target_dir + "_versions"
+    retried = False
+    for _attempt in range(max_retries):
+        if _attempt:
+            cas_backoff(_attempt)
+        commits, applied = _journal_state(versions_root)
+        if not commits:
+            raise FileNotFoundError(f"no upsert table at {target_dir}")
+        if batch_id in applied:
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "replayed"
+        base = commits[-1]["version_name"]
+        seq = commits[-1]["seq"] + 1
+        stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        try:
+            base_dir = os.path.join(versions_root, base)
+            # one row per live partition tuple — bounded by the
+            # partition count, never the data; evaluating the predicate
+            # on THIS tiny frame is what guarantees it references only
+            # partition columns (anything else fails analysis)
+            pdirs = list_partition_dirs(base_dir, parts)
+            ddl = ", ".join(f"`{c}` {t}" for c, t in parts.items())
+            tuples = spark.createDataFrame(
+                [tuple(v[c] for c in parts) for v in pdirs.values()],
+                ddl)
+            try:
+                dropped_vals = {
+                    tuple(r[c] for c in parts)
+                    for r in tuples.filter(cond).collect()}
+            except Exception as exc:
+                if "UNRESOLVED_COLUMN" in str(exc):
+                    raise ValueError(
+                        f"drop-partitions predicate {condition!r} "
+                        f"references a non-partition column (partition "
+                        f"columns: {list(parts)}) — use "
+                        f"upsert_delete_where for row predicates"
+                    ) from exc
+                raise
+            dropped_dirs = {
+                d for d, v in pdirs.items()
+                if tuple(v[c] for c in parts) in dropped_vals}
+            kept = [f for f in _snapshot_data_files(base_dir)
+                    if os.path.dirname(f) not in dropped_dirs]
+            _stage_with_reuse(base_dir,
+                              os.path.join(versions_root, stage),
+                              kept, None, target_dir=target_dir)
+        except Exception as exc:
+            shutil.rmtree(os.path.join(versions_root, stage),
+                          ignore_errors=True)
+            now, _ = _journal_state(versions_root)
+            now_seq = now[-1]["seq"] if now else -1
+            if now_seq != commits[-1]["seq"] and isinstance(
+                    exc, FileNotFoundError):
+                retried = True      # base pruned mid-link: lost race
+                continue
+            raise
+        perm = f"v{batch_id}"
+        try:
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        except OSError:
+            perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        entry = {"op": "delete", "version": batch_id,
+                 "version_name": perm, "writer": writer,
+                 "files_rewritten": 0, "files_reused": len(kept),
+                 "dropped_partitions": sorted(dropped_dirs)}
+        if try_commit(_commits_dir(versions_root), seq, entry):
+            commits, _ = _journal_state(versions_root)
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "applied-after-retry" if retried else "applied"
+        retried = True
+        shutil.rmtree(os.path.join(versions_root, perm),
+                      ignore_errors=True)
+    raise RuntimeError(
+        f"drop-partitions commit for version {batch_id} lost "
+        f"{max_retries} consecutive CAS races — livelocked writer set?")
+
+
+def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
+                                batch_df, key_cols: list[str],
+                                keep_versions: int = 2,
+                                writer: str = "w0",
+                                max_retries: int = 24) -> str:
+    """DYNAMIC PARTITION OVERWRITE as a journal commit: replace exactly
+    the partitions PRESENT in the batch with the batch's rows, carry
+    every other partition by hard link — Spark's
+    ``partitionOverwriteMode=dynamic`` re-expressed on the versioned
+    format, with time travel, exactly-once batch ids, and the change
+    feed seeing precisely the replaced partitions' row diffs.
+
+    The touched set is the batch's own distinct partition tuples (one
+    delta-sized aggregate); the carried files are found by LISTING, so
+    the base table's data is never read — staging cost is O(batch) at
+    any table size.
+
+    Contract: the PARTITIONED BY columns must be part of ``key_cols``.
+    The format's unique-keys invariant is per-table, and an overwrite
+    only sees its own partitions — keys that could live in multiple
+    partitions (partition col outside the key) could silently
+    duplicate across an overwrite boundary. With the partition columns
+    in the key, a key names its partition and the invariant reduces to
+    per-partition uniqueness, which the batch-side dup check enforces.
+    Identity-column tables are refused (overwrite semantics have no
+    matched/new distinction to inherit ids through — Delta's dynamic
+    overwrite has the same restriction in spirit: it is a whole-
+    partition replace, not a merge)."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..fsutil import cas_backoff, try_commit
+    from .partitioning import table_partitioning
+
+    parts = table_partitioning(target_dir)
+    if not parts:
+        raise ValueError(
+            f"{target_dir} is not PARTITIONED BY — dynamic partition "
+            f"overwrite needs partition columns")
+    if not set(parts) <= set(key_cols):
+        raise ValueError(
+            f"PARTITIONED BY columns {list(parts)} must be part of "
+            f"key_cols {key_cols} for dynamic overwrite — otherwise a "
+            f"key could live in an untouched partition AND the batch, "
+            f"breaking the unique-keys invariant")
+    if table_identity_column(target_dir):
+        raise ValueError(
+            "dynamic partition overwrite is not supported on identity "
+            "tables — a whole-partition replace has no matched rows to "
+            "inherit ids through; use MERGE INTO")
+    dup = (batch_df.groupBy(*key_cols).count()
+           .filter(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(
+            "overwrite batch has multiple rows for at least one key — "
+            "reduce it (e.g. keep-latest) first")
+    gens = table_generated_columns(target_dir)
+    if gens:
+        batch_df = _apply_generated(batch_df, gens, "the overwrite batch")
+    cons = table_check_constraints(target_dir)
+    if cons:
+        _validate_constraints(batch_df, cons, "the overwrite batch")
+
+    versions_root = target_dir + "_versions"
+    retried = False
+    for _attempt in range(max_retries):
+        if _attempt:
+            cas_backoff(_attempt)
+        commits, applied = _journal_state(versions_root)
+        if not commits:
+            raise FileNotFoundError(
+                f"no upsert table at {target_dir} — dynamic overwrite "
+                f"needs an existing table (first write goes through "
+                f"upsert_commit_batch)")
+        if batch_id in applied:
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "replayed"
+        base = commits[-1]["version_name"]
+        seq = commits[-1]["seq"] + 1
+        stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        try:
+            base_dir = os.path.join(versions_root, base)
+            # the batch's own partitions — delta-sized distinct
+            replaced = {
+                tuple(r[c] for c in parts)
+                for r in batch_df.select(*parts).dropDuplicates()
+                .collect()}
+            from .partitioning import partition_values_of
+            kept = []
+            touched_n = 0
+            for f in _snapshot_data_files(base_dir):
+                vals = partition_values_of(f, parts)
+                if tuple(vals[c] for c in parts) in replaced:
+                    touched_n += 1
+                else:
+                    kept.append(f)
+            _stage_with_reuse(base_dir,
+                              os.path.join(versions_root, stage),
+                              kept, batch_df, target_dir=target_dir)
+        except Exception as exc:
+            shutil.rmtree(os.path.join(versions_root, stage),
+                          ignore_errors=True)
+            now, _ = _journal_state(versions_root)
+            now_seq = now[-1]["seq"] if now else -1
+            if now_seq != commits[-1]["seq"] and isinstance(
+                    exc, FileNotFoundError):
+                retried = True
+                continue
+            raise
+        perm = f"v{batch_id}"
+        try:
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        except OSError:
+            perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
+            os.rename(os.path.join(versions_root, stage),
+                      os.path.join(versions_root, perm))
+        entry = {"op": "overwrite", "version": batch_id,
+                 "version_name": perm, "writer": writer,
+                 "files_rewritten": touched_n,
+                 "files_reused": len(kept),
+                 "replaced_partitions": len(replaced)}
+        if try_commit(_commits_dir(versions_root), seq, entry):
+            commits, _ = _journal_state(versions_root)
+            _publish_commit(target_dir, versions_root, commits,
+                            keep_versions)
+            return "applied-after-retry" if retried else "applied"
+        retried = True
+        shutil.rmtree(os.path.join(versions_root, perm),
+                      ignore_errors=True)
+    raise RuntimeError(
+        f"overwrite commit for version {batch_id} lost {max_retries} "
         f"consecutive CAS races — livelocked writer set?")
 
 
@@ -1168,11 +1538,11 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                          else F.lit(True) if ins is True else ins)
                     merged = source.alias("s").filter(c)
                 merged, ident_hwm = fill_identity(merged, commits)
-                merged.write.mode("overwrite").parquet(
-                    os.path.join(versions_root, stage))
+                _staged_write(merged, target_dir,
+                              os.path.join(versions_root, stage))
             else:
                 base_dir = os.path.join(versions_root, base)
-                snapshot = spark.read.parquet(base_dir)
+                snapshot = _snapshot_read(spark, target_dir, base_dir)
                 t_types = {f.name: f.dataType
                            for f in snapshot.schema.fields}
                 s_types = {f.name: f.dataType
@@ -1188,19 +1558,20 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                         and _data_file_bytes(base_dir)
                         >= _min_bytes_cutoff(incremental_min_bytes)):
                     touched = _touched_files_by_keys(
-                        spark, base_dir, source, key_cols)
+                        spark, base_dir, source, key_cols, target_dir)
                     kept = [f for f in _snapshot_data_files(base_dir)
                             if f not in touched]
-                    sub = (spark.read.parquet(
-                        *(os.path.join(base_dir, f) for f in touched))
-                        if touched else snapshot.limit(0))
+                    sub = (_snapshot_read(spark, target_dir, base_dir,
+                                          files=sorted(touched))
+                           if touched else snapshot.limit(0))
                     merged = _merge_result(sub, source, key_cols,
                                            matched_update, matched_delete,
                                            not_matched_insert)
                     merged, ident_hwm = fill_identity(merged, commits)
                     _stage_with_reuse(base_dir,
                                       os.path.join(versions_root, stage),
-                                      kept, merged)
+                                      kept, merged,
+                                      target_dir=target_dir)
                     reuse_stats = (len(touched), len(kept))
                     ident_carried = kept
                 else:
@@ -1208,8 +1579,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                                            matched_update, matched_delete,
                                            not_matched_insert)
                     merged, ident_hwm = fill_identity(merged, commits)
-                    merged.write.mode("overwrite").parquet(
-                        os.path.join(versions_root, stage))
+                    _staged_write(merged, target_dir,
+                                  os.path.join(versions_root, stage))
         except Exception as exc:
             shutil.rmtree(os.path.join(versions_root, stage),
                           ignore_errors=True)
@@ -1424,7 +1795,7 @@ def optimize_upsert_target(spark, target_dir: str,
         try:
             n_parts = max(1, math.ceil(
                 _data_file_bytes(src) / max(target_file_bytes, 1)))
-            snap = spark.read.parquet(src)
+            snap = _snapshot_read(spark, target_dir, src)
             if zorder_by:
                 # OPTIMIZE ZORDER: range-partition + sort on the Morton
                 # z-value so every output file is narrow in EVERY zorder
@@ -1443,12 +1814,22 @@ def optimize_upsert_target(spark, target_dir: str,
                     .drop("_z"))
             else:
                 rewritten = snap.repartition(n_parts)
-            (rewritten
-             .write.mode("overwrite")
-             .option("maxRecordsPerFile", str(max_records_per_file))
-             .parquet(os.path.join(versions_root, stage)))
+            _staged_write(rewritten, target_dir,
+                          os.path.join(versions_root, stage),
+                          max_records_per_file=max_records_per_file)
             manifest_cols = (list(zorder_by or [])
                              if stats_cols is None else list(stats_cols))
+            from .partitioning import table_partitioning
+            if manifest_cols and table_partitioning(target_dir):
+                # per-file stats manifests assume the flat snapshot
+                # layout; a partitioned table's directory pruning is
+                # the skipping mechanism there — composing both is
+                # future work, so refuse loudly rather than write a
+                # manifest the reader would silently ignore
+                raise ValueError(
+                    "stats manifests (stats_cols/zorder stats) are not "
+                    "supported on PARTITIONED BY tables yet — pass "
+                    "stats_cols=[]")
             if manifest_cols:
                 from .skipping import write_stats_manifest
                 write_stats_manifest(os.path.join(versions_root, stage),
@@ -1592,7 +1973,7 @@ def restore_upsert_target(spark, target_dir: str, version: int,
         cons = table_check_constraints(target_dir)
         if cons and enforce_constraints:
             _validate_constraints(
-                spark.read.parquet(src), cons,
+                _snapshot_read(spark, target_dir, src), cons,
                 f"version {version} being restored (pass "
                 f"enforce_constraints=False to restore anyway)")
         # Generated columns are write-path invariants of the same
@@ -1604,7 +1985,7 @@ def restore_upsert_target(spark, target_dir: str, version: int,
         # selects it.
         gens = table_generated_columns(target_dir)
         if gens and enforce_constraints:
-            snap = spark.read.parquet(src)
+            snap = _snapshot_read(spark, target_dir, src)
             for gname, gexpr in gens.items():
                 if gname not in snap.columns:
                     raise GeneratedColumnViolation(
@@ -1740,12 +2121,10 @@ def read_upsert_changes(spark, target_dir: str, v_from: int, v_to: int,
         # schema-uniform — evolution forces a full rewrite), read only
         # the name-unique files; an empty unique side means that side
         # contributes nothing (pure-insert / pure-delete transitions)
-        pre = (spark.read.parquet(
-            *(os.path.join(d_from, f) for f in u_from))
-            if u_from else pre.limit(0))
-        post = (spark.read.parquet(
-            *(os.path.join(d_to, f) for f in u_to))
-            if u_to else post.limit(0))
+        pre = (_snapshot_read(spark, target_dir, d_from, files=u_from)
+               if u_from else pre.limit(0))
+        post = (_snapshot_read(spark, target_dir, d_to, files=u_to)
+                if u_to else post.limit(0))
     pre_t, post_t = dict(pre.dtypes), dict(post.dtypes)
     payload = [c for c in post.columns if c not in key_cols]
     payload += [c for c in pre.columns
@@ -2575,16 +2954,21 @@ def clone_upsert_table(src_target: str, dst_target: str,
     os.makedirs(dst_root, exist_ok=True)
     stage = os.path.join(dst_root, f"_stage_{writer}_{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
-    for f in os.listdir(src_dir):
-        if f.startswith(".") or f == "_SUCCESS":
-            continue                     # data files + stats manifest
-        src_f = os.path.join(src_dir, f)
-        if not os.path.isfile(src_f):
-            continue
-        try:
-            os.link(src_f, os.path.join(stage, f))
-        except OSError:
-            shutil.copy2(src_f, os.path.join(stage, f))
+    for root, dirs, files in os.walk(src_dir):
+        # descend into partition subdirectories; skip hidden/marker dirs
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        rel = os.path.relpath(root, src_dir)
+        for f in files:
+            if f.startswith(".") or f == "_SUCCESS":
+                continue                 # data files + stats manifest
+            src_f = os.path.join(root, f)
+            dst_f = os.path.join(stage, f) if rel == "." \
+                else os.path.join(stage, rel, f)
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+            try:
+                os.link(src_f, dst_f)
+            except OSError:
+                shutil.copy2(src_f, dst_f)
     perm = f"v{head['version']}_clone_{uuid.uuid4().hex[:8]}"
     os.rename(stage, os.path.join(dst_root, perm))
     entry = {"op": "upsert", "version": head["version"],
@@ -2613,6 +2997,11 @@ def clone_upsert_table(src_target: str, dst_target: str,
     if src_ident:
         from ..fsutil import atomic_write_json
         atomic_write_json(_identity_path(dst_target), src_ident)
+    from .partitioning import _partitioning_path, table_partitioning
+    src_parts = table_partitioning(src_target)
+    if src_parts:
+        from ..fsutil import atomic_write_json
+        atomic_write_json(_partitioning_path(dst_target), src_parts)
     cms, _ = _journal_state(dst_root)
     _publish_commit(dst_target, dst_root, cms, keep_versions=2)
     return perm
@@ -2729,7 +3118,7 @@ def set_table_check_constraint(spark, target_dir: str, name: str,
     cons = table_check_constraints(target_dir)
     commits, _ = _journal_state(target_dir + "_versions")
     if commits:
-        snap = spark.read.parquet(os.path.join(
+        snap = _snapshot_read(spark, target_dir, os.path.join(
             target_dir + "_versions", commits[-1]["version_name"]))
         _validate_constraints(snap, {name: expr}, "existing table data")
     cons[name] = expr
@@ -2813,7 +3202,7 @@ def set_table_generated_column(spark, target_dir: str, name: str,
     gens = table_generated_columns(target_dir)
     commits, _ = _journal_state(target_dir + "_versions")
     if commits:
-        snap = spark.read.parquet(os.path.join(
+        snap = _snapshot_read(spark, target_dir, os.path.join(
             target_dir + "_versions", commits[-1]["version_name"]))
         if name not in snap.columns:
             raise GeneratedColumnViolation(
@@ -3076,4 +3465,154 @@ def maintenance_clone_constraint(spark: SparkSession,
         agg(dst, "clone").unionAll(agg(src, "src"))
         .withColumn("constraint_enforced", F.lit(enforced))
         .orderBy("tbl")
+    )
+
+
+# --- PARTITIONED BY catalog queries (round 11) ------------------------------
+
+@_catalog_register(
+    "table_partitioned_dml",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, user_id % 4 AS bucket
+      FROM events WHERE user_id < 400
+    ),
+    cand AS (
+      SELECT * FROM e WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT * FROM e WHERE user_id % 3 = 0
+    ),
+    merged AS (
+      SELECT user_id, bucket, event_id FROM (
+        SELECT user_id, bucket, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM cand) WHERE rn = 1
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(event_id) AS BIGINT) AS sum_events
+    FROM merged WHERE bucket <> 3
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def table_partitioned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED BY table end-to-end under the value-hash gate: a
+    Hive-layout events table (``bucket = user_id % 4``, declared
+    bigint), a keep-latest upsert whose touched-file join prunes to the
+    delta's own partitions (partition cols ⊆ merge key), and a
+    METADATA-ONLY partition drop (``bucket = 3`` — zero rows read or
+    written, pure hard-link staging). The oracle replays the
+    keep-latest union and the partition delete relationally; a wrong
+    partition parse, a mis-pruned touched-file set, or a drop that
+    rewrote (and perturbed) data shifts the per-bucket sums and fails
+    the hash. Partitioning metadata travels through the shared-base
+    SHALLOW CLONE like constraints do."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+    from .partitioning import set_table_partitioning
+
+    root = query_workspace("part_dml", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 400)
+          .select("user_id", "event_id",
+                  (F.col("user_id") % 4).alias("bucket")))
+
+    def _build(base: str) -> None:
+        set_table_partitioning(base, {"bucket": "bigint"})
+        upsert_commit_batch(
+            ev.filter(F.col("event_id") % 2 == 0), base, 0,
+            key_cols=["user_id", "bucket"], order_col="event_id",
+            keep_versions=4)
+
+    clone_upsert_table(shared_base_table(sf_dir, "part_dml", _build),
+                       target)
+    upsert_commit_batch(
+        ev.filter(F.col("user_id") % 3 == 0), target, 1,
+        key_cols=["user_id", "bucket"], order_col="event_id",
+        keep_versions=4)
+    upsert_drop_partitions(spark, target, 2, "bucket = 3",
+                           keep_versions=4)
+    return (
+        read_upsert_version(spark, target)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_users"),
+             F.sum("event_id").cast("bigint").alias("sum_events"))
+        .orderBy("bucket")
+    )
+
+
+@_catalog_register(
+    "maintenance_partition_overwrite",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0 AND o_orderpriority <> '1-URGENT'
+    ),
+    ow AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+    ),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM ow)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def maintenance_partition_overwrite(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE under the value-hash gate: orders
+    committed PARTITIONED BY o_orderpriority (a string partition column
+    with spaces — exercising Hive escaping end to end), then one
+    partition ('1-URGENT') replaced wholesale by a recomputed batch
+    (doubled prices, a different orderkey slice) while every other
+    partition carries by hard link. The oracle replays the replace
+    relationally: untouched priorities keep the base slice, the
+    replaced priority shows ONLY the batch rows. A carry that leaked
+    old '1-URGENT' rows, an overwrite that touched a neighbor
+    partition, or a mis-parsed partition value shifts the per-priority
+    counts/sums and fails the hash."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+    from .partitioning import set_table_partitioning
+
+    root = query_workspace("part_overwrite", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def _build(base: str) -> None:
+        set_table_partitioning(base, {"o_orderpriority": "string"})
+        upsert_commit_batch(
+            o.filter(F.col("o_orderkey") % 2 == 0), base, 0,
+            key_cols=["o_orderpriority", "o_orderkey"],
+            order_col="o_orderkey", keep_versions=4)
+
+    clone_upsert_table(
+        shared_base_table(sf_dir, "part_overwrite", _build), target)
+    batch = (o.filter((F.col("o_orderpriority") == "1-URGENT")
+                      & (F.col("o_orderkey") % 3 == 0))
+             .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    upsert_overwrite_partitions(
+        spark, target, 1, batch,
+        key_cols=["o_orderpriority", "o_orderkey"], keep_versions=4)
+    return (
+        read_upsert_version(spark, target)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("double").alias("sum_price"))
+        .orderBy("o_orderpriority")
     )

@@ -1,0 +1,295 @@
+"""PARTITIONED BY for the versioned upsert table format — Hive-layout
+snapshots with declared partition-column types.
+
+Delta/Iceberg tables carry a partitioning spec in table metadata; here
+it is ``_PARTITIONING.json`` beside the commit journal (the same
+placement as CHECK constraints and identity declarations), and every
+snapshot directory is written ``.partitionBy(*cols)`` — standard Hive
+``col=value/`` subdirectories, so a published snapshot STAYS readable
+with a plain ``spark.read.parquet`` (the format's core contract;
+partition-column types are then whatever Spark's partition inference
+picks). The format's own readers do better: they read with an explicit
+schema assembled from one parquet footer plus the DECLARED partition
+types (``read_snapshot``), which is exactly how Delta types partition
+values from table metadata instead of re-inferring them per scan —
+deterministic types, zero inference ambiguity (a string partition
+value ``"007"`` survives; inference would collapse it to ``7``).
+
+What partitioning buys at 100 TB, on top of the format's file-level
+data skipping:
+
+- **Partition pruning with zero file opens.** A filter on a partition
+  column prunes whole directories during listing — no footer reads, no
+  stats manifest, no data I/O. At 10⁵ files per snapshot this is the
+  difference between planning in milliseconds and walking every
+  footer.
+- **Partition-pruned DML.** DELETE/UPDATE predicates referencing the
+  partition column prune their touched-file scan the same way, and the
+  keep-latest upsert's touched-file join restricts itself to the
+  delta's own partitions whenever the partition columns are part of
+  the merge key (``prune_to_delta_partitions``).
+- **Metadata-only partition drops** (``ingest.upsert_drop_partitions``)
+  — retiring a partition is a journal commit whose staging is pure
+  hard links: zero rows read, zero rows written, like Delta's
+  partition-predicate DELETE that never touches data.
+- **Dynamic partition overwrite**
+  (``ingest.upsert_overwrite_partitions``) — replace exactly the
+  partitions present in the batch, carry every other partition by
+  link; Spark's ``partitionOverwriteMode=dynamic`` re-expressed as a
+  journal commit with time travel and a change feed.
+
+Partition values round-trip through the directory names with Hive
+percent-escaping (Spark's own writer convention); NULL maps to
+``__HIVE_DEFAULT_PARTITION__``. Supported partition-column types are
+the Hive-path-safe scalars: integers, string, date, boolean — the
+same restriction Delta's constraint on partition column types serves.
+
+Reference parity note: the reference repo writes monolithic CSV/BQ
+outputs (etl_pipeline_spark.py:79-89) with no table format at all;
+partitioning here extends the round-8+ upsert format the way Delta
+extends plain parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+_PARTITIONING_FILE = "_PARTITIONING.json"
+
+# Types whose values round-trip losslessly through a Hive path segment
+# AND through the Python change-feed reader's value parser.
+_SUPPORTED_DDL = ("tinyint", "smallint", "int", "bigint", "string",
+                  "date", "boolean")
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partitioning_path(target_dir: str) -> str:
+    return os.path.join(target_dir + "_versions", _PARTITIONING_FILE)
+
+
+def table_partitioning(target_dir: str) -> dict[str, str]:
+    """Ordered {column: ddl_type} of the table's PARTITIONED BY spec
+    (empty dict if unpartitioned). Stored beside the journal; consulted
+    by every read and staged write."""
+    p = _partitioning_path(target_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def set_table_partitioning(target_dir: str, cols: dict[str, str]) -> None:
+    """Declare ``PARTITIONED BY (col type, ...)``. Creation-time only,
+    like Delta/Iceberg v1: the table must have no commits yet —
+    re-partitioning existing data is an explicit rewrite (read +
+    re-create), never an in-place metadata flip, because every retained
+    snapshot already has a physical layout."""
+    from ..fsutil import atomic_write_json, read_commit_journal
+
+    if not cols:
+        raise ValueError("PARTITIONED BY requires at least one column")
+    for c, t in cols.items():
+        if t.lower() not in _SUPPORTED_DDL:
+            raise ValueError(
+                f"partition column {c!r} has unsupported type {t!r} — "
+                f"supported: {_SUPPORTED_DDL} (types whose values "
+                f"round-trip through Hive directory names)")
+    commits_dir = os.path.join(target_dir + "_versions", "_commits")
+    if read_commit_journal(commits_dir):
+        raise ValueError(
+            "PARTITIONED BY is declared at table creation — this table "
+            "already has commits; re-partition by reading the head and "
+            "creating a new table")
+    os.makedirs(target_dir + "_versions", exist_ok=True)
+    atomic_write_json(_partitioning_path(target_dir),
+                      {c: t.lower() for c, t in cols.items()})
+
+
+def arrow_to_ddl_type(t) -> str:
+    """Minimal Arrow→Spark-DDL mapping for the table-footer schema (the
+    type surface the upsert format's parquet snapshots actually use).
+    Shared by the change-feed source (cdf.py) and the typed snapshot
+    reader below."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    raise ValueError(f"unsupported column type for the table format: {t}")
+
+
+def _walk_data_files(snapshot_dir: str) -> list[str]:
+    """Relative paths of every data file under a snapshot dir —
+    partition subdirectories included, markers/hidden files excluded.
+    For a flat (unpartitioned) snapshot this equals the basename
+    listing the format used before partitioning existed."""
+    out = []
+    for root, dirs, files in os.walk(snapshot_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        rel = os.path.relpath(root, snapshot_dir)
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(f if rel == "." else os.path.join(rel, f))
+    return sorted(out)
+
+
+def snapshot_schema_ddl(snapshot_dir: str, parts: dict[str, str]) -> str:
+    """Explicit read schema for a partitioned snapshot: the data
+    columns from ONE parquet footer (snapshots are schema-uniform —
+    evolution forces a full rewrite) plus the DECLARED partition
+    columns appended in declaration order. Supplying this schema to
+    ``spark.read.schema(...)`` is what makes partition-value typing
+    deterministic: Spark skips its per-scan partition-type inference
+    and uses the table's own declaration, Delta's metadata-typed
+    partition contract."""
+    import pyarrow.parquet as pq
+
+    files = _walk_data_files(snapshot_dir)
+    if not files:
+        raise FileNotFoundError(
+            f"no data files under snapshot {snapshot_dir}")
+    sch = pq.ParquetFile(
+        os.path.join(snapshot_dir, files[0])).schema_arrow
+    cols = [f"`{f.name}` {arrow_to_ddl_type(f.type)}" for f in sch
+            if f.name not in parts]
+    cols += [f"`{c}` {t}" for c, t in parts.items()]
+    return ", ".join(cols)
+
+
+def read_snapshot(spark, snapshot_dir: str, parts: dict[str, str],
+                  files: list[str] | None = None,
+                  base_dir: str | None = None):
+    """Typed read of a partitioned snapshot — whole dir, or a specific
+    changed-file subset (``files`` are paths relative to
+    ``snapshot_dir``). ``basePath`` anchors partition discovery so a
+    leaf-file read still yields the partition columns; the explicit
+    schema pins their types to the declaration. ``base_dir`` overrides
+    the schema source when ``snapshot_dir`` itself is the basePath
+    anchor but the footers live elsewhere (not needed by current
+    callers; kept for symmetry)."""
+    ddl = snapshot_schema_ddl(base_dir or snapshot_dir, parts)
+    r = spark.read.schema(ddl).option("basePath", snapshot_dir)
+    if files is not None:
+        return r.parquet(*(os.path.join(snapshot_dir, f) for f in files))
+    return r.parquet(snapshot_dir)
+
+
+def _escape_hive(v) -> str:
+    """Hive path-segment escaping, matching Spark's
+    ExternalCatalogUtils.escapePathName character set."""
+    special = '"#%\'*/:=?\\\x7f{[]^'
+    out = []
+    for ch in str(v):
+        if ch in special or ord(ch) < 32:
+            out.append("%%%02X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def partition_dir_of(values: dict) -> str:
+    """Relative Hive directory for one partition tuple, in declaration
+    order of ``values`` (an ordered dict)."""
+    segs = []
+    for c, v in values.items():
+        if v is None:
+            segs.append(f"{c}={HIVE_DEFAULT_PARTITION}")
+        elif isinstance(v, bool):
+            segs.append(f"{c}={str(v).lower()}")
+        else:
+            segs.append(f"{c}={_escape_hive(v)}")
+    return os.path.join(*segs)
+
+
+def _py_cast(raw: str, ddl: str):
+    """Python-side typed decode of one Hive path value — the
+    change-feed reader's analog of Spark's metadata-typed partition
+    casting. ``raw`` is already unescaped."""
+    import datetime as dt
+
+    t = ddl.lower()
+    if raw == HIVE_DEFAULT_PARTITION:
+        return None
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return int(raw)
+    if t == "boolean":
+        return raw.lower() == "true"
+    if t == "date":
+        return dt.date.fromisoformat(raw)
+    return raw                      # string
+
+
+def partition_values_of(relpath: str, parts: dict[str, str]) -> dict:
+    """Typed partition values parsed from a data file's relative path.
+    Segments must appear in declaration order (Spark writes them that
+    way); extra leading/trailing segments are a layout error."""
+    from urllib.parse import unquote
+
+    segs = relpath.split(os.sep)[:-1]       # drop the file name
+    names = list(parts)
+    if len(segs) != len(names):
+        raise ValueError(
+            f"data file {relpath!r} has {len(segs)} partition "
+            f"segment(s), table declares {len(names)} ({names})")
+    out = {}
+    for seg, name in zip(segs, names):
+        col, _, raw = seg.partition("=")
+        if col != name:
+            raise ValueError(
+                f"partition segment {seg!r} does not match declared "
+                f"column {name!r} in {relpath!r}")
+        out[name] = _py_cast(unquote(raw), parts[name])
+    return out
+
+
+def list_partition_dirs(snapshot_dir: str,
+                        parts: dict[str, str]) -> dict[str, dict]:
+    """{relative partition dir: typed values} for every partition that
+    holds at least one data file — a pure LISTING, no file opens; this
+    is the metadata partition-drop path's entire read cost."""
+    out: dict[str, dict] = {}
+    for f in _walk_data_files(snapshot_dir):
+        d = os.path.dirname(f)
+        if d not in out:
+            out[d] = partition_values_of(f, parts)
+    return out
+
+
+def partition_tuple_filter(parts: dict[str, str], tuples):
+    """Column predicate matching any of the given partition-value
+    tuples (each a dict) — null-safe so a NULL partition value matches
+    the Hive default partition. Used to prune the touched-file scan to
+    the delta's own partitions."""
+    from pyspark.sql import functions as F
+
+    filt = None
+    for vals in tuples:
+        term = None
+        for c in parts:
+            eq = F.col(c).eqNullSafe(F.lit(vals[c]))
+            term = eq if term is None else (term & eq)
+        filt = term if filt is None else (filt | term)
+    return filt if filt is not None else F.lit(False)

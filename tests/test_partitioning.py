@@ -1,0 +1,297 @@
+"""PARTITIONED BY on the versioned upsert table format.
+
+Pins the properties that make partitioning worth having at 100 TB:
+directory-level pruning with zero file opens, partition-pruned
+copy-on-write DML, metadata-only partition drops (0 files rewritten),
+dynamic partition overwrite with link-carried untouched partitions,
+typed partition values (declaration-typed, never inference-typed),
+and partition-aware change feeds on both the JVM and Python routes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.streaming.cdf import (
+    read_changes_batch, read_changes_batch_pysource, stream_upsert_changes)
+from house_price_etl_pipeline_spark.streaming.ingest import (
+    _journal_state, clone_upsert_table, describe_upsert_history,
+    optimize_upsert_target, read_upsert_changes, read_upsert_version,
+    restore_upsert_target, upsert_commit_batch, upsert_delete_where,
+    upsert_drop_partitions, upsert_merge_into, upsert_overwrite_partitions,
+    upsert_update_where)
+from house_price_etl_pipeline_spark.streaming.partitioning import (
+    partition_values_of, set_table_partitioning, table_partitioning)
+
+
+def _mk(spark, tmp_path, name="tbl", parts=None, n=80, buckets=4):
+    t = os.path.join(str(tmp_path), name)
+    set_table_partitioning(t, parts or {"bucket": "bigint"})
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % buckets).alias("bucket"),
+        (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(df, t, 0, key_cols=["k", "bucket"],
+                        order_col="v", keep_versions=8,
+                        incremental_min_bytes=0)
+    return t
+
+
+def _files_read(df):
+    return df.select(F.input_file_name()).distinct().count()
+
+
+def test_declaration_is_creation_time_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="table creation"):
+        set_table_partitioning(t, {"other": "int"})
+    with pytest.raises(ValueError, match="unsupported type"):
+        set_table_partitioning(os.path.join(str(tmp_path), "t2"),
+                               {"x": "double"})
+
+
+def test_hive_layout_and_partition_pruning(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    head = os.path.realpath(t)
+    subdirs = sorted(d for d in os.listdir(head)
+                     if os.path.isdir(os.path.join(head, d)))
+    assert subdirs == [f"bucket={i}" for i in range(4)]
+    snap = read_upsert_version(spark, t)
+    # declaration-typed, not inference-typed
+    assert dict(snap.dtypes)["bucket"] == "bigint"
+    total = _files_read(snap)
+    pruned = _files_read(snap.filter(F.col("bucket") == 1))
+    assert pruned < total
+    plan = snap.filter(F.col("bucket") == 1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_string_partition_values_round_trip(spark, tmp_path):
+    """Inference would collapse '007' to int 7 and misread values with
+    spaces/escaped chars; the declaration-typed read must not."""
+    t = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(t, {"tag": "string"})
+    df = spark.createDataFrame(
+        [(1, "007", 10), (2, "a b", 20), (3, "x=y/z", 30), (4, None, 40)],
+        "k bigint, tag string, v bigint")
+    upsert_commit_batch(df, t, 0, key_cols=["k", "tag"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    got = {(r["k"], r["tag"]) for r in
+           read_upsert_version(spark, t).collect()}
+    assert got == {(1, "007"), (2, "a b"), (3, "x=y/z"), (4, None)}
+
+
+def test_incremental_cow_touches_only_delta_partitions(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    delta = spark.range(0, 5).select(
+        (F.col("id") * 4 + 2).alias("k"),
+        F.lit(2).cast("bigint").alias("bucket"),
+        F.lit(999).cast("bigint").alias("v"))
+    upsert_commit_batch(delta, t, 1, key_cols=["k", "bucket"],
+                        order_col="v", keep_versions=8,
+                        incremental_min_bytes=0)
+    commits, _ = _journal_state(t + "_versions")
+    entry = commits[-1]
+    assert entry["files_rewritten"] >= 1
+    assert entry["files_reused"] >= 1
+    # carried files are hard links; every REWRITTEN (non-carried) file
+    # lives under the delta's own partition — file-granular COW never
+    # rewrites outside the touched partitions when they're in the key
+    prev = os.path.join(t + "_versions", commits[-2]["version_name"])
+    cur = os.path.join(t + "_versions", entry["version_name"])
+    carried = 0
+    for root, _dirs, files in os.walk(cur):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), cur)
+            old = os.path.join(prev, rel)
+            if os.path.exists(old) and os.path.samefile(
+                    os.path.join(root, f), old):
+                carried += 1
+            else:
+                assert rel.startswith("bucket=2" + os.sep), rel
+    assert carried == entry["files_reused"]
+    # result correctness
+    rows = read_upsert_version(spark, t)
+    assert rows.count() == 80
+    assert rows.filter("v = 999").count() == 5
+
+
+def test_drop_partitions_is_metadata_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    res = upsert_drop_partitions(spark, t, 1, "bucket = 3",
+                                 keep_versions=8)
+    assert res == "applied"
+    commits, _ = _journal_state(t + "_versions")
+    assert commits[-1]["files_rewritten"] == 0
+    assert commits[-1]["dropped_partitions"] == ["bucket=3"]
+    snap = read_upsert_version(spark, t)
+    assert snap.count() == 60
+    assert snap.filter("bucket = 3").count() == 0
+    # exactly-once replay
+    assert upsert_drop_partitions(spark, t, 1, "bucket = 3",
+                                  keep_versions=8) == "replayed"
+    # 3VL: a predicate that is NULL for a partition keeps it
+    upsert_drop_partitions(spark, t, 2, "bucket > CAST(NULL AS BIGINT)",
+                           keep_versions=8)
+    assert read_upsert_version(spark, t).count() == 60
+
+
+def test_drop_partitions_rejects_row_predicates(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="non-partition column"):
+        upsert_drop_partitions(spark, t, 1, "v > 100", keep_versions=8)
+    flat = os.path.join(str(tmp_path), "flat")
+    df = spark.range(5).select(F.col("id").alias("k"),
+                               F.col("id").alias("v"))
+    upsert_commit_batch(df, flat, 0, key_cols=["k"], order_col="v")
+    with pytest.raises(ValueError, match="not PARTITIONED BY"):
+        upsert_drop_partitions(spark, flat, 1, "k = 1")
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ow = spark.range(0, 3).select(
+        (F.col("id") + 500).alias("k"),
+        F.lit(1).cast("bigint").alias("bucket"),
+        F.lit(7).cast("bigint").alias("v"))
+    assert upsert_overwrite_partitions(
+        spark, t, 1, ow, key_cols=["k", "bucket"],
+        keep_versions=8) == "applied"
+    snap = read_upsert_version(spark, t)
+    assert snap.filter("bucket = 1").count() == 3
+    assert snap.filter("bucket != 1").count() == 60
+    commits, _ = _journal_state(t + "_versions")
+    assert commits[-1]["op"] == "overwrite"
+    assert commits[-1]["files_reused"] >= 1
+    assert commits[-1]["replaced_partitions"] == 1
+    # change feed sees the replacement as row-level diffs
+    ch = read_upsert_changes(spark, t, 0, 1, ["k", "bucket"])
+    by = {r["change_type"]: r["cnt"] for r in
+          ch.groupBy("change_type").agg(F.count("*").alias("cnt"))
+          .collect()}
+    assert by == {"insert": 3, "delete": 20}
+
+
+def test_overwrite_requires_partition_cols_in_key(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    ow = spark.range(1).select(F.col("id").alias("k"),
+                               F.lit(0).cast("bigint").alias("bucket"),
+                               F.lit(0).cast("bigint").alias("v"))
+    with pytest.raises(ValueError, match="must be part of key_cols"):
+        upsert_overwrite_partitions(spark, t, 1, ow, key_cols=["k"])
+    dup = ow.unionByName(ow)
+    with pytest.raises(ValueError, match="multiple rows"):
+        upsert_overwrite_partitions(spark, t, 1, dup,
+                                    key_cols=["k", "bucket"])
+
+
+def test_delete_update_merge_on_partitioned(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    upsert_delete_where(spark, t, 1, "bucket = 0 AND v >= 400",
+                        keep_versions=8, incremental_min_bytes=0)
+    snap = read_upsert_version(spark, t)
+    assert snap.count() == 80 - 10
+    upsert_update_where(spark, t, 2, "bucket = 1", {"v": "v + 1"},
+                        key_cols=["k", "bucket"], keep_versions=8,
+                        incremental_min_bytes=0)
+    assert read_upsert_version(spark, t).filter("bucket = 1 AND v % 10 = 1") \
+        .count() == 20
+    src = spark.createDataFrame([(1, 1, 12345), (901, 1, 1)],
+                                "k bigint, bucket bigint, v bigint")
+    upsert_merge_into(spark, t, 3, src, ["k", "bucket"],
+                      keep_versions=8, incremental_min_bytes=0)
+    got = {r["k"]: r["v"] for r in read_upsert_version(spark, t)
+           .filter("k in (1, 901)").collect()}
+    assert got == {1: 12345, 901: 1}
+
+
+def test_optimize_restore_clone_preserve_layout(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    upsert_drop_partitions(spark, t, 1, "bucket = 0", keep_versions=8)
+    assert optimize_upsert_target(spark, t, keep_versions=8,
+                                  stats_cols=[]) is not None
+    head = os.path.realpath(t)
+    assert any(d.startswith("bucket=") for d in os.listdir(head))
+    assert read_upsert_version(spark, t).count() == 60
+    with pytest.raises(ValueError, match="not supported on PARTITIONED"):
+        optimize_upsert_target(spark, t, keep_versions=8,
+                               stats_cols=["v"])
+    c = os.path.join(str(tmp_path), "clone")
+    clone_upsert_table(t, c)
+    assert table_partitioning(c) == {"bucket": "bigint"}
+    assert read_upsert_version(spark, c).count() == 60
+    restore_upsert_target(spark, t, 0, as_version=10, keep_versions=8)
+    assert read_upsert_version(spark, t).count() == 80
+
+
+def test_partitioned_change_feed_stream_and_batch(spark, tmp_path):
+    t = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(t, {"bucket": "bigint", "tag": "string"})
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("bucket"),
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .otherwise(F.lit("t 01")).alias("tag"),
+        (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(df, t, 0, key_cols=["k", "bucket", "tag"],
+                        order_col="v", keep_versions=8,
+                        incremental_min_bytes=0)
+    d2 = spark.range(0, 4).select(
+        (F.col("id") * 3).alias("k"),
+        F.lit(0).cast("bigint").alias("bucket"),
+        F.lit("t 01").alias("tag"),
+        F.lit(12345).cast("bigint").alias("v"))
+    upsert_commit_batch(d2, t, 1, key_cols=["k", "bucket", "tag"],
+                        order_col="v", keep_versions=8,
+                        incremental_min_bytes=0)
+    upsert_drop_partitions(spark, t, 2, "bucket = 2", keep_versions=8)
+
+    from house_price_etl_pipeline_spark.streaming.windows import _drain
+    out = _drain(stream_upsert_changes(spark, t, ["k", "bucket", "tag"]),
+                 spark, output_mode="append")
+    by = {(r["_commit_version"], r["change_type"]): r["cnt"]
+          for r in out.groupBy("_commit_version", "change_type")
+          .agg(F.count("*").alias("cnt")).collect()}
+    assert by[(0, "insert")] == 30
+    assert by[(2, "delete")] == 10
+    # stream rows carry typed partition values parsed from the path
+    tags = {r["tag"] for r in out.filter("_commit_version = 0")
+            .select("tag").distinct().collect()}
+    assert tags == {None, "t 01"}
+    jvm = read_changes_batch(spark, t, ["k", "bucket", "tag"])
+    py = read_changes_batch_pysource(spark, t, ["k", "bucket", "tag"])
+    assert set(map(tuple, jvm.collect())) == set(map(tuple, py.collect()))
+
+
+def test_partition_values_of_parses_typed(tmp_path):
+    parts = {"d": "date", "b": "boolean", "n": "int"}
+    import datetime as dt
+    vals = partition_values_of(
+        os.path.join("d=2024-01-15", "b=true", "n=7", "x.parquet"), parts)
+    assert vals == {"d": dt.date(2024, 1, 15), "b": True, "n": 7}
+    vals = partition_values_of(
+        os.path.join("d=__HIVE_DEFAULT_PARTITION__", "b=false", "n=0",
+                     "x.parquet"), parts)
+    assert vals["d"] is None
+    with pytest.raises(ValueError, match="partition segment"):
+        partition_values_of(os.path.join("wrong=1", "b=true", "n=1",
+                                         "x.parquet"), parts)
+
+
+def test_history_shows_partition_ops(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    upsert_drop_partitions(spark, t, 1, "bucket = 0", keep_versions=8)
+    ow = spark.range(1).select(
+        (F.col("id") + 600).alias("k"),
+        F.lit(1).cast("bigint").alias("bucket"),
+        F.lit(0).cast("bigint").alias("v"))
+    upsert_overwrite_partitions(spark, t, 2, ow,
+                                key_cols=["k", "bucket"], keep_versions=8)
+    hist = describe_upsert_history(spark, t)
+    ops = [r["op"] for r in hist.orderBy("seq").collect()]
+    assert ops == ["upsert", "delete", "overwrite"]
