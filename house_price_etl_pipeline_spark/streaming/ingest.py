@@ -1742,6 +1742,7 @@ def optimize_upsert_target(spark, target_dir: str,
                            target_file_bytes: int = 128 * 1024 * 1024,
                            zorder_by: list[str] | None = None,
                            stats_cols: list[str] | None = None,
+                           min_file_bytes: int | None = None,
                            _pre_stage_hook=None) -> str | None:
     """OPTIMIZE: rewrite the journal-head snapshot into sized files
     (small-file compaction — the lakehouse maintenance op that keeps
@@ -1771,7 +1772,22 @@ def optimize_upsert_target(spark, target_dir: str,
     per-file min/max manifest into the rewritten snapshot
     (skipping.write_stats_manifest — Delta's add.stats analog), which
     ``skipping.read_skipping`` uses to drop whole files before the
-    scan; pass [] to disable."""
+    scan; pass [] to disable.
+
+    ``min_file_bytes`` switches to INCREMENTAL compaction — Delta's
+    actual OPTIMIZE contract (its minFileSize): only files SMALLER
+    than the threshold are bin-packed and rewritten; every
+    already-sized file carries into the compacted snapshot by hard
+    link, and a partition (or flat table) holding fewer than two small
+    files has nothing to pack and is carried whole. At 100 TB this is
+    the difference between maintenance costing O(small-file debt) —
+    typically the last few commits' worth — and costing O(table) per
+    run; the default full rewrite stays available for re-clustering
+    (and is what ``zorder_by`` requires, since clustering is a global
+    property — the two options are mutually exclusive). Small files
+    are packed per partition directory, so the rewrite never moves a
+    row across Hive partitions. Returns None when there is no
+    small-file debt to pay."""
     import math
     import os
     import shutil
@@ -1779,7 +1795,13 @@ def optimize_upsert_target(spark, target_dir: str,
 
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
+    from .partitioning import table_partitioning
 
+    if min_file_bytes is not None and zorder_by:
+        raise ValueError(
+            "zorder_by requires the full rewrite — clustering is a "
+            "global property of the snapshot; drop min_file_bytes or "
+            "zorder_by")
     versions_root = target_dir + "_versions"
     for _attempt in range(24):
         if _attempt:
@@ -1792,34 +1814,80 @@ def optimize_upsert_target(spark, target_dir: str,
         if _pre_stage_hook is not None:
             _pre_stage_hook(_attempt, head["version_name"])
         stage = f"_stage_{writer}_{uuid.uuid4().hex[:8]}"
+        reuse_stats = None
         try:
-            n_parts = max(1, math.ceil(
-                _data_file_bytes(src) / max(target_file_bytes, 1)))
-            snap = _snapshot_read(spark, target_dir, src)
-            if zorder_by:
-                # OPTIMIZE ZORDER: range-partition + sort on the Morton
-                # z-value so every output file is narrow in EVERY zorder
-                # dimension — parquet min/max stats then prune scans
-                # filtered on ANY of them, where a plain sort prunes
-                # only the leading key. Bit depth scales with the
-                # rewrite width: granularity just has to exceed the
-                # file count (2 extra bits of headroom), capped at 8
-                # bits/dim so the cuts array stays tiny.
-                bits = min(8, max(4, n_parts.bit_length() + 2))
-                rewritten = (
-                    snap.withColumn("_z", _zorder_value(
-                        snap, zorder_by, bits))
-                    .repartitionByRange(n_parts, "_z")
-                    .sortWithinPartitions("_z")
-                    .drop("_z"))
+            if min_file_bytes is not None:
+                # incremental compaction: bin-pack ONLY the small-file
+                # debt, per partition directory; carry the rest by link
+                small_by_dir: dict[str, list[str]] = {}
+                sizes: dict[str, int] = {}
+                kept: list[str] = []
+                for f in _snapshot_data_files(src):
+                    try:
+                        sz = os.path.getsize(os.path.join(src, f))
+                    except OSError:
+                        raise FileNotFoundError(src)  # pruned mid-walk
+                    if sz < min_file_bytes:
+                        small_by_dir.setdefault(
+                            os.path.dirname(f), []).append(f)
+                        sizes[f] = sz
+                    else:
+                        kept.append(f)
+                to_pack: list[str] = []
+                for fs in small_by_dir.values():
+                    if len(fs) >= 2:
+                        to_pack.extend(fs)
+                    else:
+                        kept.extend(fs)     # a lone small file: no bin
+                if not to_pack:
+                    return None             # no small-file debt
+                pack_bytes = sum(sizes[f] for f in to_pack)
+                n_parts = max(1, math.ceil(
+                    pack_bytes / max(target_file_bytes, 1)))
+                sub = _snapshot_read(spark, target_dir, src,
+                                     files=sorted(to_pack))
+                parts = table_partitioning(target_dir)
+                # hash-cluster on the partition columns so each Hive
+                # partition's small files collapse into ~one output
+                # file instead of splintering across every task
+                rewritten = (sub.repartition(n_parts, *parts)
+                             if parts else sub.repartition(n_parts))
+                _stage_with_reuse(src,
+                                  os.path.join(versions_root, stage),
+                                  kept, rewritten, target_dir=target_dir)
+                reuse_stats = (len(to_pack), len(kept))
+                manifest_cols = []          # incremental runs keep the
+                #                             layout; stats manifests
+                #                             are the full rewrite's job
             else:
-                rewritten = snap.repartition(n_parts)
-            _staged_write(rewritten, target_dir,
-                          os.path.join(versions_root, stage),
-                          max_records_per_file=max_records_per_file)
-            manifest_cols = (list(zorder_by or [])
-                             if stats_cols is None else list(stats_cols))
-            from .partitioning import table_partitioning
+                n_parts = max(1, math.ceil(
+                    _data_file_bytes(src) / max(target_file_bytes, 1)))
+                snap = _snapshot_read(spark, target_dir, src)
+                if zorder_by:
+                    # OPTIMIZE ZORDER: range-partition + sort on the
+                    # Morton z-value so every output file is narrow in
+                    # EVERY zorder dimension — parquet min/max stats
+                    # then prune scans filtered on ANY of them, where a
+                    # plain sort prunes only the leading key. Bit depth
+                    # scales with the rewrite width: granularity just
+                    # has to exceed the file count (2 extra bits of
+                    # headroom), capped at 8 bits/dim so the cuts array
+                    # stays tiny.
+                    bits = min(8, max(4, n_parts.bit_length() + 2))
+                    rewritten = (
+                        snap.withColumn("_z", _zorder_value(
+                            snap, zorder_by, bits))
+                        .repartitionByRange(n_parts, "_z")
+                        .sortWithinPartitions("_z")
+                        .drop("_z"))
+                else:
+                    rewritten = snap.repartition(n_parts)
+                _staged_write(rewritten, target_dir,
+                              os.path.join(versions_root, stage),
+                              max_records_per_file=max_records_per_file)
+                manifest_cols = (list(zorder_by or [])
+                                 if stats_cols is None
+                                 else list(stats_cols))
             if manifest_cols and table_partitioning(target_dir):
                 # per-file stats manifests assume the flat snapshot
                 # layout; a partitioned table's directory pruning is
@@ -1844,7 +1912,8 @@ def optimize_upsert_target(spark, target_dir: str,
                           ignore_errors=True)
             now, _ = _journal_state(versions_root)
             if (now[-1]["seq"] if now else -1) != head["seq"] \
-                    and _input_vanished(exc):
+                    and (_input_vanished(exc)
+                         or isinstance(exc, FileNotFoundError)):
                 continue
             raise
         perm = f"v{head['version']}_compact_{uuid.uuid4().hex[:8]}"
@@ -1854,6 +1923,8 @@ def optimize_upsert_target(spark, target_dir: str,
                  "version_name": perm, "writer": writer}
         if zorder_by:
             entry["zorder"] = list(zorder_by)
+        if reuse_stats is not None:
+            entry["files_rewritten"], entry["files_reused"] = reuse_stats
         if try_commit(_commits_dir(versions_root), head["seq"] + 1,
                       entry):
             commits, _ = _journal_state(versions_root)
@@ -3615,4 +3686,80 @@ def maintenance_partition_overwrite(spark: SparkSession,
              F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
              .cast("double").alias("sum_price"))
         .orderBy("o_orderpriority")
+    )
+
+
+@_catalog_register(
+    "maintenance_incremental_optimize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id FROM events
+      WHERE user_id < 300 AND event_id % 2 = 0
+    ),
+    merged AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users,
+           CAST(SUM(event_id) AS BIGINT) AS sum_events,
+           TRUE AS debt_paid
+    FROM merged
+    """,
+)
+def maintenance_incremental_optimize(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE under the value-hash gate. Three
+    disjoint-key commits build the classic streaming small-file debt
+    (disjoint keys → the COW touched-file join finds nothing → each
+    commit carries the old files and ADDS one small file), then
+    ``optimize_upsert_target(min_file_bytes=...)`` bin-packs ONLY the
+    small files — Delta's minFileSize contract, maintenance cost
+    O(debt) instead of O(table). The oracle replays the keep-latest
+    state relationally (compaction must be a pure rewrite — any row
+    lost, duplicated, or perturbed by the pack shifts the sums);
+    ``debt_paid`` pins that the first run found debt and a second run
+    found none (the no-op contract)."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+
+    root = query_workspace("inc_optimize", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter((F.col("user_id") < 300) & (F.col("event_id") % 2 == 0))
+          .select("user_id", "event_id"))
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(
+            ev.filter(F.col("user_id") < 100), base, 0,
+            key_cols=["user_id"], order_col="event_id", keep_versions=4)
+
+    clone_upsert_table(shared_base_table(sf_dir, "inc_opt", _build),
+                       target)
+    for i, lo, hi in ((1, 100, 200), (2, 200, 300)):
+        upsert_commit_batch(
+            ev.filter((F.col("user_id") >= lo) & (F.col("user_id") < hi)),
+            target, i, key_cols=["user_id"], order_col="event_id",
+            keep_versions=4, incremental_min_bytes=0)
+    # every data file in this harness is far below 1 GiB, so the first
+    # run packs ALL the small-file debt and the second finds none
+    first = optimize_upsert_target(spark, target, keep_versions=4,
+                                   min_file_bytes=1 << 30, stats_cols=[])
+    second = optimize_upsert_target(spark, target, keep_versions=4,
+                                    min_file_bytes=1 << 30, stats_cols=[])
+    debt_paid = first is not None and second is None
+    return (
+        read_upsert_version(spark, target)
+        .agg(F.count("*").cast("bigint").alias("n_users"),
+             F.sum("user_id").cast("bigint").alias("sum_users"),
+             F.sum("event_id").cast("bigint").alias("sum_events"))
+        .withColumn("debt_paid", F.lit(debt_paid))
     )

@@ -295,3 +295,80 @@ def test_history_shows_partition_ops(spark, tmp_path):
     hist = describe_upsert_history(spark, t)
     ops = [r["op"] for r in hist.orderBy("seq").collect()]
     assert ops == ["upsert", "delete", "overwrite"]
+
+
+def test_incremental_optimize_packs_only_small_files(spark, tmp_path):
+    """min_file_bytes switches OPTIMIZE to Delta's real contract: only
+    small files are bin-packed; sized files carry by hard link, so
+    maintenance costs O(small-file debt), never O(table)."""
+    t = os.path.join(str(tmp_path), "flat")
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(big.repartition(2), t, 0, key_cols=["k"],
+                        order_col="v", keep_versions=8)
+    for i in range(1, 4):
+        small = spark.range(i * 10000, i * 10000 + 30).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        upsert_commit_batch(small, t, i, key_cols=["k"], order_col="v",
+                            keep_versions=8, incremental_min_bytes=0)
+    head = os.path.realpath(t)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _snapshot_data_files)
+    n_before = len(_snapshot_data_files(head))
+    cutoff = 20000
+    n_big = sum(1 for f in _snapshot_data_files(head)
+                if os.path.getsize(os.path.join(head, f)) >= cutoff)
+    perm = optimize_upsert_target(spark, t, keep_versions=8,
+                                  min_file_bytes=cutoff, stats_cols=[])
+    assert perm is not None
+    commits, _ = _journal_state(t + "_versions")
+    entry = commits[-1]
+    assert entry["op"] == "optimize"
+    assert entry["files_reused"] == n_big
+    assert entry["files_rewritten"] == n_before - n_big
+    after_dir = os.path.join(t + "_versions", perm)
+    after = _snapshot_data_files(after_dir)
+    assert len(after) < n_before
+    # carried files are the same inodes
+    linked = sum(
+        1 for f in after
+        if os.path.exists(os.path.join(head, f))
+        and os.path.samefile(os.path.join(after_dir, f),
+                             os.path.join(head, f)))
+    assert linked == n_big
+    assert read_upsert_version(spark, t).count() == 5090
+    # no remaining debt: second incremental run is a no-op
+    assert optimize_upsert_target(spark, t, keep_versions=8,
+                                  min_file_bytes=cutoff,
+                                  stats_cols=[]) is None
+    with pytest.raises(ValueError, match="full rewrite"):
+        optimize_upsert_target(spark, t, min_file_bytes=cutoff,
+                               zorder_by=["k"])
+
+
+def test_incremental_optimize_packs_per_partition(spark, tmp_path):
+    """Small files pack WITHIN their Hive partition — the rewrite never
+    moves a row across partition directories, and each partition's
+    debt collapses to ~one file."""
+    t = _mk(spark, tmp_path, n=60, buckets=3)
+    for i in range(1, 4):
+        d = spark.range(i * 1000, i * 1000 + 9).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("bucket"),
+            F.lit(1).cast("bigint").alias("v"))
+        upsert_commit_batch(d, t, i, key_cols=["k", "bucket"],
+                            order_col="v", keep_versions=8,
+                            incremental_min_bytes=0)
+    before_rows = read_upsert_version(spark, t).count()
+    perm = optimize_upsert_target(spark, t, keep_versions=8,
+                                  min_file_bytes=1 << 20, stats_cols=[])
+    assert perm is not None
+    after_dir = os.path.join(t + "_versions", perm)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _snapshot_data_files)
+    after = _snapshot_data_files(after_dir)
+    per_dir = {}
+    for f in after:
+        per_dir.setdefault(os.path.dirname(f), []).append(f)
+    assert set(per_dir) == {f"bucket={i}" for i in range(3)}
+    assert all(len(fs) <= 2 for fs in per_dir.values())
+    assert read_upsert_version(spark, t).count() == before_rows
