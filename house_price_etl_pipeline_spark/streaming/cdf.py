@@ -110,14 +110,19 @@ def _table_columns(target_dir: str) -> list[tuple[str, str]]:
     reader uses)."""
     import pyarrow.parquet as pq
 
+    from .colmap import table_column_mapping
+
     parts = table_partitioning(target_dir)
+    m = table_column_mapping(target_dir)
+    phys_to_log = {p: lg for lg, p in m["renames"].items()}
+    dropped = set(m["dropped"])
     snap = os.path.realpath(target_dir)
     files = _data_files(snap)
     if not files:
         raise FileNotFoundError(f"no data files under {snap}")
     sch = pq.ParquetFile(os.path.join(snap, files[0])).schema_arrow
-    cols = [(f.name, _arrow_to_ddl_type(f.type)) for f in sch
-            if f.name not in parts]
+    cols = [(phys_to_log.get(f.name, f.name), _arrow_to_ddl_type(f.type))
+            for f in sch if f.name not in parts and f.name not in dropped]
     cols += list(parts.items())
     return cols
 
@@ -141,7 +146,7 @@ def _vals_equal(a, b) -> bool:
 class _VersionDiff(InputPartition):
     def __init__(self, prev_dir, cur_dir, version, key_cols, columns,
                  split, n_splits, old_files=(), new_files=(),
-                 parts=None):
+                 parts=None, phys_of=None):
         self.prev_dir = prev_dir        # None for the initial commit
         self.cur_dir = cur_dir
         self.version = version
@@ -152,6 +157,7 @@ class _VersionDiff(InputPartition):
         self.old_files = list(old_files)   # changed files, prev side
         self.new_files = list(new_files)   # changed files, cur side
         self.parts = dict(parts or {})  # PARTITIONED BY {col: ddl}
+        self.phys_of = dict(phys_of or {})  # column mapping log→phys
 
 
 class UpsertChangesStreamReader(DataSourceStreamReader):
@@ -210,6 +216,8 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         self.starting_version = int(sv) if sv is not None else None
         self._pos: int | None = None
         self.parts = table_partitioning(self.path)
+        from .colmap import table_column_mapping
+        self.phys_of = dict(table_column_mapping(self.path)["renames"])
         self.columns = [c for c, _ in _table_columns(self.path)]
         missing = [k for k in self.key_cols if k not in self.columns]
         if missing:
@@ -305,7 +313,7 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         return [
             _VersionDiff(prev_dir, cur_dir, version, self.key_cols,
                          self.columns, s, n, old_only, new_only,
-                         parts=self.parts)
+                         parts=self.parts, phys_of=self.phys_of)
             for s in range(n)]
 
     def partitions(self, start: dict, end: dict):
@@ -369,8 +377,10 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
                          if p.parts else {})
 
                 def colvals(rb, names, c):
-                    if c in names:
-                        return rb.column(names.index(c)).to_pylist()
+                    # column mapping: files carry PHYSICAL names
+                    phys = p.phys_of.get(c, c)
+                    if phys in names:
+                        return rb.column(names.index(phys)).to_pylist()
                     if c in pvals:
                         return [pvals[c]] * rb.num_rows
                     return [None] * rb.num_rows

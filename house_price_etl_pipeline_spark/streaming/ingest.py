@@ -413,24 +413,33 @@ def _snapshot_read(spark, target_dir: str, snap_dir: str,
     partition columns. ``files`` are relative to ``snap_dir``."""
     import os
 
+    from .colmap import table_column_mapping, to_logical
     from .partitioning import read_snapshot, table_partitioning
 
     parts = table_partitioning(target_dir)
     if parts:
-        return read_snapshot(spark, snap_dir, parts, files)
-    if files is not None:
-        return spark.read.parquet(
+        df = read_snapshot(spark, snap_dir, parts, files)
+    elif files is not None:
+        df = spark.read.parquet(
             *(os.path.join(snap_dir, f) for f in files))
-    return spark.read.parquet(snap_dir)
+    else:
+        df = spark.read.parquet(snap_dir)
+    # column mapping: physical file names → the table's logical schema
+    # (renames applied, dropped columns hidden) — no-op without mapping
+    return to_logical(df, table_column_mapping(target_dir))
 
 
 def _staged_write(df, target_dir: str, stage_path: str,
                   max_records_per_file: int | None = None) -> None:
     """Staged snapshot write honoring the table's PARTITIONED BY spec
-    (Hive layout via ``partitionBy``); the one write path every full
+    (Hive layout via ``partitionBy``) and its column mapping (logical →
+    physical names, so renames never change the on-disk schema and
+    hard-link carries stay valid); the one write path every full
     rewrite shares."""
+    from .colmap import table_column_mapping, to_physical
     from .partitioning import table_partitioning
 
+    df = to_physical(df, table_column_mapping(target_dir))
     w = df.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
@@ -3073,6 +3082,11 @@ def clone_upsert_table(src_target: str, dst_target: str,
     if src_parts:
         from ..fsutil import atomic_write_json
         atomic_write_json(_partitioning_path(dst_target), src_parts)
+    from .colmap import _colmap_path, _has_mapping, table_column_mapping
+    src_map = table_column_mapping(src_target)
+    if _has_mapping(src_map):
+        from ..fsutil import atomic_write_json
+        atomic_write_json(_colmap_path(dst_target), src_map)
     cms, _ = _journal_state(dst_root)
     _publish_commit(dst_target, dst_root, cms, keep_versions=2)
     return perm
@@ -3762,4 +3776,78 @@ def maintenance_incremental_optimize(spark: SparkSession,
              F.sum("user_id").cast("bigint").alias("sum_users"),
              F.sum("event_id").cast("bigint").alias("sum_events"))
         .withColumn("debt_paid", F.lit(debt_paid))
+    )
+
+
+@_catalog_register(
+    "table_column_mapping_dml",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    renamed AS (
+      SELECT o_orderkey, o_custkey, o_totalprice AS amount
+      FROM o                       -- o_orderstatus dropped, price renamed
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_custkey % 10 = 0 THEN amount * 2
+                  ELSE amount END AS amount
+      FROM renamed
+    )
+    SELECT CAST(o_custkey % 5 AS BIGINT) AS cust_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS sum_amount
+    FROM upd GROUP BY 1 ORDER BY 1
+    """,
+)
+def table_column_mapping_dml(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Column mapping under the value-hash gate: a committed orders
+    slice gets ``o_totalprice`` RENAMED to ``amount`` and
+    ``o_orderstatus`` DROPPED — both O(1) metadata flips, zero data
+    movement (the files keep their physical names; that is what keeps
+    every retained snapshot's hard links valid) — then an UPDATE runs
+    against the NEW logical schema and the final read aggregates by
+    the logical names. The oracle replays rename+drop+update
+    relationally; a reader leaking physical names, resurrecting the
+    dropped column, or an UPDATE writing through the wrong physical
+    mapping changes the schema or the sums and fails the gate."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+    from .colmap import drop_table_column, rename_table_column
+
+    root = query_workspace("colmap_dml", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 4 == 0)
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderstatus"))
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(o, base, 0, key_cols=["o_orderkey"],
+                            order_col="o_orderkey", keep_versions=4)
+
+    clone_upsert_table(shared_base_table(sf_dir, "colmap_dml", _build),
+                       target)
+    rename_table_column(spark, target, "o_totalprice", "amount")
+    drop_table_column(spark, target, "o_orderstatus")
+    upsert_update_where(
+        spark, target, 1, "o_custkey % 10 = 0",
+        {"amount": "amount * 2"}, key_cols=["o_orderkey"],
+        keep_versions=4, incremental_min_bytes=0)
+    return (
+        read_upsert_version(spark, target)
+        .groupBy((F.col("o_custkey") % 5).cast("bigint")
+                 .alias("cust_band"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             F.sum(F.col("amount").cast("decimal(25,6)"))
+             .cast("double").alias("sum_amount"))
+        .orderBy("cust_band")
     )
