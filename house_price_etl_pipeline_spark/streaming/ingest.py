@@ -3851,3 +3851,68 @@ def table_column_mapping_dml(spark: SparkSession,
              .cast("double").alias("sum_amount"))
         .orderBy("cust_band")
     )
+
+
+def describe_upsert_detail(spark, target_dir: str) -> DataFrame:
+    """Delta's ``DESCRIBE DETAIL``: one row of table-level metadata —
+    location, format, current version, file count and bytes of the
+    published snapshot, partition columns, and the declared metadata
+    surfaces (CHECK constraints, generated columns, identity, column
+    mapping, clone provenance). Driver-side journal/metadata reads plus
+    one directory walk of the HEAD snapshot only (file counts at 100 TB
+    come from the listing the table already maintains — never a data
+    scan), returned as a DataFrame so it composes with the rest of the
+    API like describe_upsert_history."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from .colmap import table_column_mapping
+    from .partitioning import table_partitioning
+
+    versions_root = target_dir + "_versions"
+    commits, applied = _journal_state(versions_root)
+    if not commits:
+        raise FileNotFoundError(f"no upsert table at {target_dir}")
+    head = commits[-1]
+    head_dir = os.path.join(versions_root, head["version_name"])
+    files = _snapshot_data_files(head_dir)
+    size = _data_file_bytes(head_dir)
+    parts = table_partitioning(target_dir)
+    m = table_column_mapping(target_dir)
+    ident = table_identity_column(target_dir)
+    cloned = next((c["cloned_from"] for c in commits
+                   if c.get("cloned_from")), None)
+    schema = T.StructType([
+        T.StructField("location", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("num_files", T.LongType()),
+        T.StructField("size_in_bytes", T.LongType()),
+        T.StructField("num_versions_retained", T.LongType()),
+        T.StructField("partition_columns",
+                      T.ArrayType(T.StringType())),
+        T.StructField("check_constraints",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("generated_columns",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("identity_column", T.StringType()),
+        T.StructField("column_renames",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("dropped_columns",
+                      T.ArrayType(T.StringType())),
+        T.StructField("cloned_from", T.StringType()),
+    ])
+    retained = len({
+        c["version"] for c in commits
+        if c.get("op") in _VERSIONING_OPS
+        and os.path.isdir(os.path.join(versions_root,
+                                       c.get("version_name") or ""))})
+    row = (os.path.abspath(target_dir), "parquet/upsert-journal",
+           int(head["version"]), len(files), int(size), retained,
+           list(parts), table_check_constraints(target_dir),
+           table_generated_columns(target_dir),
+           json.dumps(ident) if ident else None,
+           dict(m["renames"]), list(m["dropped"]), cloned)
+    return spark.createDataFrame([row], schema)

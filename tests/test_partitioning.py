@@ -372,3 +372,23 @@ def test_incremental_optimize_packs_per_partition(spark, tmp_path):
     assert set(per_dir) == {f"bucket={i}" for i in range(3)}
     assert all(len(fs) <= 2 for fs in per_dir.values())
     assert read_upsert_version(spark, t).count() == before_rows
+
+
+def test_describe_detail_surfaces_table_metadata(spark, tmp_path):
+    from house_price_etl_pipeline_spark.streaming.colmap import (
+        rename_table_column)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        describe_upsert_detail, set_table_check_constraint)
+    t = _mk(spark, tmp_path)
+    rename_table_column(spark, t, "v", "val")
+    set_table_check_constraint(spark, t, "val_pos", "val >= 0")
+    c = os.path.join(str(tmp_path), "clone")
+    clone_upsert_table(t, c)
+    d = describe_upsert_detail(spark, c).first()
+    assert d["format"] == "parquet/upsert-journal"
+    assert d["version"] == 0
+    assert d["partition_columns"] == ["bucket"]
+    assert d["check_constraints"] == {"val_pos": "val >= 0"}
+    assert d["column_renames"] == {"val": "v"}
+    assert d["cloned_from"] == os.path.abspath(t)
+    assert d["num_files"] > 0 and d["size_in_bytes"] > 0
