@@ -3393,7 +3393,7 @@ def test_link_phase_vanished_base_retries(spark, tmp_path, monkeypatch):
     real = ing._stage_with_reuse
     state = {"raised": False}
 
-    def flaky(base_dir, stage_dir, kept, df):
+    def flaky(base_dir, stage_dir, kept, df, **kwargs):
         if not state["raised"]:
             state["raised"] = True
             # another writer lands a commit while we stage, then our
@@ -3404,7 +3404,7 @@ def test_link_phase_vanished_base_retries(spark, tmp_path, monkeypatch):
             raise FileNotFoundError(
                 2, "No such file or directory",
                 base_dir + "/part-gone.parquet")
-        return real(base_dir, stage_dir, kept, df)
+        return real(base_dir, stage_dir, kept, df, **kwargs)
 
     monkeypatch.setattr(ing, "_stage_with_reuse", flaky)
     assert ing.upsert_commit_batch(
