@@ -119,7 +119,14 @@ def _table_columns(target_dir: str) -> list[tuple[str, str]]:
     snap = os.path.realpath(target_dir)
     files = _data_files(snap)
     if not files:
-        raise FileNotFoundError(f"no data files under {snap}")
+        from .partitioning import read_empty_marker
+        marker = read_empty_marker(snap)
+        if marker is None:
+            raise FileNotFoundError(f"no data files under {snap}")
+        # empty partitioned head: the marker preserves the physical
+        # schema (partition columns already appended at stage time)
+        return [(phys_to_log.get(n, n), t) for n, t in marker
+                if n not in dropped]
     sch = pq.ParquetFile(os.path.join(snap, files[0])).schema_arrow
     cols = [(phys_to_log.get(f.name, f.name), _arrow_to_ddl_type(f.type))
             for f in sch if f.name not in parts and f.name not in dropped]

@@ -461,6 +461,14 @@ def _staged_write(df, target_dir: str, stage_path: str,
                 f"never per-batch)")
         w = w.partitionBy(*parts)
     w.parquet(stage_path)
+    if parts:
+        from .partitioning import write_empty_marker_if_needed
+        # a DELETE/drop that empties a PARTITIONED table writes ZERO
+        # part files (partitionBy creates files per live partition
+        # value), which would leave the snapshot schemaless; the
+        # marker preserves the physical schema so the typed read
+        # returns an empty, correctly-typed frame
+        write_empty_marker_if_needed(stage_path, df, parts)
 
 
 # Touched-file partition pruning collects the delta's distinct
@@ -534,6 +542,15 @@ def _stage_with_reuse(snapshot_dir: str, stage_dir: str,
                       stage_dir)
     else:
         os.makedirs(stage_dir, exist_ok=True)
+        if not kept_files:
+            # carrying NOTHING from an already-empty partitioned base
+            # (e.g. a second DELETE on an emptied table): keep the
+            # schema marker alive or the snapshot becomes unreadable
+            from .partitioning import _EMPTY_MARKER
+            src_marker = os.path.join(snapshot_dir, _EMPTY_MARKER)
+            if os.path.exists(src_marker):
+                shutil.copy2(src_marker,
+                             os.path.join(stage_dir, _EMPTY_MARKER))
     for name in kept_files:
         src = os.path.join(snapshot_dir, name)
         dst = os.path.join(stage_dir, name)
@@ -1181,9 +1198,15 @@ def upsert_drop_partitions(spark, target_dir: str, batch_id: int,
                 if tuple(v[c] for c in parts) in dropped_vals}
             kept = [f for f in _snapshot_data_files(base_dir)
                     if os.path.dirname(f) not in dropped_dirs]
+            # dropping EVERY partition leaves zero data files: stage an
+            # empty typed write so the snapshot keeps its schema (the
+            # _EMPTY marker path in _staged_write)
+            rewritten = (None if kept
+                         else _snapshot_read(spark, target_dir,
+                                             base_dir).limit(0))
             _stage_with_reuse(base_dir,
                               os.path.join(versions_root, stage),
-                              kept, None, target_dir=target_dir)
+                              kept, rewritten, target_dir=target_dir)
         except Exception as exc:
             shutil.rmtree(os.path.join(versions_root, stage),
                           ignore_errors=True)

@@ -156,6 +156,34 @@ def _walk_data_files(snapshot_dir: str) -> list[str]:
     return sorted(out)
 
 
+_EMPTY_MARKER = "_EMPTY.json"
+
+
+def write_empty_marker_if_needed(stage_dir: str, df,
+                                 parts: dict[str, str]) -> None:
+    """A partitionBy write of ZERO rows creates no data files — the
+    staged snapshot would lose its schema (flat tables dodge this:
+    their single-task empty write still emits one part file). Persist
+    the PHYSICAL column list so the typed read can return an empty,
+    correctly-typed frame; the marker starts with '_' so file walks,
+    carries, and change-feed diffs all ignore it."""
+    if _walk_data_files(stage_dir):
+        return
+    cols = [[f.name, f.dataType.simpleString()]
+            for f in df.schema.fields if f.name not in parts]
+    cols += [[c, t] for c, t in parts.items()]
+    with open(os.path.join(stage_dir, _EMPTY_MARKER), "w") as f:
+        json.dump({"columns": cols}, f)
+
+
+def read_empty_marker(snapshot_dir: str) -> list[list[str]] | None:
+    p = os.path.join(snapshot_dir, _EMPTY_MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)["columns"]
+
+
 def snapshot_schema_ddl(snapshot_dir: str, parts: dict[str, str]) -> str:
     """Explicit read schema for a partitioned snapshot: the data
     columns from ONE parquet footer (snapshots are schema-uniform —
@@ -169,6 +197,9 @@ def snapshot_schema_ddl(snapshot_dir: str, parts: dict[str, str]) -> str:
 
     files = _walk_data_files(snapshot_dir)
     if not files:
+        marker = read_empty_marker(snapshot_dir)
+        if marker is not None:
+            return ", ".join(f"`{n}` {t}" for n, t in marker)
         raise FileNotFoundError(
             f"no data files under snapshot {snapshot_dir}")
     sch = pq.ParquetFile(

@@ -392,3 +392,122 @@ def test_describe_detail_surfaces_table_metadata(spark, tmp_path):
     assert d["column_renames"] == {"val": "v"}
     assert d["cloned_from"] == os.path.abspath(t)
     assert d["num_files"] > 0 and d["size_in_bytes"] > 0
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+
+    _P_UPSERT = st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 99)),
+        min_size=1, max_size=5).map(lambda ps: ("upsert", ps))
+    _P_OP = st.one_of(
+        _P_UPSERT,
+        st.integers(0, 99).map(lambda t: ("delete", t)),
+        st.tuples(st.integers(0, 99), st.integers(1, 7))
+        .map(lambda tc: ("update", tc)),
+        st.integers(0, 2).map(lambda b: ("drop", b)),
+        st.tuples(st.integers(0, 2), st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 99)),
+            min_size=1, max_size=4))
+        .map(lambda bp: ("overwrite", bp)),
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(_P_UPSERT, st.lists(_P_OP, max_size=3))
+    def test_partitioned_dml_sequence_matches_model(spark, first, rest):
+        """Differential property test over the PARTITIONED table's full
+        DML surface — keep-latest upsert, 3VL DELETE/UPDATE, metadata
+        partition drops, dynamic partition overwrite — against a dict
+        model, plus the CDC replay invariant (replaying the feed from
+        empty reconstructs the final state), so cross-op interactions
+        on the Hive layout (a COW upsert after a drop, an overwrite
+        after an update) can't silently diverge."""
+        import shutil
+        import tempfile
+
+        from house_price_etl_pipeline_spark.streaming.ingest import (
+            _journal_state, read_upsert_changes, read_upsert_version)
+
+        root = tempfile.mkdtemp()
+        target = os.path.join(root, "tbl")
+        set_table_partitioning(target, {"bucket": "bigint"})
+        model: dict[int, int] = {}          # k -> v (bucket = k % 3)
+        ord_counter = 0
+        batch_id = -1
+        for op, arg in [first] + rest:
+            batch_id += 1
+            if op == "upsert":
+                rows = []
+                for k, v in arg:
+                    rows.append((k, k % 3, ord_counter, v))
+                    ord_counter += 1
+                    model[k] = v
+                upsert_commit_batch(
+                    spark.createDataFrame(
+                        rows, "k long, bucket long, ord long, v long"),
+                    target, batch_id, key_cols=["k", "bucket"],
+                    order_col="ord", keep_versions=16,
+                    incremental_min_bytes=0)
+            elif op == "delete":
+                upsert_delete_where(spark, target, batch_id,
+                                    f"v > {arg}", keep_versions=16,
+                                    incremental_min_bytes=0)
+                model = {k: v for k, v in model.items() if not v > arg}
+            elif op == "update":
+                t, c = arg
+                upsert_update_where(spark, target, batch_id,
+                                    f"v <= {t}", {"v": f"v + {c}"},
+                                    key_cols=["k", "bucket"],
+                                    keep_versions=16,
+                                    incremental_min_bytes=0)
+                model = {k: (v + c if v <= t else v)
+                         for k, v in model.items()}
+            elif op == "drop":
+                upsert_drop_partitions(spark, target, batch_id,
+                                       f"bucket = {arg}",
+                                       keep_versions=16)
+                model = {k: v for k, v in model.items()
+                         if k % 3 != arg}
+            else:                           # overwrite
+                b, pairs = arg
+                rows, seen = [], set()
+                for i, (koff, v) in enumerate(pairs):
+                    k = 3 * koff + b        # key inside bucket b
+                    if k in seen:
+                        continue            # overwrite batch: unique keys
+                    seen.add(k)
+                    rows.append((k, b, ord_counter, v))
+                    ord_counter += 1
+                upsert_overwrite_partitions(
+                    spark, target, batch_id,
+                    spark.createDataFrame(
+                        rows, "k long, bucket long, ord long, v long"),
+                    key_cols=["k", "bucket"], keep_versions=16)
+                model = {k: v for k, v in model.items() if k % 3 != b}
+                for (k, _b, _o, v) in rows:
+                    model[k] = v
+        got = {r.k: r.v for r in
+               read_upsert_version(spark, target).collect()}
+        assert got == model
+        # CDC replay invariant across the partition ops
+        versions = [c["version"] for c in
+                    _journal_state(target + "_versions")[0]]
+        replay = {r.k: r.v for r in
+                  read_upsert_version(spark, target,
+                                      versions[0]).collect()}
+        for prev, v in zip(versions, versions[1:]):
+            for r in read_upsert_changes(spark, target, prev, v,
+                                         ["k", "bucket"]).collect():
+                if r.change_type in ("insert", "update_postimage"):
+                    replay[r.k] = r.v
+                elif r.change_type == "delete":
+                    replay.pop(r.k, None)
+        assert replay == model
+        shutil.rmtree(root, ignore_errors=True)
