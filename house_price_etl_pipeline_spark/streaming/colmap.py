@@ -27,6 +27,14 @@ Like Delta with columnMapping enabled, a renamed/dropped table's raw
 parquet is no longer faithfully readable by naive external readers
 (they see physical names); the format's own readers are the contract.
 
+Documented divergence from Delta: this format's table metadata
+(mapping, constraints, partitioning) is table-level, not versioned
+per commit — a time-travel read of a PRE-rename version shows the
+CURRENT logical names (physical names are frozen, so the data is
+identical either way), where Delta would replay the schema as of that
+version. The same rule already applies to CHECK constraints here
+(RESTORE validates against the CURRENT set).
+
 Restrictions (all refused loudly, mirroring Delta's):
 - renaming/dropping a column referenced by a CHECK constraint, a
   generated column (as target or input), the identity column, or the

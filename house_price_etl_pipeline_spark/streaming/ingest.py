@@ -3939,3 +3939,70 @@ def describe_upsert_detail(spark, target_dir: str) -> DataFrame:
            json.dumps(ident) if ident else None,
            dict(m["renames"]), list(m["dropped"]), cloned)
     return spark.createDataFrame([row], schema)
+
+
+def show_upsert_partitions(spark, target_dir: str) -> DataFrame:
+    """``SHOW PARTITIONS`` for a PARTITIONED BY table: one row per live
+    partition of the published snapshot — typed partition values plus
+    ``num_files`` and ``size_in_bytes``. Pure directory listing (the
+    same metadata walk the partition-drop path uses), no data reads;
+    at 100 TB this is the listing the table already maintains."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .partitioning import (list_partition_dirs, table_partitioning)
+
+    parts = table_partitioning(target_dir)
+    if not parts:
+        raise ValueError(f"{target_dir} is not PARTITIONED BY")
+    head = os.path.realpath(target_dir)
+    pdirs = list_partition_dirs(head, parts)
+    _ddl = {"tinyint": T.ByteType(), "smallint": T.ShortType(),
+            "int": T.IntegerType(), "bigint": T.LongType(),
+            "string": T.StringType(), "date": T.DateType(),
+            "boolean": T.BooleanType()}
+    schema = T.StructType(
+        [T.StructField(c, _ddl[t]) for c, t in parts.items()]
+        + [T.StructField("num_files", T.LongType()),
+           T.StructField("size_in_bytes", T.LongType())])
+    rows = []
+    for d, vals in sorted(pdirs.items()):
+        full = os.path.join(head, d)
+        fs = [f for f in os.listdir(full)
+              if f.endswith(".parquet") and not f.startswith(("_", "."))]
+        size = sum(os.path.getsize(os.path.join(full, f)) for f in fs)
+        rows.append(tuple(vals[c] for c in parts) + (len(fs), size))
+    return spark.createDataFrame(rows, schema)
+
+
+def auto_compact_upsert_target(spark, target_dir: str,
+                               min_small_files: int = 16,
+                               min_file_bytes: int = 16 * 1024 * 1024,
+                               target_file_bytes: int = 128 * 1024 * 1024,
+                               keep_versions: int = 2,
+                               writer: str = "auto-compact"
+                               ) -> str | None:
+    """Delta's autoCompact contract: check the head's small-file debt
+    with one listing, and run an INCREMENTAL OPTIMIZE only when at
+    least ``min_small_files`` files sit under ``min_file_bytes`` —
+    otherwise do nothing (None). Call it after commit bursts (e.g.
+    from a foreachBatch sink every N batches); the check costs a
+    directory walk, the compaction costs O(debt), and a quiet table
+    pays nothing."""
+    import os
+
+    head = os.path.realpath(target_dir)
+    small = 0
+    for f in _snapshot_data_files(head):
+        try:
+            if os.path.getsize(os.path.join(head, f)) < min_file_bytes:
+                small += 1
+        except OSError:
+            continue        # concurrent publish pruned the head mid-walk
+        if small >= min_small_files:
+            return optimize_upsert_target(
+                spark, target_dir, keep_versions=keep_versions,
+                writer=writer, target_file_bytes=target_file_bytes,
+                min_file_bytes=min_file_bytes, stats_cols=[])
+    return None

@@ -511,3 +511,55 @@ if _HAVE_HYPOTHESIS:
                     replay.pop(r.k, None)
         assert replay == model
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_show_partitions_and_auto_compact(spark, tmp_path):
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        auto_compact_upsert_target, show_upsert_partitions)
+    t = _mk(spark, tmp_path, n=60, buckets=3)
+    parts = show_upsert_partitions(spark, t).orderBy("bucket").collect()
+    assert [r["bucket"] for r in parts] == [0, 1, 2]
+    assert all(r["num_files"] >= 1 and r["size_in_bytes"] > 0
+               for r in parts)
+    # below the debt threshold: auto-compact is a no-op
+    assert auto_compact_upsert_target(
+        spark, t, min_small_files=10_000) is None
+    for i in range(1, 4):
+        d = spark.range(i * 1000, i * 1000 + 9).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("bucket"),
+            F.lit(1).cast("bigint").alias("v"))
+        upsert_commit_batch(d, t, i, key_cols=["k", "bucket"],
+                            order_col="v", keep_versions=8,
+                            incremental_min_bytes=0)
+    n_before = sum(r["num_files"] for r in
+                   show_upsert_partitions(spark, t).collect())
+    assert auto_compact_upsert_target(
+        spark, t, min_small_files=4) is not None
+    n_after = sum(r["num_files"] for r in
+                  show_upsert_partitions(spark, t).collect())
+    assert n_after < n_before
+    assert read_upsert_version(spark, t).count() == 60 + 27
+
+
+def test_generated_partition_column_composes(spark, tmp_path):
+    """Delta's partition-on-generated-column pattern: declare
+    band GENERATED ALWAYS AS (k % 4) AND partition on it — batches
+    omit the column, generation computes it pre-stage, the Hive write
+    splits on it, pruning works on the generated values."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        set_table_generated_column)
+    t = os.path.join(str(tmp_path), "genpart")
+    set_table_partitioning(t, {"band": "bigint"})
+    set_table_generated_column(spark, t, "band", "k % 4")
+    df = spark.range(0, 40).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v"))
+    upsert_commit_batch(df, t, 0, key_cols=["k", "band"],
+                        order_col="v", keep_versions=8,
+                        incremental_min_bytes=0)
+    head = os.path.realpath(t)
+    assert sorted(d for d in os.listdir(head)
+                  if os.path.isdir(os.path.join(head, d))) == \
+        [f"band={i}" for i in range(4)]
+    snap = read_upsert_version(spark, t)
+    assert snap.filter("band = 2").count() == 10
+    assert _files_read(snap.filter(F.col("band") == 2)) < _files_read(snap)
