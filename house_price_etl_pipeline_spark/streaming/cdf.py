@@ -896,3 +896,165 @@ def stream_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("user_id").cast("bigint").alias("sum_users"))
         .orderBy("_commit_version", "change_type")
     )
+
+
+def apply_changes_to_table(spark: SparkSession, src_target: str,
+                           dst_target: str, key_cols: list[str],
+                           keep_versions: int = 2,
+                           writer: str = "replicate") -> int:
+    """APPLY CHANGES INTO — replicate one versioned table into another
+    by consuming the change feed, the DLT/Delta CDC-apply pattern and
+    the canonical downstream consumer of ``read_upsert_changes``.
+
+    Each SOURCE version becomes one DESTINATION commit with the SAME
+    version number, so exactly-once falls out of the journal's replay
+    protocol: re-running after a crash (or calling repeatedly as a
+    catch-up poll) applies only versions the destination hasn't
+    journaled. The first unapplied version seeds via a keep-latest
+    commit of the source snapshot; every later one applies its
+    change-feed rows through one MERGE whose clauses are steered by a
+    CDC op column the target never stores (``source_meta_cols`` — the
+    op code is clause-condition-only, standard SQL MERGE):
+
+      delete rows  -> WHEN MATCHED AND s._cdc_op = 'd' THEN DELETE
+      upsert rows  -> WHEN MATCHED AND s._cdc_op = 'u' THEN UPDATE *
+                      WHEN NOT MATCHED AND s._cdc_op = 'u' THEN INSERT *
+
+    Retention contract (Delta's CDC lag rule): the source must retain
+    every version since the destination's last applied one
+    (``keep_versions`` on the source ≥ max replication lag); a pruned
+    gap raises rather than silently skipping history. Cost per applied
+    version is O(changed data): the feed diff reads changed files
+    only, and the MERGE stages copy-on-write. Returns the number of
+    versions applied this call."""
+    from ..fsutil import read_commit_journal
+    from .ingest import (read_upsert_changes, read_upsert_version,
+                         upsert_commit_batch, upsert_merge_into)
+
+    src_vc = [c for c in read_commit_journal(
+        _commits_dir(src_target + "_versions"))
+        if c.get("op") in _VERSIONING_OPS]
+    if not src_vc:
+        raise FileNotFoundError(f"no upsert table at {src_target}")
+    dst_applied = {c["version"] for c in read_commit_journal(
+        _commits_dir(dst_target + "_versions"))
+        if c.get("op") in _VERSIONING_OPS}
+    applied = 0
+    for i, c in enumerate(src_vc):
+        v = c["version"]
+        if v in dst_applied:
+            continue
+        if not dst_applied:
+            # empty destination: seed from the snapshot (startingVersion
+            # semantics — the initial state arrives as inserts). The
+            # source snapshot has unique keys by the format's invariant,
+            # so keep-latest's order column is irrelevant — any key
+            # column serves.
+            seed = read_upsert_version(spark, src_target, v)
+            upsert_commit_batch(
+                seed, dst_target, v, key_cols=key_cols,
+                order_col=key_cols[0],
+                keep_versions=keep_versions, writer=writer)
+            dst_applied.add(v)
+            applied += 1
+            continue
+        prev_v = src_vc[i - 1]["version"]
+        ch = read_upsert_changes(spark, src_target, prev_v, v, key_cols)
+        ups = (ch.filter(F.col("change_type")
+                         .isin("insert", "update_postimage"))
+               .drop("change_type")
+               .withColumn("_cdc_op", F.lit("u")))
+        dels = (ch.filter(F.col("change_type") == "delete")
+                .drop("change_type")
+                .withColumn("_cdc_op", F.lit("d")))
+        upsert_merge_into(
+            spark, dst_target, v, ups.unionByName(dels), key_cols,
+            matched_delete="s._cdc_op = 'd'",
+            matched_update="s._cdc_op = 'u'",
+            not_matched_insert="s._cdc_op = 'u'",
+            keep_versions=keep_versions, writer=writer,
+            source_meta_cols=("_cdc_op",))
+        dst_applied.add(v)
+        applied += 1
+    return applied
+
+
+@register(
+    "cdc_apply_changes_replica",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id FROM events
+               WHERE user_id % 2 = 1 AND user_id < 240),
+    base AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e WHERE event_id % 2 = 0) WHERE rn = 1
+    ),
+    post AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ),
+    final AS (SELECT * FROM post WHERE user_id % 5 <> 0)
+    SELECT CAST(user_id % 4 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(event_id) AS BIGINT) AS sum_events
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_apply_changes_replica(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO under the value-hash gate: a three-commit
+    source table (seed → keep-latest upsert → DELETE) is replicated
+    into a fresh table purely by consuming the change feed — each
+    source version becomes one destination MERGE steered by a
+    clause-condition-only CDC op column — and the REPLICA (never the
+    source) is aggregated. The oracle replays the source's final state
+    relationally, so any replication drift (a delete applied as an
+    update, a lost insert, op-column leakage shifting the schema)
+    fails the hash. This is the canonical downstream consumer the
+    change feed exists for: Delta/DLT's APPLY CHANGES pattern."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+    from .ingest import (clone_upsert_table, shared_base_table,
+                         upsert_commit_batch, upsert_delete_where)
+
+    root = query_workspace("cdc_apply", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "dst")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter((F.col("user_id") % 2 == 1) & (F.col("user_id") < 240))
+          .select("user_id", "event_id"))
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(
+            ev.filter(F.col("event_id") % 2 == 0), base, 0,
+            key_cols=["user_id"], order_col="event_id",
+            keep_versions=16)
+
+    clone_upsert_table(shared_base_table(sf_dir, "cdc_apply", _build),
+                       src)
+    upsert_commit_batch(ev, src, 1, key_cols=["user_id"],
+                        order_col="event_id", keep_versions=16)
+    upsert_delete_where(spark, src, 2, "user_id % 5 = 0",
+                        keep_versions=16)
+    apply_changes_to_table(spark, src, dst, ["user_id"],
+                           keep_versions=16)
+    from .ingest import read_upsert_version
+    return (
+        read_upsert_version(spark, dst)
+        .groupBy((F.col("user_id") % 4).cast("bigint").alias("band"))
+        .agg(F.count("*").cast("bigint").alias("n_users"),
+             F.sum("event_id").cast("bigint").alias("sum_events"))
+        .orderBy("band")
+    )

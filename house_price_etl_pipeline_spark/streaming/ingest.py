@@ -1382,11 +1382,16 @@ def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
 
 
 def _merge_result(snapshot, source, key_cols: list[str],
-                  matched_update, matched_delete, not_matched_insert):
+                  matched_update, matched_delete, not_matched_insert,
+                  source_meta_cols: tuple = ()):
     """The relational core of MERGE INTO (separated so the CAS loop can
     re-stage it against a new base on a lost race). Returns the merged
     DataFrame in the combined schema: target columns first (in table
-    order), source-only columns appended."""
+    order), source-only columns appended. ``source_meta_cols`` names
+    source columns usable in clause CONDITIONS but never written to
+    the target (no schema evolution, no SET) — standard SQL MERGE,
+    where the source may carry arbitrary columns the clauses consult
+    (e.g. a CDC op code) without the UPDATE/INSERT * touching them."""
     from pyspark.sql import functions as F
 
     def cond(c):
@@ -1433,8 +1438,10 @@ def _merge_result(snapshot, source, key_cols: list[str],
     take_source = F.when(matched & not_deleted & upd, F.lit(True)) \
         .when(s_only, F.lit(True)).otherwise(F.lit(False))
 
+    meta = set(source_meta_cols)
     t_cols = [f.name for f in snapshot.schema.fields]
-    s_fields = {f.name: f for f in source.schema.fields}
+    s_fields = {f.name: f for f in source.schema.fields
+                if f.name not in meta}
     out = []
     for c in t_cols:
         if c in key_cols:
@@ -1448,7 +1455,7 @@ def _merge_result(snapshot, source, key_cols: list[str],
             # source: updates retain the target value, inserts get NULL
             out.append(F.col(f"t.{c}").alias(c))
     for c in (f.name for f in source.schema.fields):
-        if c not in t_cols and c != "_s_present":
+        if c not in t_cols and c != "_s_present" and c not in meta:
             # source-only column: NULL on carried target rows — the
             # mergeSchema evolution the upsert path also applies
             out.append(F.when(take_source, F.col(f"s.{c}"))
@@ -1464,7 +1471,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                       not_matched_insert="true",
                       keep_versions: int = 2, writer: str = "w0",
                       max_retries: int = 24,
-                      incremental_min_bytes: int | None = None) -> str:
+                      incremental_min_bytes: int | None = None,
+                      source_meta_cols: tuple = ()) -> str:
     """Delta-style ``MERGE INTO`` committed through the optimistic CAS
     journal — the general conditional form of which upsert_commit_batch
     (keep-latest) and upsert_delete_where are the two fixed special
@@ -1481,6 +1489,11 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
     retain the target value); INSERT * fills missing columns with
     NULL; source-only columns evolve the schema with NULLs on carried
     rows — the same mergeSchema contract as the upsert path.
+
+    ``source_meta_cols`` names source columns the clause CONDITIONS
+    may consult but UPDATE/INSERT * never writes (standard SQL MERGE —
+    e.g. a CDC op code steering DELETE vs UPDATE without evolving the
+    target schema).
 
     The source must have at most ONE row per key (Delta's multiple-
     source-rows-match error) — enforced with one aggregate; pre-reduce
@@ -1569,6 +1582,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     c = (F.expr(ins) if isinstance(ins, str)
                          else F.lit(True) if ins is True else ins)
                     merged = source.alias("s").filter(c)
+                merged = merged.drop(*source_meta_cols)
                 merged, ident_hwm = fill_identity(merged, commits)
                 _staged_write(merged, target_dir,
                               os.path.join(versions_root, stage))
@@ -1578,11 +1592,13 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                 t_types = {f.name: f.dataType
                            for f in snapshot.schema.fields}
                 s_types = {f.name: f.dataType
-                           for f in source.schema.fields}
+                           for f in source.schema.fields
+                           if f.name not in set(source_meta_cols)}
                 # incremental reuse needs the merge to neither evolve
                 # the schema (source-only columns) nor widen a shared
                 # column's type — either would leave linked files on a
-                # schema the rewritten files no longer share
+                # schema the rewritten files no longer share; meta
+                # columns never reach the target, so they don't count
                 no_evolution = all(
                     c in t_types and t_types[c] == s_types[c]
                     for c in s_types)
@@ -1598,7 +1614,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                            if touched else snapshot.limit(0))
                     merged = _merge_result(sub, source, key_cols,
                                            matched_update, matched_delete,
-                                           not_matched_insert)
+                                           not_matched_insert,
+                                           source_meta_cols)
                     merged, ident_hwm = fill_identity(merged, commits)
                     _stage_with_reuse(base_dir,
                                       os.path.join(versions_root, stage),
@@ -1609,7 +1626,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                 else:
                     merged = _merge_result(snapshot, source, key_cols,
                                            matched_update, matched_delete,
-                                           not_matched_insert)
+                                           not_matched_insert,
+                                           source_meta_cols)
                     merged, ident_hwm = fill_identity(merged, commits)
                     _staged_write(merged, target_dir,
                                   os.path.join(versions_root, stage))

@@ -392,3 +392,89 @@ def test_cdf_stream_starting_version(spark, tmp_path):
     # starting past the head: an empty (but well-typed) feed
     assert _drain_changes(spark, target,
                           starting_version=99).count() == 0
+
+
+def test_apply_changes_replicates_and_catches_up(spark, tmp_path):
+    """APPLY CHANGES INTO: seed + per-version MERGE apply reproduce the
+    source exactly; re-running is a no-op (source versions double as
+    destination batch ids); later source commits catch up
+    incrementally; the CDC op column never reaches the replica."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        apply_changes_to_table)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, upsert_commit_batch, upsert_delete_where,
+        upsert_update_where)
+
+    s = os.path.join(str(tmp_path), "src")
+    d = os.path.join(str(tmp_path), "dst")
+    df = spark.range(0, 40).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(df, s, 0, key_cols=["k"], order_col="v",
+                        keep_versions=16, incremental_min_bytes=0)
+    up = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(99999).cast("bigint").alias("v"))
+    upsert_commit_batch(up, s, 1, key_cols=["k"], order_col="v",
+                        keep_versions=16, incremental_min_bytes=0)
+    upsert_delete_where(spark, s, 2, "k % 7 = 0", keep_versions=16,
+                        incremental_min_bytes=0)
+    assert apply_changes_to_table(spark, s, d, ["k"],
+                                  keep_versions=16) == 3
+    src_rows = {(r.k, r.v) for r in
+                read_upsert_version(spark, s).collect()}
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d).collect()} == src_rows
+    assert read_upsert_version(spark, d).columns == ["k", "v"]
+    # idempotent
+    assert apply_changes_to_table(spark, s, d, ["k"],
+                                  keep_versions=16) == 0
+    # incremental catch-up over an UPDATE
+    upsert_update_where(spark, s, 3, "v = 99999", {"v": "v + 1"},
+                        key_cols=["k"], keep_versions=16,
+                        incremental_min_bytes=0)
+    assert apply_changes_to_table(spark, s, d, ["k"],
+                                  keep_versions=16) == 1
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d).collect()} == \
+        {(r.k, r.v) for r in read_upsert_version(spark, s).collect()}
+
+
+def test_merge_source_meta_cols_never_written(spark, tmp_path):
+    """source_meta_cols: clause conditions may consult the column, but
+    UPDATE/INSERT * must not write it or evolve the target schema —
+    and it must not defeat the incremental COW path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _journal_state, read_upsert_version, upsert_commit_batch,
+        upsert_merge_into)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.range(0, 30).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    src = spark.createDataFrame(
+        [(1, 111, "u"), (2, None, "d"), (100, 5, "u"), (200, 6, "d")],
+        "k bigint, v bigint, _op string")
+    upsert_merge_into(spark, t, 1, src, ["k"],
+                      matched_delete="s._op = 'd'",
+                      matched_update="s._op = 'u'",
+                      not_matched_insert="s._op = 'u'",
+                      keep_versions=8, incremental_min_bytes=0,
+                      source_meta_cols=("_op",))
+    snap = read_upsert_version(spark, t)
+    assert snap.columns == ["k", "v"]          # no schema evolution
+    got = {r.k: r.v for r in snap.collect()}
+    assert got[1] == 111                        # updated
+    assert 2 not in got                         # matched delete
+    assert got[100] == 5                        # inserted
+    assert 200 not in got                       # delete of absent key
+    entry = _journal_state(t + "_versions")[0][-1]
+    # meta col did not force the full-rewrite path
+    assert entry.get("files_reused") is not None
