@@ -1938,20 +1938,14 @@ def optimize_upsert_target(spark, target_dir: str,
                 manifest_cols = (list(zorder_by or [])
                                  if stats_cols is None
                                  else list(stats_cols))
-            if manifest_cols and table_partitioning(target_dir):
-                # per-file stats manifests assume the flat snapshot
-                # layout; a partitioned table's directory pruning is
-                # the skipping mechanism there — composing both is
-                # future work, so refuse loudly rather than write a
-                # manifest the reader would silently ignore
-                raise ValueError(
-                    "stats manifests (stats_cols/zorder stats) are not "
-                    "supported on PARTITIONED BY tables yet — pass "
-                    "stats_cols=[]")
             if manifest_cols:
                 from .skipping import write_stats_manifest
-                write_stats_manifest(os.path.join(versions_root, stage),
-                                     manifest_cols, spark=spark)
+                # partition columns in the manifest get exact stats
+                # from their Hive paths (min = max = value), so one
+                # manifest prunes on partition AND data columns
+                write_stats_manifest(
+                    os.path.join(versions_root, stage), manifest_cols,
+                    spark=spark, parts=table_partitioning(target_dir))
         except Exception as exc:
             # Same stale-input window as the upsert merge: concurrent
             # commits can retire the head we are compacting and prune it

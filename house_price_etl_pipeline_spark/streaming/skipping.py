@@ -153,7 +153,8 @@ _DISTRIBUTE_STATS_MIN_FILES = 32
 
 
 def write_stats_manifest(snapshot_dir: str, cols: list[str],
-                         spark: SparkSession | None = None) -> str:
+                         spark: SparkSession | None = None,
+                         parts: dict[str, str] | None = None) -> str:
     """Collect footer stats for every data file in a snapshot dir and
     write the ``_skipping_stats.json`` manifest beside them (underscore
     prefix: invisible to Spark's scans and to the format's size
@@ -164,10 +165,10 @@ def write_stats_manifest(snapshot_dir: str, cols: list[str],
     ``_DISTRIBUTE_STATS_MIN_FILES`` (the scale path — no O(files)
     driver loop); tiny snapshots and ad-hoc directories take the serial
     loop, which is cheaper than a job's fixed startup there."""
+    from .partitioning import _walk_data_files, partition_values_of
+
     cols = list(cols)
-    files = sorted(
-        f for f in os.listdir(snapshot_dir)
-        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    files = _walk_data_files(snapshot_dir)
     if spark is not None and len(files) >= _DISTRIBUTE_STATS_MIN_FILES:
         entries = _collect_stats_distributed(spark, snapshot_dir,
                                              files, cols)
@@ -175,6 +176,20 @@ def write_stats_manifest(snapshot_dir: str, cols: list[str],
         entries = {f: _file_column_stats(os.path.join(snapshot_dir, f),
                                          cols)
                    for f in files}
+    if parts:
+        # PARTITIONED BY columns never appear in footers — their
+        # per-file stats are exact from the Hive path (min = max =
+        # the partition value), so one manifest prunes on partition
+        # AND data columns uniformly
+        for f, entry in entries.items():
+            vals = partition_values_of(f, parts)
+            for c in parts:
+                v = vals[c]
+                # same scalar contract as footer stats (_SCALAR_KINDS,
+                # JSON-safe, predicate-comparable); date partitions get
+                # no manifest stats — directory pruning covers them
+                if c in cols and isinstance(v, _SCALAR_KINDS):
+                    entry["stats"][c] = [v, v, 0]
     manifest = {"columns": cols, "files": entries}
     path = os.path.join(snapshot_dir, STATS_MANIFEST)
     tmp = path + ".tmp"
@@ -199,9 +214,9 @@ def prune_files(snapshot_dir: str,
     (lo, hi) inclusive bounds; either bound may be None (half-open).
     Files without a manifest entry or without stats for a predicate
     column are kept (skipping never risks correctness)."""
-    files = sorted(
-        f for f in os.listdir(snapshot_dir)
-        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    from .partitioning import _walk_data_files
+
+    files = _walk_data_files(snapshot_dir)
     manifest = read_stats_manifest(snapshot_dir)
     if manifest is None:
         return files, len(files)
@@ -238,15 +253,18 @@ def read_skipping(spark: SparkSession, target_dir: str,
     survivors — with the ranges RE-APPLIED as real filters so the
     result is exactly ``read(target).filter(ranges)`` regardless of
     manifest state. Returns (df, n_files_scanned, n_files_total)."""
+    from .ingest import _snapshot_read
+
     snapshot_dir = os.path.realpath(target_dir)
     kept, total = prune_files(snapshot_dir, predicates)
     if kept:
-        df = spark.read.parquet(
-            *[os.path.join(snapshot_dir, f) for f in kept])
+        # _snapshot_read keeps partition columns (basePath + declared
+        # types) and applies the column mapping for file-subset reads
+        df = _snapshot_read(spark, target_dir, snapshot_dir, files=kept)
     else:
         # every file pruned: preserve the schema via an empty scan of
         # the full snapshot (filters below make it empty anyway)
-        df = spark.read.parquet(snapshot_dir)
+        df = _snapshot_read(spark, target_dir, snapshot_dir)
     for col, (lo, hi) in predicates.items():
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))

@@ -219,9 +219,6 @@ def test_optimize_restore_clone_preserve_layout(spark, tmp_path):
     head = os.path.realpath(t)
     assert any(d.startswith("bucket=") for d in os.listdir(head))
     assert read_upsert_version(spark, t).count() == 60
-    with pytest.raises(ValueError, match="not supported on PARTITIONED"):
-        optimize_upsert_target(spark, t, keep_versions=8,
-                               stats_cols=["v"])
     c = os.path.join(str(tmp_path), "clone")
     clone_upsert_table(t, c)
     assert table_partitioning(c) == {"bucket": "bigint"}
@@ -563,3 +560,35 @@ def test_generated_partition_column_composes(spark, tmp_path):
     snap = read_upsert_version(spark, t)
     assert snap.filter("band = 2").count() == 10
     assert _files_read(snap.filter(F.col("band") == 2)) < _files_read(snap)
+
+
+def test_stats_manifest_composes_with_partitioning(spark, tmp_path):
+    """One manifest prunes on DATA columns (footer min/max) and on
+    PARTITION columns (exact path-derived stats) — skipping and the
+    Hive layout compose instead of excluding each other."""
+    from house_price_etl_pipeline_spark.streaming.skipping import (
+        read_skipping, read_stats_manifest)
+    t = _mk(spark, tmp_path, n=400, buckets=4)
+    perm = optimize_upsert_target(spark, t, keep_versions=8,
+                                  stats_cols=["v", "bucket"],
+                                  max_records_per_file=40)
+    assert perm is not None
+    head = os.path.realpath(t)
+    m = read_stats_manifest(head)
+    assert m is not None and m["columns"] == ["v", "bucket"]
+    # partition stats are exact: min == max == the path value
+    some = next(e for f, e in m["files"].items()
+                if f.startswith("bucket=2"))
+    assert some["stats"]["bucket"][:2] == [2, 2]
+    # data-column predicate prunes files; results match the plain read
+    df, n_scanned, n_total = read_skipping(spark, t, {"v": (0, 300)})
+    assert n_scanned < n_total
+    expect = read_upsert_version(spark, t) \
+        .filter("v >= 0 AND v <= 300").count()
+    assert df.count() == expect
+    assert dict(df.dtypes)["bucket"] == "bigint"   # typed partition col
+    # partition-column predicate prunes via the path-derived stats
+    df2, n2, _ = read_skipping(spark, t, {"bucket": (1, 1)})
+    assert n2 < n_total
+    assert df2.count() == read_upsert_version(spark, t) \
+        .filter("bucket = 1").count()
