@@ -592,3 +592,103 @@ def test_stats_manifest_composes_with_partitioning(spark, tmp_path):
     assert n2 < n_total
     assert df2.count() == read_upsert_version(spark, t) \
         .filter("bucket = 1").count()
+
+
+def test_partitioned_concurrent_writers_stress(spark, tmp_path):
+    """Live-thread stress of the commit protocol over the Hive layout:
+    two writers and a looping incremental optimizer interleave on a
+    PARTITIONED BY table. Invariants, not timings: every commit lands,
+    the journal is strictly sequenced, and the final table equals
+    serial keep-latest application — partition-dir hard links must
+    survive concurrent stage/publish/prune windows exactly like flat
+    files do."""
+    import threading
+
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, optimize_upsert_target)
+
+    target = os.path.join(str(tmp_path), "stress")
+    set_table_partitioning(target, {"bucket": "bigint"})
+
+    def batch(bid):
+        rows = [(((bid + j) % 8), ((bid + j) % 8) % 3, bid * 10 + j, bid)
+                for j in range(3)]
+        return spark.createDataFrame(
+            rows, "k long, bucket long, payload long, ord long")
+
+    upsert_commit_batch(batch(0), target, 0,
+                        key_cols=["k", "bucket"], order_col="ord",
+                        keep_versions=2, incremental_min_bytes=0)
+    a_ids, b_ids = [1, 3, 5, 7], [2, 4, 6, 8]
+    errors = []
+
+    def writer(tag, ids):
+        try:
+            for bid in ids:
+                r = upsert_commit_batch(
+                    batch(bid), target, bid, key_cols=["k", "bucket"],
+                    order_col="ord", keep_versions=2, writer=tag,
+                    max_retries=16, incremental_min_bytes=0)
+                assert r in ("applied", "applied-after-retry")
+        except Exception as exc:  # pragma: no cover
+            errors.append((tag, exc))
+
+    def optimizer(rounds):
+        try:
+            for _ in range(rounds):
+                optimize_upsert_target(spark, target, keep_versions=2,
+                                       min_file_bytes=1 << 20,
+                                       stats_cols=[])
+        except Exception as exc:  # pragma: no cover
+            errors.append(("opt", exc))
+
+    ts = [threading.Thread(target=writer, args=("a", a_ids)),
+          threading.Thread(target=writer, args=("b", b_ids)),
+          threading.Thread(target=optimizer, args=(3,))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == []
+    commits = read_commit_journal(_commits_dir(target + "_versions"))
+    assert [c["seq"] for c in commits] == list(range(len(commits)))
+    applied = {c["version"] for c in commits if c["op"] != "optimize"}
+    assert applied == set(range(9))
+    # serial keep-latest model: highest batch id covering a key wins
+    model = {}
+    for bid in range(9):
+        for j in range(3):
+            k = (bid + j) % 8
+            model[k] = (k % 3, bid * 10 + j, bid)
+    got = {r.k: (r.bucket, r.payload, r.ord) for r in
+           read_upsert_version(spark, target).collect()}
+    assert got == model
+
+
+def test_streaming_foreach_batch_into_partitioned(spark, tmp_path):
+    """The streaming upsert sink composes with PARTITIONED BY: a
+    rate-less memory stream of two micro-batches lands as two
+    journal commits on a Hive-layout table, exactly-once, with the
+    partition column written through partitionBy."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        stream_upsert_foreach_batch)
+
+    target = os.path.join(str(tmp_path), "stream_tbl")
+    set_table_partitioning(target, {"bucket": "bigint"})
+    src_dir = os.path.join(str(tmp_path), "src")
+    os.makedirs(src_dir)
+    df0 = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket"),
+        F.col("id").alias("ord"))
+    df0.write.mode("overwrite").parquet(os.path.join(src_dir, "b0"))
+    stream = (spark.readStream.schema("k long, bucket long, ord long")
+              .parquet(src_dir + "/*"))
+    q = stream_upsert_foreach_batch(
+        stream, spark, target,
+        checkpoint_dir=os.path.join(str(tmp_path), "ckpt"),
+        key_cols=["k", "bucket"], order_col="ord")
+    q.awaitTermination()
+    head = os.path.realpath(target)
+    assert any(d.startswith("bucket=") for d in os.listdir(head))
+    assert read_upsert_version(spark, target).count() == 20
