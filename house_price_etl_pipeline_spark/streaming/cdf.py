@@ -222,6 +222,8 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
         sv = options.get("starting_version")
         self.starting_version = int(sv) if sv is not None else None
         self._pos: int | None = None
+        from .partitioning import check_table_readable
+        check_table_readable(self.path)
         self.parts = table_partitioning(self.path)
         from .colmap import table_column_mapping
         self.phys_of = dict(table_column_mapping(self.path)["renames"])

@@ -191,6 +191,8 @@ def rename_table_column(spark, target_dir: str, old: str,
     if new != phys:
         m["renames"][new] = phys
     atomic_write_json(_colmap_path(target_dir), m)
+    from .partitioning import register_table_feature
+    register_table_feature(target_dir, "column_mapping")
 
 
 def drop_table_column(spark, target_dir: str, name: str) -> None:
@@ -218,3 +220,5 @@ def drop_table_column(spark, target_dir: str, name: str) -> None:
     phys = m["renames"].pop(name, name)
     m["dropped"].append(phys)
     atomic_write_json(_colmap_path(target_dir), m)
+    from .partitioning import register_table_feature
+    register_table_feature(target_dir, "column_mapping")

@@ -414,8 +414,12 @@ def _snapshot_read(spark, target_dir: str, snap_dir: str,
     import os
 
     from .colmap import table_column_mapping, to_logical
-    from .partitioning import read_snapshot, table_partitioning
+    from .partitioning import (check_table_readable, read_snapshot,
+                               table_partitioning)
 
+    # protocol gate: refuse features this build can't interpret rather
+    # than silently misreading (Delta's reader-version contract)
+    check_table_readable(target_dir)
     parts = table_partitioning(target_dir)
     if parts:
         df = read_snapshot(spark, snap_dir, parts, files)
@@ -3122,6 +3126,12 @@ def clone_upsert_table(src_target: str, dst_target: str,
     if _has_mapping(src_map):
         from ..fsutil import atomic_write_json
         atomic_write_json(_colmap_path(dst_target), src_map)
+    from .partitioning import (_protocol_path, table_protocol_features)
+    src_feats = table_protocol_features(src_target)
+    if src_feats:
+        from ..fsutil import atomic_write_json
+        atomic_write_json(_protocol_path(dst_target),
+                          {"features": sorted(src_feats)})
     cms, _ = _journal_state(dst_root)
     _publish_commit(dst_target, dst_root, cms, keep_versions=2)
     return perm
@@ -3243,6 +3253,8 @@ def set_table_check_constraint(spark, target_dir: str, name: str,
         _validate_constraints(snap, {name: expr}, "existing table data")
     cons[name] = expr
     atomic_write_json(_constraints_path(target_dir), cons)
+    from .partitioning import register_table_feature
+    register_table_feature(target_dir, "check_constraints")
 
 
 def drop_table_check_constraint(target_dir: str, name: str) -> None:
@@ -3338,6 +3350,8 @@ def set_table_generated_column(spark, target_dir: str, name: str,
                 f"{expr}: first offending row {bad[0].asDict()!r}")
     gens[name] = expr
     atomic_write_json(_generated_path(target_dir), gens)
+    from .partitioning import register_table_feature
+    register_table_feature(target_dir, "generated_columns")
 
 
 def drop_table_generated_column(target_dir: str, name: str) -> None:
@@ -3389,6 +3403,8 @@ def set_table_identity_column(target_dir: str, name: str,
     atomic_write_json(_identity_path(target_dir),
                       {"name": name, "start": int(start),
                        "step": int(step)})
+    from .partitioning import register_table_feature
+    register_table_feature(target_dir, "identity_columns")
 
 
 def _identity_high_water(commits: list[dict], ident: dict) -> int:

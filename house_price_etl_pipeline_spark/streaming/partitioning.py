@@ -105,6 +105,7 @@ def set_table_partitioning(target_dir: str, cols: dict[str, str]) -> None:
     os.makedirs(target_dir + "_versions", exist_ok=True)
     atomic_write_json(_partitioning_path(target_dir),
                       {c: t.lower() for c, t in cols.items()})
+    register_table_feature(target_dir, "partitioning")
 
 
 def arrow_to_ddl_type(t) -> str:
@@ -324,3 +325,69 @@ def partition_tuple_filter(parts: dict[str, str], tuples):
             term = eq if term is None else (term & eq)
         filt = term if filt is None else (filt | term)
     return filt if filt is not None else F.lit(False)
+
+
+# --- protocol feature gates (Delta's minReader/minWriter analog) -----------
+#
+# Every table-level metadata surface that CHANGES HOW BYTES MUST BE
+# INTERPRETED registers a feature name in _PROTOCOL.json beside the
+# journal. A reader/writer built before a feature existed would
+# otherwise silently misread (plain column names on a column-mapped
+# table, missing partition columns on a Hive-layout one); the gate
+# turns that into a loud upgrade error — exactly why Delta has
+# reader/writer protocol versions. Tables without the file (or with
+# only known features) are untouched.
+
+_PROTOCOL_FILE = "_PROTOCOL.json"
+
+# features THIS build understands; unknown names in a table's protocol
+# file mean the table was written by a newer build
+SUPPORTED_FEATURES = frozenset({
+    "partitioning", "column_mapping", "check_constraints",
+    "generated_columns", "identity_columns",
+})
+
+
+def _protocol_path(target_dir: str) -> str:
+    return os.path.join(target_dir + "_versions", _PROTOCOL_FILE)
+
+
+def table_protocol_features(target_dir: str) -> set[str]:
+    p = _protocol_path(target_dir)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f).get("features", []))
+
+
+def register_table_feature(target_dir: str, feature: str) -> None:
+    """Record that this table now depends on ``feature`` — called by
+    each metadata declaration (set_table_partitioning, rename/drop
+    column, ...). Idempotent; the file is tiny and read once per
+    operation."""
+    from ..fsutil import atomic_write_json
+
+    feats = table_protocol_features(target_dir)
+    if feature in feats:
+        return
+    os.makedirs(target_dir + "_versions", exist_ok=True)
+    feats.add(feature)
+    atomic_write_json(_protocol_path(target_dir),
+                      {"features": sorted(feats)})
+
+
+class UnsupportedTableFeature(RuntimeError):
+    pass
+
+
+def check_table_readable(target_dir: str) -> None:
+    """Raise if the table's protocol lists a feature this build does
+    not implement — reading on anyway would be silent corruption (the
+    exact failure mode Delta's protocol versions exist to prevent)."""
+    unknown = table_protocol_features(target_dir) - SUPPORTED_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table {target_dir} uses feature(s) {sorted(unknown)} "
+            f"this build does not support (supported: "
+            f"{sorted(SUPPORTED_FEATURES)}) — upgrade the library to "
+            f"read or write this table")

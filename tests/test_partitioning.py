@@ -692,3 +692,33 @@ def test_streaming_foreach_batch_into_partitioned(spark, tmp_path):
     head = os.path.realpath(target)
     assert any(d.startswith("bucket=") for d in os.listdir(head))
     assert read_upsert_version(spark, target).count() == 20
+
+
+def test_protocol_feature_gate(spark, tmp_path):
+    """Tables record the features they depend on; a build that doesn't
+    know a feature refuses to read rather than silently misreading
+    (plain names on a column-mapped table, missing partition columns)
+    — Delta's reader-protocol contract."""
+    import json
+
+    from house_price_etl_pipeline_spark.fsutil import atomic_write_json
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        UnsupportedTableFeature, _protocol_path, table_protocol_features)
+
+    t = _mk(spark, tmp_path)
+    assert table_protocol_features(t) == {"partitioning"}
+    from house_price_etl_pipeline_spark.streaming.colmap import (
+        rename_table_column)
+    rename_table_column(spark, t, "v", "val")
+    assert table_protocol_features(t) == {"partitioning",
+                                          "column_mapping"}
+    # clone carries the protocol
+    c = os.path.join(str(tmp_path), "clone")
+    clone_upsert_table(t, c)
+    assert table_protocol_features(c) == {"partitioning",
+                                          "column_mapping"}
+    # a feature from the future refuses loudly
+    feats = sorted(table_protocol_features(t) | {"deletion_vectors_v9"})
+    atomic_write_json(_protocol_path(t), {"features": feats})
+    with pytest.raises(UnsupportedTableFeature, match="deletion_vectors"):
+        read_upsert_version(spark, t).count()
