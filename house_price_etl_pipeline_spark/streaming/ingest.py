@@ -1387,7 +1387,11 @@ def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
 
 def _merge_result(snapshot, source, key_cols: list[str],
                   matched_update, matched_delete, not_matched_insert,
-                  source_meta_cols: tuple = ()):
+                  source_meta_cols: tuple = (),
+                  matched_update_set: dict | None = None,
+                  not_matched_by_source_update=None,
+                  not_matched_by_source_set: dict | None = None,
+                  not_matched_by_source_delete=None):
     """The relational core of MERGE INTO (separated so the CAS loop can
     re-stage it against a new base on a lost race). Returns the merged
     DataFrame in the combined schema: target columns first (in table
@@ -1395,7 +1399,18 @@ def _merge_result(snapshot, source, key_cols: list[str],
     source columns usable in clause CONDITIONS but never written to
     the target (no schema evolution, no SET) — standard SQL MERGE,
     where the source may carry arbitrary columns the clauses consult
-    (e.g. a CDC op code) without the UPDATE/INSERT * touching them."""
+    (e.g. a CDC op code) without the UPDATE/INSERT * touching them.
+
+    ``matched_update_set`` switches the matched-update clause from
+    ``UPDATE SET *`` to an explicit ``SET {col: expr}`` map (exprs see
+    the joined row via ``t.``/``s.`` aliases, evaluated simultaneously
+    against OLD values, cast to the column's type — SQL UPDATE
+    store-assignment); source-only columns then evolve only through
+    INSERTs. The ``not_matched_by_source_*`` parameters are Delta's
+    ``WHEN NOT MATCHED BY SOURCE`` clauses over target-only rows:
+    DELETE tests first, then UPDATE with its own SET map (exprs over
+    ``t.`` — there is no source row). NULL conditions never fire a
+    clause (3VL)."""
     from pyspark.sql import functions as F
 
     def cond(c):
@@ -1407,9 +1422,17 @@ def _merge_result(snapshot, source, key_cols: list[str],
             return F.expr(c)
         return c
 
+    def set_map(m):
+        return {c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in (m or {}).items()}
+
     upd = cond(matched_update)
     dele = cond(matched_delete)
     ins = cond(not_matched_insert)
+    nmbs_del = cond(not_matched_by_source_delete)
+    nmbs_upd = cond(not_matched_by_source_update)
+    upd_set = set_map(matched_update_set)
+    nmbs_set = set_map(not_matched_by_source_set)
 
     t = snapshot.withColumn("_t_present", F.lit(True)).alias("t")
     s = source.withColumn("_s_present", F.lit(True)).alias("s")
@@ -1429,21 +1452,30 @@ def _merge_result(snapshot, source, key_cols: list[str],
         & F.col("s._s_present").isNotNull()
     s_only = F.col("t._t_present").isNull()
     # clause order is Delta's: a matched row tests DELETE first, then
-    # UPDATE, else carries unchanged; a source-only row tests INSERT
+    # UPDATE, else carries unchanged; a source-only row tests INSERT;
+    # a target-only row tests NOT MATCHED BY SOURCE DELETE first, then
+    # its UPDATE, else carries
     keep = F.when(matched & dele, F.lit(False)) \
         .when(matched, F.lit(True)) \
         .when(s_only, ins) \
-        .otherwise(F.lit(True))          # target-only rows always carry
+        .when(F.coalesce(nmbs_del, F.lit(False)), F.lit(False)) \
+        .otherwise(F.lit(True))
     # ~dele must treat a NULL delete condition as "not deleted" (SQL
     # MERGE: an unsatisfied — including NULL — DELETE clause falls
     # through to UPDATE); raw ~NULL is NULL and would swallow a
     # satisfied UPDATE, carrying the row unchanged instead
     not_deleted = ~F.coalesce(dele, F.lit(False))
-    take_source = F.when(matched & not_deleted & upd, F.lit(True)) \
+    apply_upd = matched & not_deleted & F.coalesce(upd, F.lit(False))
+    t_only = ~matched & ~s_only
+    apply_nmbs = (t_only
+                  & ~F.coalesce(nmbs_del, F.lit(False))
+                  & F.coalesce(nmbs_upd, F.lit(False)))
+    take_source = F.when(apply_upd, F.lit(True)) \
         .when(s_only, F.lit(True)).otherwise(F.lit(False))
 
     meta = set(source_meta_cols)
     t_cols = [f.name for f in snapshot.schema.fields]
+    t_types = {f.name: f.dataType for f in snapshot.schema.fields}
     s_fields = {f.name: f for f in source.schema.fields
                 if f.name not in meta}
     out = []
@@ -1451,20 +1483,39 @@ def _merge_result(snapshot, source, key_cols: list[str],
         if c in key_cols:
             out.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}"))
                        .alias(c))
-        elif c in s_fields:
-            out.append(F.when(take_source, F.col(f"s.{c}"))
-                       .otherwise(F.col(f"t.{c}")).alias(c))
+            continue
+        if matched_update_set is not None:
+            upd_val = (upd_set[c].cast(t_types[c]) if c in upd_set
+                       else F.col(f"t.{c}"))
         else:
-            # UPDATE SET * / INSERT * with the column absent from the
-            # source: updates retain the target value, inserts get NULL
-            out.append(F.col(f"t.{c}").alias(c))
-    for c in (f.name for f in source.schema.fields):
-        if c not in t_cols and c != "_s_present" and c not in meta:
-            # source-only column: NULL on carried target rows — the
-            # mergeSchema evolution the upsert path also applies
-            out.append(F.when(take_source, F.col(f"s.{c}"))
-                       .otherwise(F.lit(None).cast(s_fields[c].dataType))
-                       .alias(c))
+            upd_val = (F.col(f"s.{c}") if c in s_fields
+                       else F.col(f"t.{c}"))
+        ins_val = (F.col(f"s.{c}") if c in s_fields
+                   else F.lit(None).cast(t_types[c]))
+        nmbs_val = (nmbs_set[c].cast(t_types[c]) if c in nmbs_set
+                    else F.col(f"t.{c}"))
+        out.append(F.when(apply_upd, upd_val)
+                   .when(s_only, ins_val)
+                   .when(apply_nmbs, nmbs_val)
+                   .otherwise(F.col(f"t.{c}")).alias(c))
+    # SET-map updates never pull source-only columns (Delta: explicit
+    # assignments only); evolution columns then arrive via INSERTs.
+    # With SET maps AND the insert clause disabled, no row can ever
+    # receive a source-only value — appending the column would evolve
+    # the schema with pure NULL noise, so don't.
+    ins_enabled = not (not_matched_insert is None
+                       or not_matched_insert is False)
+    evolve = matched_update_set is None or ins_enabled
+    evo_take = take_source if matched_update_set is None else s_only
+    if evolve:
+        for c in (f.name for f in source.schema.fields):
+            if c not in t_cols and c != "_s_present" and c not in meta:
+                # source-only column: NULL on carried target rows — the
+                # mergeSchema evolution the upsert path also applies
+                out.append(
+                    F.when(evo_take, F.col(f"s.{c}"))
+                    .otherwise(F.lit(None).cast(s_fields[c].dataType))
+                    .alias(c))
     return j.filter(keep).select(*out)
 
 
@@ -1476,7 +1527,11 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                       keep_versions: int = 2, writer: str = "w0",
                       max_retries: int = 24,
                       incremental_min_bytes: int | None = None,
-                      source_meta_cols: tuple = ()) -> str:
+                      source_meta_cols: tuple = (),
+                      matched_update_set: dict | None = None,
+                      not_matched_by_source_update=None,
+                      not_matched_by_source_set: dict | None = None,
+                      not_matched_by_source_delete=None) -> str:
     """Delta-style ``MERGE INTO`` committed through the optimistic CAS
     journal — the general conditional form of which upsert_commit_batch
     (keep-latest) and upsert_delete_where are the two fixed special
@@ -1498,6 +1553,19 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
     may consult but UPDATE/INSERT * never writes (standard SQL MERGE —
     e.g. a CDC op code steering DELETE vs UPDATE without evolving the
     target schema).
+
+    ``matched_update_set`` replaces UPDATE SET * with an explicit
+    ``{col: sql_expr}`` map (exprs over ``t.``/``s.``, simultaneous,
+    store-assignment casts). ``not_matched_by_source_delete`` /
+    ``not_matched_by_source_update`` (+ ``_set``) are Delta's WHEN NOT
+    MATCHED BY SOURCE clauses over target rows whose key is absent
+    from the source — DELETE tests first, then UPDATE. NMBS merges
+    scan and rewrite the FULL target (the clause can hit any row, so
+    the touched-file fast path is semantically unavailable — the same
+    full-target scan Delta pays for these clauses); SET maps are
+    refused on tables with generated columns (recompute-on-update
+    through arbitrary assignments is not wired) and on key/identity
+    columns.
 
     The source must have at most ONE row per key (Delta's multiple-
     source-rows-match error) — enforced with one aggregate; pre-reduce
@@ -1528,7 +1596,22 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             "MERGE source has multiple rows for at least one key — "
             "reduce it (e.g. keep-latest) before merging, as Delta "
             "requires")
+    has_nmbs = (not_matched_by_source_delete is not None
+                or not_matched_by_source_update is not None)
+    set_cols = set(matched_update_set or {}) \
+        | set(not_matched_by_source_set or {})
+    bad_keys = sorted(set_cols & set(key_cols))
+    if bad_keys:
+        raise ValueError(
+            f"MERGE SET on key column(s) {bad_keys} refused — "
+            f"rewriting merge keys breaks the unique-keys invariant")
     gens = table_generated_columns(target_dir)
+    if gens and set_cols:
+        raise ValueError(
+            "MERGE SET maps are not supported on tables with GENERATED"
+            " ALWAYS AS columns — an assignment could stale a generated"
+            " value without recompute; use UPDATE SET * semantics or "
+            "upsert_update_where (which recomputes)")
     if gens:
         source = _apply_generated(source, gens, "the MERGE source")
     ident = table_identity_column(target_dir)
@@ -1537,6 +1620,11 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             f"column {ident['name']!r} is GENERATED ALWAYS AS IDENTITY "
             f"— a MERGE source cannot supply it; matched rows keep the "
             f"target's value, inserted rows get fresh allocations")
+    if ident and ident["name"] in set_cols:
+        raise ValueError(
+            f"MERGE SET on identity column {ident['name']!r} refused "
+            f"— GENERATED ALWAYS AS IDENTITY values are "
+            f"allocation-owned")
     cons = table_check_constraints(target_dir)
     if cons:
         _validate_constraints(source, cons, "the MERGE source")
@@ -1598,15 +1686,42 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                 s_types = {f.name: f.dataType
                            for f in source.schema.fields
                            if f.name not in set(source_meta_cols)}
+                bad_set = sorted(set_cols - set(snapshot.columns))
+                if bad_set:
+                    raise ValueError(
+                        f"MERGE SET on column(s) {bad_set} absent from "
+                        f"the table (columns: {snapshot.columns}) — a "
+                        f"SET map never adds columns; evolve the "
+                        f"schema with UPDATE SET * or an upsert first")
                 # incremental reuse needs the merge to neither evolve
                 # the schema (source-only columns) nor widen a shared
                 # column's type — either would leave linked files on a
                 # schema the rewritten files no longer share; meta
-                # columns never reach the target, so they don't count
-                no_evolution = all(
-                    c in t_types and t_types[c] == s_types[c]
-                    for c in s_types)
+                # columns never reach the target, so they don't count.
+                # NOT MATCHED BY SOURCE clauses can hit ANY target row,
+                # so the touched-file fast path is semantically
+                # unavailable (Delta pays the same full-target scan).
+                ins_on = not (not_matched_insert is None
+                              or not_matched_insert is False)
+                if matched_update_set is not None and not ins_on:
+                    # SET-map assignments cast to target types and no
+                    # INSERT can land source columns: the staged schema
+                    # is provably the target schema
+                    no_evolution = True
+                else:
+                    no_evolution = all(
+                        c in t_types and t_types[c] == s_types[c]
+                        for c in s_types)
+                clause_kwargs = dict(
+                    source_meta_cols=source_meta_cols,
+                    matched_update_set=matched_update_set,
+                    not_matched_by_source_update=(
+                        not_matched_by_source_update),
+                    not_matched_by_source_set=not_matched_by_source_set,
+                    not_matched_by_source_delete=(
+                        not_matched_by_source_delete))
                 if (incremental_commits_enabled() and no_evolution
+                        and not has_nmbs
                         and _data_file_bytes(base_dir)
                         >= _min_bytes_cutoff(incremental_min_bytes)):
                     touched = _touched_files_by_keys(
@@ -1619,7 +1734,13 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     merged = _merge_result(sub, source, key_cols,
                                            matched_update, matched_delete,
                                            not_matched_insert,
-                                           source_meta_cols)
+                                           **clause_kwargs)
+                    if cons and set_cols:
+                        # SET maps produce post-images the source-row
+                        # validation can't see; the merged frame is
+                        # touched-data-sized here
+                        _validate_constraints(merged, cons,
+                                              "the MERGE post-image")
                     merged, ident_hwm = fill_identity(merged, commits)
                     _stage_with_reuse(base_dir,
                                       os.path.join(versions_root, stage),
@@ -1631,7 +1752,10 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                     merged = _merge_result(snapshot, source, key_cols,
                                            matched_update, matched_delete,
                                            not_matched_insert,
-                                           source_meta_cols)
+                                           **clause_kwargs)
+                    if cons and (set_cols or has_nmbs):
+                        _validate_constraints(merged, cons,
+                                              "the MERGE post-image")
                     merged, ident_hwm = fill_identity(merged, commits)
                     _staged_write(merged, target_dir,
                                   os.path.join(versions_root, stage))
@@ -4034,3 +4158,84 @@ def auto_compact_upsert_target(spark, target_dir: str,
                 writer=writer, target_file_bytes=target_file_bytes,
                 min_file_bytes=min_file_bytes, stats_cols=[])
     return None
+
+
+@_catalog_register(
+    "merge_nmbs_sync_orders",
+    oracle="""
+    WITH t0 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0
+    ),
+    s AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 6 = 0
+    ),
+    m AS (
+      SELECT t0.o_orderkey, t0.o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL
+                  THEN t0.o_totalprice + s.o_totalprice
+                  ELSE 0 - t0.o_totalprice END AS o_totalprice,
+             s.o_orderkey IS NOT NULL AS matched
+      FROM t0 LEFT JOIN s USING (o_orderkey)
+    ),
+    f AS (SELECT * FROM m WHERE matched OR o_custkey % 10 <> 0)
+    SELECT CAST(o_custkey % 5 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def merge_nmbs_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with explicit SET maps and WHEN NOT MATCHED BY SOURCE
+    under the value-hash gate — the 'sync to a feed' shape: matched
+    rows ACCUMULATE (``SET o_totalprice = t.o_totalprice +
+    s.o_totalprice`` — an expression over both sides, impossible with
+    SET *), target rows absent from the feed are DELETED when
+    ``o_custkey % 10 = 0`` and NEGATED otherwise (the NMBS
+    delete-then-update clause order), and the disabled INSERT clause
+    plus SET-map mode must leave the schema untouched by the source's
+    columns. The oracle replays the three-way row fate relationally;
+    wrong clause precedence, a leaked source column, or an NMBS clause
+    applied to a matched row shifts the per-band sums."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+
+    root = query_workspace("merge_nmbs", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    o = load_table(spark, sf_dir, "orders")
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice"),
+            base, 0, key_cols=["o_orderkey"], order_col="o_orderkey",
+            keep_versions=2)
+
+    clone_upsert_table(shared_base_table(sf_dir, "merge_nmbs", _build),
+                       target)
+    src = (o.filter(F.col("o_orderkey") % 6 == 0)
+           .select("o_orderkey", "o_totalprice"))
+    upsert_merge_into(
+        spark, target, 1, src, ["o_orderkey"],
+        matched_update_set={
+            "o_totalprice": "t.o_totalprice + s.o_totalprice"},
+        not_matched_insert=None,
+        not_matched_by_source_delete="t.o_custkey % 10 = 0",
+        not_matched_by_source_update="t.o_custkey % 10 <> 0",
+        not_matched_by_source_set={
+            "o_totalprice": "0 - t.o_totalprice"},
+        keep_versions=2)
+    return (
+        read_upsert_version(spark, target)
+        .groupBy((F.col("o_custkey") % 5).cast("bigint").alias("band"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("double").alias("sum_price"))
+        .orderBy("band")
+    )

@@ -3720,3 +3720,62 @@ def test_read_upsert_changes_scans_changed_files_only(spark, tmp_path,
     scanned = {os.path.basename(p) for p in ch.inputFiles()}
     assert linked and not (scanned & linked)
     assert len(scanned) == 2            # one retired + one rewritten file
+
+
+def test_merge_set_maps_and_not_matched_by_source(spark, tmp_path):
+    """Delta's remaining MERGE surface: explicit SET {col: expr} maps
+    (simultaneous, over t./s., store-assignment casts) and WHEN NOT
+    MATCHED BY SOURCE DELETE/UPDATE over target-only rows — the
+    'sync a dimension table' shape. NMBS merges take the full-target
+    rewrite (the clause can hit any row); SET-map merges without
+    inserts provably keep the target schema and stay on the COW path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _journal_state, read_upsert_version, upsert_commit_batch,
+        upsert_merge_into)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 10, "live") for i in range(10)],
+        "k long, v long, status string")
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    src = spark.createDataFrame([(1, 5), (2, 7), (100, 9)],
+                                "k long, bonus long")
+    upsert_merge_into(
+        spark, t, 1, src, ["k"],
+        matched_update_set={"v": "t.v + s.bonus"},
+        not_matched_insert=None,
+        not_matched_by_source_delete="t.k >= 8",
+        not_matched_by_source_update="t.k < 8",
+        not_matched_by_source_set={"status": "'stale'"},
+        keep_versions=8, incremental_min_bytes=0)
+    snap = read_upsert_version(spark, t)
+    # SET-map mode with inserts off: no schema evolution from `bonus`
+    assert snap.columns == ["k", "v", "status"]
+    rows = {r.k: (r.v, r.status) for r in snap.collect()}
+    assert rows[1] == (15, "live")      # SET v only; status untouched
+    assert rows[2] == (27, "live")
+    assert all(rows[k][1] == "stale" for k in (0, 3, 4, 5, 6, 7))
+    assert 8 not in rows and 9 not in rows      # NMBS DELETE
+    assert 100 not in rows                       # insert clause off
+    # SET-map merge without NMBS stays incremental (COW stats present)
+    src2 = spark.createDataFrame([(1, 1)], "k long, bonus long")
+    upsert_merge_into(spark, t, 2, src2, ["k"],
+                      matched_update_set={"v": "t.v + s.bonus"},
+                      not_matched_insert=None,
+                      keep_versions=8, incremental_min_bytes=0)
+    entry = _journal_state(t + "_versions")[0][-1]
+    assert entry.get("files_rewritten") is not None
+    assert read_upsert_version(spark, t).filter("k = 1").first().v == 16
+    # guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key column"):
+        upsert_merge_into(spark, t, 3, src2, ["k"],
+                          matched_update_set={"k": "t.k + 1"})
+    with _pytest.raises(ValueError, match="absent from"):
+        upsert_merge_into(spark, t, 3, src2, ["k"],
+                          matched_update_set={"ghost": "1"})
