@@ -161,3 +161,28 @@ def test_clone_carries_mapping(spark, tmp_path):
     assert table_column_mapping(c) == {"renames": {"amount": "price"},
                                        "dropped": ["note"]}
     assert read_upsert_version(spark, c).columns == ["k", "amount"]
+
+
+def test_colmap_composes_with_partitioning(spark, tmp_path):
+    """Rename a DATA column on a PARTITIONED BY table: the Hive layout
+    keys stay physical-stable, DML and the typed read work through the
+    logical name, and partition pruning still fires."""
+    t = os.path.join(str(tmp_path), "pt")
+    set_table_partitioning(t, {"bucket": "bigint"})
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 10).alias("price"))
+    upsert_commit_batch(df, t, 0, key_cols=["k", "bucket"],
+                        order_col="price", keep_versions=8,
+                        incremental_min_bytes=0)
+    rename_table_column(spark, t, "price", "amount")
+    upsert_update_where(spark, t, 1, "bucket = 2", {"amount": "0"},
+                        key_cols=["k", "bucket"], keep_versions=8,
+                        incremental_min_bytes=0)
+    snap = read_upsert_version(spark, t)
+    assert snap.columns == ["k", "amount", "bucket"]
+    assert snap.filter("bucket = 2 AND amount = 0").count() == 10
+    pruned = snap.filter(F.col("bucket") == 1) \
+        .select(F.input_file_name()).distinct().count()
+    total = snap.select(F.input_file_name()).distinct().count()
+    assert pruned < total
