@@ -127,6 +127,10 @@ def _referenced_anywhere(target_dir: str, logical: str) -> str | None:
     if ident and ident["name"] == logical:
         return "it is the GENERATED ALWAYS AS IDENTITY column"
     for name, expr in table_check_constraints(target_dir).items():
+        if isinstance(expr, dict):          # typed entry (NOT NULL)
+            if expr.get("col") == logical:
+                return f"NOT NULL constraint {name!r} references it"
+            continue
         if _expr_references(expr, logical):
             return f"CHECK constraint {name!r} ({expr}) references it"
     for name, expr in table_generated_columns(target_dir).items():

@@ -619,6 +619,13 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     os.makedirs(versions_root, exist_ok=True)
     spark = batch_df.sparkSession
 
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
+    defaults = table_column_defaults(target_dir)
+    if defaults:
+        # DEFAULT before generated: a generated expression may
+        # reference a defaulted input
+        batch_df = _apply_defaults(batch_df, defaults)
     gens = table_generated_columns(target_dir)
     if gens:
         # generated columns first (a CHECK may reference one): omitted
@@ -828,6 +835,8 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
 
     if isinstance(condition, str):
         condition = F.expr(condition)
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
     versions_root = target_dir + "_versions"
     retried = False
     for _attempt in range(max_retries):
@@ -991,6 +1000,8 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
             f"— GENERATED ALWAYS AS IDENTITY values are "
             f"allocation-owned")
     hit = F.coalesce(condition, F.lit(False))
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
     cons = table_check_constraints(target_dir)
     versions_root = target_dir + "_versions"
     retried = False
@@ -1157,6 +1168,8 @@ def upsert_drop_partitions(spark, target_dir: str, batch_id: int,
             f"{target_dir} is not PARTITIONED BY — "
             f"upsert_drop_partitions needs partition columns; use "
             f"upsert_delete_where for row-level deletes")
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
     cond = F.expr(condition) if isinstance(condition, str) else condition
     versions_root = target_dir + "_versions"
     retried = False
@@ -1299,6 +1312,10 @@ def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
             "dynamic partition overwrite is not supported on identity "
             "tables — a whole-partition replace has no matched rows to "
             "inherit ids through; use MERGE INTO")
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
+    batch_df = _apply_defaults(batch_df,
+                               table_column_defaults(target_dir))
     dup = (batch_df.groupBy(*key_cols).count()
            .filter(F.col("count") > 1).limit(1).count())
     if dup:
@@ -1391,7 +1408,8 @@ def _merge_result(snapshot, source, key_cols: list[str],
                   matched_update_set: dict | None = None,
                   not_matched_by_source_update=None,
                   not_matched_by_source_set: dict | None = None,
-                  not_matched_by_source_delete=None):
+                  not_matched_by_source_delete=None,
+                  insert_defaults: dict | None = None):
     """The relational core of MERGE INTO (separated so the CAS loop can
     re-stage it against a new base on a lost race). Returns the merged
     DataFrame in the combined schema: target columns first (in table
@@ -1490,8 +1508,14 @@ def _merge_result(snapshot, source, key_cols: list[str],
         else:
             upd_val = (F.col(f"s.{c}") if c in s_fields
                        else F.col(f"t.{c}"))
-        ins_val = (F.col(f"s.{c}") if c in s_fields
-                   else F.lit(None).cast(t_types[c]))
+        if c in s_fields:
+            ins_val = F.col(f"s.{c}")
+        elif insert_defaults and c in insert_defaults:
+            # column DEFAULT: an INSERT whose source lacks the column
+            # gets the declared expression, not NULL (SQL DEFAULT)
+            ins_val = F.expr(insert_defaults[c]).cast(t_types[c])
+        else:
+            ins_val = F.lit(None).cast(t_types[c])
         nmbs_val = (nmbs_set[c].cast(t_types[c]) if c in nmbs_set
                     else F.col(f"t.{c}"))
         out.append(F.when(apply_upd, upd_val)
@@ -1596,6 +1620,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             "MERGE source has multiple rows for at least one key — "
             "reduce it (e.g. keep-latest) before merging, as Delta "
             "requires")
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
     has_nmbs = (not_matched_by_source_delete is not None
                 or not_matched_by_source_update is not None)
     set_cols = set(matched_update_set or {}) \
@@ -1675,6 +1701,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                          else F.lit(True) if ins is True else ins)
                     merged = source.alias("s").filter(c)
                 merged = merged.drop(*source_meta_cols)
+                merged = _apply_defaults(
+                    merged, table_column_defaults(target_dir))
                 merged, ident_hwm = fill_identity(merged, commits)
                 _staged_write(merged, target_dir,
                               os.path.join(versions_root, stage))
@@ -1714,6 +1742,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                         for c in s_types)
                 clause_kwargs = dict(
                     source_meta_cols=source_meta_cols,
+                    insert_defaults=table_column_defaults(target_dir),
                     matched_update_set=matched_update_set,
                     not_matched_by_source_update=(
                         not_matched_by_source_update),
@@ -3250,12 +3279,15 @@ def clone_upsert_table(src_target: str, dst_target: str,
     if _has_mapping(src_map):
         from ..fsutil import atomic_write_json
         atomic_write_json(_colmap_path(dst_target), src_map)
-    from .partitioning import (_protocol_path, table_protocol_features)
-    src_feats = table_protocol_features(src_target)
-    if src_feats:
+    src_defaults = table_column_defaults(src_target)
+    if src_defaults:
         from ..fsutil import atomic_write_json
-        atomic_write_json(_protocol_path(dst_target),
-                          {"features": sorted(src_feats)})
+        atomic_write_json(_defaults_path(dst_target), src_defaults)
+    from .partitioning import _protocol_path, _read_protocol
+    src_proto = _read_protocol(src_target)
+    if src_proto["features"] or src_proto["writer_features"]:
+        from ..fsutil import atomic_write_json
+        atomic_write_json(_protocol_path(dst_target), src_proto)
     cms, _ = _journal_state(dst_root)
     _publish_commit(dst_target, dst_root, cms, keep_versions=2)
     return perm
@@ -3332,15 +3364,34 @@ class CheckConstraintViolation(ValueError):
     pass
 
 
-def _validate_constraints(df, constraints: dict[str, str],
-                          what: str) -> None:
+def _validate_constraints(df, constraints: dict, what: str) -> None:
     """SQL CHECK semantics: a row violates iff the expression is FALSE
     — NULL (unknown) passes, as in every SQL engine. One pass over the
     INCOMING rows only (never the table), and only when constraints
-    exist; the first violating row is surfaced in the error."""
+    exist; the first violating row is surfaced in the error.
+
+    A constraint entry is either a SQL expression string (CHECK) or
+    ``{"kind": "not_null", "col": name}`` — NOT NULL is a DISTINCT
+    constraint class precisely because CHECK's three-valued logic
+    passes NULLs (``CHECK (col IS NOT NULL)`` would work, but SQL and
+    Delta both model NOT NULL separately, and so does the metadata
+    here). A NOT NULL column absent from the batch is a violation too
+    (it would land as NULL through mergeSchema)."""
     from pyspark.sql import functions as F
 
     for name, expr in constraints.items():
+        if isinstance(expr, dict) and expr.get("kind") == "not_null":
+            col = expr["col"]
+            if col not in df.columns:
+                raise CheckConstraintViolation(
+                    f"NOT NULL column {col!r} is absent from {what} — "
+                    f"it would land as NULL through schema evolution")
+            bad = df.filter(F.col(col).isNull()).limit(1).collect()
+            if bad:
+                raise CheckConstraintViolation(
+                    f"NOT NULL constraint on {col!r} violated by "
+                    f"{what}: first offending row {bad[0].asDict()!r}")
+            continue
         try:
             bad = df.filter(F.expr(expr).isNotNull()
                             & ~F.expr(expr)).limit(1).collect()
@@ -3378,7 +3429,8 @@ def set_table_check_constraint(spark, target_dir: str, name: str,
     cons[name] = expr
     atomic_write_json(_constraints_path(target_dir), cons)
     from .partitioning import register_table_feature
-    register_table_feature(target_dir, "check_constraints")
+    register_table_feature(target_dir, "check_constraints",
+                           kind="writer")
 
 
 def drop_table_check_constraint(target_dir: str, name: str) -> None:
@@ -3387,6 +3439,105 @@ def drop_table_check_constraint(target_dir: str, name: str) -> None:
     cons = table_check_constraints(target_dir)
     cons.pop(name, None)
     atomic_write_json(_constraints_path(target_dir), cons)
+
+
+def set_table_not_null(spark, target_dir: str, col: str) -> None:
+    """ALTER TABLE ALTER COLUMN col SET NOT NULL. Distinct from CHECK
+    (whose three-valued logic PASSES NULLs — ``CHECK (col IS NOT
+    NULL)`` is exactly the constraint CHECK cannot express); stored in
+    the same constraints file as a typed entry so every existing
+    enforcement point (incoming batches, MERGE sources, UPDATE/MERGE
+    post-images, RESTORE, overwrite batches) covers it with zero new
+    plumbing. Like Delta, refused if existing data already violates."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..fsutil import atomic_write_json
+    from .partitioning import register_table_feature
+
+    cons = table_check_constraints(target_dir)
+    commits, _ = _journal_state(target_dir + "_versions")
+    if commits:
+        snap = _snapshot_read(spark, target_dir, os.path.join(
+            target_dir + "_versions", commits[-1]["version_name"]))
+        if col not in snap.columns:
+            raise CheckConstraintViolation(
+                f"cannot declare NOT NULL on {col!r}: not a column of "
+                f"this table (columns: {snap.columns})")
+        if snap.filter(F.col(col).isNull()).limit(1).collect():
+            raise CheckConstraintViolation(
+                f"existing table data has NULLs in {col!r} — repair "
+                f"before declaring NOT NULL (Delta refuses the same "
+                f"way)")
+    cons[f"{col}__not_null"] = {"kind": "not_null", "col": col}
+    atomic_write_json(_constraints_path(target_dir), cons)
+    register_table_feature(target_dir, "not_null_constraints",
+                           kind="writer")
+
+
+def drop_table_not_null(target_dir: str, col: str) -> None:
+    drop_table_check_constraint(target_dir, f"{col}__not_null")
+
+
+# --- column DEFAULT values --------------------------------------------------
+
+_DEFAULTS_FILE = "_DEFAULTS.json"
+
+
+def _defaults_path(target_dir: str) -> str:
+    import os
+    return os.path.join(target_dir + "_versions", _DEFAULTS_FILE)
+
+
+def table_column_defaults(target_dir: str) -> dict[str, str]:
+    """{column: sql_expr} DEFAULT declarations (empty if none)."""
+    import json
+    import os
+
+    p = _defaults_path(target_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def set_table_column_default(target_dir: str, col: str,
+                             expr: str) -> None:
+    """ALTER TABLE ALTER COLUMN col SET DEFAULT expr — rows arriving
+    WITHOUT the column (a batch omitting it, a MERGE INSERT whose
+    source lacks it) get the expression instead of NULL. The
+    expression must be evaluable without any input row (literals and
+    deterministic functions — Delta's same restriction); existing data
+    is never backfilled (SQL DEFAULT applies at write time)."""
+    from ..fsutil import atomic_write_json
+    from .partitioning import register_table_feature
+
+    d = table_column_defaults(target_dir)
+    d[col] = expr
+    atomic_write_json(_defaults_path(target_dir), d)
+    register_table_feature(target_dir, "column_defaults", kind="writer")
+
+
+def drop_table_column_default(target_dir: str, col: str) -> None:
+    from ..fsutil import atomic_write_json
+
+    d = table_column_defaults(target_dir)
+    d.pop(col, None)
+    atomic_write_json(_defaults_path(target_dir), d)
+
+
+def _apply_defaults(df, defaults: dict[str, str]):
+    """Fill columns the incoming frame OMITS with their DEFAULT
+    expressions; supplied columns (even explicit NULLs) pass through —
+    SQL DEFAULT semantics, applied before generated columns so a
+    generated expression may reference a defaulted input."""
+    from pyspark.sql import functions as F
+
+    for c, expr in defaults.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(expr))
+    return df
 
 
 # --- generated columns ------------------------------------------------------
@@ -3475,7 +3626,8 @@ def set_table_generated_column(spark, target_dir: str, name: str,
     gens[name] = expr
     atomic_write_json(_generated_path(target_dir), gens)
     from .partitioning import register_table_feature
-    register_table_feature(target_dir, "generated_columns")
+    register_table_feature(target_dir, "generated_columns",
+                           kind="writer")
 
 
 def drop_table_generated_column(target_dir: str, name: str) -> None:
@@ -3528,7 +3680,8 @@ def set_table_identity_column(target_dir: str, name: str,
                       {"name": name, "start": int(start),
                        "step": int(step)})
     from .partitioning import register_table_feature
-    register_table_feature(target_dir, "identity_columns")
+    register_table_feature(target_dir, "identity_columns",
+                           kind="writer")
 
 
 def _identity_high_water(commits: list[dict], ident: dict) -> int:
@@ -4084,9 +4237,12 @@ def describe_upsert_detail(spark, target_dir: str) -> DataFrame:
         if c.get("op") in _VERSIONING_OPS
         and os.path.isdir(os.path.join(versions_root,
                                        c.get("version_name") or ""))})
+    cons_str = {n: (f"NOT NULL ({e['col']})" if isinstance(e, dict)
+                    else e)
+                for n, e in table_check_constraints(target_dir).items()}
     row = (os.path.abspath(target_dir), "parquet/upsert-journal",
            int(head["version"]), len(files), int(size), retained,
-           list(parts), table_check_constraints(target_dir),
+           list(parts), cons_str,
            table_generated_columns(target_dir),
            json.dumps(ident) if ident else None,
            dict(m["renames"]), list(m["dropped"]), cloned)
@@ -4238,4 +4394,85 @@ def merge_nmbs_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
              .cast("double").alias("sum_price"))
         .orderBy("band")
+    )
+
+
+@_catalog_register(
+    "table_not_null_default",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    added AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             'backfill' AS status
+      FROM orders WHERE o_orderkey % 5 = 1
+    ),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM added)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+             AS sum_price,
+           TRUE AS not_null_enforced
+    FROM final GROUP BY status ORDER BY status
+    """,
+)
+def table_not_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT NULL + column DEFAULT under the value-hash gate. The base
+    table carries a ``status`` column; DEFAULT 'backfill' is declared,
+    then a second batch arrives WITHOUT the column and must land with
+    the default (not NULL — which the also-declared NOT NULL would
+    refuse, and which the oracle's constant replays). A third batch
+    with an explicit NULL status must be REFUSED by the NOT NULL
+    constraint (``not_null_enforced`` pins that the violation actually
+    fired — CHECK's three-valued logic would have passed it, which is
+    why NOT NULL is a distinct constraint class)."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+    from ..sources.tables import load_table
+
+    root = query_workspace("nn_default", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    target = os.path.join(root, "tbl")
+    o = load_table(spark, sf_dir, "orders")
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(
+            o.filter(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", "o_totalprice",
+                    F.col("o_orderstatus").alias("status")),
+            base, 0, key_cols=["o_orderkey"], order_col="o_orderkey",
+            keep_versions=2)
+
+    clone_upsert_table(shared_base_table(sf_dir, "nn_default", _build),
+                       target)
+    set_table_column_default(target, "status", "'backfill'")
+    set_table_not_null(spark, target, "status")
+    upsert_commit_batch(
+        o.filter(F.col("o_orderkey") % 5 == 1)
+        .select("o_orderkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice")),
+        target, 1, key_cols=["o_orderkey"], order_col="o_orderkey",
+        keep_versions=2)
+    enforced = False
+    try:
+        upsert_commit_batch(
+            o.limit(10).select(
+                "o_orderkey", "o_totalprice",
+                F.lit(None).cast("string").alias("status")),
+            target, 2, key_cols=["o_orderkey"],
+            order_col="o_orderkey", keep_versions=2)
+    except CheckConstraintViolation:
+        enforced = True
+    return (
+        read_upsert_version(spark, target)
+        .groupBy("status")
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+             .cast("double").alias("sum_price"))
+        .withColumn("not_null_enforced", F.lit(enforced))
+        .orderBy("status")
     )

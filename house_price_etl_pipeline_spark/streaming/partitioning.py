@@ -352,28 +352,56 @@ def _protocol_path(target_dir: str) -> str:
     return os.path.join(target_dir + "_versions", _PROTOCOL_FILE)
 
 
-def table_protocol_features(target_dir: str) -> set[str]:
+# features only WRITERS must understand (they gate what may be
+# committed, not how existing bytes decode): constraints, generated/
+# identity/default columns. An old reader scans these tables fine.
+SUPPORTED_WRITER_FEATURES = frozenset({
+    "check_constraints", "generated_columns", "identity_columns",
+    "not_null_constraints", "column_defaults",
+}) | SUPPORTED_FEATURES
+
+
+def _read_protocol(target_dir: str) -> dict:
     p = _protocol_path(target_dir)
     if not os.path.exists(p):
-        return set()
+        return {"features": [], "writer_features": []}
     with open(p) as f:
-        return set(json.load(f).get("features", []))
+        d = json.load(f)
+    d.setdefault("features", [])
+    d.setdefault("writer_features", [])
+    return d
 
 
-def register_table_feature(target_dir: str, feature: str) -> None:
+def table_protocol_features(target_dir: str) -> set[str]:
+    """READER features — change how bytes must be interpreted."""
+    return set(_read_protocol(target_dir)["features"])
+
+
+def table_writer_features(target_dir: str) -> set[str]:
+    """WRITER features — gate what commits must enforce (constraints,
+    generated/identity/default columns); reads are unaffected."""
+    d = _read_protocol(target_dir)
+    return set(d["writer_features"]) | set(d["features"])
+
+
+def register_table_feature(target_dir: str, feature: str,
+                           kind: str = "reader") -> None:
     """Record that this table now depends on ``feature`` — called by
     each metadata declaration (set_table_partitioning, rename/drop
-    column, ...). Idempotent; the file is tiny and read once per
-    operation."""
+    column, constraint/default declarations...). ``kind`` is
+    "reader" (affects byte interpretation — readers AND writers must
+    know it) or "writer" (enforcement-only — old readers stay valid),
+    Delta's reader/writer feature split. Idempotent; the file is tiny
+    and read once per operation."""
     from ..fsutil import atomic_write_json
 
-    feats = table_protocol_features(target_dir)
-    if feature in feats:
+    d = _read_protocol(target_dir)
+    key = "features" if kind == "reader" else "writer_features"
+    if feature in d[key]:
         return
     os.makedirs(target_dir + "_versions", exist_ok=True)
-    feats.add(feature)
-    atomic_write_json(_protocol_path(target_dir),
-                      {"features": sorted(feats)})
+    d[key] = sorted(set(d[key]) | {feature})
+    atomic_write_json(_protocol_path(target_dir), d)
 
 
 class UnsupportedTableFeature(RuntimeError):
@@ -381,9 +409,10 @@ class UnsupportedTableFeature(RuntimeError):
 
 
 def check_table_readable(target_dir: str) -> None:
-    """Raise if the table's protocol lists a feature this build does
-    not implement — reading on anyway would be silent corruption (the
-    exact failure mode Delta's protocol versions exist to prevent)."""
+    """Raise if the table's protocol lists a READER feature this build
+    does not implement — reading on anyway would be silent corruption
+    (the exact failure mode Delta's protocol versions exist to
+    prevent). Writer-only features never block reads."""
     unknown = table_protocol_features(target_dir) - SUPPORTED_FEATURES
     if unknown:
         raise UnsupportedTableFeature(
@@ -391,3 +420,18 @@ def check_table_readable(target_dir: str) -> None:
             f"this build does not support (supported: "
             f"{sorted(SUPPORTED_FEATURES)}) — upgrade the library to "
             f"read or write this table")
+
+
+def check_table_writable(target_dir: str) -> None:
+    """Raise if the table lists ANY feature (reader or writer) this
+    build does not implement — a commit from a build that can't
+    enforce a declared constraint/default could publish violating
+    rows, Delta's writer-version contract."""
+    unknown = table_writer_features(target_dir) \
+        - SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise UnsupportedTableFeature(
+            f"table {target_dir} declares writer feature(s) "
+            f"{sorted(unknown)} this build cannot enforce — committing "
+            f"would bypass them; upgrade the library to write this "
+            f"table")

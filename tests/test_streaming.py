@@ -3779,3 +3779,130 @@ def test_merge_set_maps_and_not_matched_by_source(spark, tmp_path):
     with _pytest.raises(ValueError, match="absent from"):
         upsert_merge_into(spark, t, 3, src2, ["k"],
                           matched_update_set={"ghost": "1"})
+
+
+def test_not_null_constraint_distinct_from_check(spark, tmp_path):
+    """NOT NULL is the constraint CHECK cannot express (3VL passes
+    NULLs): declared via set_table_not_null, enforced on batches,
+    MERGE sources, UPDATE post-images, and absent-column evolution;
+    refused on existing NULLs; visible in DESCRIBE DETAIL; rides the
+    writer-feature gate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        CheckConstraintViolation, describe_upsert_detail,
+        drop_table_not_null, read_upsert_version, set_table_not_null,
+        upsert_commit_batch, upsert_merge_into, upsert_update_where)
+    import pytest as _pytest
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8)
+    # CHECK(v IS NOT NULL)-style expressions pass NULLs — prove the
+    # distinct class is needed: a NULL batch passes CHECK but must
+    # fail NOT NULL
+    set_table_not_null(spark, t, "v")
+    d = describe_upsert_detail(spark, t).first()
+    assert d["check_constraints"] == {"v__not_null": "NOT NULL (v)"}
+    bad = spark.createDataFrame([(3, None)], "k long, v long")
+    with _pytest.raises(CheckConstraintViolation, match="NOT NULL"):
+        upsert_commit_batch(bad, t, 1, key_cols=["k"], order_col="k",
+                            keep_versions=8)
+    # absent column = NULL through evolution: refused too
+    nov = spark.createDataFrame([(3, "x")], "k long, note string")
+    with _pytest.raises(CheckConstraintViolation, match="absent"):
+        upsert_commit_batch(nov, t, 1, key_cols=["k"], order_col="k",
+                            keep_versions=8)
+    with _pytest.raises(CheckConstraintViolation, match="NOT NULL"):
+        upsert_update_where(spark, t, 1, "k = 1",
+                            {"v": "CAST(NULL AS BIGINT)"},
+                            key_cols=["k"], keep_versions=8,
+                            incremental_min_bytes=0)
+    with _pytest.raises(CheckConstraintViolation, match="NOT NULL"):
+        upsert_merge_into(spark, t, 1, bad, ["k"], keep_versions=8)
+    # declaring over existing NULLs is refused
+    t2 = os.path.join(str(tmp_path), "t2")
+    upsert_commit_batch(
+        spark.createDataFrame([(1, None)], "k long, v long"),
+        t2, 0, key_cols=["k"], order_col="k", keep_versions=8)
+    with _pytest.raises(CheckConstraintViolation, match="existing"):
+        set_table_not_null(spark, t2, "v")
+    # drop restores writability with NULLs
+    drop_table_not_null(t, "v")
+    upsert_commit_batch(bad, t, 2, key_cols=["k"], order_col="k",
+                        keep_versions=8)
+    assert read_upsert_version(spark, t).count() == 3
+
+
+def test_column_defaults_fill_omitted_columns(spark, tmp_path):
+    """SQL DEFAULT: a batch or MERGE INSERT omitting the column gets
+    the declared expression instead of NULL; supplied values (even
+    explicit NULLs) pass through; existing data never backfills."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, set_table_column_default,
+        upsert_commit_batch, upsert_merge_into)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame([(1, 10, "live")],
+                               "k long, v long, status string")
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    set_table_column_default(t, "status", "'pending'")
+    # batch omits status -> default; existing row 1 untouched
+    d = spark.createDataFrame([(2, 20)], "k long, v long")
+    upsert_commit_batch(d, t, 1, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    got = {r.k: r.status for r in read_upsert_version(spark, t).collect()}
+    assert got == {1: "live", 2: "pending"}
+    # MERGE INSERT whose source lacks the column -> default on inserts,
+    # matched update keeps target value (SET * retains for missing col)
+    src = spark.createDataFrame([(1, 99), (3, 30)], "k long, v long")
+    upsert_merge_into(spark, t, 2, src, ["k"], keep_versions=8,
+                      incremental_min_bytes=0)
+    got = {r.k: (r.v, r.status) for r in
+           read_upsert_version(spark, t).collect()}
+    assert got[3] == (30, "pending")
+    assert got[1] == (99, "live")
+    # explicit NULL is NOT replaced (DEFAULT is absence, not NULL)
+    e = spark.createDataFrame([(4, 40, None)],
+                              "k long, v long, status string")
+    upsert_commit_batch(e, t, 3, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    assert read_upsert_version(spark, t) \
+        .filter("k = 4").first().status is None
+
+
+def test_writer_feature_gate_blocks_unknown_enforcement(spark, tmp_path):
+    """A table declaring a writer feature this build can't enforce is
+    still READABLE but refuses commits — Delta's reader/writer split."""
+    import os
+
+    from house_price_etl_pipeline_spark.fsutil import atomic_write_json
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, upsert_commit_batch, upsert_delete_where)
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        UnsupportedTableFeature, _protocol_path, _read_protocol)
+    import pytest as _pytest
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8)
+    proto = _read_protocol(t)
+    proto["writer_features"] = ["row_tracking_v7"]
+    atomic_write_json(_protocol_path(t), proto)
+    # reads fine
+    assert read_upsert_version(spark, t).count() == 1
+    # writes refuse
+    with _pytest.raises(UnsupportedTableFeature, match="row_tracking"):
+        upsert_commit_batch(df, t, 1, key_cols=["k"], order_col="v",
+                            keep_versions=8)
+    with _pytest.raises(UnsupportedTableFeature, match="row_tracking"):
+        upsert_delete_where(spark, t, 1, "v > 0", keep_versions=8)
