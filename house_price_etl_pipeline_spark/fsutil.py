@@ -85,16 +85,58 @@ def commit_path(commits_dir: str, seq: int) -> str:
     return os.path.join(commits_dir, f"c{seq:010d}.json")
 
 
+# One consolidated journal checkpoint every this many commits: readers
+# load checkpoint + tail instead of parsing every commit file — Delta's
+# log-checkpoint contract (its default is every 10 commits). At 10^5
+# commits a full parse is 10^5 file opens per journal read; with
+# checkpoints it is one JSON load plus <= INTERVAL tail files.
+JOURNAL_CHECKPOINT_INTERVAL = 32
+
+
+def _checkpoint_files(names: list[str]) -> list[str]:
+    return sorted(n for n in names
+                  if n.startswith("_ckpt_") and n.endswith(".json"))
+
+
+def _load_latest_checkpoint(commits_dir: str,
+                            names: list[str]) -> dict | None:
+    for n in reversed(_checkpoint_files(names)):
+        try:
+            with open(os.path.join(commits_dir, n)) as f:
+                ck = json.load(f)
+            if isinstance(ck.get("upto_seq"), int) and \
+                    isinstance(ck.get("entries"), list):
+                return ck
+        except (json.JSONDecodeError, OSError):
+            continue    # corrupt/in-flight checkpoint: derived data —
+            #             fall back to the next one or the full parse
+    return None
+
+
 def read_commit_journal(commits_dir: str) -> list[dict]:
     """All committed entries in sequence order. Tolerates the (tiny)
     window where a concurrent writer has created but not yet fsynced a
     commit file only insofar as JSON parse failures on the LAST entry
-    are treated as not-yet-visible (it will be complete on re-read)."""
+    are treated as not-yet-visible (it will be complete on re-read).
+
+    Reads through the latest journal CHECKPOINT when one exists
+    (consolidated entry list written every
+    ``JOURNAL_CHECKPOINT_INTERVAL`` commits by the publish path):
+    checkpointed entries load as one JSON, and only commit files PAST
+    the checkpoint parse individually — O(tail), not O(history), per
+    read. Checkpoints are derived data: corrupt or missing ones just
+    fall back to the full parse, and commit files are never deleted,
+    so the two routes can never disagree."""
     if not os.path.isdir(commits_dir):
         return []
-    names = sorted(n for n in os.listdir(commits_dir)
-                   if n.startswith("c") and n.endswith(".json"))
-    out = []
+    all_names = os.listdir(commits_dir)
+    ck = _load_latest_checkpoint(commits_dir, all_names)
+    out = list(ck["entries"]) if ck else []
+    floor = ck["upto_seq"] if ck else -1
+    names = sorted(
+        n for n in all_names
+        if n.startswith("c") and n.endswith(".json")
+        and int(n[1:-5]) > floor)
     for i, n in enumerate(names):
         try:
             with open(os.path.join(commits_dir, n)) as f:
@@ -104,6 +146,38 @@ def read_commit_journal(commits_dir: str) -> list[dict]:
                 break  # in-flight last commit: caller retries and sees it
             raise
     return out
+
+
+def maybe_checkpoint_journal(commits_dir: str,
+                             entries: list[dict]) -> bool:
+    """Write a journal checkpoint if the head has advanced at least
+    JOURNAL_CHECKPOINT_INTERVAL commits past the latest one. Called
+    from the publish path with the entry list it already holds — no
+    extra journal read. Atomic (tmp+rename); concurrent publishers
+    writing the same head produce identical content, and a checkpoint
+    for a stale head is harmless (a newer one supersedes it). Keeps
+    the two newest checkpoints; older ones are pruned here (they are
+    pure derived data). Returns True iff a checkpoint was written."""
+    if not entries:
+        return False
+    head = entries[-1].get("seq", -1)
+    try:
+        names = os.listdir(commits_dir)
+    except OSError:
+        return False
+    cks = _checkpoint_files(names)
+    last = int(cks[-1][6:-5]) if cks else -1
+    if head - last < JOURNAL_CHECKPOINT_INTERVAL:
+        return False
+    atomic_write_json(
+        os.path.join(commits_dir, f"_ckpt_{head:010d}.json"),
+        {"upto_seq": head, "entries": entries})
+    for n in cks[:-1]:          # keep previous newest + the new one
+        try:
+            os.unlink(os.path.join(commits_dir, n))
+        except OSError:
+            pass
+    return True
 
 
 def cas_backoff(losses: int, base: float = 0.05, cap: float = 1.0) -> None:

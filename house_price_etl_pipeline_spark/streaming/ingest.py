@@ -341,6 +341,14 @@ def _publish_commit(target_dir: str, versions_root: str,
                               ignore_errors=True)
         latest = read_commit_journal(_commits_dir(versions_root))
         if not latest or latest[-1]["seq"] == head["seq"]:
+            # journal checkpoint ride-along (Delta's log checkpoints):
+            # the publisher already holds the full entry list, so
+            # consolidating it every N commits costs one JSON write
+            # and keeps every journal READ O(tail) instead of
+            # O(history) — derived data, crash-safe, last-writer-wins
+            from ..fsutil import maybe_checkpoint_journal
+            maybe_checkpoint_journal(_commits_dir(versions_root),
+                                     latest or commits)
             return
         commits = latest  # journal moved: our swap may have regressed
         #                   over a newer publish — republish and recheck

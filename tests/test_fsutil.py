@@ -83,3 +83,69 @@ def test_try_commit_monotonic_mtimes(tmp_path):
     os.utime(commit_path(cdir, 0), (future, future))
     assert try_commit(cdir, 1, {"op": "upsert", "version": 1})
     assert os.stat(commit_path(cdir, 1)).st_mtime > future
+
+
+def test_journal_checkpoint_roundtrip(tmp_path):
+    """Checkpoints consolidate the entry list every INTERVAL commits;
+    reads load checkpoint + tail and must equal the full parse; a
+    corrupt checkpoint falls back silently (derived data)."""
+    import json
+    import os
+
+    from house_price_etl_pipeline_spark.fsutil import (
+        JOURNAL_CHECKPOINT_INTERVAL, maybe_checkpoint_journal,
+        read_commit_journal, try_commit)
+
+    cdir = str(tmp_path / "_commits")
+    n = JOURNAL_CHECKPOINT_INTERVAL + 5
+    for seq in range(n):
+        assert try_commit(cdir, seq, {"op": "upsert", "version": seq,
+                                      "version_name": f"v{seq}"})
+    full = read_commit_journal(cdir)
+    assert [c["seq"] for c in full] == list(range(n))
+    assert maybe_checkpoint_journal(cdir, full) is True
+    cks = [f for f in os.listdir(cdir) if f.startswith("_ckpt_")]
+    assert len(cks) == 1
+    # checkpointed read equals the full parse
+    assert read_commit_journal(cdir) == full
+    # below the interval: no new checkpoint
+    assert maybe_checkpoint_journal(cdir, full) is False
+    # tail commits after the checkpoint are appended by the read
+    assert try_commit(cdir, n, {"op": "upsert", "version": n,
+                                "version_name": f"v{n}"})
+    got = read_commit_journal(cdir)
+    assert got[:-1] == full and got[-1]["seq"] == n
+    # corrupt checkpoint: silently ignored, full parse still right
+    with open(os.path.join(cdir, cks[0]), "w") as f:
+        f.write("{broken")
+    assert [c["seq"] for c in read_commit_journal(cdir)] \
+        == list(range(n + 1))
+
+
+def test_journal_checkpoint_via_publish(tmp_path, spark):
+    """The table-format publish path writes checkpoints as a
+    ride-along: INTERVAL+ commits on a real table leave a checkpoint
+    behind, and every reader (time travel, history, feeds) stays
+    consistent with it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import (
+        JOURNAL_CHECKPOINT_INTERVAL)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, describe_upsert_history, read_upsert_version,
+        upsert_commit_batch)
+
+    t = str(tmp_path / "tbl")
+    n = JOURNAL_CHECKPOINT_INTERVAL + 2
+    for i in range(n):
+        df = spark.createDataFrame([(i, i)], "k long, v long")
+        upsert_commit_batch(df, t, i, key_cols=["k"], order_col="v",
+                            keep_versions=4)
+    cks = [f for f in os.listdir(_commits_dir(t + "_versions"))
+           if f.startswith("_ckpt_")]
+    assert cks, "publish path never wrote a checkpoint"
+    assert read_upsert_version(spark, t).count() == n
+    hist = describe_upsert_history(spark, t)
+    assert hist.count() == n
