@@ -487,8 +487,8 @@ def stream_upsert_changes(spark: SparkSession, target_dir: str,
                           key_cols: list[str],
                           partitions_per_version: int | str = "auto",
                           max_versions_per_trigger: int | None = None,
-                          starting_version: int | None = None
-                          ) -> DataFrame:
+                          starting_version: int | None = None,
+                          starting_timestamp=None) -> DataFrame:
     """Streaming DataFrame of the table's change feed from version 0
     (initial snapshot emitted as inserts, Delta's startingVersion=0).
     ``partitions_per_version="auto"`` (default) sizes each transition's
@@ -502,6 +502,19 @@ def stream_upsert_changes(spark: SparkSession, target_dir: str,
     CHANGES (diff against its predecessor) instead of the initial
     snapshot; like Delta, the option binds only at first start — a
     checkpointed query resumes at its cursor."""
+    if starting_timestamp is not None:
+        if starting_version is not None:
+            raise ValueError(
+                "pass starting_version OR starting_timestamp, not both "
+                "(Delta's rule)")
+        from .ingest import resolve_version_at_or_after
+        starting_version = resolve_version_at_or_after(
+            target_dir, starting_timestamp)
+        if starting_version is None:
+            # every commit precedes ts: start past the head (empty
+            # feed until the next commit) — Delta's startingTimestamp
+            # beyond-latest behavior for streams
+            starting_version = (1 << 62)
     register_cdf_source(spark)
     r = (spark.readStream.format("upsert_changes")
          .option("path", target_dir)
@@ -542,7 +555,9 @@ def read_changes_batch_pysource(spark: SparkSession, target_dir: str,
 def read_changes_batch(spark: SparkSession, target_dir: str,
                        key_cols: list[str],
                        starting_version: int | None = None,
-                       ending_version: int | None = None) -> DataFrame:
+                       ending_version: int | None = None,
+                       starting_timestamp=None,
+                       ending_timestamp=None) -> DataFrame:
     """Batch DataFrame of the change feed over an inclusive version
     range (both bounds default to the whole retained history) — the
     batch twin of :func:`stream_upsert_changes`.
@@ -561,7 +576,26 @@ def read_changes_batch(spark: SparkSession, target_dir: str,
     from functools import reduce
 
     from ..fsutil import read_commit_journal
-    from .ingest import read_upsert_changes, read_upsert_version
+    from .ingest import (read_upsert_changes, read_upsert_version,
+                         resolve_version_at_or_after,
+                         resolve_version_at_or_before)
+
+    if starting_timestamp is not None:
+        if starting_version is not None:
+            raise ValueError("pass starting_version OR "
+                             "starting_timestamp, not both")
+        starting_version = resolve_version_at_or_after(
+            target_dir, starting_timestamp)
+        if starting_version is None:
+            starting_version = (1 << 62)     # empty range past head
+    if ending_timestamp is not None:
+        if ending_version is not None:
+            raise ValueError("pass ending_version OR "
+                             "ending_timestamp, not both")
+        ending_version = resolve_version_at_or_before(
+            target_dir, ending_timestamp)
+        if ending_version is None:
+            ending_version = -1              # empty range before start
 
     commits = read_commit_journal(_commits_dir(target_dir + "_versions"))
     vc = [c for c in commits if c.get("op") in _VERSIONING_OPS]

@@ -4484,3 +4484,59 @@ def table_not_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("not_null_enforced", F.lit(enforced))
         .orderBy("status")
     )
+
+
+def _ts_to_epoch(ts) -> float:
+    import datetime as dt
+
+    if isinstance(ts, str):
+        ts = dt.datetime.fromisoformat(ts)
+    if isinstance(ts, dt.datetime):
+        ts = ts.timestamp()
+    return float(ts)
+
+
+def resolve_version_at_or_after(target_dir: str, ts) -> int | None:
+    """First versioning commit whose commit time is >= ts — Delta's
+    ``startingTimestamp`` resolution (commit-file mtime clock, the
+    same one TIMESTAMP AS OF uses). None when every commit precedes
+    ts (an empty feed window)."""
+    ts = _ts_to_epoch(ts)
+    for c, mt in _commit_mtimes(target_dir + "_versions"):
+        if c.get("op") in _VERSIONING_OPS and mt >= ts:
+            return c["version"]
+    return None
+
+
+def resolve_version_at_or_before(target_dir: str, ts) -> int | None:
+    """Last versioning commit whose commit time is <= ts — Delta's
+    ``endingTimestamp`` / TIMESTAMP AS OF resolution."""
+    ts = _ts_to_epoch(ts)
+    out = None
+    for c, mt in _commit_mtimes(target_dir + "_versions"):
+        if c.get("op") in _VERSIONING_OPS and mt <= ts:
+            out = c["version"]
+    return out
+
+
+def restore_upsert_as_of_timestamp(spark, target_dir: str, ts,
+                                   as_version: int,
+                                   keep_versions: int = 2,
+                                   writer: str = "restore",
+                                   enforce_constraints: bool = True
+                                   ) -> str:
+    """RESTORE TABLE ... TIMESTAMP AS OF: resolve ts against the
+    commit-mtime clock (the TIMESTAMP AS OF rules, including the
+    before-earliest error) and restore that version — all of
+    restore's contracts (history-preserving commit, retention check,
+    constraint re-validation) apply unchanged."""
+    ts_f = _ts_to_epoch(ts)
+    version = resolve_version_at_or_before(target_dir, ts_f)
+    if version is None:
+        raise ValueError(
+            f"timestamp {ts!r} precedes the table's earliest commit — "
+            f"nothing to restore")
+    return restore_upsert_target(spark, target_dir, version,
+                                 as_version, keep_versions=keep_versions,
+                                 writer=writer,
+                                 enforce_constraints=enforce_constraints)

@@ -478,3 +478,50 @@ def test_merge_source_meta_cols_never_written(spark, tmp_path):
     entry = _journal_state(t + "_versions")[0][-1]
     # meta col did not force the full-rewrite path
     assert entry.get("files_reused") is not None
+
+
+def test_timestamp_based_feed_and_restore(spark, tmp_path):
+    """startingTimestamp/endingTimestamp resolve against the
+    commit-mtime clock (TIMESTAMP AS OF's), and RESTORE ... TIMESTAMP
+    AS OF composes with all of restore's contracts."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        read_changes_batch)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commit_mtimes, read_upsert_version,
+        restore_upsert_as_of_timestamp, upsert_commit_batch)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    for i in range(3):
+        df = spark.createDataFrame([(k, i) for k in range(4)],
+                                   "k long, v long")
+        upsert_commit_batch(df, t, i, key_cols=["k"], order_col="v",
+                            keep_versions=8, incremental_min_bytes=0)
+    mts = {c["version"]: mt
+           for c, mt in _commit_mtimes(t + "_versions")}
+    # feed from just after v0's commit time: v1 and v2 only
+    ch = read_changes_batch(spark, t, ["k"],
+                            starting_timestamp=mts[0] + 0.0005)
+    assert set(r._commit_version for r in ch.collect()) == {1, 2}
+    # ending bound too
+    ch = read_changes_batch(spark, t, ["k"],
+                            starting_timestamp=mts[0] + 0.0005,
+                            ending_timestamp=mts[1])
+    assert set(r._commit_version for r in ch.collect()) == {1}
+    # beyond-latest start: empty feed
+    assert read_changes_batch(
+        spark, t, ["k"], starting_timestamp=time.time() + 3600
+    ).count() == 0
+    # RESTORE TIMESTAMP AS OF v1's commit time
+    restore_upsert_as_of_timestamp(spark, t, mts[1], as_version=10,
+                                   keep_versions=8)
+    assert read_upsert_version(spark, t).agg(
+        F.max("v")).first()[0] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="earliest"):
+        restore_upsert_as_of_timestamp(spark, t, mts[0] - 10,
+                                       as_version=11)
