@@ -1066,24 +1066,28 @@ def cdc_apply_changes_replica(spark: SparkSession,
     root = query_workspace("cdc_apply", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
-    src = os.path.join(root, "src")
     dst = os.path.join(root, "dst")
     ev = (load_table(spark, sf_dir, "events")
           .filter((F.col("user_id") % 2 == 1) & (F.col("user_id") < 240))
           .select("user_id", "event_id"))
 
+    # The SOURCE is read-only for replication (apply only consumes its
+    # feed), and its 3-commit history is identical every run — so the
+    # WHOLE chain is a session-cached shared base used in place (not
+    # cloned: a clone collapses history to one version, and the replay
+    # needs all three transitions). Only the destination applies run
+    # fresh.
     def _build(base: str) -> None:
         upsert_commit_batch(
             ev.filter(F.col("event_id") % 2 == 0), base, 0,
             key_cols=["user_id"], order_col="event_id",
             keep_versions=16)
+        upsert_commit_batch(ev, base, 1, key_cols=["user_id"],
+                            order_col="event_id", keep_versions=16)
+        upsert_delete_where(spark, base, 2, "user_id % 5 = 0",
+                            keep_versions=16)
 
-    clone_upsert_table(shared_base_table(sf_dir, "cdc_apply", _build),
-                       src)
-    upsert_commit_batch(ev, src, 1, key_cols=["user_id"],
-                        order_col="event_id", keep_versions=16)
-    upsert_delete_where(spark, src, 2, "user_id % 5 = 0",
-                        keep_versions=16)
+    src = shared_base_table(sf_dir, "cdc_apply3", _build)
     apply_changes_to_table(spark, src, dst, ["user_id"],
                            keep_versions=16)
     from .ingest import read_upsert_version
