@@ -1098,3 +1098,56 @@ def cdc_apply_changes_replica(spark: SparkSession,
              F.sum("event_id").cast("bigint").alias("sum_events"))
         .orderBy("band")
     )
+
+
+def stream_apply_changes(spark: SparkSession, src_target: str,
+                         dst_target: str, key_cols: list[str],
+                         checkpoint_dir: str, keep_versions: int = 2,
+                         writer: str = "replicate-stream",
+                         available_now: bool = True):
+    """CONTINUOUS replication: the streaming twin of
+    :func:`apply_changes_to_table` — the change feed drives per-version
+    MERGE applies through ``foreachBatch``, so a replica follows its
+    source live instead of polling.
+
+    Exactly-once twice over: the stream's checkpoint replays whole
+    versions (offsets are journal positions, so a micro-batch always
+    contains complete versions), and each version's MERGE uses the
+    SOURCE version as its destination batch id — a replayed
+    micro-batch after a crash re-applies as journal no-ops. Versions
+    inside one micro-batch apply in order; the initial snapshot
+    arrives as v0 inserts and seeds the replica through the same MERGE
+    (insert clause) as every later version. Retention contract is the
+    feed's: ``keep_versions`` on the SOURCE must cover the replica's
+    maximum lag."""
+    feed = stream_upsert_changes(spark, src_target, key_cols)
+
+    def apply_batch(batch_df, _bid: int) -> None:
+        from .ingest import upsert_merge_into
+
+        versions = sorted(
+            r["_commit_version"] for r in
+            batch_df.select("_commit_version").distinct().collect())
+        for v in versions:
+            ch = batch_df.filter(F.col("_commit_version") == v)
+            ups = (ch.filter(F.col("change_type")
+                             .isin("insert", "update_postimage"))
+                   .drop("change_type", "_commit_version")
+                   .withColumn("_cdc_op", F.lit("u")))
+            dels = (ch.filter(F.col("change_type") == "delete")
+                    .drop("change_type", "_commit_version")
+                    .withColumn("_cdc_op", F.lit("d")))
+            upsert_merge_into(
+                spark, dst_target, int(v), ups.unionByName(dels),
+                key_cols,
+                matched_delete="s._cdc_op = 'd'",
+                matched_update="s._cdc_op = 'u'",
+                not_matched_insert="s._cdc_op = 'u'",
+                keep_versions=keep_versions, writer=writer,
+                source_meta_cols=("_cdc_op",))
+
+    w = (feed.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

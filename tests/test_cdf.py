@@ -525,3 +525,55 @@ def test_timestamp_based_feed_and_restore(spark, tmp_path):
     with _pytest.raises(ValueError, match="earliest"):
         restore_upsert_as_of_timestamp(spark, t, mts[0] - 10,
                                        as_version=11)
+
+
+def test_stream_apply_changes_follows_source(spark, tmp_path):
+    """Continuous replication: the change-feed stream drives
+    per-version MERGE applies under a checkpoint — seed through the
+    same path (v0 inserts), resume applies only NEW versions, and a
+    fresh checkpoint's full replay lands as journal no-ops (source
+    versions double as destination batch ids)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        stream_apply_changes)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _journal_state, read_upsert_version, upsert_commit_batch,
+        upsert_delete_where)
+
+    s = os.path.join(str(tmp_path), "src")
+    d = os.path.join(str(tmp_path), "dst")
+    ck = os.path.join(str(tmp_path), "ckpt")
+    df = spark.range(0, 30).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(df, s, 0, key_cols=["k"], order_col="v",
+                        keep_versions=16, incremental_min_bytes=0)
+    up = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.lit(9999).cast("bigint").alias("v"))
+    upsert_commit_batch(up, s, 1, key_cols=["k"], order_col="v",
+                        keep_versions=16, incremental_min_bytes=0)
+    q = stream_apply_changes(spark, s, d, ["k"], ck, keep_versions=16)
+    q.awaitTermination()
+    src_rows = {(r.k, r.v) for r in read_upsert_version(spark, s).collect()}
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d).collect()} == src_rows
+    # new source commits; the checkpointed stream catches up
+    upsert_delete_where(spark, s, 2, "k % 3 = 0", keep_versions=16,
+                        incremental_min_bytes=0)
+    q = stream_apply_changes(spark, s, d, ["k"], ck, keep_versions=16)
+    q.awaitTermination()
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d).collect()} == \
+        {(r.k, r.v) for r in read_upsert_version(spark, s).collect()}
+    # a FRESH checkpoint replays the whole feed: journal no-ops only
+    n_before = len(_journal_state(d + "_versions")[0])
+    q = stream_apply_changes(spark, s, d, ["k"],
+                             os.path.join(str(tmp_path), "ckpt2"),
+                             keep_versions=16)
+    q.awaitTermination()
+    assert len(_journal_state(d + "_versions")[0]) == n_before
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d).collect()} == \
+        {(r.k, r.v) for r in read_upsert_version(spark, s).collect()}
