@@ -1660,8 +1660,20 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
             f"— GENERATED ALWAYS AS IDENTITY values are "
             f"allocation-owned")
     cons = table_check_constraints(target_dir)
-    if cons:
-        _validate_constraints(source, cons, "the MERGE source")
+    merge_defaults = table_column_defaults(target_dir)
+    # a NOT NULL column ABSENT from the source is fine when a DEFAULT
+    # will fill it on INSERT (updates retain the target's non-null
+    # value) — validating the raw source would refuse it wrongly; the
+    # post-image pass below still covers a NULL-producing default
+    nn_absent_defaulted = {
+        n for n, e in cons.items()
+        if isinstance(e, dict) and e.get("kind") == "not_null"
+        and e["col"] not in source.columns
+        and e["col"] in merge_defaults}
+    src_cons = {n: e for n, e in cons.items()
+                if n not in nn_absent_defaulted}
+    if src_cons:
+        _validate_constraints(source, src_cons, "the MERGE source")
     versions_root = target_dir + "_versions"
     os.makedirs(versions_root, exist_ok=True)
 
@@ -1709,8 +1721,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                          else F.lit(True) if ins is True else ins)
                     merged = source.alias("s").filter(c)
                 merged = merged.drop(*source_meta_cols)
-                merged = _apply_defaults(
-                    merged, table_column_defaults(target_dir))
+                merged = _apply_defaults(merged, merge_defaults)
                 merged, ident_hwm = fill_identity(merged, commits)
                 _staged_write(merged, target_dir,
                               os.path.join(versions_root, stage))
@@ -1750,7 +1761,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                         for c in s_types)
                 clause_kwargs = dict(
                     source_meta_cols=source_meta_cols,
-                    insert_defaults=table_column_defaults(target_dir),
+                    insert_defaults=merge_defaults,
                     matched_update_set=matched_update_set,
                     not_matched_by_source_update=(
                         not_matched_by_source_update),
@@ -1772,10 +1783,11 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                                            matched_update, matched_delete,
                                            not_matched_insert,
                                            **clause_kwargs)
-                    if cons and set_cols:
-                        # SET maps produce post-images the source-row
-                        # validation can't see; the merged frame is
-                        # touched-data-sized here
+                    if cons and (set_cols or nn_absent_defaulted):
+                        # SET maps (and defaulted NOT NULL columns the
+                        # source omits) produce post-images the
+                        # source-row validation can't see; the merged
+                        # frame is touched-data-sized here
                         _validate_constraints(merged, cons,
                                               "the MERGE post-image")
                     merged, ident_hwm = fill_identity(merged, commits)
@@ -1790,7 +1802,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                                            matched_update, matched_delete,
                                            not_matched_insert,
                                            **clause_kwargs)
-                    if cons and (set_cols or has_nmbs):
+                    if cons and (set_cols or has_nmbs
+                                 or nn_absent_defaulted):
                         _validate_constraints(merged, cons,
                                               "the MERGE post-image")
                     merged, ident_hwm = fill_identity(merged, commits)

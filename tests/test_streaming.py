@@ -3906,3 +3906,39 @@ def test_writer_feature_gate_blocks_unknown_enforcement(spark, tmp_path):
                             keep_versions=8)
     with _pytest.raises(UnsupportedTableFeature, match="row_tracking"):
         upsert_delete_where(spark, t, 1, "v > 0", keep_versions=8)
+
+
+def test_merge_insert_default_satisfies_not_null(spark, tmp_path):
+    """A MERGE source omitting a defaulted NOT NULL column must be
+    accepted (the INSERT default fills it; updates retain the
+    target's value) — and the post-image pass still catches a
+    NULL-producing default."""
+    import os
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        CheckConstraintViolation, read_upsert_version,
+        set_table_column_default, set_table_not_null,
+        upsert_commit_batch, upsert_merge_into)
+    import pytest as _pytest
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame([(1, 10, "live")],
+                               "k long, v long, status string")
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    set_table_column_default(t, "status", "'pending'")
+    set_table_not_null(spark, t, "status")
+    src = spark.createDataFrame([(1, 99), (2, 20)], "k long, v long")
+    upsert_merge_into(spark, t, 1, src, ["k"], keep_versions=8,
+                      incremental_min_bytes=0)
+    got = {r.k: (r.v, r.status) for r in
+           read_upsert_version(spark, t).collect()}
+    assert got == {1: (99, "live"), 2: (20, "pending")}
+    # a default that evaluates to NULL cannot launder NOT NULL
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        set_table_column_default as _setd)
+    _setd(t, "status", "CAST(NULL AS STRING)")
+    src2 = spark.createDataFrame([(3, 30)], "k long, v long")
+    with _pytest.raises(CheckConstraintViolation, match="NOT NULL"):
+        upsert_merge_into(spark, t, 2, src2, ["k"], keep_versions=8,
+                          incremental_min_bytes=0)
