@@ -2030,6 +2030,8 @@ def optimize_upsert_target(spark, target_dir: str,
             "zorder_by requires the full rewrite — clustering is a "
             "global property of the snapshot; drop min_file_bytes or "
             "zorder_by")
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
     versions_root = target_dir + "_versions"
     for _attempt in range(24):
         if _attempt:
@@ -2227,6 +2229,8 @@ def restore_upsert_target(spark, target_dir: str, version: int,
 
     from ..fsutil import cas_backoff, try_commit
 
+    from .partitioning import check_table_writable
+    check_table_writable(target_dir)
     versions_root = target_dir + "_versions"
     for _attempt in range(24):
         if _attempt:
