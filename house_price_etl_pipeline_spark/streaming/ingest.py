@@ -575,6 +575,15 @@ def _stage_with_reuse(snapshot_dir: str, stage_dir: str,
             os.link(src, dst)
         except OSError:
             shutil.copy2(src, dst)
+    if target_dir is not None:
+        # keep data skipping alive across incremental commits: carry
+        # kept files' manifest entries, footer-read only the rewritten
+        # files — O(changed data), Delta's per-commit add.stats cost.
+        # No-op when the base never had a manifest.
+        from .partitioning import table_partitioning
+        from .skipping import carry_stats_manifest
+        carry_stats_manifest(snapshot_dir, stage_dir, kept_files,
+                             parts=table_partitioning(target_dir))
 
 
 def _schemas_match(a, b) -> bool:

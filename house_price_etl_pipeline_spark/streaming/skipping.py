@@ -348,3 +348,50 @@ def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(bool(n_scanned < n_total)))
         .orderBy("event_type")
     )
+
+
+def carry_stats_manifest(snapshot_dir: str, stage_dir: str,
+                         kept_files: list[str],
+                         parts: dict[str, str] | None = None) -> bool:
+    """Keep data skipping alive across incremental commits: when the
+    BASE snapshot has a stats manifest, write the staged snapshot's by
+    carrying the kept (hard-linked, byte-identical) files' entries
+    forward and computing footer stats ONLY for the rewritten files —
+    O(changed data) per commit, the same cost class as the commit
+    itself, and exactly how Delta keeps add.stats current on every
+    commit. Without this, the first incremental commit after an
+    OPTIMIZE would silently drop the manifest and skipping would
+    degrade to keep-everything until the next compaction. No-op
+    (returns False) when the base has no manifest — stats remain
+    opt-in via OPTIMIZE's stats_cols."""
+    from .partitioning import partition_values_of
+
+    base = read_stats_manifest(snapshot_dir)
+    if base is None:
+        return False
+    cols = base["columns"]
+    kept = set(kept_files)
+    entries = {}
+    for f in _walk_data_files(stage_dir):
+        if f in kept and f in base["files"]:
+            entries[f] = base["files"][f]
+            continue
+        entries[f] = _file_column_stats(os.path.join(stage_dir, f),
+                                        cols)
+        if parts:
+            vals = partition_values_of(f, parts)
+            for c in parts:
+                v = vals[c]
+                if c in cols and isinstance(v, _SCALAR_KINDS):
+                    entries[f]["stats"][c] = [v, v, 0]
+    manifest = {"columns": cols, "files": entries}
+    path = os.path.join(stage_dir, STATS_MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, path)
+    return True
+
+
+# re-exported for carry_stats_manifest callers in ingest
+from .partitioning import _walk_data_files  # noqa: E402

@@ -197,3 +197,48 @@ def test_distributed_manifest_matches_serial(spark, tmp_path, monkeypatch):
     write_stats_manifest(snap, ["a", "b"], spark=spark)
     dist = read_stats_manifest(snap)
     assert dist == serial and len(dist["files"]) > 1
+
+
+def test_manifest_carries_across_incremental_commits(spark, tmp_path):
+    """Data skipping survives incremental commits: kept (hard-linked)
+    files keep their manifest entries, rewritten files get fresh
+    footer stats — O(changed) per commit — so pruning keeps working
+    between compactions instead of silently degrading."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        optimize_upsert_target, upsert_commit_batch)
+    from house_price_etl_pipeline_spark.streaming.skipping import (
+        read_skipping, read_stats_manifest)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.range(0, 4000).select(F.col("id").alias("k"),
+                                     F.col("id").alias("v"))
+    upsert_commit_batch(df.repartition(4), t, 0, key_cols=["k"],
+                        order_col="v", keep_versions=8)
+    optimize_upsert_target(spark, t, keep_versions=8, stats_cols=["v"],
+                           max_records_per_file=500, zorder_by=["v"])
+    base_manifest = read_stats_manifest(os.path.realpath(t))
+    assert base_manifest is not None
+    # incremental commit touching a narrow key slice
+    d = spark.range(0, 20).select(F.col("id").alias("k"),
+                                  (F.col("id") + 10_000_000).alias("v"))
+    upsert_commit_batch(d, t, 1, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    head = os.path.realpath(t)
+    m = read_stats_manifest(head)
+    assert m is not None, "manifest dropped by the incremental commit"
+    # every live data file has an entry
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _snapshot_data_files)
+    assert set(m["files"]) == set(_snapshot_data_files(head))
+    # pruning still fires and results stay exact
+    df2, n_scanned, n_total = read_skipping(spark, t, {"v": (100, 200)})
+    assert n_scanned < n_total
+    assert df2.count() == 101
+    # the rewritten file's fresh stats cover the new high values
+    df3, n3, _ = read_skipping(spark, t,
+                               {"v": (10_000_000, 20_000_000)})
+    assert df3.count() == 20 and n3 >= 1
