@@ -149,3 +149,68 @@ def test_journal_checkpoint_via_publish(tmp_path, spark):
     assert read_upsert_version(spark, t).count() == n
     hist = describe_upsert_history(spark, t)
     assert hist.count() == n
+
+
+def test_journal_checkpoints_under_writer_contention(tmp_path, spark,
+                                                     monkeypatch):
+    """Checkpoints are written from the publish path WHILE writers
+    race: with the interval forced low, several checkpoints land
+    mid-stress and every journal read through them must equal the
+    full parse — derived data can lag but never lie."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    import house_price_etl_pipeline_spark.fsutil as fsu
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commits_dir, read_upsert_version, upsert_commit_batch)
+
+    monkeypatch.setattr(fsu, "JOURNAL_CHECKPOINT_INTERVAL", 3)
+    t = str(tmp_path / "tbl")
+    df0 = spark.createDataFrame([(k, 0, 0) for k in range(6)],
+                                "k long, ord long, v long")
+    upsert_commit_batch(df0, t, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=2)
+    errors = []
+
+    def writer(tag, ids):
+        try:
+            for bid in ids:
+                df = spark.createDataFrame(
+                    [((bid + j) % 6, bid, bid) for j in range(2)],
+                    "k long, ord long, v long")
+                upsert_commit_batch(df, t, bid, key_cols=["k"],
+                                    order_col="ord", keep_versions=2,
+                                    writer=tag, max_retries=16)
+        except Exception as exc:  # pragma: no cover
+            errors.append((tag, exc))
+
+    ts = [threading.Thread(target=writer, args=("a", [1, 3, 5, 7])),
+          threading.Thread(target=writer, args=("b", [2, 4, 6, 8]))]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert errors == []
+    cdir = _commits_dir(t + "_versions")
+    cks = [f for f in os.listdir(cdir) if f.startswith("_ckpt_")]
+    assert cks, "no checkpoint landed despite the forced interval"
+    assert len(cks) <= 2                     # pruned to the newest two
+    # checkpointed read == brute-force parse of every commit file
+    import json as _json
+    brute = []
+    for n in sorted(f for f in os.listdir(cdir)
+                    if f.startswith("c") and f.endswith(".json")):
+        with open(os.path.join(cdir, n)) as fh:
+            brute.append(_json.load(fh))
+    assert fsu.read_commit_journal(cdir) == brute
+    assert [c["seq"] for c in brute] == list(range(9))
+    # final state equals serial keep-latest application
+    model = {}
+    for bid in range(9):
+        for j in range(2 if bid else 6):
+            k = (bid + j) % 6
+            model[k] = bid
+    got = {r.k: r.v for r in read_upsert_version(spark, t).collect()}
+    assert got == model
