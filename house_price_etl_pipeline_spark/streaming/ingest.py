@@ -852,8 +852,28 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
 
     if isinstance(condition, str):
         condition = F.expr(condition)
-    from .partitioning import check_table_writable
+    from .partitioning import check_table_writable, table_partitioning
     check_table_writable(target_dir)
+    # Delta's partition-predicate DELETE fast path: a predicate whose
+    # references are ALL partition columns never needs to read a row —
+    # route to the metadata-only drop (same journal op, same 3VL, same
+    # exactly-once domain), zero data I/O at any table size
+    _parts = table_partitioning(target_dir)
+    if _parts:
+        # a predicate that ANALYZES against a partition-columns-only
+        # frame references nothing else — same probe trick the drop
+        # path uses for its own validation
+        try:
+            ddl = ", ".join(f"`{c}` {t}" for c, t in _parts.items())
+            spark.createDataFrame([], ddl).filter(condition).schema
+            partition_only = True
+        except Exception:
+            partition_only = False
+        if partition_only:
+            return upsert_drop_partitions(
+                spark, target_dir, batch_id, condition,
+                keep_versions=keep_versions, writer=writer,
+                max_retries=max_retries)
     versions_root = target_dir + "_versions"
     retried = False
     for _attempt in range(max_retries):
@@ -2339,13 +2359,15 @@ VACUUM_RETENTION_FLOOR_S = 300.0
 def vacuum_upsert_target(target_dir: str,
                          older_than_seconds: float = VACUUM_RETENTION_FLOOR_S,
                          keep_versions: int = 2,
-                         force: bool = False) -> list[str]:
+                         force: bool = False,
+                         dry_run: bool = False) -> list[str]:
     """VACUUM: reclaim snapshot dirs no retained commit references —
     crash-orphaned staging dirs, lost-race leftovers, and snapshots of
     retired commits. Age-gated (mtime) so a concurrent writer's staged
     snapshot that has not yet won its CAS is never deleted while
     in-flight — the same retention contract as Delta's VACUUM. Returns
-    the removed dir names.
+    the removed dir names. ``dry_run=True`` returns what WOULD be
+    removed without touching anything — Delta's ``VACUUM ... DRY RUN``.
 
     Retention below the floor requires ``force=True`` (VERDICT r5
     item 5 — Delta's retentionDurationCheck): a default call can never
@@ -2377,7 +2399,8 @@ def vacuum_upsert_target(target_dir: str,
             continue
         if now - os.path.getmtime(path) < older_than_seconds:
             continue
-        shutil.rmtree(path, ignore_errors=True)
+        if not dry_run:
+            shutil.rmtree(path, ignore_errors=True)
         removed.append(name)
     return removed
 
@@ -4231,7 +4254,7 @@ def describe_upsert_detail(spark, target_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from .colmap import table_column_mapping
-    from .partitioning import table_partitioning
+    from .partitioning import table_partitioning, table_writer_features
 
     versions_root = target_dir + "_versions"
     commits, applied = _journal_state(versions_root)
@@ -4265,6 +4288,10 @@ def describe_upsert_detail(spark, target_dir: str) -> DataFrame:
         T.StructField("dropped_columns",
                       T.ArrayType(T.StringType())),
         T.StructField("cloned_from", T.StringType()),
+        T.StructField("column_defaults",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("protocol_features",
+                      T.ArrayType(T.StringType())),
     ])
     retained = len({
         c["version"] for c in commits
@@ -4279,7 +4306,9 @@ def describe_upsert_detail(spark, target_dir: str) -> DataFrame:
            list(parts), cons_str,
            table_generated_columns(target_dir),
            json.dumps(ident) if ident else None,
-           dict(m["renames"]), list(m["dropped"]), cloned)
+           dict(m["renames"]), list(m["dropped"]), cloned,
+           table_column_defaults(target_dir),
+           sorted(table_writer_features(target_dir)))
     return spark.createDataFrame([row], schema)
 
 

@@ -722,3 +722,45 @@ def test_protocol_feature_gate(spark, tmp_path):
     atomic_write_json(_protocol_path(t), {"features": feats})
     with pytest.raises(UnsupportedTableFeature, match="deletion_vectors"):
         read_upsert_version(spark, t).count()
+
+
+def test_delete_routes_partition_predicates_to_metadata_drop(
+        spark, tmp_path):
+    """Delta's partition-predicate DELETE fast path: a DELETE WHERE
+    whose references are all partition columns becomes a metadata-only
+    drop — zero files rewritten — while row predicates keep the
+    copy-on-write path."""
+    t = _mk(spark, tmp_path)
+    upsert_delete_where(spark, t, 1, "bucket = 3", keep_versions=8,
+                        incremental_min_bytes=0)
+    commits, _ = _journal_state(t + "_versions")
+    assert commits[-1]["files_rewritten"] == 0
+    assert commits[-1]["dropped_partitions"] == ["bucket=3"]
+    assert read_upsert_version(spark, t).count() == 60
+    # mixed predicate: row path (rewrites files)
+    upsert_delete_where(spark, t, 2, "bucket = 0 AND v >= 100",
+                        keep_versions=8, incremental_min_bytes=0)
+    commits, _ = _journal_state(t + "_versions")
+    assert "dropped_partitions" not in commits[-1]
+    # bucket 0 holds k in {0,4,...,76}; v = k*10 >= 100 <=> k >= 12
+    assert read_upsert_version(spark, t).count() == 60 - 17
+
+
+def test_vacuum_dry_run(spark, tmp_path):
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        vacuum_upsert_target)
+    t = _mk(spark, tmp_path)
+    # publish already prunes retired versions; VACUUM's customers are
+    # crash-orphaned staging dirs — fake two
+    root = t + "_versions"
+    for n in ("_stage_crashed_dead0001", "_stage_crashed_dead0002"):
+        os.makedirs(os.path.join(root, n))
+    would = vacuum_upsert_target(t, older_than_seconds=0, force=True,
+                                 dry_run=True)
+    assert set(would) >= {"_stage_crashed_dead0001",
+                          "_stage_crashed_dead0002"}
+    # nothing actually removed
+    assert all(os.path.isdir(os.path.join(root, n)) for n in would)
+    removed = vacuum_upsert_target(t, older_than_seconds=0, force=True)
+    assert sorted(removed) == sorted(would)
+    assert not any(os.path.isdir(os.path.join(root, n)) for n in would)
