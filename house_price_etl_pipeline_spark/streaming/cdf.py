@@ -587,7 +587,16 @@ def read_changes_batch(spark: SparkSession, target_dir: str,
         starting_version = resolve_version_at_or_after(
             target_dir, starting_timestamp)
         if starting_version is None:
-            starting_version = (1 << 62)     # empty range past head
+            # Delta's batch CDF errors on a startingTimestamp beyond
+            # the latest commit — a caller polling with a wrong
+            # (future) timestamp must fail loudly, not read empty.
+            # (The STREAMING reader keeps the empty-feed sentinel,
+            # also matching Delta.)
+            raise ValueError(
+                f"starting_timestamp {starting_timestamp!r} is later "
+                f"than the table's latest commit — no changes at or "
+                f"after it (Delta raises the same way for a batch "
+                f"CDF read)")
     if ending_timestamp is not None:
         if ending_version is not None:
             raise ValueError("pass ending_version OR "

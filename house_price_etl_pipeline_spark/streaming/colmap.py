@@ -109,6 +109,19 @@ def to_physical(df, m: dict):
             f"their physical names still exist in retained files — "
             f"pick different names (physical-name reuse would "
             f"resurrect stale data)")
+    # A renamed column's PHYSICAL name is just as reserved as a dropped
+    # one: after RENAME a->b (renames {b: a}), a new logical column
+    # literally named 'a' would alias onto physical 'a' alongside b's
+    # mapping — two logical columns sharing one physical column.
+    in_use_phys = {p for lg, p in renames.items() if lg != p}
+    phys_clash = sorted(
+        c for c in df.columns if c in in_use_phys and renames.get(c) != c)
+    if phys_clash:
+        raise ValueError(
+            f"column name(s) {phys_clash} are the in-use PHYSICAL names "
+            f"of renamed columns of this table — pick different names "
+            f"(reuse would alias two logical columns onto one physical "
+            f"column)")
     return df.select(*[
         F.col(f"`{c}`").alias(renames.get(c, c)) for c in df.columns])
 

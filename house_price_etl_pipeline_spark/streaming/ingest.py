@@ -642,7 +642,8 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     if defaults:
         # DEFAULT before generated: a generated expression may
         # reference a defaulted input
-        batch_df = _apply_defaults(batch_df, defaults)
+        batch_df = _apply_defaults(batch_df, defaults,
+                                   _current_table_types(spark, target_dir))
     gens = table_generated_columns(target_dir)
     if gens:
         # generated columns first (a CHECK may reference one): omitted
@@ -1351,8 +1352,9 @@ def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
             "inherit ids through; use MERGE INTO")
     from .partitioning import check_table_writable
     check_table_writable(target_dir)
-    batch_df = _apply_defaults(batch_df,
-                               table_column_defaults(target_dir))
+    batch_df = _apply_defaults(
+        batch_df, table_column_defaults(target_dir),
+        _current_table_types(batch_df.sparkSession, target_dir))
     dup = (batch_df.groupBy(*key_cols).count()
            .filter(F.col("count") > 1).limit(1).count())
     if dup:
@@ -3584,17 +3586,47 @@ def drop_table_column_default(target_dir: str, col: str) -> None:
     atomic_write_json(_defaults_path(target_dir), d)
 
 
-def _apply_defaults(df, defaults: dict[str, str]):
+def _apply_defaults(df, defaults: dict[str, str], types=None):
     """Fill columns the incoming frame OMITS with their DEFAULT
     expressions; supplied columns (even explicit NULLs) pass through —
     SQL DEFAULT semantics, applied before generated columns so a
-    generated expression may reference a defaulted input."""
+    generated expression may reference a defaulted input.
+
+    ``types`` ({col: DataType} of the CURRENT table snapshot, when the
+    table has data) store-assignment-casts each fill to the table's
+    existing column type, matching the MERGE insert path — a DEFAULT
+    '0' on a double column must land as a double, not rely on union
+    coercion. A defaulted column NEW to the table keeps the
+    expression's natural type (it is defining the column)."""
     from pyspark.sql import functions as F
 
     for c, expr in defaults.items():
         if c not in df.columns:
-            df = df.withColumn(c, F.expr(expr))
+            e = F.expr(expr)
+            if types and c in types:
+                e = e.cast(types[c])
+            df = df.withColumn(c, e)
     return df
+
+
+def _current_table_types(spark, target_dir: str) -> dict:
+    """{col: DataType} of the table's current snapshot, {} before the
+    first commit — feeds the DEFAULT-fill store-assignment cast."""
+    import os
+
+    versions_root = target_dir + "_versions"
+    try:
+        commits, _ = _journal_state(versions_root)
+    except Exception:
+        return {}
+    if not commits:
+        return {}
+    base_dir = os.path.join(versions_root, commits[-1]["version_name"])
+    try:
+        snap = _snapshot_read(spark, target_dir, base_dir)
+    except Exception:
+        return {}
+    return {f.name: f.dataType for f in snap.schema.fields}
 
 
 # --- generated columns ------------------------------------------------------

@@ -91,6 +91,15 @@ def set_table_partitioning(target_dir: str, cols: dict[str, str]) -> None:
     if not cols:
         raise ValueError("PARTITIONED BY requires at least one column")
     for c, t in cols.items():
+        # names that the directory walk (_walk_data_files skips '_'/'.'
+        # prefixes, Spark's own convention) or the Hive path syntax
+        # would silently break — refuse at declaration, not at read
+        if c.startswith(("_", ".")) or "=" in c or "/" in c or not c:
+            raise ValueError(
+                f"partition column name {c!r} is not allowed: names "
+                f"must not start with '_' or '.' (data-file walks "
+                f"skip such directories) or contain '=' or '/' "
+                f"(Hive path syntax)")
         if t.lower() not in _SUPPORTED_DDL:
             raise ValueError(
                 f"partition column {c!r} has unsupported type {t!r} — "
@@ -231,10 +240,25 @@ def read_snapshot(spark, snapshot_dir: str, parts: dict[str, str],
 
 def _escape_hive(v) -> str:
     """Hive path-segment escaping, matching Spark's
-    ExternalCatalogUtils.escapePathName character set."""
+    ExternalCatalogUtils.escapePathName character set — plus one
+    divergence: a GENUINE string value equal to the NULL sentinel gets
+    its first character percent-escaped, so on disk only real NULLs
+    carry the raw sentinel (the reader tests the sentinel BEFORE
+    unescaping, matching Spark's parse order).
+
+    Known residual limitation (documented, matching Spark's own): the
+    main staged-write path is Spark's ``partitionBy`` writer, whose
+    ``escapePathName`` does NOT escape '_' — a genuine string value
+    literally equal to ``__HIVE_DEFAULT_PARTITION__`` written through
+    Spark lands raw on disk and is indistinguishable from NULL on
+    every read (Spark's readers have the identical ambiguity). This
+    helper disambiguates only paths that build directories in Python."""
+    s = str(v)
+    if s == HIVE_DEFAULT_PARTITION:
+        return "%%%02X%s" % (ord(s[0]), s[1:])
     special = '"#%\'*/:=?\\\x7f{[]^'
     out = []
-    for ch in str(v):
+    for ch in s:
         if ch in special or ord(ch) < 32:
             out.append("%%%02X" % ord(ch))
         else:
@@ -263,8 +287,6 @@ def _py_cast(raw: str, ddl: str):
     import datetime as dt
 
     t = ddl.lower()
-    if raw == HIVE_DEFAULT_PARTITION:
-        return None
     if t in ("tinyint", "smallint", "int", "bigint"):
         return int(raw)
     if t == "boolean":
@@ -293,7 +315,11 @@ def partition_values_of(relpath: str, parts: dict[str, str]) -> dict:
             raise ValueError(
                 f"partition segment {seg!r} does not match declared "
                 f"column {name!r} in {relpath!r}")
-        out[name] = _py_cast(unquote(raw), parts[name])
+        # NULL sentinel tested on the RAW segment, before unescaping:
+        # a genuine string equal to the sentinel was written with its
+        # first character escaped, so only real NULLs match here
+        out[name] = (None if raw == HIVE_DEFAULT_PARTITION
+                     else _py_cast(unquote(raw), parts[name]))
     return out
 
 

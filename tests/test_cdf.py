@@ -512,10 +512,13 @@ def test_timestamp_based_feed_and_restore(spark, tmp_path):
                             starting_timestamp=mts[0] + 0.0005,
                             ending_timestamp=mts[1])
     assert set(r._commit_version for r in ch.collect()) == {1}
-    # beyond-latest start: empty feed
-    assert read_changes_batch(
-        spark, t, ["k"], starting_timestamp=time.time() + 3600
-    ).count() == 0
+    # beyond-latest start: the BATCH reader raises loudly (Delta's
+    # behavior — a polling caller with a future timestamp must not be
+    # handed silent emptiness; the STREAM keeps the empty-feed wait)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="later than the table's latest"):
+        read_changes_batch(spark, t, ["k"],
+                           starting_timestamp=time.time() + 3600)
     # RESTORE TIMESTAMP AS OF v1's commit time
     restore_upsert_as_of_timestamp(spark, t, mts[1], as_version=10,
                                    keep_versions=8)

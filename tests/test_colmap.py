@@ -186,3 +186,26 @@ def test_colmap_composes_with_partitioning(spark, tmp_path):
         .select(F.input_file_name()).distinct().count()
     total = snap.select(F.input_file_name()).distinct().count()
     assert pruned < total
+
+
+def test_new_column_cannot_reuse_renamed_physical_name(spark, tmp_path):
+    """After RENAME a->b, a batch evolving the schema with a NEW column
+    literally named 'a' (b's in-use PHYSICAL name) must be refused —
+    otherwise two logical columns would alias onto one physical column
+    in the staged write (ADVICE r11)."""
+    t = _mk(spark, tmp_path)
+    rename_table_column(spark, t, "price", "amount")
+    bad = spark.range(0, 3).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("bigint").alias("amount"),
+        F.lit("y").alias("note"),
+        F.lit(5).cast("bigint").alias("price"))   # = amount's physical
+    with pytest.raises(ValueError, match="PHYSICAL"):
+        upsert_commit_batch(bad, t, 1, key_cols=["k"],
+                            order_col="amount", keep_versions=8,
+                            incremental_min_bytes=0)
+    # a genuinely new name still evolves fine
+    ok = bad.withColumnRenamed("price", "list_price")
+    upsert_commit_batch(ok, t, 1, key_cols=["k"], order_col="amount",
+                        keep_versions=8, incremental_min_bytes=0)
+    assert "list_price" in read_upsert_version(spark, t).columns

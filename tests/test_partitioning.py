@@ -764,3 +764,40 @@ def test_vacuum_dry_run(spark, tmp_path):
     removed = vacuum_upsert_target(t, older_than_seconds=0, force=True)
     assert sorted(removed) == sorted(would)
     assert not any(os.path.isdir(os.path.join(root, n)) for n in would)
+
+
+def test_partition_column_names_validated_at_declaration(tmp_path):
+    """Names the data-file walk would silently skip ('_'/'.' prefixes)
+    or that break Hive path syntax ('='/'/') are refused at
+    declaration — not discovered as a mysteriously-empty table
+    (ADVICE r11)."""
+    for bad in ("_foo", ".foo", "a=b", "a/b"):
+        t = os.path.join(str(tmp_path), "t_" + bad.replace("/", "_"))
+        with pytest.raises(ValueError, match="not allowed"):
+            set_table_partitioning(t, {bad: "int"})
+
+
+def test_null_sentinel_checked_before_unescape(tmp_path):
+    """partition_values_of tests the NULL sentinel on the RAW segment:
+    an escaped genuine value that UNESCAPES to the sentinel string is
+    decoded as that string, not as NULL; the raw sentinel is NULL."""
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        HIVE_DEFAULT_PARTITION, _escape_hive, partition_dir_of)
+
+    parts = {"tag": "string"}
+    # a genuine value equal to the sentinel escapes its first char
+    esc = _escape_hive(HIVE_DEFAULT_PARTITION)
+    assert esc != HIVE_DEFAULT_PARTITION and esc.startswith("%5F")
+    got = partition_values_of(
+        os.path.join(f"tag={esc}", "part-0.parquet"), parts)
+    assert got == {"tag": HIVE_DEFAULT_PARTITION}
+    # the raw sentinel is a real NULL
+    got = partition_values_of(
+        os.path.join(f"tag={HIVE_DEFAULT_PARTITION}", "p.parquet"),
+        parts)
+    assert got == {"tag": None}
+    # and partition_dir_of round-trips both
+    assert partition_dir_of({"tag": None}) == \
+        f"tag={HIVE_DEFAULT_PARTITION}"
+    assert partition_dir_of({"tag": HIVE_DEFAULT_PARTITION}) == \
+        f"tag={esc}"

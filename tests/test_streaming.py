@@ -3942,3 +3942,28 @@ def test_merge_insert_default_satisfies_not_null(spark, tmp_path):
     with _pytest.raises(CheckConstraintViolation, match="NOT NULL"):
         upsert_merge_into(spark, t, 2, src2, ["k"], keep_versions=8,
                           incremental_min_bytes=0)
+
+
+def test_column_default_lands_at_table_column_type(spark, tmp_path):
+    """A DEFAULT like '0' on a double column must land typed DOUBLE in
+    the batch path (store-assignment cast to the table's column type,
+    matching the MERGE insert path) — not at the expression's natural
+    int type via union coercion (ADVICE r11)."""
+    import os
+
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, set_table_column_default,
+        upsert_commit_batch)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    df = spark.createDataFrame([(1, 1.5)], "k long, score double")
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="score",
+                        keep_versions=8, incremental_min_bytes=0)
+    set_table_column_default(t, "score", "0")
+    d = spark.createDataFrame([(2,)], "k long")
+    upsert_commit_batch(d, t, 1, key_cols=["k"], order_col="score",
+                        keep_versions=8, incremental_min_bytes=0)
+    snap = read_upsert_version(spark, t)
+    assert dict(snap.dtypes)["score"] == "double"
+    got = {r.k: r.score for r in snap.collect()}
+    assert got == {1: 1.5, 2: 0.0}
