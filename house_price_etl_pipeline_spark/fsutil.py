@@ -197,41 +197,64 @@ def cas_backoff(losses: int, base: float = 0.05, cap: float = 1.0) -> None:
     time.sleep(random.uniform(0.0, min(cap, base * (2 ** min(losses, 6)))))
 
 
+def commit_time_of(commits_dir: str, entry: dict) -> float | None:
+    """THE commit clock: the in-commit timestamp stamped into the
+    journal entry at publish (Delta's In-Commit Timestamps feature —
+    the commit time travels WITH the log entry, so mtime-destroying
+    copies, object-store migrations, and clock-skewed filesystems
+    can't move history), with the commit file's mtime as the fallback
+    for entries written before ICT existed. None when a legacy entry's
+    file is pruned/in-flight (not resolvable by time)."""
+    ts = entry.get("ts")
+    if ts is not None:
+        return float(ts)
+    try:
+        return os.stat(commit_path(commits_dir, entry["seq"])).st_mtime
+    except OSError:
+        return None
+
+
 def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
     """Atomically claim commit number ``seq``. Returns True iff THIS
     caller created the journal entry; False means another writer won
     the race (caller must re-read the journal and retry). The entry is
-    written via O_EXCL create + fsync + directory fsync."""
+    written via O_EXCL create + fsync + directory fsync.
+
+    The entry is stamped with an IN-COMMIT timestamp ``ts`` (Delta's
+    ICT): wall clock, adjusted to be strictly greater than the
+    previous entry's commit time (its ``ts``, or its file mtime for
+    pre-ICT entries) — two commits landing inside one clock tick, or a
+    stepped clock, must never make TIMESTAMP AS OF resolve a tie to
+    the wrong snapshot. Delta documents the identical +1 ms
+    adjustment. The mtime of the commit file is no longer load-bearing
+    for new entries (object-store posture: mtimes don't survive
+    copies; the journal does)."""
+    import time as _time
+
     os.makedirs(commits_dir, exist_ok=True)
     path = commit_path(commits_dir, seq)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
+    ts = _time.time()
+    if seq > 0:
+        try:
+            with open(commit_path(commits_dir, seq - 1)) as pf:
+                prev_entry = json.load(pf)
+            prev_ts = commit_time_of(commits_dir, prev_entry)
+            if prev_ts is not None and ts <= prev_ts:
+                ts = prev_ts + 0.001
+        except (OSError, json.JSONDecodeError):
+            pass   # previous entry pruned/unreadable: nothing to order
     try:
         with os.fdopen(fd, "w") as f:
-            json.dump(dict(payload, seq=seq), f)
+            json.dump(dict(payload, seq=seq, ts=ts), f)
             f.flush()
             os.fsync(f.fileno())
     except BaseException:
         os.unlink(path)  # never leave a half-written claimed slot
         raise
-    if seq > 0:
-        # Monotonic commit timestamps (Delta's adjustment): the commit
-        # file's mtime IS the commit time for TIMESTAMP AS OF and
-        # DESCRIBE HISTORY, and two commits landing inside one
-        # filesystem timestamp tick (coarse-mtime filesystems, or a
-        # clock step) would make time travel resolve the tie to the
-        # wrong snapshot. If our mtime is not strictly above the
-        # previous entry's, bump it 1 ms past it — Delta documents the
-        # identical adjustment for its log timestamps.
-        try:
-            prev = os.stat(commit_path(commits_dir, seq - 1)).st_mtime
-            if os.stat(path).st_mtime <= prev:
-                bumped = prev + 0.001
-                os.utime(path, (bumped, bumped))
-        except OSError:
-            pass   # previous entry pruned/unreadable: nothing to order
     _fsync_dir(commits_dir)
     return True
 

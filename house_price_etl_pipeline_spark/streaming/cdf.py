@@ -946,7 +946,8 @@ def stream_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def apply_changes_to_table(spark: SparkSession, src_target: str,
                            dst_target: str, key_cols: list[str],
                            keep_versions: int = 2,
-                           writer: str = "replicate") -> int:
+                           writer: str = "replicate",
+                           coalesce_after: int | None = 32) -> int:
     """APPLY CHANGES INTO — replicate one versioned table into another
     by consuming the change feed, the DLT/Delta CDC-apply pattern and
     the canonical downstream consumer of ``read_upsert_changes``.
@@ -965,13 +966,32 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
       upsert rows  -> WHEN MATCHED AND s._cdc_op = 'u' THEN UPDATE *
                       WHEN NOT MATCHED AND s._cdc_op = 'u' THEN INSERT *
 
-    Retention contract (Delta's CDC lag rule): the source must retain
-    every version since the destination's last applied one
-    (``keep_versions`` on the source ≥ max replication lag); a pruned
-    gap raises rather than silently skipping history. Cost per applied
-    version is O(changed data): the feed diff reads changed files
-    only, and the MERGE stages copy-on-write. Returns the number of
-    versions applied this call."""
+    Retention contract (Delta's CDC lag rule): per-version replay needs
+    the source to retain every version since the destination's last
+    applied one (``keep_versions`` on the source ≥ max replication
+    lag); a pruned gap raises rather than silently skipping history.
+    Cost per applied version is O(changed data): the feed diff reads
+    changed files only, and the MERGE stages copy-on-write. Returns
+    the number of DESTINATION commits made this call.
+
+    Deep-lag coalescing (VERDICT r11 item 1): when the destination
+    lags by more than ``coalesce_after`` versions, the catch-up is ONE
+    net-change MERGE from the last-applied version straight to the
+    source head (``read_upsert_changes`` diffs any two retained
+    versions directly — net changes, O(changed files), independent of
+    how many commits lie between), committed with batch id = head
+    version. An EMPTY destination that deep-lags re-seeds from the
+    head snapshot in one commit. Final state is identical to
+    per-version replay (pinned by test + the hash-gated catalog
+    entry); the difference is the replica's journal skips the
+    intermediate version numbers — which is why unapplied versions
+    are defined as "above the replica's high-water mark", not by set
+    membership. Coalescing also WEAKENS the retention requirement:
+    only the last-applied version and the head must still be retained,
+    not every version in between. Pass ``coalesce_after=None`` for
+    consumers that need every transition journaled (e.g. a replica
+    whose own change feed must mirror the source's history); ``0``
+    forces coalescing whenever more than one version is pending."""
     from ..fsutil import read_commit_journal
     from .ingest import (read_upsert_changes, read_upsert_version,
                          upsert_commit_batch, upsert_merge_into)
@@ -981,30 +1001,31 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
         if c.get("op") in _VERSIONING_OPS]
     if not src_vc:
         raise FileNotFoundError(f"no upsert table at {src_target}")
-    dst_applied = {c["version"] for c in read_commit_journal(
+    dst_versions = {c["version"] for c in read_commit_journal(
         _commits_dir(dst_target + "_versions"))
         if c.get("op") in _VERSIONING_OPS}
+    # a source version at or below the replica's high-water mark was
+    # either applied or coalesced over — never re-applied
+    hwm = max(dst_versions) if dst_versions else None
+    pending = [c["version"] for c in src_vc
+               if hwm is None or c["version"] > hwm]
+    if not pending:
+        return 0
     applied = 0
-    for i, c in enumerate(src_vc):
-        v = c["version"]
-        if v in dst_applied:
-            continue
-        if not dst_applied:
-            # empty destination: seed from the snapshot (startingVersion
-            # semantics — the initial state arrives as inserts). The
-            # source snapshot has unique keys by the format's invariant,
-            # so keep-latest's order column is irrelevant — any key
-            # column serves.
-            seed = read_upsert_version(spark, src_target, v)
-            upsert_commit_batch(
-                seed, dst_target, v, key_cols=key_cols,
-                order_col=key_cols[0],
-                keep_versions=keep_versions, writer=writer)
-            dst_applied.add(v)
-            applied += 1
-            continue
-        prev_v = src_vc[i - 1]["version"]
-        ch = read_upsert_changes(spark, src_target, prev_v, v, key_cols)
+
+    def _seed(v: int) -> None:
+        # empty destination: seed from the snapshot (startingVersion
+        # semantics — the initial state arrives as inserts). The
+        # source snapshot has unique keys by the format's invariant,
+        # so keep-latest's order column is irrelevant — any key
+        # column serves.
+        seed = read_upsert_version(spark, src_target, v)
+        upsert_commit_batch(
+            seed, dst_target, v, key_cols=key_cols,
+            order_col=key_cols[0],
+            keep_versions=keep_versions, writer=writer)
+
+    def _merge(ch, v: int) -> None:
         ups = (ch.filter(F.col("change_type")
                          .isin("insert", "update_postimage"))
                .drop("change_type")
@@ -1019,7 +1040,27 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
             not_matched_insert="s._cdc_op = 'u'",
             keep_versions=keep_versions, writer=writer,
             source_meta_cols=("_cdc_op",))
-        dst_applied.add(v)
+
+    if coalesce_after is not None and len(pending) > max(
+            coalesce_after, 1):
+        head = pending[-1]
+        if hwm is None:
+            _seed(head)                       # deep-lag re-seed
+        else:
+            _merge(read_upsert_changes(
+                spark, src_target, hwm, head, key_cols), head)
+        return 1
+
+    if hwm is None:
+        _seed(pending[0])
+        hwm = pending[0]
+        pending = pending[1:]
+        applied += 1
+    prev = hwm
+    for v in pending:
+        _merge(read_upsert_changes(spark, src_target, prev, v,
+                                   key_cols), v)
+        prev = v
         applied += 1
     return applied
 
@@ -1113,7 +1154,8 @@ def stream_apply_changes(spark: SparkSession, src_target: str,
                          dst_target: str, key_cols: list[str],
                          checkpoint_dir: str, keep_versions: int = 2,
                          writer: str = "replicate-stream",
-                         available_now: bool = True):
+                         available_now: bool = True,
+                         coalesce_after: int | None = 32):
     """CONTINUOUS replication: the streaming twin of
     :func:`apply_changes_to_table` — the change feed drives per-version
     MERGE applies through ``foreachBatch``, so a replica follows its
@@ -1128,17 +1170,27 @@ def stream_apply_changes(spark: SparkSession, src_target: str,
     arrives as v0 inserts and seeds the replica through the same MERGE
     (insert clause) as every later version. Retention contract is the
     feed's: ``keep_versions`` on the SOURCE must cover the replica's
-    maximum lag."""
+    maximum lag.
+
+    Deep-lag coalescing (VERDICT r11 item 1, the stream side): a
+    replica resuming far behind gets ALL pending versions in one
+    micro-batch (the first batch of a run is uncapped) — when that
+    batch spans more than ``coalesce_after`` versions, the rows net
+    down to each key's LATEST change (one row_number pass over the
+    batch, change-sized) and apply as ONE MERGE with batch id = the
+    batch's head version, instead of one MERGE+commit round per
+    version. A key inserted then deleted inside the batch nets to a
+    delete whose not-matched case is a no-op, so the net apply is
+    state-equivalent to the replay. ``None`` keeps strict per-version
+    replay (every transition journaled on the replica)."""
     feed = stream_upsert_changes(spark, src_target, key_cols)
 
     def apply_batch(batch_df, _bid: int) -> None:
+        from pyspark.sql import Window
+
         from .ingest import upsert_merge_into
 
-        versions = sorted(
-            r["_commit_version"] for r in
-            batch_df.select("_commit_version").distinct().collect())
-        for v in versions:
-            ch = batch_df.filter(F.col("_commit_version") == v)
+        def _merge(ch, v: int) -> None:
             ups = (ch.filter(F.col("change_type")
                              .isin("insert", "update_postimage"))
                    .drop("change_type", "_commit_version")
@@ -1147,13 +1199,31 @@ def stream_apply_changes(spark: SparkSession, src_target: str,
                     .drop("change_type", "_commit_version")
                     .withColumn("_cdc_op", F.lit("d")))
             upsert_merge_into(
-                spark, dst_target, int(v), ups.unionByName(dels),
+                spark, dst_target, v, ups.unionByName(dels),
                 key_cols,
                 matched_delete="s._cdc_op = 'd'",
                 matched_update="s._cdc_op = 'u'",
                 not_matched_insert="s._cdc_op = 'u'",
                 keep_versions=keep_versions, writer=writer,
                 source_meta_cols=("_cdc_op",))
+
+        versions = sorted(
+            r["_commit_version"] for r in
+            batch_df.select("_commit_version").distinct().collect())
+        if coalesce_after is not None and len(versions) > max(
+                coalesce_after, 1):
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col("_commit_version").desc())
+            net = (batch_df
+                   .filter(F.col("change_type")
+                           .isin("insert", "update_postimage", "delete"))
+                   .withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+            _merge(net, int(versions[-1]))
+            return
+        for v in versions:
+            _merge(batch_df.filter(F.col("_commit_version") == v),
+                   int(v))
 
     w = (feed.writeStream.foreachBatch(apply_batch)
          .option("checkpointLocation", checkpoint_dir))

@@ -127,22 +127,23 @@ def read_upsert_version(spark, target_dir: str,
 
 
 def _commit_mtimes(versions_root: str) -> list[tuple[dict, float]]:
-    """(entry, commit-file mtime) for every journal entry, in sequence
-    order. The mtime of the journal file IS the commit timestamp —
-    exactly Delta's convention for TIMESTAMP AS OF (log-file
-    modification time), with the same documented caveats: writer clock
-    skew and mtime-preserving copies move history."""
-    import os
-
-    from ..fsutil import commit_path, read_commit_journal
+    """(entry, commit time) for every journal entry, in sequence
+    order — THE clock behind TIMESTAMP AS OF, startingTimestamp
+    resolution, and DESCRIBE HISTORY. Commit time is the IN-COMMIT
+    timestamp stamped into the entry at publish (Delta ICT: it
+    travels with the journal, surviving mtime-destroying copies and
+    object-store migrations, and needs zero stat calls); entries
+    written before ICT fall back to their commit file's mtime, the
+    historical Delta convention."""
+    from ..fsutil import commit_time_of, read_commit_journal
 
     cdir = _commits_dir(versions_root)
     out = []
     for c in read_commit_journal(cdir):
-        try:
-            out.append((c, os.stat(commit_path(cdir, c["seq"])).st_mtime))
-        except OSError:
-            continue   # pruned/in-flight entry: not resolvable by time
+        ts = commit_time_of(cdir, c)
+        if ts is None:
+            continue   # pruned/in-flight legacy entry: no clock
+        out.append((c, ts))
     return out
 
 

@@ -580,3 +580,164 @@ def test_stream_apply_changes_follows_source(spark, tmp_path):
     assert {(r.k, r.v) for r in
             read_upsert_version(spark, d).collect()} == \
         {(r.k, r.v) for r in read_upsert_version(spark, s).collect()}
+
+
+def test_apply_changes_coalesced_catch_up_equals_replay(spark, tmp_path):
+    """Deep-lag CDC catch-up (VERDICT r11 item 1): a replica lagging
+    more than ``coalesce_after`` versions catches up with ONE
+    net-change MERGE (batch id = head) instead of one MERGE+commit per
+    lagged version — final state identical to per-version replay, and
+    a repeat call applies nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        apply_changes_to_table)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _journal_state, read_upsert_version, upsert_commit_batch,
+        upsert_delete_where)
+
+    s = os.path.join(str(tmp_path), "src")
+    base = spark.range(0, 60).select(F.col("id").alias("k"),
+                                     (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(base, s, 0, key_cols=["k"], order_col="v",
+                        keep_versions=32, incremental_min_bytes=0)
+    # versions 1..2 applied per-version; 3..12 arrive while lagged
+    def _dml(v):
+        if v % 4 == 3:
+            upsert_delete_where(spark, s, v, f"k % 7 = {v % 7}",
+                                keep_versions=32,
+                                incremental_min_bytes=0)
+        else:
+            up = spark.range(v, v + 9).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 100 + v).alias("v"))
+            upsert_commit_batch(up, s, v, key_cols=["k"],
+                                order_col="v", keep_versions=32,
+                                incremental_min_bytes=0)
+
+    for v in (1, 2):
+        _dml(v)
+    d_fast = os.path.join(str(tmp_path), "d_fast")
+    d_slow = os.path.join(str(tmp_path), "d_slow")
+    assert apply_changes_to_table(spark, s, d_fast, ["k"],
+                                  keep_versions=32,
+                                  coalesce_after=4) == 3  # ≤4 pending
+    for v in range(3, 13):
+        _dml(v)
+    # deep lag: 10 pending > 4 → exactly ONE destination commit
+    n_before = len(_journal_state(d_fast + "_versions")[0])
+    assert apply_changes_to_table(spark, s, d_fast, ["k"],
+                                  keep_versions=32,
+                                  coalesce_after=4) == 1
+    assert len(_journal_state(d_fast + "_versions")[0]) == n_before + 1
+    # strict per-version replay of the same history
+    assert apply_changes_to_table(spark, s, d_slow, ["k"],
+                                  keep_versions=32,
+                                  coalesce_after=None) == 13
+    src_rows = {(r.k, r.v) for r in
+                read_upsert_version(spark, s).collect()}
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d_fast).collect()} == src_rows
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d_slow).collect()} == src_rows
+    # replica high-water = head on both; repeat call is a no-op
+    assert apply_changes_to_table(spark, s, d_fast, ["k"],
+                                  coalesce_after=4) == 0
+    assert apply_changes_to_table(spark, s, d_slow, ["k"],
+                                  coalesce_after=None) == 0
+    # an EMPTY deep-lagged replica re-seeds from the head snapshot
+    d_seed = os.path.join(str(tmp_path), "d_seed")
+    assert apply_changes_to_table(spark, s, d_seed, ["k"],
+                                  keep_versions=32,
+                                  coalesce_after=0) == 1
+    assert {(r.k, r.v) for r in
+            read_upsert_version(spark, d_seed).collect()} == src_rows
+    assert len(_journal_state(d_seed + "_versions")[0]) == 1
+
+
+def test_stream_apply_changes_coalesces_deep_batch(spark, tmp_path):
+    """The streaming twin: a resume that picks up many versions in one
+    micro-batch nets them to each key's latest change and applies ONE
+    MERGE — replica journal grows by one commit, state matches the
+    source head, and inside-batch insert→delete keys net away."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        stream_apply_changes)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _journal_state, read_upsert_version, upsert_commit_batch,
+        upsert_delete_where)
+
+    s = os.path.join(str(tmp_path), "src")
+    df = spark.range(0, 40).select(F.col("id").alias("k"),
+                                   (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(df, s, 0, key_cols=["k"], order_col="v",
+                        keep_versions=32, incremental_min_bytes=0)
+    # k 100..104 inserted at v1, deleted at v3 (nets away);
+    # k 0..9 rewritten at v2
+    ins = spark.range(100, 105).select(F.col("id").alias("k"),
+                                       F.lit(1).cast("bigint").alias("v"))
+    upsert_commit_batch(ins, s, 1, key_cols=["k"], order_col="v",
+                        keep_versions=32, incremental_min_bytes=0)
+    up = spark.range(0, 10).select(F.col("id").alias("k"),
+                                   F.lit(7777).cast("bigint").alias("v"))
+    upsert_commit_batch(up, s, 2, key_cols=["k"], order_col="v",
+                        keep_versions=32, incremental_min_bytes=0)
+    upsert_delete_where(spark, s, 3, "k >= 100", keep_versions=32,
+                        incremental_min_bytes=0)
+    d = os.path.join(str(tmp_path), "dst")
+    ck = os.path.join(str(tmp_path), "ckpt")
+    q = stream_apply_changes(spark, s, d, ["k"], ck, keep_versions=32,
+                             coalesce_after=2)
+    q.awaitTermination()
+    assert {(r.k, r.v) for r in read_upsert_version(spark, d).collect()} \
+        == {(r.k, r.v) for r in read_upsert_version(spark, s).collect()}
+    # 4 source versions, ONE replica commit
+    assert len(_journal_state(d + "_versions")[0]) == 1
+
+
+def test_timestamp_clock_survives_garbage_mtimes(spark, tmp_path):
+    """TIMESTAMP AS OF / startingTimestamp resolve through the
+    IN-COMMIT timestamp (Delta ICT) — setting every commit file's
+    mtime to garbage (an mtime-destroying copy, the object-store
+    migration case) must not move history (VERDICT r11 item 2)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.fsutil import commit_path
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        read_changes_batch)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _commit_mtimes, read_upsert_as_of_timestamp,
+        restore_upsert_as_of_timestamp, read_upsert_version,
+        upsert_commit_batch)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    for i in range(3):
+        df = spark.createDataFrame([(k, i) for k in range(4)],
+                                   "k long, v long")
+        upsert_commit_batch(df, t, i, key_cols=["k"], order_col="v",
+                            keep_versions=8, incremental_min_bytes=0)
+    cdir = os.path.join(t + "_versions", "_commits")
+    mts = {c["version"]: mt for c, mt in _commit_mtimes(t + "_versions")}
+    # trash every commit file's mtime: epoch for v0/v2, far future v1
+    os.utime(commit_path(cdir, 0), (0, 0))
+    os.utime(commit_path(cdir, 1), (2_000_000_000, 2_000_000_000))
+    os.utime(commit_path(cdir, 2), (0, 0))
+    # the clock is unchanged: it lives IN the journal entries
+    assert {c["version"]: mt
+            for c, mt in _commit_mtimes(t + "_versions")} == mts
+    got = read_upsert_as_of_timestamp(spark, t, mts[1] + 0.0001)
+    assert {r.v for r in got.collect()} == {1}
+    ch = read_changes_batch(spark, t, ["k"],
+                            starting_timestamp=mts[0] + 0.0005)
+    assert set(r._commit_version for r in ch.collect()) == {1, 2}
+    restore_upsert_as_of_timestamp(spark, t, mts[1] + 0.0001,
+                                   as_version=10, keep_versions=8)
+    assert read_upsert_version(spark, t).agg(
+        F.max("v")).first()[0] == 1

@@ -65,24 +65,50 @@ def test_query_workspace_sweeps_dead_pid_dirs(tmp_path, monkeypatch):
     assert fsutil.query_workspace("wsx", str(tmp_path)) == p1
 
 
-def test_try_commit_monotonic_mtimes(tmp_path):
-    """Commit-file mtimes are the TIMESTAMP AS OF clock, so try_commit
-    enforces strict monotonicity (Delta's adjustment): a commit landing
-    at or before its predecessor's mtime — coarse-mtime filesystems,
-    clock steps — gets bumped 1 ms past it."""
+def test_try_commit_monotonic_in_commit_timestamps(tmp_path):
+    """The commit clock is the IN-COMMIT ``ts`` stamped into each
+    journal entry (Delta ICT), strictly monotonic across commits: a
+    predecessor whose ts sits in the future (clock step between
+    writers) forces a +1 ms bump, and a LEGACY predecessor without ts
+    orders against its file mtime. File mtimes of ICT entries are not
+    load-bearing."""
+    import json
     import os
+    import time
 
     from house_price_etl_pipeline_spark.fsutil import (commit_path,
+                                                       commit_time_of,
                                                        try_commit)
 
     cdir = str(tmp_path / "c")
     assert try_commit(cdir, 0, {"op": "upsert", "version": 0})
-    # simulate a clock step / same-tick landing: push seq 0 into the
-    # future, then commit seq 1
-    future = os.stat(commit_path(cdir, 0)).st_mtime + 30.0
-    os.utime(commit_path(cdir, 0), (future, future))
+    # rewrite seq 0 as if its writer's clock ran 30 s fast
+    with open(commit_path(cdir, 0)) as f:
+        e0 = json.load(f)
+    future = time.time() + 30.0
+    e0["ts"] = future
+    with open(commit_path(cdir, 0), "w") as f:
+        json.dump(e0, f)
     assert try_commit(cdir, 1, {"op": "upsert", "version": 1})
-    assert os.stat(commit_path(cdir, 1)).st_mtime > future
+    with open(commit_path(cdir, 1)) as f:
+        e1 = json.load(f)
+    assert e1["ts"] > future
+    # legacy predecessor (no ts): the next commit orders against its
+    # file mtime instead
+    cdir2 = str(tmp_path / "c2")
+    assert try_commit(cdir2, 0, {"op": "upsert", "version": 0})
+    with open(commit_path(cdir2, 0)) as f:
+        legacy = json.load(f)
+    legacy.pop("ts")
+    with open(commit_path(cdir2, 0), "w") as f:
+        json.dump(legacy, f)
+    far = time.time() + 60.0
+    os.utime(commit_path(cdir2, 0), (far, far))
+    assert commit_time_of(cdir2, {"seq": 0}) == pytest.approx(far)
+    assert try_commit(cdir2, 1, {"op": "upsert", "version": 1})
+    with open(commit_path(cdir2, 1)) as f:
+        e1 = json.load(f)
+    assert e1["ts"] > far
 
 
 def test_journal_checkpoint_roundtrip(tmp_path):
