@@ -37,6 +37,25 @@ def incremental_commits_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_INCREMENTAL_COMMITS", "1") != "0"
 
 
+def carry_mode() -> str:
+    """SPARK_GRAFT_CARRY_MODE (default "link"): how incremental commits
+    carry a base snapshot's untouched data files into the new version.
+    "link" — hard links (copy fallback): every published version dir
+    stays plain-``spark.read.parquet`` readable; the local-FS posture.
+    "manifest" — a ``_CARRY.json`` pointer manifest per version
+    (streaming/carry.py): zero link/copy syscalls per carried file, the
+    object-store posture where reuse is a file-list reference, as in
+    Delta/Iceberg; reads resolve through the engine's snapshot reader.
+    Reading is always mode-independent — the flag governs writes only,
+    so tables survive the flag flipping either way mid-history."""
+    mode = os.environ.get("SPARK_GRAFT_CARRY_MODE", "link")
+    if mode not in ("link", "manifest"):
+        raise ValueError(
+            f"SPARK_GRAFT_CARRY_MODE={mode!r} — expected 'link' or "
+            f"'manifest'")
+    return mode
+
+
 def cdf_split_bytes() -> int:
     """SPARK_GRAFT_CDF_SPLIT_BYTES (default 32 MiB): the change-feed
     stream reader sizes each version transition's partition count as

@@ -335,11 +335,16 @@ def _publish_commit(target_dir: str, versions_root: str,
         # window counts distinct VERSIONS, not commits (_retained_names)
         # so OPTIMIZE runs never shrink time travel.
         retained = _retained_names(commits, keep_versions)
+        # a retired dir may still physically own files that RETAINED
+        # versions' carry manifests reference (manifest carry mode) —
+        # prune file-granularly, never a pinned byte (carry.py);
+        # link-mode tables pin nothing and this stays the old rmtree
+        from .carry import pinned_targets, prune_version_dir
+        pinned = pinned_targets(versions_root, retained)
         for c in commits:
             if c["version_name"] not in retained:
-                shutil.rmtree(os.path.join(versions_root,
-                                           c["version_name"]),
-                              ignore_errors=True)
+                prune_version_dir(versions_root, c["version_name"],
+                                  pinned)
         latest = read_commit_journal(_commits_dir(versions_root))
         if not latest or latest[-1]["seq"] == head["seq"]:
             # journal checkpoint ride-along (Delta's log checkpoints):
@@ -379,11 +384,14 @@ def _publish_commit(target_dir: str, versions_root: str,
 # link.
 
 def _snapshot_data_files(snapshot_dir: str) -> list[str]:
-    """Relative paths of a snapshot's data files — basenames for flat
-    snapshots, ``part=value/…`` paths for partitioned ones (the walk
-    lives in partitioning.py so the change-feed source shares it)."""
-    from .partitioning import _walk_data_files
-    return _walk_data_files(snapshot_dir)
+    """Relative paths of a snapshot's LOGICAL data files — physically
+    present files plus manifest-carried ones (carry.snapshot_files);
+    basenames for flat snapshots, ``part=value/…`` paths for
+    partitioned ones. Carried files keep their original names, so
+    name-set diffs (the change feed, read_upsert_changes) are valid
+    across carry modes."""
+    from .carry import snapshot_files
+    return snapshot_files(snapshot_dir)
 
 
 def _file_paths_to_relpaths(rows, base_dir: str) -> set[str]:
@@ -392,13 +400,17 @@ def _file_paths_to_relpaths(rows, base_dir: str) -> set[str]:
     ``_snapshot_data_files`` — relative (not basename) so a partitioned
     snapshot's ``part=value/part-….parquet`` names compare correctly.
     Spark reports the path as given to the reader, but tolerate a
-    canonicalized (symlink-resolved) form too; a path under neither
-    base falls back to its basename (the flat pre-partitioning
-    behavior)."""
+    canonicalized (symlink-resolved) form too. A manifest-carried
+    file's scan path lives in ANOTHER version dir under the same
+    ``_versions`` root — its owner-relative path IS its logical name
+    (carries never rename), so strip the root plus one dir segment. A
+    path under none of these falls back to its basename (the flat
+    pre-partitioning behavior)."""
     import os
     from urllib.parse import unquote, urlparse
 
     bases = {os.path.abspath(base_dir), os.path.realpath(base_dir)}
+    vroot = os.path.dirname(os.path.realpath(base_dir))
     out = set()
     for r in rows:
         p = unquote(urlparse(r[0]).path)
@@ -408,18 +420,30 @@ def _file_paths_to_relpaths(rows, base_dir: str) -> set[str]:
                 out.add(p[len(pre):])
                 break
         else:
-            out.add(os.path.basename(p))
+            vpre = vroot.rstrip(os.sep) + os.sep
+            rest = p[len(vpre):] if p.startswith(vpre) else ""
+            if os.sep in rest:
+                out.add(rest.split(os.sep, 1)[1])
+            else:
+                out.add(os.path.basename(p))
     return out
 
 
 def _snapshot_read(spark, target_dir: str, snap_dir: str,
-                   files: list[str] | None = None):
+                   files: list[str] | None = None,
+                   file_col: str | None = None):
     """THE snapshot read path: plain ``spark.read.parquet`` for flat
     tables; for partitioned tables an explicit-schema read that types
     the partition columns from the table's declaration instead of
     Spark's per-scan inference (partitioning.read_snapshot), with
     ``basePath`` anchoring so changed-file-subset reads keep their
-    partition columns. ``files`` are relative to ``snap_dir``."""
+    partition columns. ``files`` are relative to ``snap_dir``.
+    ``file_col`` names a column to fill with ``_metadata.file_path`` —
+    it must be attached INSIDE each scan (``_metadata`` is a per-scan
+    pseudo-column that does not exist above the union a manifest-
+    carried snapshot's read builds), so callers that need the
+    touched-file constant request it here instead of withColumn-ing
+    on the result."""
     import os
 
     from .colmap import table_column_mapping, to_logical
@@ -430,13 +454,41 @@ def _snapshot_read(spark, target_dir: str, snap_dir: str,
     # than silently misreading (Delta's reader-version contract)
     check_table_readable(target_dir)
     parts = table_partitioning(target_dir)
-    if parts:
-        df = read_snapshot(spark, snap_dir, parts, files)
-    elif files is not None:
-        df = spark.read.parquet(
-            *(os.path.join(snap_dir, f) for f in files))
+    from .carry import owner_groups, read_carry, snapshot_files
+    carry = read_carry(snap_dir)
+    if carry:
+        # manifest-carried snapshot: the version dir is a file LIST,
+        # not a directory of bytes — group the logical files by the
+        # dir that physically owns them and union the per-owner scans
+        # (Spark's partition discovery needs one basePath per scan;
+        # owner count is bounded by the retention window, so this is
+        # a handful of branches at any table size, each with its own
+        # pushdown/pruning)
+        rels = files if files is not None else snapshot_files(snap_dir)
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        groups = owner_groups(snap_dir, rels, carry)
+        dfs = [read_snapshot(spark, owner, parts, g) if parts
+               else spark.read.parquet(
+                   *(os.path.join(owner, f) for f in g))
+               for owner, g in sorted(groups.items())]
+        if file_col is not None:
+            dfs = [b.withColumn(file_col, F.col("_metadata.file_path"))
+                   for b in dfs]
+        df = reduce(lambda a, b: a.unionByName(b), dfs)
     else:
-        df = spark.read.parquet(snap_dir)
+        if parts:
+            df = read_snapshot(spark, snap_dir, parts, files)
+        elif files is not None:
+            df = spark.read.parquet(
+                *(os.path.join(snap_dir, f) for f in files))
+        else:
+            df = spark.read.parquet(snap_dir)
+        if file_col is not None:
+            from pyspark.sql import functions as F
+            df = df.withColumn(file_col, F.col("_metadata.file_path"))
     # column mapping: physical file names → the table's logical schema
     # (renames applied, dropped columns hidden) — no-op without mapping
     return to_logical(df, table_column_mapping(target_dir))
@@ -516,9 +568,9 @@ def _touched_files_by_keys(spark, base_dir: str, keys_df,
 
     from .partitioning import (partition_tuple_filter, table_partitioning)
 
-    snap = (_snapshot_read(spark, target_dir or base_dir, base_dir)
-            .select(*key_cols)
-            .withColumn("_file", F.col("_metadata.file_path"))
+    snap = (_snapshot_read(spark, target_dir or base_dir, base_dir,
+                           file_col="_file")
+            .select(*key_cols, "_file")
             .alias("t"))
     parts = table_partitioning(target_dir) if target_dir else {}
     if parts and set(parts) <= set(key_cols):
@@ -541,14 +593,21 @@ def _stage_with_reuse(snapshot_dir: str, stage_dir: str,
                       kept_files: list[str], rewritten_df,
                       target_dir: str | None = None) -> None:
     """Materialize a staged snapshot as ``rewritten_df``'s output plus
-    hard links to the base snapshot's untouched data files. The Spark
-    write runs FIRST (mode=overwrite clears the dir), links after; link
-    falls back to copy on filesystems without hard-link support.
-    ``kept_files`` are snapshot-relative paths — for a partitioned
-    table they carry their ``part=value/`` directories, recreated in
-    the stage so the carried files land in the same Hive layout."""
+    the base snapshot's untouched data files, carried either as hard
+    links (copy fallback — the local-FS default) or, under
+    SPARK_GRAFT_CARRY_MODE=manifest, as ``_CARRY.json`` pointer
+    entries with zero per-file syscalls (carry.py — the object-store
+    posture). The Spark write runs FIRST (mode=overwrite clears the
+    dir), carries after. ``kept_files`` are snapshot-relative paths —
+    for a partitioned table they carry their ``part=value/``
+    directories, recreated in the stage (link mode) so the carried
+    files land in the same Hive layout."""
     import os
     import shutil
+
+    from .carry import (manifest_carry_enabled, read_carry,
+                        resolve_data_file, versions_root_of,
+                        write_carry_manifest)
 
     if rewritten_df is not None:
         _staged_write(rewritten_df, target_dir or snapshot_dir,
@@ -564,18 +623,39 @@ def _stage_with_reuse(snapshot_dir: str, stage_dir: str,
             if os.path.exists(src_marker):
                 shutil.copy2(src_marker,
                              os.path.join(stage_dir, _EMPTY_MARKER))
-    for name in kept_files:
-        src = os.path.join(snapshot_dir, name)
-        dst = os.path.join(stage_dir, name)
-        if os.path.dirname(name):        # partition subdirectory
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-        if os.path.exists(dst):          # freak part-name collision
-            root, ext = os.path.splitext(name)
-            dst = os.path.join(stage_dir, f"{root}-linked{ext}")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)
+    if kept_files and manifest_carry_enabled():
+        # link-less carry: record pointers, move no bytes, touch no
+        # inodes — collisions are impossible (nothing lands in the
+        # stage), dangling bases raise FileNotFoundError inside (the
+        # callers' lost-race retry signal). Gate the table FIRST: a
+        # build without carry support would silently read only the
+        # physical subset of a carried snapshot
+        if target_dir is not None:
+            from .partitioning import register_table_feature
+            register_table_feature(target_dir, "carry_manifest")
+        write_carry_manifest(stage_dir, snapshot_dir, kept_files)
+    else:
+        base_carry = read_carry(snapshot_dir)
+        vroot = versions_root_of(snapshot_dir) if base_carry else None
+        for name in kept_files:
+            # resolve through the base's own carry manifest so a
+            # link-mode commit on a manifest-carried base materializes
+            # the real bytes, not a missing path
+            try:
+                src = resolve_data_file(snapshot_dir, name, base_carry,
+                                        vroot)
+            except FileNotFoundError:
+                src = os.path.join(snapshot_dir, name)  # classic ENOENT
+            dst = os.path.join(stage_dir, name)
+            if os.path.dirname(name):        # partition subdirectory
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):          # freak part-name collision
+                root, ext = os.path.splitext(name)
+                dst = os.path.join(stage_dir, f"{root}-linked{ext}")
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
     if target_dir is not None:
         # keep data skipping alive across incremental commits: carry
         # kept files' manifest entries, footer-read only the rewritten
@@ -903,8 +983,8 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
                 # partition-column predicate prunes whole directories
                 # before any file opens); every other file carries into
                 # the new version as a hard link
-                rows = (snapshot
-                        .withColumn("_file", F.col("_metadata.file_path"))
+                rows = (_snapshot_read(spark, target_dir, base_dir,
+                                       file_col="_file")
                         .filter(condition)
                         .select("_file").distinct().collect())
                 touched = _file_paths_to_relpaths(rows, base_dir)
@@ -1093,8 +1173,8 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
             if (incremental_commits_enabled()
                     and _data_file_bytes(base_dir)
                     >= _min_bytes_cutoff(incremental_min_bytes)):
-                rows = (snapshot
-                        .withColumn("_file", F.col("_metadata.file_path"))
+                rows = (_snapshot_read(spark, target_dir, base_dir,
+                                       file_col="_file")
                         .filter(condition)
                         .select("_file").distinct().collect())
                 touched = _file_paths_to_relpaths(rows, base_dir)
@@ -1975,23 +2055,27 @@ def _zorder_value(df, cols: list[str], bits: int):
 
 
 def _data_file_bytes(path: str) -> int:
-    """Total bytes of data files under a snapshot dir (markers and
-    hidden files excluded) — the local-fs analog of the table format's
+    """Total bytes of a snapshot's LOGICAL data files (markers and
+    hidden files excluded; manifest-carried files resolved to their
+    physical owners) — the local-fs analog of the table format's
     per-snapshot size statistics that drive OPTIMIZE target sizing."""
     import os
 
+    from .carry import read_carry, resolve_data_file, versions_root_of
+
+    carry = read_carry(path)
+    vroot = versions_root_of(path) if carry else None
     total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    # a concurrent publish pruned the snapshot mid-walk
-                    # (Python-side ENOENT, not a Spark error signature):
-                    # sizing stats are best-effort — the read below will
-                    # classify the lost race properly if it matters
-                    continue
+    for f in _snapshot_data_files(path):
+        try:
+            total += os.path.getsize(
+                resolve_data_file(path, f, carry, vroot))
+        except OSError:
+            # a concurrent publish pruned the snapshot mid-walk
+            # (Python-side ENOENT, not a Spark error signature):
+            # sizing stats are best-effort — the read below will
+            # classify the lost race properly if it matters
+            continue
     return total
 
 
@@ -2081,12 +2165,15 @@ def optimize_upsert_target(spark, target_dir: str,
             if min_file_bytes is not None:
                 # incremental compaction: bin-pack ONLY the small-file
                 # debt, per partition directory; carry the rest by link
+                from .carry import read_carry, resolve_data_file
+                src_carry = read_carry(src)
                 small_by_dir: dict[str, list[str]] = {}
                 sizes: dict[str, int] = {}
                 kept: list[str] = []
                 for f in _snapshot_data_files(src):
                     try:
-                        sz = os.path.getsize(os.path.join(src, f))
+                        sz = os.path.getsize(
+                            resolve_data_file(src, f, src_carry))
                     except OSError:
                         raise FileNotFoundError(src)  # pruned mid-walk
                     if sz < min_file_bytes:
@@ -2385,11 +2472,20 @@ def vacuum_upsert_target(target_dir: str,
             f"{VACUUM_RETENTION_FLOOR_S:.0f}s floor — a concurrent "
             f"writer's just-staged snapshot could be reclaimed mid-"
             f"commit; pass force=True to override deliberately")
+    from .carry import pinned_targets, prune_version_dir
+
     versions_root = target_dir + "_versions"
     commits, _ = _journal_state(versions_root)
     referenced = _retained_names(commits, keep_versions)
     published = os.path.basename(os.path.realpath(target_dir)) \
         if os.path.islink(target_dir) else None
+    # manifest-carry reachability (Delta VACUUM's rule): a retired
+    # dir's physical file stays as long as any retained version's (or
+    # the published head's) carry manifest references it — deleting it
+    # would corrupt live snapshots, not just history
+    pinned = pinned_targets(
+        versions_root,
+        referenced | ({published} if published else set()))
     removed = []
     now = time.time()
     for name in sorted(os.listdir(versions_root)):
@@ -2402,9 +2498,9 @@ def vacuum_upsert_target(target_dir: str,
             continue
         if now - os.path.getmtime(path) < older_than_seconds:
             continue
-        if not dry_run:
-            shutil.rmtree(path, ignore_errors=True)
-        removed.append(name)
+        if prune_version_dir(versions_root, name, pinned,
+                             dry_run=dry_run):
+            removed.append(name)
     return removed
 
 
@@ -3286,13 +3382,19 @@ def clone_upsert_table(src_target: str, dst_target: str,
     os.makedirs(dst_root, exist_ok=True)
     stage = os.path.join(dst_root, f"_stage_{writer}_{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
+    from .carry import CARRY_MANIFEST, read_carry, resolve_data_file
+    src_carry = read_carry(src_dir)
     for root, dirs, files in os.walk(src_dir):
         # descend into partition subdirectories; skip hidden/marker dirs
         dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         rel = os.path.relpath(root, src_dir)
         for f in files:
-            if f.startswith(".") or f == "_SUCCESS":
-                continue                 # data files + stats manifest
+            if f.startswith(".") or f in ("_SUCCESS", CARRY_MANIFEST):
+                # data files + stats manifest travel; the carry
+                # manifest must NOT — its targets are relative to the
+                # SOURCE table's versions root (carried data files are
+                # materialized below instead)
+                continue
             src_f = os.path.join(root, f)
             dst_f = os.path.join(stage, f) if rel == "." \
                 else os.path.join(stage, rel, f)
@@ -3301,6 +3403,21 @@ def clone_upsert_table(src_target: str, dst_target: str,
                 os.link(src_f, dst_f)
             except OSError:
                 shutil.copy2(src_f, dst_f)
+    for relname in src_carry:
+        # manifest-carried files of the source head: cross-table
+        # pointers can't work (separate versions roots + retention
+        # domains), so the clone materializes them — link, copy on
+        # link-less filesystems
+        dst_f = os.path.join(stage, relname)
+        if os.path.exists(dst_f):
+            continue                     # physically present too
+        if os.path.dirname(relname):
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+        src_f = resolve_data_file(src_dir, relname, src_carry)
+        try:
+            os.link(src_f, dst_f)
+        except OSError:
+            shutil.copy2(src_f, dst_f)
     perm = f"v{head['version']}_clone_{uuid.uuid4().hex[:8]}"
     os.rename(stage, os.path.join(dst_root, perm))
     entry = {"op": "upsert", "version": head["version"],
@@ -3854,6 +3971,8 @@ def _staged_identity_hwm(spark, staged_dir: str, ident: dict,
 
     from pyspark.sql import functions as F
 
+    from .carry import resolve_data_files
+
     skip = set(skip_files)
     files = [f for f in _snapshot_data_files(staged_dir)
              if f not in skip]
@@ -3861,7 +3980,7 @@ def _staged_identity_hwm(spark, staged_dir: str, ident: dict,
         return hwm
     name, start, step = ident["name"], ident["start"], ident["step"]
     top = (spark.read.parquet(
-        *(os.path.join(staged_dir, f) for f in files))
+        *resolve_data_files(staged_dir, files))
         .agg(F.max(F.expr(
             f"CAST((`{name}` - {start}) DIV {step} AS BIGINT)")))
         .first()[0])
@@ -4355,13 +4474,12 @@ def show_upsert_partitions(spark, target_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from .partitioning import (list_partition_dirs, table_partitioning)
+    from .partitioning import partition_values_of, table_partitioning
 
     parts = table_partitioning(target_dir)
     if not parts:
         raise ValueError(f"{target_dir} is not PARTITIONED BY")
     head = os.path.realpath(target_dir)
-    pdirs = list_partition_dirs(head, parts)
     _ddl = {"tinyint": T.ByteType(), "smallint": T.ShortType(),
             "int": T.IntegerType(), "bigint": T.LongType(),
             "string": T.StringType(), "date": T.DateType(),
@@ -4370,12 +4488,19 @@ def show_upsert_partitions(spark, target_dir: str) -> DataFrame:
         [T.StructField(c, _ddl[t]) for c, t in parts.items()]
         + [T.StructField("num_files", T.LongType()),
            T.StructField("size_in_bytes", T.LongType())])
+    # the LOGICAL file list (manifest-carried files included), grouped
+    # by partition dir — still a pure listing plus one carry-manifest
+    # read, no file opens
+    from .carry import read_carry, resolve_data_file
+    carry = read_carry(head)
+    by_dir: dict[str, list[str]] = {}
+    for f in _snapshot_data_files(head):
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
     rows = []
-    for d, vals in sorted(pdirs.items()):
-        full = os.path.join(head, d)
-        fs = [f for f in os.listdir(full)
-              if f.endswith(".parquet") and not f.startswith(("_", "."))]
-        size = sum(os.path.getsize(os.path.join(full, f)) for f in fs)
+    for d, fs in sorted(by_dir.items()):
+        vals = partition_values_of(fs[0], parts)
+        size = sum(os.path.getsize(resolve_data_file(head, f, carry))
+                   for f in fs)
         rows.append(tuple(vals[c] for c in parts) + (len(fs), size))
     return spark.createDataFrame(rows, schema)
 
@@ -4396,11 +4521,15 @@ def auto_compact_upsert_target(spark, target_dir: str,
     pays nothing."""
     import os
 
+    from .carry import read_carry, resolve_data_file
+
     head = os.path.realpath(target_dir)
+    carry = read_carry(head)
     small = 0
     for f in _snapshot_data_files(head):
         try:
-            if os.path.getsize(os.path.join(head, f)) < min_file_bytes:
+            if os.path.getsize(
+                    resolve_data_file(head, f, carry)) < min_file_bytes:
                 small += 1
         except OSError:
             continue        # concurrent publish pruned the head mid-walk

@@ -205,7 +205,9 @@ def snapshot_schema_ddl(snapshot_dir: str, parts: dict[str, str]) -> str:
     partition contract."""
     import pyarrow.parquet as pq
 
-    files = _walk_data_files(snapshot_dir)
+    from .carry import resolve_data_file, snapshot_files
+
+    files = snapshot_files(snapshot_dir)
     if not files:
         marker = read_empty_marker(snapshot_dir)
         if marker is not None:
@@ -213,7 +215,7 @@ def snapshot_schema_ddl(snapshot_dir: str, parts: dict[str, str]) -> str:
         raise FileNotFoundError(
             f"no data files under snapshot {snapshot_dir}")
     sch = pq.ParquetFile(
-        os.path.join(snapshot_dir, files[0])).schema_arrow
+        resolve_data_file(snapshot_dir, files[0])).schema_arrow
     cols = [f"`{f.name}` {arrow_to_ddl_type(f.type)}" for f in sch
             if f.name not in parts]
     cols += [f"`{c}` {t}" for c, t in parts.items()]
@@ -326,10 +328,14 @@ def partition_values_of(relpath: str, parts: dict[str, str]) -> dict:
 def list_partition_dirs(snapshot_dir: str,
                         parts: dict[str, str]) -> dict[str, dict]:
     """{relative partition dir: typed values} for every partition that
-    holds at least one data file — a pure LISTING, no file opens; this
-    is the metadata partition-drop path's entire read cost."""
+    holds at least one LOGICAL data file (manifest-carried included) —
+    a pure listing plus at most one carry-manifest read, no file
+    opens; this is the metadata partition-drop path's entire read
+    cost."""
+    from .carry import snapshot_files
+
     out: dict[str, dict] = {}
-    for f in _walk_data_files(snapshot_dir):
+    for f in snapshot_files(snapshot_dir):
         d = os.path.dirname(f)
         if d not in out:
             out[d] = partition_values_of(f, parts)
@@ -371,6 +377,12 @@ _PROTOCOL_FILE = "_PROTOCOL.json"
 SUPPORTED_FEATURES = frozenset({
     "partitioning", "column_mapping", "check_constraints",
     "generated_columns", "identity_columns",
+    # carry_manifest: version dirs may carry data files as _CARRY.json
+    # pointer entries instead of physical bytes (streaming/carry.py) —
+    # a reader unaware of it would silently see only the physical
+    # subset of a snapshot (rows missing, no error), the exact failure
+    # mode the reader gate exists for
+    "carry_manifest",
 })
 
 

@@ -113,8 +113,9 @@ def _file_column_stats(path: str, cols: list[str]) -> dict:
     return {"rows": md.num_rows, "stats": stats}
 
 
-def _collect_stats_distributed(spark: SparkSession, snapshot_dir: str,
-                               files: list[str], cols: list[str]) -> dict:
+def _collect_stats_distributed(spark: SparkSession, files: list[str],
+                               paths: list[str],
+                               cols: list[str]) -> dict:
     """Footer-stat collection as a Spark job over the file list: each
     executor partition reads its share of footers and returns the
     (small) per-file stats entry JSON-encoded — the driver only
@@ -126,7 +127,7 @@ def _collect_stats_distributed(spark: SparkSession, snapshot_dir: str,
     into the commit)."""
     import pandas as pd
 
-    pairs = [(f, os.path.join(snapshot_dir, f)) for f in files]
+    pairs = list(zip(files, paths))   # (logical name, physical path)
     n_slices = max(1, min(len(pairs),
                           spark.sparkContext.defaultParallelism))
 
@@ -165,17 +166,17 @@ def write_stats_manifest(snapshot_dir: str, cols: list[str],
     ``_DISTRIBUTE_STATS_MIN_FILES`` (the scale path — no O(files)
     driver loop); tiny snapshots and ad-hoc directories take the serial
     loop, which is cheaper than a job's fixed startup there."""
-    from .partitioning import _walk_data_files, partition_values_of
+    from .carry import resolve_data_files, snapshot_files
+    from .partitioning import partition_values_of
 
     cols = list(cols)
-    files = _walk_data_files(snapshot_dir)
+    files = snapshot_files(snapshot_dir)   # manifest-carried included
+    paths = resolve_data_files(snapshot_dir, files)
     if spark is not None and len(files) >= _DISTRIBUTE_STATS_MIN_FILES:
-        entries = _collect_stats_distributed(spark, snapshot_dir,
-                                             files, cols)
+        entries = _collect_stats_distributed(spark, files, paths, cols)
     else:
-        entries = {f: _file_column_stats(os.path.join(snapshot_dir, f),
-                                         cols)
-                   for f in files}
+        entries = {f: _file_column_stats(p, cols)
+                   for f, p in zip(files, paths)}
     if parts:
         # PARTITIONED BY columns never appear in footers — their
         # per-file stats are exact from the Hive path (min = max =
@@ -214,9 +215,9 @@ def prune_files(snapshot_dir: str,
     (lo, hi) inclusive bounds; either bound may be None (half-open).
     Files without a manifest entry or without stats for a predicate
     column are kept (skipping never risks correctness)."""
-    from .partitioning import _walk_data_files
+    from .carry import snapshot_files
 
-    files = _walk_data_files(snapshot_dir)
+    files = snapshot_files(snapshot_dir)   # manifest-carried included
     manifest = read_stats_manifest(snapshot_dir)
     if manifest is None:
         return files, len(files)
@@ -366,18 +367,23 @@ def carry_stats_manifest(snapshot_dir: str, stage_dir: str,
     opt-in via OPTIMIZE's stats_cols."""
     from .partitioning import partition_values_of
 
+    from .carry import resolve_data_file, snapshot_files
+
     base = read_stats_manifest(snapshot_dir)
     if base is None:
         return False
     cols = base["columns"]
     kept = set(kept_files)
     entries = {}
-    for f in _walk_data_files(stage_dir):
+    # the staged snapshot's LOGICAL files: manifest-carried kept files
+    # have no bytes in the stage dir but still need their stats entries
+    # carried forward (snapshot_files unions physical walk + carries)
+    for f in snapshot_files(stage_dir):
         if f in kept and f in base["files"]:
             entries[f] = base["files"][f]
             continue
-        entries[f] = _file_column_stats(os.path.join(stage_dir, f),
-                                        cols)
+        entries[f] = _file_column_stats(
+            resolve_data_file(stage_dir, f), cols)
         if parts:
             vals = partition_values_of(f, parts)
             for c in parts:
@@ -391,7 +397,3 @@ def carry_stats_manifest(snapshot_dir: str, stage_dir: str,
         json.dump(manifest, fh)
     os.replace(tmp, path)
     return True
-
-
-# re-exported for carry_stats_manifest callers in ingest
-from .partitioning import _walk_data_files  # noqa: E402

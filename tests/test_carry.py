@@ -1,0 +1,344 @@
+"""Link-less manifest carries (SPARK_GRAFT_CARRY_MODE=manifest).
+
+Pins the object-store posture of the table format (streaming/carry.py):
+incremental commits that move ZERO bytes and touch ZERO inodes (pure
+``_CARRY.json`` pointer manifests), reads that resolve pointers across
+version dirs (flat and partitioned, batch and change feed), retention/
+VACUUM that never deletes a physical file a retained version still
+references, mode interop (tables survive the flag flipping either way
+mid-history), and the reader protocol gate that keeps older builds from
+silently misreading a carried snapshot.
+
+Every manifest-mode test monkeypatches ``os.link`` to raise — proving
+the whole DML surface works on a filesystem with no links at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from house_price_etl_pipeline_spark.streaming.carry import (
+    CARRY_MANIFEST, read_carry, snapshot_files)
+from house_price_etl_pipeline_spark.streaming.cdf import (
+    read_changes_batch_pysource)
+from house_price_etl_pipeline_spark.streaming.ingest import (
+    _journal_state, clone_upsert_table, optimize_upsert_target,
+    read_upsert_changes, read_upsert_version, restore_upsert_target,
+    show_upsert_partitions, upsert_commit_batch, upsert_delete_where,
+    upsert_drop_partitions, upsert_update_where, vacuum_upsert_target)
+from house_price_etl_pipeline_spark.streaming.partitioning import (
+    set_table_partitioning, table_protocol_features)
+
+
+def _no_link(monkeypatch):
+    def boom(*a, **k):
+        raise AssertionError("os.link called in manifest carry mode")
+    monkeypatch.setattr(os, "link", boom)
+
+
+def _manifest_mode(monkeypatch, forbid_links=True):
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "manifest")
+    if forbid_links:
+        _no_link(monkeypatch)
+
+
+def _phys_parquet(d):
+    return sorted(
+        os.path.relpath(os.path.join(r, f), d)
+        for r, _dirs, fs in os.walk(d) for f in fs
+        if f.endswith(".parquet"))
+
+
+def _vdir(t, which=-1):
+    commits, _ = _journal_state(t + "_versions")
+    return os.path.join(t + "_versions", commits[which]["version_name"])
+
+
+def _mk_flat(spark, tmp_path, n=400, keep_versions=8):
+    """Multi-file flat table via two key-disjoint commits (AQE
+    coalesces a single small write into one file; disjoint commits
+    guarantee ≥2 logical files so carries are non-trivial). Batch ids
+    0 and 1 are consumed; the head is version 1."""
+    t = os.path.join(str(tmp_path), "tbl")
+    for b, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        df = spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit(0).alias("ord"))
+        upsert_commit_batch(df, t, b, key_cols=["k"], order_col="ord",
+                            keep_versions=keep_versions,
+                            incremental_min_bytes=0, max_retries=4)
+    return t
+
+
+def test_manifest_commit_moves_no_bytes(spark, tmp_path, monkeypatch):
+    _manifest_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+    assert len(snapshot_files(_vdir(t))) >= 2   # carries must be non-trivial
+    delta = spark.createDataFrame([(0, -1, 1), (1, -1, 1)],
+                                  "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta, t, 2, key_cols=["k"], order_col="ord",
+                        keep_versions=8, incremental_min_bytes=0,
+                        max_retries=4)
+    cur = _vdir(t)
+    carry = read_carry(cur)
+    assert carry, "incremental commit must write a carry manifest"
+    # carried names are NOT physical in the new dir; targets are
+    # versions_root-relative and point at the base's physical files
+    for rel, target in carry.items():
+        assert not os.path.exists(os.path.join(cur, rel))
+        assert os.path.exists(os.path.join(t + "_versions", target))
+    # logical = physical ∪ carried, and the read sees every row
+    assert set(snapshot_files(cur)) == set(_phys_parquet(cur)) | set(carry)
+    snap = read_upsert_version(spark, t)
+    assert snap.count() == 400
+    assert snap.filter("v = -1").count() == 2
+    # protocol gate: the table now requires carry-aware readers
+    assert "carry_manifest" in table_protocol_features(t)
+
+
+def test_manifest_dml_sequence_and_time_travel(spark, tmp_path,
+                                               monkeypatch):
+    _manifest_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+    upsert_update_where(spark, t, 2, "k < 10", {"v": F.lit(-5)},
+                        keep_versions=8, incremental_min_bytes=0)
+    upsert_delete_where(spark, t, 3, "k >= 390", keep_versions=8,
+                        incremental_min_bytes=0)
+    head = read_upsert_version(spark, t)
+    assert head.count() == 390
+    assert head.filter("v = -5").count() == 10
+    # time travel resolves carried versions
+    v1 = read_upsert_version(spark, t, 1)
+    assert v1.count() == 400 and v1.filter("v = -5").count() == 0
+    # change feed across carried versions: only real changes emit
+    ch = read_upsert_changes(spark, t, 1, 3, key_cols=["k"])
+    got = {r["change_type"]: r["n"] for r in
+           ch.groupBy("change_type").agg(F.count("*").alias("n"))
+           .collect()}
+    assert got == {"update_preimage": 10, "update_postimage": 10,
+                   "delete": 10}
+    # OPTIMIZE full rewrite in manifest mode, then RESTORE a carried
+    # version (copytree keeps its manifest valid — same versions root)
+    optimize_upsert_target(spark, t, keep_versions=8)
+    assert read_upsert_version(spark, t).count() == 390
+    restore_upsert_target(spark, t, 2, 4, keep_versions=8)
+    restored = read_upsert_version(spark, t)
+    assert restored.count() == 400
+    assert restored.filter("v = -5").count() == 10
+
+
+def test_manifest_partitioned_dml_and_feeds(spark, tmp_path, monkeypatch):
+    _manifest_mode(monkeypatch)
+    t = os.path.join(str(tmp_path), "ptbl")
+    set_table_partitioning(t, {"bucket": "bigint"})
+    df = spark.range(80).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(df, t, 0, key_cols=["k", "bucket"],
+                        order_col="v", keep_versions=8,
+                        incremental_min_bytes=0, max_retries=4)
+    delta = spark.range(5).select(
+        (F.col("id") * 4 + 2).alias("k"),
+        F.lit(2).cast("bigint").alias("bucket"),
+        F.lit(999).cast("bigint").alias("v"))
+    upsert_commit_batch(delta, t, 1, key_cols=["k", "bucket"],
+                        order_col="v", keep_versions=8,
+                        incremental_min_bytes=0, max_retries=4)
+    cur = _vdir(t)
+    carry = read_carry(cur)
+    assert carry and all(r.startswith("bucket=") for r in carry)
+    # rewritten files live only under the delta's partition
+    assert all(r.startswith("bucket=2" + os.sep)
+               for r in _phys_parquet(cur))
+    snap = read_upsert_version(spark, t)
+    assert snap.count() == 80 and snap.filter("v = 999").count() == 5
+    assert dict(snap.dtypes)["bucket"] == "bigint"
+    # partition values survive the cross-dir union read
+    assert snap.filter("bucket = 2").count() == 20
+    # SHOW PARTITIONS sees carried partitions (no physical dir in head)
+    shown = {r["bucket"]: r["num_files"]
+             for r in show_upsert_partitions(spark, t).collect()}
+    assert set(shown) == {0, 1, 2, 3}
+    # metadata partition drop writes a PURE-manifest version: zero
+    # parquet files staged, the other partitions carried by pointer
+    upsert_drop_partitions(spark, t, 2, "bucket = 3", keep_versions=8)
+    dropped_head = _vdir(t)
+    assert _phys_parquet(dropped_head) == []
+    assert read_carry(dropped_head)
+    snap2 = read_upsert_version(spark, t)
+    assert snap2.count() == 60
+    assert snap2.filter("bucket = 3").count() == 0
+    # batch CDF via the Python data source resolves carried paths
+    ch = read_changes_batch_pysource(
+        spark, t, key_cols=["k", "bucket"], starting_version=1,
+        ending_version=2)
+    got = {r["change_type"]: r["n"] for r in
+           ch.groupBy("change_type").agg(F.count("*").alias("n"))
+           .collect()}
+    assert got.get("delete") == 20
+    assert got.get("update_postimage", 0) + got.get("insert", 0) >= 5
+
+
+def test_prune_and_vacuum_respect_carry_references(spark, tmp_path,
+                                                   monkeypatch):
+    _manifest_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+    owner = _vdir(t)                   # v0: physically owns every file
+    owner_name = os.path.basename(owner)
+    # two incremental commits with keep_versions=2: v0 retires from
+    # retention while v1/v2 still point into it
+    for b in (2, 3):
+        delta = spark.createDataFrame([(b, -b, b)],
+                                      "k bigint, v bigint, ord int")
+        upsert_commit_batch(delta, t, b, key_cols=["k"],
+                            order_col="ord", keep_versions=2,
+                            incremental_min_bytes=0, max_retries=4)
+    commits, _ = _journal_state(t + "_versions")
+    assert owner_name not in {c["version_name"] for c in commits[-2:]}
+    # publish-time prune ran; the retired owner dir must still hold
+    # every file the head's manifest references
+    head_carry = read_carry(_vdir(t))
+    assert any(tgt.startswith(owner_name + "/")
+               for tgt in head_carry.values())
+    for tgt in head_carry.values():
+        assert os.path.exists(os.path.join(t + "_versions", tgt)), tgt
+    # VACUUM (age floor forced to zero) must also keep pinned files
+    removed = vacuum_upsert_target(t, 0, keep_versions=2, force=True)
+    assert owner_name not in removed
+    snap = read_upsert_version(spark, t)
+    assert snap.count() == 400
+    assert snap.filter("v < 0").count() == 2
+    # full rewrite unpins everything → the owner remnant is reclaimable
+    optimize_upsert_target(spark, t, keep_versions=1)
+    delta = spark.createDataFrame([(4, -4, 4)],
+                                  "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta, t, 4, key_cols=["k"], order_col="ord",
+                        keep_versions=1, incremental_min_bytes=0,
+                        max_retries=4)
+    vacuum_upsert_target(t, 0, keep_versions=1, force=True)
+    assert not os.path.isdir(owner), \
+        "unpinned owner remnant must be reclaimed"
+    assert read_upsert_version(spark, t).count() == 400
+
+
+def test_mode_interop_link_commit_on_carried_base(spark, tmp_path,
+                                                  monkeypatch):
+    # manifest-mode history first…
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "manifest")
+    t = _mk_flat(spark, tmp_path)
+    delta = spark.createDataFrame([(0, -1, 1)],
+                                  "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta, t, 2, key_cols=["k"], order_col="ord",
+                        keep_versions=8, incremental_min_bytes=0,
+                        max_retries=4)
+    assert read_carry(_vdir(t))
+    # …then a LINK-mode commit on the carried base: carried sources
+    # must be resolved through the manifest and materialized
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "link")
+    delta2 = spark.createDataFrame([(1, -2, 2)],
+                                   "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta2, t, 3, key_cols=["k"], order_col="ord",
+                        keep_versions=8, incremental_min_bytes=0,
+                        max_retries=4)
+    cur = _vdir(t)
+    assert read_carry(cur) == {}
+    assert set(_phys_parquet(cur)) == set(snapshot_files(cur))
+    snap = read_upsert_version(spark, t)
+    assert snap.count() == 400 and snap.filter("v < 0").count() == 2
+
+
+def test_clone_materializes_carried_files(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "manifest")
+    t = _mk_flat(spark, tmp_path)
+    delta = spark.createDataFrame([(0, -1, 1)],
+                                  "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta, t, 2, key_cols=["k"], order_col="ord",
+                        keep_versions=8, incremental_min_bytes=0,
+                        max_retries=4)
+    assert read_carry(_vdir(t))
+    dst = os.path.join(str(tmp_path), "clone")
+    clone_upsert_table(t, dst)
+    cdir = _vdir(dst)
+    # the clone is self-contained: every logical file physical, no
+    # cross-table pointer manifest
+    assert not os.path.exists(os.path.join(cdir, CARRY_MANIFEST))
+    assert set(_phys_parquet(cdir)) == set(snapshot_files(_vdir(t)))
+    got = read_upsert_version(spark, dst)
+    assert got.count() == 400 and got.filter("v = -1").count() == 1
+
+
+def test_carry_manifest_shape_and_chain_collapse(spark, tmp_path,
+                                                 monkeypatch):
+    _manifest_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+    owner_name = os.path.basename(_vdir(t))
+    # three successive single-key commits: v3's carry entries must
+    # point at the ORIGINAL physical owner (one hop), never at v2/v1
+    for b in (2, 3, 4):
+        delta = spark.createDataFrame([(b * 7, -b, b)],
+                                      "k bigint, v bigint, ord int")
+        upsert_commit_batch(delta, t, b, key_cols=["k"],
+                            order_col="ord", keep_versions=8,
+                            incremental_min_bytes=0, max_retries=4)
+    carry = read_carry(_vdir(t))
+    assert carry
+    with open(os.path.join(_vdir(t), CARRY_MANIFEST)) as f:
+        assert set(json.load(f)) == {"files"}
+    for rel, tgt in carry.items():
+        o, orel = tgt.split("/", 1)
+        assert orel == rel              # carries never rename
+        # the target dir physically owns the file (no pointer chains)
+        assert os.path.exists(os.path.join(t + "_versions", tgt))
+        assert not read_carry(
+            os.path.join(t + "_versions", o)).get(rel), \
+            "carry target must be the physical owner, not another carry"
+    # at least one untouched base file is still owned by v0
+    assert any(tgt.startswith(owner_name + "/")
+               for tgt in carry.values())
+
+
+def test_skipping_manifest_covers_carried_files(spark, tmp_path,
+                                                monkeypatch):
+    """Data skipping over a manifest-carried snapshot: the pruned read
+    must still see CARRIED files' rows (pruning is performance-only by
+    contract) and carried files keep their stats entries, so they still
+    prune when their ranges exclude the predicate."""
+    from house_price_etl_pipeline_spark.streaming.skipping import (
+        read_skipping, read_stats_manifest)
+
+    _manifest_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+    # full rewrite with a stats manifest, sized to several files
+    optimize_upsert_target(spark, t, keep_versions=8,
+                           target_file_bytes=2048, stats_cols=["k"],
+                           zorder_by=["k"])
+    # incremental commit on top: kept files carry BY POINTER, and their
+    # stats entries carry with them
+    delta = spark.createDataFrame([(0, -1, 1)],
+                                  "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta, t, 2, key_cols=["k"], order_col="ord",
+                        keep_versions=8, incremental_min_bytes=0,
+                        max_retries=4)
+    cur = _vdir(t)
+    carry = read_carry(cur)
+    assert carry
+    stats = read_stats_manifest(cur)
+    assert stats is not None
+    assert set(carry) <= set(stats["files"]), \
+        "carried files must keep their stats entries"
+    df, n_scanned, n_total = read_skipping(spark, t,
+                                           {"k": (300, 399)})
+    assert n_total == len(snapshot_files(cur))
+    assert n_scanned < n_total, "stats must still prune"
+    assert df.count() == 100          # carried rows all present
+
+
+def test_carry_mode_env_validated(monkeypatch):
+    from house_price_etl_pipeline_spark.config import carry_mode
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "s3")
+    with pytest.raises(ValueError, match="link.*manifest|manifest"):
+        carry_mode()
