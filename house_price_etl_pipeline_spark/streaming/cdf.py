@@ -960,11 +960,19 @@ def stream_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD TYPE 2 history columns (DLT's stored-as-SCD-2 contract): version
+# numbers of the source commit that opened/closed each row version; an
+# open (current) row has __END_AT NULL.
+SCD2_START = "__START_AT"
+SCD2_END = "__END_AT"
+
+
 def apply_changes_to_table(spark: SparkSession, src_target: str,
                            dst_target: str, key_cols: list[str],
                            keep_versions: int = 2,
                            writer: str = "replicate",
-                           coalesce_after: int | None = 32) -> int:
+                           coalesce_after: int | None = 32,
+                           stored_as: str = "scd1") -> int:
     """APPLY CHANGES INTO — replicate one versioned table into another
     by consuming the change feed, the DLT/Delta CDC-apply pattern and
     the canonical downstream consumer of ``read_upsert_changes``.
@@ -1008,10 +1016,33 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
     not every version in between. Pass ``coalesce_after=None`` for
     consumers that need every transition journaled (e.g. a replica
     whose own change feed must mirror the source's history); ``0``
-    forces coalescing whenever more than one version is pending."""
+    forces coalescing whenever more than one version is pending.
+
+    ``stored_as="scd2"`` is DLT's other stored-as mode: the
+    destination keeps FULL history — one row per (key, row version)
+    with ``__START_AT``/``__END_AT`` columns holding the source
+    version numbers that opened/closed it (open rows: ``__END_AT``
+    NULL). The destination's merge key becomes key_cols + __START_AT,
+    and each source version applies as one MERGE built from the
+    change feed plus the replica's own open rows:
+
+      update/delete  -> close the key's open row (SET __END_AT = v)
+      insert/update  -> insert the new row version (START=v, END=NULL)
+
+    SCD2 always replays per-version (``coalesce_after`` is ignored):
+    coalescing would skip the intermediate row versions that are the
+    mode's entire point. The seed arrives as the snapshot with
+    START = seed version — a replica started late has no history
+    before its seed, DLT's same semantics."""
     from ..fsutil import read_commit_journal
     from .ingest import (read_upsert_changes, read_upsert_version,
                          upsert_commit_batch, upsert_merge_into)
+
+    if stored_as not in ("scd1", "scd2"):
+        raise ValueError(
+            f"stored_as={stored_as!r} — expected 'scd1' (current-state "
+            f"replica) or 'scd2' (history-keeping replica)")
+    scd2 = stored_as == "scd2"
 
     src_vc = [c for c in read_commit_journal(
         _commits_dir(src_target + "_versions"))
@@ -1035,10 +1066,18 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
         # semantics — the initial state arrives as inserts). The
         # source snapshot has unique keys by the format's invariant,
         # so keep-latest's order column is irrelevant — any key
-        # column serves.
+        # column serves. SCD2 seeds the same rows as OPEN row versions
+        # (START = seed version, END = NULL).
         seed = read_upsert_version(spark, src_target, v)
+        keys = key_cols
+        if scd2:
+            seed = (seed
+                    .withColumn(SCD2_START, F.lit(v).cast("bigint"))
+                    .withColumn(SCD2_END,
+                                F.lit(None).cast("bigint")))
+            keys = key_cols + [SCD2_START]
         upsert_commit_batch(
-            seed, dst_target, v, key_cols=key_cols,
+            seed, dst_target, v, key_cols=keys,
             order_col=key_cols[0],
             keep_versions=keep_versions, writer=writer)
 
@@ -1057,6 +1096,64 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
             not_matched_insert="s._cdc_op = 'u'",
             keep_versions=keep_versions, writer=writer,
             source_meta_cols=("_cdc_op",))
+
+    def _merge_scd2(ch, v: int) -> None:
+        # One MERGE on (key_cols, __START_AT) per source version:
+        # 'c' rows close the key's current open row (its START comes
+        # from the REPLICA's own open set — a change-sized join);
+        # 'i' rows open the new row version. A key that both closes
+        # and re-opens contributes two source rows with DIFFERENT
+        # merge keys, so the one-row-per-key MERGE contract holds.
+        payload = [c for c in ch.columns
+                   if c not in key_cols and c != "change_type"]
+        ptypes = dict(ch.dtypes)
+        opens = (read_upsert_version(spark, dst_target)
+                 .filter(F.col(SCD2_END).isNull())
+                 .select(*key_cols, SCD2_START).alias("o"))
+        closing = (ch.filter(F.col("change_type")
+                             .isin("delete", "update_preimage"))
+                   .select(*key_cols).dropDuplicates().alias("k"))
+        cond = None
+        for k in key_cols:
+            term = F.col(f"k.{k}").eqNullSafe(F.col(f"o.{k}"))
+            cond = term if cond is None else (cond & term)
+        closes = (closing.join(opens, cond, "inner")
+                  .select(*[F.col(f"k.{k}") for k in key_cols],
+                          F.col(f"o.{SCD2_START}").alias(SCD2_START))
+                  .select("*",
+                          *[F.lit(None).cast(ptypes[c]).alias(c)
+                            for c in payload],
+                          F.lit(v).cast("bigint").alias(SCD2_END),
+                          F.lit("c").alias("_cdc_op")))
+        inserts = (ch.filter(F.col("change_type")
+                             .isin("insert", "update_postimage"))
+                   .drop("change_type")
+                   .withColumn(SCD2_START, F.lit(v).cast("bigint"))
+                   .withColumn(SCD2_END, F.lit(None).cast("bigint"))
+                   .withColumn("_cdc_op", F.lit("i")))
+        upsert_merge_into(
+            spark, dst_target, v, closes.unionByName(inserts),
+            key_cols + [SCD2_START],
+            matched_update="s._cdc_op = 'c'",
+            matched_update_set={SCD2_END: f"s.{SCD2_END}"},
+            not_matched_insert="s._cdc_op = 'i'",
+            keep_versions=keep_versions, writer=writer,
+            source_meta_cols=("_cdc_op",))
+
+    if scd2:
+        # history fidelity IS the mode — never coalesce over versions
+        if hwm is None:
+            _seed(pending[0])
+            hwm = pending[0]
+            pending = pending[1:]
+            applied += 1
+        prev = hwm
+        for v in pending:
+            _merge_scd2(read_upsert_changes(spark, src_target, prev,
+                                            v, key_cols), v)
+            prev = v
+            applied += 1
+        return applied
 
     if coalesce_after is not None and len(pending) > max(
             coalesce_after, 1):
@@ -1080,6 +1177,35 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
         prev = v
         applied += 1
     return applied
+
+
+def _cdc_apply3_source(spark: SparkSession, sf_dir: str) -> str:
+    """The replication harnesses' shared SOURCE: a 3-commit table
+    (seed of even-event keep-latest → full keep-latest upsert →
+    ``user_id % 5 = 0`` DELETE) over the odd, <240 users of ``events``.
+    Read-only for replication (apply only consumes its feed) and
+    identical every run — so the WHOLE chain is a session-cached
+    shared base used in place (not cloned: a clone collapses history
+    to one version, and replays need all three transitions)."""
+    from ..sources.tables import load_table
+    from .ingest import (shared_base_table, upsert_commit_batch,
+                         upsert_delete_where)
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter((F.col("user_id") % 2 == 1) & (F.col("user_id") < 240))
+          .select("user_id", "event_id"))
+
+    def _build(base: str) -> None:
+        upsert_commit_batch(
+            ev.filter(F.col("event_id") % 2 == 0), base, 0,
+            key_cols=["user_id"], order_col="event_id",
+            keep_versions=16)
+        upsert_commit_batch(ev, base, 1, key_cols=["user_id"],
+                            order_col="event_id", keep_versions=16)
+        upsert_delete_where(spark, base, 2, "user_id % 5 = 0",
+                            keep_versions=16)
+
+    return shared_base_table(sf_dir, "cdc_apply3", _build)
 
 
 @register(
@@ -1123,38 +1249,13 @@ def cdc_apply_changes_replica(spark: SparkSession,
     import os
     import shutil
 
-    from pyspark.sql import Window
-
     from ..fsutil import query_workspace
-    from ..sources.tables import load_table
-    from .ingest import (clone_upsert_table, shared_base_table,
-                         upsert_commit_batch, upsert_delete_where)
 
     root = query_workspace("cdc_apply", sf_dir)
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     dst = os.path.join(root, "dst")
-    ev = (load_table(spark, sf_dir, "events")
-          .filter((F.col("user_id") % 2 == 1) & (F.col("user_id") < 240))
-          .select("user_id", "event_id"))
-
-    # The SOURCE is read-only for replication (apply only consumes its
-    # feed), and its 3-commit history is identical every run — so the
-    # WHOLE chain is a session-cached shared base used in place (not
-    # cloned: a clone collapses history to one version, and the replay
-    # needs all three transitions). Only the destination applies run
-    # fresh.
-    def _build(base: str) -> None:
-        upsert_commit_batch(
-            ev.filter(F.col("event_id") % 2 == 0), base, 0,
-            key_cols=["user_id"], order_col="event_id",
-            keep_versions=16)
-        upsert_commit_batch(ev, base, 1, key_cols=["user_id"],
-                            order_col="event_id", keep_versions=16)
-        upsert_delete_where(spark, base, 2, "user_id % 5 = 0",
-                            keep_versions=16)
-
-    src = shared_base_table(sf_dir, "cdc_apply3", _build)
+    src = _cdc_apply3_source(spark, sf_dir)
     apply_changes_to_table(spark, src, dst, ["user_id"],
                            keep_versions=16)
     from .ingest import read_upsert_version
@@ -1163,6 +1264,95 @@ def cdc_apply_changes_replica(spark: SparkSession,
         .groupBy((F.col("user_id") % 4).cast("bigint").alias("band"))
         .agg(F.count("*").cast("bigint").alias("n_users"),
              F.sum("event_id").cast("bigint").alias("sum_events"))
+        .orderBy("band")
+    )
+
+
+@register(
+    "cdc_apply_changes_scd2",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id FROM events
+               WHERE user_id % 2 = 1 AND user_id < 240),
+    base AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e WHERE event_id % 2 = 0) WHERE rn = 1
+    ),
+    post AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ),
+    hist AS (
+      -- v0 row versions: closed at 1 if the key's payload changed at
+      -- v1, else closed at 2 if the v2 DELETE hit, else still open
+      SELECT b.user_id, b.event_id,
+             CAST(0 AS BIGINT) AS start_at,
+             CAST(CASE WHEN p.event_id <> b.event_id THEN 1
+                       WHEN b.user_id % 5 = 0 THEN 2 END
+                  AS BIGINT) AS end_at
+      FROM base b JOIN post p USING (user_id)
+      UNION ALL
+      -- v1 row versions: new keys + changed keys, closed only by the
+      -- v2 DELETE
+      SELECT p.user_id, p.event_id,
+             CAST(1 AS BIGINT) AS start_at,
+             CAST(CASE WHEN p.user_id % 5 = 0 THEN 2 END
+                  AS BIGINT) AS end_at
+      FROM post p LEFT JOIN base b USING (user_id)
+      WHERE b.user_id IS NULL OR b.event_id <> p.event_id
+    )
+    SELECT CAST(user_id % 4 AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_row_versions,
+           CAST(COUNT(*) FILTER (WHERE end_at IS NULL) AS BIGINT)
+             AS n_open,
+           CAST(SUM(event_id) AS BIGINT) AS sum_events,
+           CAST(SUM(start_at) AS BIGINT) AS sum_start,
+           CAST(SUM(COALESCE(end_at, -1)) AS BIGINT) AS sum_end
+    FROM hist GROUP BY 1 ORDER BY 1
+    """,
+)
+def cdc_apply_changes_scd2(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO ... STORED AS SCD TYPE 2 under the value-hash
+    gate (VERDICT r11 item 4): the same three-commit source as
+    cdc_apply_changes_replica is replicated with ``stored_as="scd2"``,
+    so the REPLICA keeps full history — one row per (key, row version)
+    with ``__START_AT``/``__END_AT`` version stamps, updates closing
+    the prior row version and deletes closing without reopening. The
+    aggregate fingerprints the whole history table (row-version
+    counts, open-row counts, and the START/END sums); the oracle
+    replays the three transitions relationally in DuckDB, so a lost
+    close, a phantom row version, or a mis-stamped boundary fails the
+    hash. DLT's other stored-as mode, completing the APPLY CHANGES
+    surface."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+
+    root = query_workspace("cdc_apply_scd2", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    dst = os.path.join(root, "dst")
+    src = _cdc_apply3_source(spark, sf_dir)
+    apply_changes_to_table(spark, src, dst, ["user_id"],
+                           keep_versions=16, stored_as="scd2")
+    from .ingest import read_upsert_version
+    return (
+        read_upsert_version(spark, dst)
+        .groupBy((F.col("user_id") % 4).cast("bigint").alias("band"))
+        .agg(F.count("*").cast("bigint").alias("n_row_versions"),
+             F.count(F.when(F.col(SCD2_END).isNull(), 1))
+             .cast("bigint").alias("n_open"),
+             F.sum("event_id").cast("bigint").alias("sum_events"),
+             F.sum(SCD2_START).cast("bigint").alias("sum_start"),
+             F.sum(F.coalesce(F.col(SCD2_END), F.lit(-1)))
+             .cast("bigint").alias("sum_end"))
         .orderBy("band")
     )
 

@@ -741,3 +741,65 @@ def test_timestamp_clock_survives_garbage_mtimes(spark, tmp_path):
                                    as_version=10, keep_versions=8)
     assert read_upsert_version(spark, t).agg(
         F.max("v")).first()[0] == 1
+
+
+def test_apply_changes_scd2_full_history(spark, tmp_path):
+    """STORED AS SCD TYPE 2: the replica keeps every row version with
+    __START_AT/__END_AT version stamps — an update closes the prior
+    version and opens a new one, a delete closes without reopening, a
+    re-insert after delete opens a fresh version; the open rows equal
+    the source's current state; re-running is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        SCD2_END, SCD2_START, apply_changes_to_table)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, upsert_commit_batch, upsert_delete_where)
+
+    s = os.path.join(str(tmp_path), "src")
+    d = os.path.join(str(tmp_path), "dst")
+
+    def commit(b, rows):
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        upsert_commit_batch(df, s, b, key_cols=["k"], order_col="v",
+                            keep_versions=16, incremental_min_bytes=0)
+
+    commit(0, [(1, 10), (2, 20), (3, 30)])        # seed
+    commit(1, [(1, 11), (4, 40)])                 # update k=1, insert k=4
+    upsert_delete_where(spark, s, 2, "k = 2", keep_versions=16,
+                        incremental_min_bytes=0)  # delete k=2
+    commit(3, [(1, 12), (2, 21)])                 # update k=1 again,
+    #                                               re-insert k=2
+    assert apply_changes_to_table(spark, s, d, ["k"], keep_versions=16,
+                                  stored_as="scd2") == 4
+    hist = {(r.k, r.v, r[SCD2_START], r[SCD2_END]) for r in
+            read_upsert_version(spark, d).collect()}
+    assert hist == {
+        (1, 10, 0, 1), (1, 11, 1, 3), (1, 12, 3, None),
+        (2, 20, 0, 2), (2, 21, 3, None),
+        (3, 30, 0, None),
+        (4, 40, 1, None),
+    }
+    # open rows == source current state
+    open_rows = {(r.k, r.v) for r in
+                 read_upsert_version(spark, d)
+                 .filter(F.col(SCD2_END).isNull()).collect()}
+    assert open_rows == {(r.k, r.v) for r in
+                         read_upsert_version(spark, s).collect()}
+    # idempotent; a later source commit catches up incrementally
+    assert apply_changes_to_table(spark, s, d, ["k"], keep_versions=16,
+                                  stored_as="scd2") == 0
+    upsert_delete_where(spark, s, 4, "k = 1", keep_versions=16,
+                        incremental_min_bytes=0)
+    assert apply_changes_to_table(spark, s, d, ["k"], keep_versions=16,
+                                  stored_as="scd2") == 1
+    closed1 = {(r.k, r.v, r[SCD2_START], r[SCD2_END]) for r in
+               read_upsert_version(spark, d)
+               .filter("k = 1").collect()}
+    assert closed1 == {(1, 10, 0, 1), (1, 11, 1, 3), (1, 12, 3, 4)}
+    # the mode string is validated
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scd1.*scd2|stored_as"):
+        apply_changes_to_table(spark, s, d, ["k"], stored_as="scd3")
