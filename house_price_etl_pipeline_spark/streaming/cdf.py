@@ -712,44 +712,38 @@ def stream_cdf_schema_evolution(spark: SparkSession,
     an updated row's pre-image must carry NULL score). The oracle
     replays the MERGE relationally: inserts for source-only users,
     pre/post pairs exactly where the source's event_id wins."""
-    import os
-    import shutil
-
     from pyspark.sql import Window
 
-    from ..fsutil import query_workspace
     from ..sources.tables import load_table
-    from .ingest import (clone_upsert_table, shared_base_table,
-                         upsert_commit_batch, upsert_merge_into)
+    from .ingest import (shared_base_table, upsert_commit_batch,
+                         upsert_merge_into)
     from .windows import _drain
 
-    root = query_workspace("cdf_evolution", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    target = os.path.join(root, "tbl")
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("user_id") % 2 == 0)
           .select("user_id", "event_id"))
 
-    # version 0 is a session-cached shared base cloned per run; the
-    # schema-evolving MERGE and the streaming drain run fresh each time
+    # consumer-only harness: the seed AND the schema-evolving MERGE
+    # are identical every run, so the whole 2-commit chain is a
+    # session-cached shared base used in place; only the streaming
+    # drain runs per run (VERDICT r11 item 6)
     def _build(base: str) -> None:
         upsert_commit_batch(
             ev.filter((F.col("event_id") % 2 == 0)
                       & (F.col("user_id") < 100)),
             base, 0, key_cols=["user_id"], order_col="event_id",
             keep_versions=8)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("event_id").desc())
+        src = (ev.filter(F.col("user_id") < 150)
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn")
+               .withColumn("score", F.col("event_id") % 97))
+        upsert_merge_into(spark, base, 1, src, ["user_id"],
+                          matched_update="s.event_id > t.event_id",
+                          keep_versions=8)
 
-    clone_upsert_table(shared_base_table(sf_dir, "cdf_sev", _build),
-                       target)
-    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
-    src = (ev.filter(F.col("user_id") < 150)
-           .withColumn("_rn", F.row_number().over(w))
-           .filter(F.col("_rn") == 1).drop("_rn")
-           .withColumn("score", F.col("event_id") % 97))
-    upsert_merge_into(spark, target, 1, src, ["user_id"],
-                      matched_update="s.event_id > t.event_id",
-                      keep_versions=8)
+    target = shared_base_table(sf_dir, "cdf_sev2", _build)
     changes = stream_upsert_changes(spark, target, ["user_id"])
     out = _drain(changes, spark, output_mode="append")
     return (
@@ -815,25 +809,19 @@ def stream_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally. Wrong classification (a carried key emitted as an
     update, a rewritten-but-equal row surfacing, deletes attributed to
     the wrong version) shifts counts/sums and fails the hash."""
-    import os
-    import shutil
-
-    from ..fsutil import query_workspace
     from ..sources.tables import load_table
-    from .ingest import (clone_upsert_table, shared_base_table,
-                         upsert_commit_batch, upsert_delete_where)
+    from .ingest import (shared_base_table, upsert_commit_batch,
+                         upsert_delete_where)
     from .windows import _drain
 
-    root = query_workspace("cdf_stream", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    target = os.path.join(root, "tbl")
     # even users only (deterministic half-slice, mirrored by the
     # oracle's e CTE): the check pins commit→journal→stream→diff
-    # plumbing whose correctness is data-size-independent, so the
-    # harness need not commit the full table per bench run. Version 0
-    # is a session-cached shared base cloned per run; the upsert, the
-    # DELETE, and the streaming drain run fresh each time.
+    # plumbing whose correctness is data-size-independent. The table
+    # is READ-ONLY for the consumer under test (the streaming drain),
+    # so the WHOLE 3-commit chain is a session-cached shared base used
+    # in place — the cdc_apply_changes_replica pattern; only the drain
+    # (memory sink, no persisted checkpoint → full replay) runs fresh
+    # per run (VERDICT r11 item 6).
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("user_id") % 2 == 0)
           .select("user_id", "event_id", "event_type", "value"))
@@ -844,13 +832,12 @@ def stream_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("user_id") < 100)),
             base, 0, key_cols=["user_id"], order_col="event_id",
             keep_versions=8)
+        upsert_commit_batch(ev, base, 1, key_cols=["user_id"],
+                            order_col="event_id", keep_versions=8)
+        upsert_delete_where(spark, base, 2, "user_id % 7 = 0",
+                            keep_versions=8)
 
-    clone_upsert_table(shared_base_table(sf_dir, "cdf_stream", _build),
-                       target)
-    upsert_commit_batch(ev, target, 1, key_cols=["user_id"],
-                        order_col="event_id", keep_versions=8)
-    upsert_delete_where(spark, target, 2, "user_id % 7 = 0",
-                        keep_versions=8)
+    target = shared_base_table(sf_dir, "cdf_stream3", _build)
     changes = stream_upsert_changes(spark, target, ["user_id"])
     out = _drain(changes, spark, output_mode="append")
     return (
@@ -915,22 +902,15 @@ def stream_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse changes the diff keys (bucket is part of the merge key) and
     shifts every count/sum; a drop surfacing as anything but deletes
     for exactly bucket 2 fails the hash."""
-    import os
-    import shutil
-
-    from pyspark.sql import Window
-
-    from ..fsutil import query_workspace
     from ..sources.tables import load_table
-    from .ingest import (clone_upsert_table, shared_base_table,
-                         upsert_commit_batch, upsert_drop_partitions)
+    from .ingest import (shared_base_table, upsert_commit_batch,
+                         upsert_drop_partitions)
     from .partitioning import set_table_partitioning
     from .windows import _drain
 
-    root = query_workspace("cdf_part", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    target = os.path.join(root, "tbl")
+    # consumer-only harness: the whole 3-commit partitioned chain is a
+    # session-cached shared base used in place; only the streaming
+    # drain runs per run (VERDICT r11 item 6)
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("user_id") < 120)
           .select("user_id", "event_id",
@@ -943,13 +923,13 @@ def stream_cdf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("user_id") < 80)),
             base, 0, key_cols=["user_id", "bucket"],
             order_col="event_id", keep_versions=8)
+        upsert_commit_batch(ev, base, 1,
+                            key_cols=["user_id", "bucket"],
+                            order_col="event_id", keep_versions=8)
+        upsert_drop_partitions(spark, base, 2, "bucket = 2",
+                               keep_versions=8)
 
-    clone_upsert_table(shared_base_table(sf_dir, "cdf_part", _build),
-                       target)
-    upsert_commit_batch(ev, target, 1, key_cols=["user_id", "bucket"],
-                        order_col="event_id", keep_versions=8)
-    upsert_drop_partitions(spark, target, 2, "bucket = 2",
-                           keep_versions=8)
+    target = shared_base_table(sf_dir, "cdf_part3", _build)
     changes = stream_upsert_changes(spark, target, ["user_id", "bucket"])
     out = _drain(changes, spark, output_mode="append")
     return (
