@@ -46,6 +46,17 @@ import os
 
 CARRY_MANIFEST = "_CARRY.json"
 
+# Tombstone for a RETIRED version dir that could only be pruned
+# partially (some of its physical files are still pinned by retained
+# versions' carry manifests). The dir is then a byte store, NOT a
+# snapshot — time travel must refuse to resolve it, or a reader would
+# get silently PARTIAL data (the unpinned files are gone).
+PRUNED_MARKER = "_PRUNED.json"
+
+
+def is_pruned_remnant(snapshot_dir: str) -> bool:
+    return os.path.exists(os.path.join(snapshot_dir, PRUNED_MARKER))
+
 
 def manifest_carry_enabled() -> bool:
     from ..config import carry_mode
@@ -227,4 +238,11 @@ def prune_version_dir(versions_root: str, name: str,
             os.rmdir(root)          # succeeds only when emptied
         except OSError:
             pass
+    if not removed_all:
+        # the remnant is a pinned-byte store, not a readable snapshot:
+        # tombstone it so time travel refuses it loudly instead of
+        # returning the partial file set as if it were the version
+        from ..fsutil import atomic_write_json
+        atomic_write_json(os.path.join(path, PRUNED_MARKER),
+                          {"pruned": True})
     return removed_all

@@ -87,13 +87,20 @@ def _resolve_version_dir(versions_root: str, version: int) -> str | None:
 
     from ..fsutil import read_commit_journal
 
+    from .carry import is_pruned_remnant
+
     commits = read_commit_journal(_commits_dir(versions_root))
     for c in reversed(commits):
         if c.get("version") == version:
             d = os.path.join(versions_root, c["version_name"])
-            return d if os.path.isdir(d) else None
+            # a partially-pruned remnant (retired dir still holding
+            # files pinned by retained carries) is NOT a snapshot —
+            # resolving it would time-travel into partial data
+            return d if (os.path.isdir(d)
+                         and not is_pruned_remnant(d)) else None
     legacy = os.path.join(versions_root, f"v{version}")
-    return legacy if os.path.isdir(legacy) else None
+    return legacy if (os.path.isdir(legacy)
+                      and not is_pruned_remnant(legacy)) else None
 
 
 def read_upsert_version(spark, target_dir: str,
@@ -544,7 +551,9 @@ PARTITION_PRUNE_CAP = 1024
 
 def _touched_files_by_keys(spark, base_dir: str, keys_df,
                            key_cols: list[str],
-                           target_dir: str | None = None) -> set[str]:
+                           target_dir: str | None = None,
+                           part_tuples: list[dict] | None = None
+                           ) -> set[str]:
     """Relative paths of the base snapshot's data files holding at
     least one row whose key appears in ``keys_df`` — Delta's
     touched-file join. The scan reads ONLY the key columns (parquet
@@ -574,9 +583,10 @@ def _touched_files_by_keys(spark, base_dir: str, keys_df,
             .alias("t"))
     parts = table_partitioning(target_dir) if target_dir else {}
     if parts and set(parts) <= set(key_cols):
-        tuples = [r.asDict() for r in
-                  keys_df.select(*parts).dropDuplicates()
-                  .limit(PARTITION_PRUNE_CAP + 1).collect()]
+        tuples = part_tuples if part_tuples is not None else [
+            r.asDict() for r in
+            keys_df.select(*parts).dropDuplicates()
+            .limit(PARTITION_PRUNE_CAP + 1).collect()]
         if len(tuples) <= PARTITION_PRUNE_CAP:
             snap = snap.filter(partition_tuple_filter(parts, tuples))
     keys = keys_df.select(*key_cols).dropDuplicates().alias("d")
@@ -676,6 +686,115 @@ def _schemas_match(a, b) -> bool:
             == {(f.name, f.dataType) for f in b.fields})
 
 
+def _rebase_disjoint_stage(target_dir: str, versions_root: str,
+                           stage_name: str, old_kept: list[str],
+                           touched: set[str], delta_pdirs: list[str],
+                           base_seq: int, batch_id: int, writer: str,
+                           keep_versions: int, files_rewritten: int,
+                           max_rounds: int = 8) -> str | None:
+    """Disjoint-writer lost-race fast path (VERDICT r11 item 5): a
+    loser whose commit scope is PARTITION-disjoint from every commit
+    that beat it re-links its already-staged output onto the new head
+    instead of re-running the merge — pure filesystem work, zero Spark
+    jobs.
+
+    Safe iff every journal entry past our base (a) is a versioning
+    commit that (b) recorded ``touched_partitions`` (only the
+    incremental upsert path writes the field, so its presence also
+    certifies an unchanged schema) and (c) is disjoint from ours:
+    partition columns ⊆ merge key means key sets are then disjoint
+    too, so serial application commutes and rebased-state ≡ re-merged
+    state. Any other entry (full rewrite, OPTIMIZE, DELETE/UPDATE/
+    MERGE/drop — none record the field) returns None and the caller
+    pays the full re-stage, as before. Identity tables never get here
+    (allocation ranges could collide).
+
+    The rebase: move OUR rewritten files out of the dead stage, carry
+    the new head's files minus our touched set (same link/manifest
+    mechanism as any stage — stats manifests carry along), CAS at the
+    new sequence; a further lost race re-checks and re-rebases against
+    the newer head, bounded by ``max_rounds``. Returns the journal
+    status string on success, None when the caller must re-stage."""
+    import os
+    import shutil
+    import uuid
+
+    from ..fsutil import cas_backoff, try_commit
+    from .partitioning import _walk_data_files
+
+    cur_name, cur_kept = stage_name, list(old_kept)
+    try:
+        for _round in range(max_rounds):
+            if _round:
+                cas_backoff(_round)
+            commits, applied = _journal_state(versions_root)
+            if batch_id in applied:        # someone replayed our batch
+                return None
+            newer = [c for c in commits if c["seq"] > base_seq]
+            ours = set(delta_pdirs)
+            for c in newer:
+                tp = c.get("touched_partitions")
+                if (c.get("op") not in _VERSIONING_OPS or tp is None
+                        or ours & set(tp)):
+                    return None            # logical conflict: re-stage
+            head = commits[-1]
+            new_base = os.path.join(versions_root, head["version_name"])
+            try:
+                new_kept = [f for f in _snapshot_data_files(new_base)
+                            if f not in touched]
+                fresh = os.path.join(
+                    versions_root,
+                    f"_stage_{writer}_{uuid.uuid4().hex[:8]}")
+                os.makedirs(fresh)
+                cur_dir = os.path.join(versions_root, cur_name)
+                kept_set = set(cur_kept)
+                for f in _walk_data_files(cur_dir):
+                    if f in kept_set:
+                        continue           # stale carry of the old base
+                    dst = os.path.join(fresh, f)
+                    if os.path.dirname(f):
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(os.path.join(cur_dir, f), dst)
+                _stage_with_reuse(new_base, fresh, new_kept, None,
+                                  target_dir=target_dir)
+            except FileNotFoundError:
+                # new head pruned under us mid-carry. Our rewritten
+                # files were already MOVED into `fresh`, so another
+                # rebase round would find an empty stage and commit a
+                # data-losing snapshot — bail to the caller's full
+                # re-stage (it re-runs the merge from the batch).
+                shutil.rmtree(fresh, ignore_errors=True)
+                return None
+            shutil.rmtree(os.path.join(versions_root, cur_name),
+                          ignore_errors=True)
+            perm = f"v{batch_id}_{writer}_{uuid.uuid4().hex[:8]}"
+            os.rename(fresh, os.path.join(versions_root, perm))
+            cur_name, cur_kept = perm, new_kept
+            entry = {"op": "upsert", "version": batch_id,
+                     "version_name": perm, "writer": writer,
+                     "files_rewritten": files_rewritten,
+                     "files_reused": len(new_kept),
+                     "touched_partitions": sorted(delta_pdirs),
+                     "rebased": True}
+            if try_commit(_commits_dir(versions_root), head["seq"] + 1,
+                          entry):
+                commits, _ = _journal_state(versions_root)
+                _publish_commit(target_dir, versions_root, commits,
+                                keep_versions)
+                return "applied-after-retry"
+        return None
+    finally:
+        if cur_name != stage_name:
+            # we renamed the stage; on fallback the caller's rmtree of
+            # the ORIGINAL name would miss it — only reached when this
+            # helper returns None after at least one rebase round
+            commits, applied = _journal_state(versions_root)
+            if not any(c.get("version_name") == cur_name
+                       for c in commits):
+                shutil.rmtree(os.path.join(versions_root, cur_name),
+                              ignore_errors=True)
+
+
 def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         key_cols: list[str], order_col: str,
                         keep_versions: int = 2, writer: str = "w0",
@@ -747,6 +866,27 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         return (df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
 
+    # Commit-scope classification for the disjoint-writer fast path:
+    # when the table is partitioned on a key subset, the batch's
+    # distinct partition tuples (bounded by PARTITION_PRUNE_CAP —
+    # beyond it scope stays unrecorded and losers re-stage, as before)
+    # are BOTH the touched-file scan's pruning filter and the journal
+    # entry's ``touched_partitions`` claim other writers classify
+    # conflicts against. One tiny delta-sized collect, reused for both.
+    from .partitioning import partition_dir_of, table_partitioning
+    parts_decl = table_partitioning(target_dir)
+    part_tuples: list[dict] | None = None
+    delta_pdirs: list[str] | None = None
+    if parts_decl and set(parts_decl) <= set(key_cols):
+        part_tuples = [r.asDict() for r in
+                       batch_df.select(*parts_decl).dropDuplicates()
+                       .limit(PARTITION_PRUNE_CAP + 1).collect()]
+        if len(part_tuples) <= PARTITION_PRUNE_CAP:
+            delta_pdirs = sorted({partition_dir_of(
+                {c: t[c] for c in parts_decl}) for t in part_tuples})
+        else:
+            part_tuples = None
+
     retried = False
     for _attempt in range(max_retries):
         if _attempt:
@@ -795,7 +935,8 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                 # file-granular copy-on-write: rewrite only the files
                 # holding keys the delta touches; hard-link the rest
                 touched = _touched_files_by_keys(
-                    spark, base_dir, delta, key_cols, target_dir)
+                    spark, base_dir, delta, key_cols, target_dir,
+                    part_tuples=part_tuples)
                 kept = [f for f in _snapshot_data_files(base_dir)
                         if f not in touched]
                 if touched:
@@ -881,6 +1022,11 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
+            if delta_pdirs is not None:
+                # scope claim for concurrent writers' conflict
+                # classification — only valid on the incremental path
+                # (a full rewrite touches everything)
+                entry["touched_partitions"] = delta_pdirs
         if ident:
             entry["identity_hwm"] = _staged_identity_hwm(
                 spark, os.path.join(versions_root, perm), ident,
@@ -890,9 +1036,21 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
             _publish_commit(target_dir, versions_root, commits,
                             keep_versions, _pre_swap_hook=_pre_swap_hook)
             return "applied-after-retry" if retried else "applied"
-        # lost the race: our merge is based on a stale snapshot —
-        # discard it and retry against the new journal head
+        # lost the race: our merge is based on a stale snapshot
         retried = True
+        if (reuse_stats is not None and delta_pdirs is not None
+                and not ident):
+            # disjoint-writer fast path: if every commit that beat us
+            # is partition-disjoint, rebase the stage we already built
+            # (file moves + carries, no Spark) instead of re-merging
+            status = _rebase_disjoint_stage(
+                target_dir, versions_root, perm, kept, touched,
+                delta_pdirs, commits[-1]["seq"] if commits else -1,
+                batch_id, writer, keep_versions, reuse_stats[0])
+            if status is not None:
+                return status
+        # conflict (or fast path inapplicable): discard and re-merge
+        # against the new journal head
         shutil.rmtree(os.path.join(versions_root, perm),
                       ignore_errors=True)
     raise RuntimeError(
@@ -4445,11 +4603,14 @@ def describe_upsert_detail(spark, target_dir: str) -> DataFrame:
         T.StructField("protocol_features",
                       T.ArrayType(T.StringType())),
     ])
+    from .carry import is_pruned_remnant
     retained = len({
         c["version"] for c in commits
         if c.get("op") in _VERSIONING_OPS
         and os.path.isdir(os.path.join(versions_root,
-                                       c.get("version_name") or ""))})
+                                       c.get("version_name") or ""))
+        and not is_pruned_remnant(os.path.join(
+            versions_root, c.get("version_name") or ""))})
     cons_str = {n: (f"NOT NULL ({e['col']})" if isinstance(e, dict)
                     else e)
                 for n, e in table_check_constraints(target_dir).items()}

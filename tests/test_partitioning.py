@@ -801,3 +801,281 @@ def test_null_sentinel_checked_before_unescape(tmp_path):
         f"tag={HIVE_DEFAULT_PARTITION}"
     assert partition_dir_of({"tag": HIVE_DEFAULT_PARTITION}) == \
         f"tag={esc}"
+
+
+def test_disjoint_writer_rebase_fast_path(spark, tmp_path, monkeypatch):
+    """Disjoint-writer commit fast path: a loser whose partitions are
+    disjoint from the winner's REBASES its already-staged output (file
+    moves + carries, zero Spark re-merges) instead of rebuilding. The
+    deterministic interleave: writer A stages, then B commits a
+    different partition inside A's pre-CAS window — A must lose the
+    race, take the rebase path (journal entry flags it), and the final
+    state must equal serial application with exactly ONE Spark staging
+    write per writer."""
+    import house_price_etl_pipeline_spark.streaming.ingest as ing
+
+    target = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(target, {"bucket": "bigint"})
+
+    def rows(bucket, payload, n=4):
+        return spark.createDataFrame(
+            [(bucket * 100 + i, bucket, payload, payload)
+             for i in range(n)],
+            "k long, bucket long, payload long, ord long")
+
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"),
+        F.lit(0).cast("long").alias("payload"),
+        F.lit(0).cast("long").alias("ord"))
+    upsert_commit_batch(base, target, 0, key_cols=["k", "bucket"],
+                        order_col="ord", keep_versions=8,
+                        incremental_min_bytes=0)
+
+    staged = {"n": 0}
+    real_staged_write = ing._staged_write
+
+    def counting_staged_write(*a, **k):
+        staged["n"] += 1
+        return real_staged_write(*a, **k)
+
+    monkeypatch.setattr(ing, "_staged_write", counting_staged_write)
+
+    fired = {"done": False}
+
+    def inject_b(_attempt):
+        # runs between A's stage-rename and A's CAS attempt — B wins
+        # the sequence slot with a PARTITION-DISJOINT commit
+        if not fired["done"]:
+            fired["done"] = True
+            upsert_commit_batch(
+                rows(2, 7), target, 2, key_cols=["k", "bucket"],
+                order_col="ord", keep_versions=8, writer="b",
+                incremental_min_bytes=0)
+
+    r = upsert_commit_batch(rows(1, 5), target, 1,
+                            key_cols=["k", "bucket"], order_col="ord",
+                            keep_versions=8, writer="a",
+                            incremental_min_bytes=0,
+                            _race_hook=inject_b)
+    assert r == "applied-after-retry"
+    # exactly one Spark staging write per writer: A's merge never re-ran
+    assert staged["n"] == 2
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    commits = read_commit_journal(
+        ing._commits_dir(target + "_versions"))
+    assert [c["seq"] for c in commits] == list(range(len(commits)))
+    a_entry = [c for c in commits if c.get("writer") == "a"][-1]
+    assert a_entry.get("rebased") is True
+    assert a_entry["touched_partitions"] == ["bucket=1"]
+    b_entry = [c for c in commits if c.get("writer") == "b"][-1]
+    assert b_entry.get("touched_partitions") == ["bucket=2"]
+    # final state equals serial application of base, B, A
+    got = {r.k: (r.bucket, r.payload) for r in
+           read_upsert_version(spark, target).collect()}
+    model = {i: (i % 4, 0) for i in range(40)}
+    model.update({200 + i: (2, 7) for i in range(4)})
+    model.update({100 + i: (1, 5) for i in range(4)})
+    assert got == model
+    # time travel still resolves every retained version
+    assert read_upsert_version(spark, target, 0).count() == 40
+
+
+def test_overlapping_writer_still_restages(spark, tmp_path):
+    """Conflict classification must be sound: a loser whose partitions
+    OVERLAP the winner's takes the full re-stage (no rebase flag) and
+    still converges to serial keep-latest state."""
+    import house_price_etl_pipeline_spark.streaming.ingest as ing
+
+    target = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(target, {"bucket": "bigint"})
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket"),
+        F.lit(0).cast("long").alias("payload"),
+        F.lit(0).cast("long").alias("ord"))
+    upsert_commit_batch(base, target, 0, key_cols=["k", "bucket"],
+                        order_col="ord", keep_versions=8,
+                        incremental_min_bytes=0)
+
+    def rows(k, bucket, payload, ord_):
+        return spark.createDataFrame(
+            [(k, bucket, payload, ord_)],
+            "k long, bucket long, payload long, ord long")
+
+    fired = {"done": False}
+
+    def inject_b(_attempt):
+        if not fired["done"]:
+            fired["done"] = True
+            # SAME partition, SAME key, higher order — must win
+            upsert_commit_batch(
+                rows(6, 0, 777, 9), target, 2,
+                key_cols=["k", "bucket"], order_col="ord",
+                keep_versions=8, writer="b", incremental_min_bytes=0)
+
+    r = upsert_commit_batch(rows(6, 0, 111, 1), target, 1,
+                            key_cols=["k", "bucket"], order_col="ord",
+                            keep_versions=8, writer="a",
+                            incremental_min_bytes=0,
+                            _race_hook=inject_b)
+    assert r == "applied-after-retry"
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    commits = read_commit_journal(
+        ing._commits_dir(target + "_versions"))
+    a_entry = [c for c in commits if c.get("writer") == "a"][-1]
+    assert "rebased" not in a_entry        # conflict → full re-stage
+    # keep-latest: B's ord=9 row beats A's ord=1 row
+    got = {r.k: r.payload for r in
+           read_upsert_version(spark, target).collect()}
+    assert got[6] == 777
+
+
+@pytest.mark.parametrize("carry_mode", ["link", "manifest"])
+def test_disjoint_writer_stress_zero_restages(spark, tmp_path,
+                                              monkeypatch, carry_mode):
+    """Two-writer disjoint-partition stress (VERDICT r11 item 5 'done'
+    gate): writers A and B each land N commits confined to their own
+    partition while racing live threads. Every lost CAS race must take
+    the rebase fast path — total Spark staging writes == total commits
+    (zero re-stages) — and the journal must be strictly sequenced with
+    the final state equal to serial keep-latest application. Runs in
+    both carry modes (the rebase re-links in link mode, re-points in
+    manifest mode)."""
+    import threading
+
+    import house_price_etl_pipeline_spark.streaming.ingest as ing
+
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", carry_mode)
+    target = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(target, {"bucket": "bigint"})
+    base = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("bucket"),
+        F.lit(0).cast("long").alias("payload"),
+        F.lit(0).cast("long").alias("ord"))
+    upsert_commit_batch(base, target, 0, key_cols=["k", "bucket"],
+                        order_col="ord", keep_versions=16,
+                        incremental_min_bytes=0)
+
+    staged = {"n": 0}
+    lock = threading.Lock()
+    real_staged_write = ing._staged_write
+
+    def counting_staged_write(*a, **k):
+        with lock:
+            staged["n"] += 1
+        return real_staged_write(*a, **k)
+
+    monkeypatch.setattr(ing, "_staged_write", counting_staged_write)
+
+    n_each, errors = 4, []
+
+    def writer(tag, bucket, ids):
+        try:
+            for i, bid in enumerate(ids):
+                df = spark.createDataFrame(
+                    [(bucket * 100 + j, bucket, bid, bid)
+                     for j in range(3)],
+                    "k long, bucket long, payload long, ord long")
+                r = upsert_commit_batch(
+                    df, target, bid, key_cols=["k", "bucket"],
+                    order_col="ord", keep_versions=16, writer=tag,
+                    max_retries=16, incremental_min_bytes=0)
+                assert r in ("applied", "applied-after-retry")
+        except Exception as exc:  # pragma: no cover
+            errors.append((tag, exc))
+
+    ts = [threading.Thread(target=writer,
+                           args=("a", 1, [1, 3, 5, 7])),
+          threading.Thread(target=writer,
+                           args=("b", 2, [2, 4, 6, 8]))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errors == []
+    # zero re-stages: one Spark staging write per commit (the base
+    # committed before the counter was installed)
+    assert staged["n"] == 2 * n_each
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    commits = read_commit_journal(
+        ing._commits_dir(target + "_versions"))
+    assert [c["seq"] for c in commits] == list(range(len(commits)))
+    assert {c["version"] for c in commits} == set(range(9))
+    got = {r.k: (r.bucket, r.payload) for r in
+           read_upsert_version(spark, target).collect()}
+    model = {i: (i % 3, 0) for i in range(30)}
+    model.update({100 + j: (1, 7) for j in range(3)})
+    model.update({200 + j: (2, 8) for j in range(3)})
+    assert got == model
+
+
+@pytest.mark.parametrize("carry_mode", ["link", "manifest"])
+def test_vacuum_honors_asof_readers_across_partition_drop(
+        spark, tmp_path, monkeypatch, carry_mode):
+    """VACUUM × partition drop × time travel (VERDICT r11 item 7): a
+    metadata partition drop makes the dropped files unreferenced at
+    HEAD while retained pre-drop versions still need them. Pins, in
+    both carry modes: (1) while the pre-drop version is retained, a
+    force-VACUUM at zero age must not break its AS-OF read of the
+    dropped partition; (2) once it retires, reclaim happens — but only
+    of files no retained version references (manifest pinning), with
+    every retained read still correct; (3) the retention floor refuses
+    young reclaims by default, so an in-flight reader's window is
+    never closed by a default VACUUM call."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        VACUUM_RETENTION_FLOOR_S, vacuum_upsert_target)
+
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", carry_mode)
+    t = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(t, {"bucket": "bigint"})
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 10).alias("v"))
+    upsert_commit_batch(base, t, 0, key_cols=["k", "bucket"],
+                        order_col="v", keep_versions=2,
+                        incremental_min_bytes=0)
+    # v1: drop bucket=3 — head no longer references its files
+    upsert_drop_partitions(spark, t, 1, "bucket = 3", keep_versions=2)
+
+    # (3) the retention floor: default retention refuses young reclaim
+    with pytest.raises(ValueError, match="floor"):
+        vacuum_upsert_target(t, 1.0, keep_versions=2)
+    assert VACUUM_RETENTION_FLOOR_S >= 300
+
+    # an AS-OF reader of the retained pre-drop version, DataFrame built
+    # BEFORE the vacuum — force-VACUUM at zero age must not break it
+    pre_drop = read_upsert_version(spark, t, 0)
+    vacuum_upsert_target(t, 0, keep_versions=2, force=True)
+    assert pre_drop.filter("bucket = 3").count() == 10
+    assert read_upsert_version(spark, t).filter("bucket = 3").count() == 0
+
+    # v2 retires v0 (keep_versions=2 → retained {v2, v1}); in manifest
+    # mode v1/v2 still point at v0's PHYSICAL files for buckets 0-2 —
+    # those must survive both the publish prune and the vacuum, while
+    # bucket=3's files (referenced by nothing retained) are reclaimed
+    delta = spark.createDataFrame([(0, 0, 999)],
+                                  "k bigint, bucket bigint, v bigint")
+    upsert_commit_batch(delta, t, 2, key_cols=["k", "bucket"],
+                        order_col="v", keep_versions=2,
+                        incremental_min_bytes=0)
+    vacuum_upsert_target(t, 0, keep_versions=2, force=True)
+    head = read_upsert_version(spark, t)
+    assert head.count() == 30 and head.filter("v = 999").count() == 1
+    v1 = read_upsert_version(spark, t, 1)
+    assert v1.count() == 30 and v1.filter("bucket = 3").count() == 0
+    # the retired pre-drop version is gone — its AS-OF read must raise
+    # loudly (retention contract), never return partial data
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        read_upsert_version(spark, t, 0).count()
+    # and the dropped partition's bytes really were reclaimed: no
+    # retained snapshot references bucket=3, so no version dir may
+    # still hold a bucket=3 data file
+    vroot = t + "_versions"
+    leftovers = [
+        os.path.join(r, f)
+        for d in os.listdir(vroot)
+        if os.path.isdir(os.path.join(vroot, d))
+        and not d.startswith("_commits")
+        for r, _dirs, fs in os.walk(os.path.join(vroot, d))
+        for f in fs
+        if f.endswith(".parquet") and "bucket=3" in r]
+    assert leftovers == []
