@@ -315,6 +315,19 @@ class UpsertChangesStreamReader(DataSourceStreamReader):
 
         from ..config import cdf_split_bytes
 
+        from .carry import is_pruned_remnant
+        for d in (prev_dir, cur_dir):
+            # a partially-pruned retired dir (manifest-carry tombstone)
+            # holds only the files newer versions still pin — diffing
+            # it would fabricate change rows from a PARTIAL file set;
+            # fail like any other past-retention read (Delta's CDC lag
+            # contract: raise, never silently skip or misreport)
+            if d and is_pruned_remnant(d):
+                raise RuntimeError(
+                    f"change-feed version dir {d} was pruned past "
+                    f"retention (only pinned carry targets remain) — "
+                    f"raise keep_versions on the source to cover this "
+                    f"consumer's lag")
         prev_files = set(_data_files(prev_dir)) if prev_dir else set()
         cur_files = set(_data_files(cur_dir))
         old_only = sorted(prev_files - cur_files)

@@ -112,10 +112,13 @@ def to_physical(df, m: dict):
     # A renamed column's PHYSICAL name is just as reserved as a dropped
     # one: after RENAME a->b (renames {b: a}), a new logical column
     # literally named 'a' would alias onto physical 'a' alongside b's
-    # mapping — two logical columns sharing one physical column.
+    # mapping — two logical columns sharing one physical column. Only
+    # an UNMAPPED column can alias this way: a column that is itself a
+    # mapping key writes to its own target (legal after rename chains
+    # like a->b then c->a, where logical 'a' maps to physical 'c').
     in_use_phys = {p for lg, p in renames.items() if lg != p}
     phys_clash = sorted(
-        c for c in df.columns if c in in_use_phys and renames.get(c) != c)
+        c for c in df.columns if c in in_use_phys and c not in renames)
     if phys_clash:
         raise ValueError(
             f"column name(s) {phys_clash} are the in-use PHYSICAL names "

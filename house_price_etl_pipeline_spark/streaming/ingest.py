@@ -1591,9 +1591,13 @@ def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
             "inherit ids through; use MERGE INTO")
     from .partitioning import check_table_writable
     check_table_writable(target_dir)
-    batch_df = _apply_defaults(
-        batch_df, table_column_defaults(target_dir),
-        _current_table_types(batch_df.sparkSession, target_dir))
+    defaults = table_column_defaults(target_dir)
+    if defaults:
+        # the snapshot-types read is only needed to type the fills —
+        # skip it (journal parse + footer read) on default-free tables
+        batch_df = _apply_defaults(
+            batch_df, defaults,
+            _current_table_types(batch_df.sparkSession, target_dir))
     dup = (batch_df.groupBy(*key_cols).count()
            .filter(F.col("count") > 1).limit(1).count())
     if dup:

@@ -442,6 +442,51 @@ def register_table_feature(target_dir: str, feature: str,
     atomic_write_json(_protocol_path(target_dir), d)
 
 
+def drop_table_feature(target_dir: str, feature: str) -> bool:
+    """Delta's ``ALTER TABLE ... DROP FEATURE`` analog: remove a
+    protocol feature flag after verifying NO retained data depends on
+    it, so builds without the feature can read the table again.
+    Returns True if the flag was removed, False if it wasn't set.
+
+    Currently implemented for ``carry_manifest`` only — registration
+    happens at stage time (the gate must exist before a manifest can
+    become reachable through the journal), so a writer that staged in
+    manifest mode but lost every CAS race (or crashed) leaves the flag
+    on a table whose committed snapshots are all physical. The drop
+    scans EVERY directory under the versions root (in-flight stages
+    included) for carry manifests and pruned-remnant tombstones and
+    refuses if any exist. Like Delta's reader-feature drops, it must
+    not race concurrent manifest-mode writers — run it quiesced."""
+    from .carry import CARRY_MANIFEST, PRUNED_MARKER
+
+    if feature != "carry_manifest":
+        raise ValueError(
+            f"DROP FEATURE supports only 'carry_manifest' (got "
+            f"{feature!r}) — other features are load-bearing for "
+            f"retained bytes and never droppable")
+    d = _read_protocol(target_dir)
+    if feature not in d["features"] and feature not in d["writer_features"]:
+        return False
+    vroot = target_dir + "_versions"
+    for name in os.listdir(vroot) if os.path.isdir(vroot) else []:
+        p = os.path.join(vroot, name)
+        if not os.path.isdir(p) or name.startswith("_commits"):
+            continue
+        for marker in (CARRY_MANIFEST, PRUNED_MARKER):
+            if os.path.exists(os.path.join(p, marker)):
+                raise ValueError(
+                    f"cannot drop feature 'carry_manifest': snapshot "
+                    f"dir {name} still contains {marker} — rewrite the "
+                    f"table physical first (OPTIMIZE full rewrite, then "
+                    f"VACUUM past retention)")
+    from ..fsutil import atomic_write_json
+    d["features"] = [f for f in d["features"] if f != feature]
+    d["writer_features"] = [f for f in d["writer_features"]
+                            if f != feature]
+    atomic_write_json(_protocol_path(target_dir), d)
+    return True
+
+
 class UnsupportedTableFeature(RuntimeError):
     pass
 

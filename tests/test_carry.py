@@ -342,3 +342,82 @@ def test_carry_mode_env_validated(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "s3")
     with pytest.raises(ValueError, match="link.*manifest|manifest"):
         carry_mode()
+
+
+def test_drop_carry_manifest_feature(spark, tmp_path, monkeypatch):
+    """DROP FEATURE recovery path: a writer that STAGED in manifest
+    mode but never committed a manifest leaves the reader gate on a
+    fully-physical table — droppable; once a committed snapshot really
+    carries by manifest, the drop must refuse; after a full physical
+    rewrite plus vacuum it becomes droppable again."""
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        drop_table_feature, register_table_feature,
+        table_protocol_features)
+
+    t = os.path.join(str(tmp_path), "plain")
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v"),
+                                F.lit(0).alias("ord"))
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=1, incremental_min_bytes=0)
+    # simulate the staged-but-never-committed registration
+    register_table_feature(t, "carry_manifest")
+    assert "carry_manifest" in table_protocol_features(t)
+    assert drop_table_feature(t, "carry_manifest") is True
+    assert "carry_manifest" not in table_protocol_features(t)
+    assert drop_table_feature(t, "carry_manifest") is False  # idempotent
+
+    # a real manifest-carried commit re-gates, and then REFUSES to drop
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "manifest")
+    d2 = _mk_flat(spark, tmp_path)
+    delta = spark.createDataFrame([(0, -1, 1)],
+                                  "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta, d2, 2, key_cols=["k"], order_col="ord",
+                        keep_versions=8, incremental_min_bytes=0)
+    with pytest.raises(ValueError, match="rewrite the table physical"):
+        drop_table_feature(d2, "carry_manifest")
+    # full physical rewrite in link mode + vacuum clears every manifest
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "link")
+    optimize_upsert_target(spark, d2, keep_versions=1)
+    delta2 = spark.createDataFrame([(1, -2, 2)],
+                                   "k bigint, v bigint, ord int")
+    upsert_commit_batch(delta2, d2, 3, key_cols=["k"], order_col="ord",
+                        keep_versions=1, incremental_min_bytes=0)
+    vacuum_upsert_target(d2, 0, keep_versions=1, force=True)
+    assert drop_table_feature(d2, "carry_manifest") is True
+    assert read_upsert_version(spark, d2).count() == 400
+    # non-droppable features refuse loudly
+    with pytest.raises(ValueError, match="only 'carry_manifest'"):
+        drop_table_feature(d2, "column_mapping")
+
+
+def test_stream_cdf_refuses_pruned_remnant(spark, tmp_path, monkeypatch):
+    """A lagging change-feed stream whose offsets point at a PARTIALLY
+    PRUNED version dir (manifest-carry tombstone) must fail loudly —
+    diffing the pinned-files-only remnant would fabricate change rows
+    from a partial file set."""
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        stream_upsert_changes)
+    from house_price_etl_pipeline_spark.streaming.carry import (
+        is_pruned_remnant)
+
+    _manifest_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path, keep_versions=2)
+    v1_dir = _vdir(t)
+    for b in (2, 3):
+        delta = spark.createDataFrame([(b, -b, b)],
+                                      "k bigint, v bigint, ord int")
+        upsert_commit_batch(delta, t, b, key_cols=["k"],
+                            order_col="ord", keep_versions=2,
+                            incremental_min_bytes=0, max_retries=4)
+    # v1 retired and partially pruned (head still pins some of its files)
+    assert is_pruned_remnant(v1_dir)
+    feed = stream_upsert_changes(spark, t, ["k"])
+    q = (feed.writeStream.format("memory")
+         .queryName("remnant_probe").outputMode("append")
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="pruned past retention"):
+        q.awaitTermination()
+    # batch time travel refuses the remnant the same way
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        read_upsert_version(spark, t, 1).count()

@@ -209,3 +209,29 @@ def test_new_column_cannot_reuse_renamed_physical_name(spark, tmp_path):
     upsert_commit_batch(ok, t, 1, key_cols=["k"], order_col="amount",
                         keep_versions=8, incremental_min_bytes=0)
     assert "list_price" in read_upsert_version(spark, t).columns
+
+
+def test_rename_chain_reusing_freed_logical_name_stays_writable(
+        spark, tmp_path):
+    """Legal rename chains must not brick writes: RENAME price->amount
+    then RENAME note->price makes 'price' a live LOGICAL column (mapped
+    to physical 'note') whose name equals amount's in-use PHYSICAL name
+    — the aliasing guard must only refuse UNMAPPED columns (a mapped
+    column writes to its own target, no aliasing exists)."""
+    t = _mk(spark, tmp_path)
+    rename_table_column(spark, t, "price", "amount")
+    rename_table_column(spark, t, "note", "price")
+    snap = read_upsert_version(spark, t)
+    assert set(snap.columns) == {"k", "amount", "price"}
+    batch = spark.range(50, 53).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("amount"),
+        F.lit("y").alias("price"))
+    upsert_commit_batch(batch, t, 1, key_cols=["k"],
+                        order_col="amount", keep_versions=8,
+                        incremental_min_bytes=0)
+    got = read_upsert_version(spark, t)
+    assert got.count() == 53
+    assert got.filter("price = 'y'").count() == 3
+    # physical layout unchanged: logical 'price' writes physical 'note'
+    assert sorted(_physical_cols(t)) == ["k", "note", "price"]
