@@ -686,6 +686,28 @@ def _schemas_match(a, b) -> bool:
             == {(f.name, f.dataType) for f in b.fields})
 
 
+def _touched_partition_claim(target_dir: str,
+                             touched) -> list[str] | None:
+    """Partition-dir scope claim from a touched-file set, recorded in
+    the journal entry for the disjoint-writer classifier
+    (_rebase_disjoint_stage). Valid ONLY when the op's rewritten rows
+    cannot leave the touched partitions — true for DELETE (rows only
+    vanish) and for UPDATE whose SET targets no partition column; the
+    callers enforce that. None for flat tables and oversized claims
+    (unrecorded scope = other writers classify it as conflicting, the
+    safe default). An EMPTY claim is valid: the op touched nothing."""
+    import os
+
+    from .partitioning import table_partitioning
+    if not table_partitioning(target_dir):
+        return None
+    dirs = sorted({os.path.dirname(f) for f in touched
+                   if os.path.dirname(f)})
+    if len(dirs) > PARTITION_PRUNE_CAP:
+        return None
+    return dirs
+
+
 def _rebase_disjoint_stage(target_dir: str, versions_root: str,
                            stage_name: str, old_kept: list[str],
                            touched: set[str], delta_pdirs: list[str],
@@ -733,7 +755,13 @@ def _rebase_disjoint_stage(target_dir: str, versions_root: str,
             newer = [c for c in commits if c["seq"] > base_seq]
             ours = set(delta_pdirs)
             for c in newer:
+                # scope claims: touched_partitions (upsert/merge/
+                # delete/update/overwrite incremental paths) or
+                # dropped_partitions (the metadata drop — exact by
+                # construction); absence means unclassifiable
                 tp = c.get("touched_partitions")
+                if tp is None:
+                    tp = c.get("dropped_partitions")
                 if (c.get("op") not in _VERSIONING_OPS or tp is None
                         or ours & set(tp)):
                     return None            # logical conflict: re-stage
@@ -1195,6 +1223,11 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
+            # DELETE rows only vanish — rewrites stay in the touched
+            # partitions, so the claim is exact
+            claim = _touched_partition_claim(target_dir, touched)
+            if claim is not None:
+                entry["touched_partitions"] = claim
         if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
@@ -1392,6 +1425,13 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
+            from .partitioning import table_partitioning as _tp
+            if not (set(sets) & set(_tp(target_dir))):
+                # no SET targets a partition column → updated rows stay
+                # in their partitions and the touched-dir claim is exact
+                claim = _touched_partition_claim(target_dir, touched)
+                if claim is not None:
+                    entry["touched_partitions"] = claim
         if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
@@ -1671,6 +1711,12 @@ def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
                  "files_rewritten": touched_n,
                  "files_reused": len(kept),
                  "replaced_partitions": len(replaced)}
+        if len(replaced) <= PARTITION_PRUNE_CAP:
+            # exact scope by construction: a dynamic overwrite touches
+            # precisely its batch's partitions (requires parts ⊆ key)
+            from .partitioning import partition_dir_of
+            entry["touched_partitions"] = sorted(
+                partition_dir_of(dict(zip(parts, t))) for t in replaced)
         if try_commit(_commits_dir(versions_root), seq, entry):
             commits, _ = _journal_state(versions_root)
             _publish_commit(target_dir, versions_root, commits,
@@ -1967,6 +2013,23 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
         return has.unionByName(
             _assign_identity(needs, ident, hwm)), hwm
 
+    # disjoint-writer scope claim (same mechanics as upsert_commit_-
+    # batch): the source's distinct partition tuples bound BOTH the
+    # touched files and every INSERTed row's partition (parts ⊆ key,
+    # and SET maps are refused on key columns), so the claim is exact
+    # for the incremental path
+    from .partitioning import partition_dir_of as _pdir_of
+    from .partitioning import table_partitioning as _tparts
+    _parts_decl = _tparts(target_dir)
+    merge_pdirs: list[str] | None = None
+    if _parts_decl and set(_parts_decl) <= set(key_cols):
+        _tuples = [r.asDict() for r in
+                   source.select(*_parts_decl).dropDuplicates()
+                   .limit(PARTITION_PRUNE_CAP + 1).collect()]
+        if len(_tuples) <= PARTITION_PRUNE_CAP:
+            merge_pdirs = sorted({_pdir_of(
+                {c: t[c] for c in _parts_decl}) for t in _tuples})
+
     retried = False
     for _attempt in range(max_retries):
         if _attempt:
@@ -2047,7 +2110,9 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                         and _data_file_bytes(base_dir)
                         >= _min_bytes_cutoff(incremental_min_bytes)):
                     touched = _touched_files_by_keys(
-                        spark, base_dir, source, key_cols, target_dir)
+                        spark, base_dir, source, key_cols, target_dir,
+                        part_tuples=(_tuples if merge_pdirs is not None
+                                     else None))
                     kept = [f for f in _snapshot_data_files(base_dir)
                             if f not in touched]
                     sub = (_snapshot_read(spark, target_dir, base_dir,
@@ -2113,6 +2178,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
+            if merge_pdirs is not None:
+                entry["touched_partitions"] = merge_pdirs
         if ident:
             entry["identity_hwm"] = _staged_identity_hwm(
                 spark, os.path.join(versions_root, perm), ident,

@@ -1079,3 +1079,73 @@ def test_vacuum_honors_asof_readers_across_partition_drop(
         for f in fs
         if f.endswith(".parquet") and "bucket=3" in r]
     assert leftovers == []
+
+
+def test_rebase_classifies_delete_merge_overwrite_scopes(spark, tmp_path):
+    """Scope claims from the other DML ops feed the same classifier: a
+    losing upsert whose partitions are disjoint from a winning DELETE,
+    MERGE, and dynamic OVERWRITE (each claiming its scope in the
+    journal) still takes the rebase fast path; the final state equals
+    serial application."""
+    import house_price_etl_pipeline_spark.streaming.ingest as ing
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+
+    target = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(target, {"bucket": "bigint"})
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"),
+        F.lit(0).cast("long").alias("payload"),
+        F.lit(0).cast("long").alias("ord"))
+    upsert_commit_batch(base, target, 0, key_cols=["k", "bucket"],
+                        order_col="ord", keep_versions=16,
+                        incremental_min_bytes=0)
+
+    fired = {"done": False}
+
+    def inject(_attempt):
+        # all three disjoint winners land inside the loser's pre-CAS
+        # window: the rebase must classify a DELETE + MERGE + OVERWRITE
+        # entry chain in one pass
+        if fired["done"]:
+            return
+        fired["done"] = True
+        upsert_delete_where(spark, target, 2, "bucket = 0 AND k < 2",
+                            keep_versions=16, incremental_min_bytes=0)
+        src = spark.createDataFrame([(201, 2, 55, 9)],
+                                    "k long, bucket long, "
+                                    "payload long, ord long")
+        upsert_merge_into(spark, target, 3, src,
+                          key_cols=["k", "bucket"],
+                          keep_versions=16, incremental_min_bytes=0)
+        ow = spark.createDataFrame([(301, 3, 77, 9)],
+                                   "k long, bucket long, "
+                                   "payload long, ord long")
+        upsert_overwrite_partitions(spark, target, 4, ow,
+                                    key_cols=["k", "bucket"],
+                                    keep_versions=16)
+
+    loser = spark.createDataFrame([(101, 1, 42, 5)],
+                                  "k long, bucket long, payload long, "
+                                  "ord long")
+    r = upsert_commit_batch(loser, target, 1, key_cols=["k", "bucket"],
+                            order_col="ord", keep_versions=16,
+                            writer="loser", incremental_min_bytes=0,
+                            _race_hook=inject)
+    assert r == "applied-after-retry"
+    commits = read_commit_journal(ing._commits_dir(target + "_versions"))
+    by_op = {c["op"]: c for c in commits}
+    # every winner recorded its scope
+    assert by_op["delete"]["touched_partitions"] == ["bucket=0"]
+    assert by_op["merge"]["touched_partitions"] == ["bucket=2"]
+    assert by_op["overwrite"]["touched_partitions"] == ["bucket=3"]
+    # the loser rebased instead of re-merging — once per lost race,
+    # but only its FIRST stage ran Spark (rebased flag on its entry)
+    loser_entry = [c for c in commits if c.get("writer") == "loser"][-1]
+    assert loser_entry.get("rebased") is True
+    got = {r.k: (r.bucket, r.payload) for r in
+           read_upsert_version(spark, target).collect()}
+    model = {i: (i % 4, 0) for i in range(40) if not (i % 4 == 0 and i < 2)}
+    # bucket=3 overwritten wholesale; merge inserted 201; loser 101
+    model = {k: v for k, v in model.items() if v[0] != 3}
+    model.update({301: (3, 77), 201: (2, 55), 101: (1, 42)})
+    assert got == model
