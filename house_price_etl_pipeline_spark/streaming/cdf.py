@@ -960,6 +960,64 @@ SCD2_START = "__START_AT"
 SCD2_END = "__END_AT"
 
 
+def _apply_scd2_version(spark, dst_target: str, ch, v: int,
+                        key_cols: list[str], keep_versions: int,
+                        writer: str) -> None:
+    """Apply ONE source version's change rows to an SCD TYPE 2 replica:
+    one MERGE on (key_cols, __START_AT) where 'c' rows close the key's
+    current open row (its START comes from the REPLICA's own open set —
+    a change-sized join) and 'i' rows open the new row version. A key
+    that both closes and re-opens contributes two source rows with
+    DIFFERENT merge keys, so the one-row-per-key MERGE contract holds.
+    Shared by the batch (apply_changes_to_table) and streaming
+    (stream_apply_changes) appliers."""
+    from .ingest import (_journal_state, read_upsert_version,
+                         upsert_merge_into)
+
+    payload = [c for c in ch.columns
+               if c not in key_cols and c != "change_type"]
+    ptypes = dict(ch.dtypes)
+    if _journal_state(dst_target + "_versions")[0]:
+        opens = (read_upsert_version(spark, dst_target)
+                 .filter(F.col(SCD2_END).isNull())
+                 .select(*key_cols, SCD2_START).alias("o"))
+    else:
+        # replica not born yet (the STREAM's first version seeds
+        # through this same merge as pure inserts): no open rows
+        opens = (ch.select(*key_cols).limit(0)
+                 .withColumn(SCD2_START, F.lit(None).cast("bigint"))
+                 .alias("o"))
+    closing = (ch.filter(F.col("change_type")
+                         .isin("delete", "update_preimage"))
+               .select(*key_cols).dropDuplicates().alias("k"))
+    cond = None
+    for k in key_cols:
+        term = F.col(f"k.{k}").eqNullSafe(F.col(f"o.{k}"))
+        cond = term if cond is None else (cond & term)
+    closes = (closing.join(opens, cond, "inner")
+              .select(*[F.col(f"k.{k}") for k in key_cols],
+                      F.col(f"o.{SCD2_START}").alias(SCD2_START))
+              .select("*",
+                      *[F.lit(None).cast(ptypes[c]).alias(c)
+                        for c in payload],
+                      F.lit(v).cast("bigint").alias(SCD2_END),
+                      F.lit("c").alias("_cdc_op")))
+    inserts = (ch.filter(F.col("change_type")
+                         .isin("insert", "update_postimage"))
+               .drop("change_type")
+               .withColumn(SCD2_START, F.lit(v).cast("bigint"))
+               .withColumn(SCD2_END, F.lit(None).cast("bigint"))
+               .withColumn("_cdc_op", F.lit("i")))
+    upsert_merge_into(
+        spark, dst_target, v, closes.unionByName(inserts),
+        key_cols + [SCD2_START],
+        matched_update="s._cdc_op = 'c'",
+        matched_update_set={SCD2_END: f"s.{SCD2_END}"},
+        not_matched_insert="s._cdc_op = 'i'",
+        keep_versions=keep_versions, writer=writer,
+        source_meta_cols=("_cdc_op",))
+
+
 def apply_changes_to_table(spark: SparkSession, src_target: str,
                            dst_target: str, key_cols: list[str],
                            keep_versions: int = 2,
@@ -1091,47 +1149,8 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
             source_meta_cols=("_cdc_op",))
 
     def _merge_scd2(ch, v: int) -> None:
-        # One MERGE on (key_cols, __START_AT) per source version:
-        # 'c' rows close the key's current open row (its START comes
-        # from the REPLICA's own open set — a change-sized join);
-        # 'i' rows open the new row version. A key that both closes
-        # and re-opens contributes two source rows with DIFFERENT
-        # merge keys, so the one-row-per-key MERGE contract holds.
-        payload = [c for c in ch.columns
-                   if c not in key_cols and c != "change_type"]
-        ptypes = dict(ch.dtypes)
-        opens = (read_upsert_version(spark, dst_target)
-                 .filter(F.col(SCD2_END).isNull())
-                 .select(*key_cols, SCD2_START).alias("o"))
-        closing = (ch.filter(F.col("change_type")
-                             .isin("delete", "update_preimage"))
-                   .select(*key_cols).dropDuplicates().alias("k"))
-        cond = None
-        for k in key_cols:
-            term = F.col(f"k.{k}").eqNullSafe(F.col(f"o.{k}"))
-            cond = term if cond is None else (cond & term)
-        closes = (closing.join(opens, cond, "inner")
-                  .select(*[F.col(f"k.{k}") for k in key_cols],
-                          F.col(f"o.{SCD2_START}").alias(SCD2_START))
-                  .select("*",
-                          *[F.lit(None).cast(ptypes[c]).alias(c)
-                            for c in payload],
-                          F.lit(v).cast("bigint").alias(SCD2_END),
-                          F.lit("c").alias("_cdc_op")))
-        inserts = (ch.filter(F.col("change_type")
-                             .isin("insert", "update_postimage"))
-                   .drop("change_type")
-                   .withColumn(SCD2_START, F.lit(v).cast("bigint"))
-                   .withColumn(SCD2_END, F.lit(None).cast("bigint"))
-                   .withColumn("_cdc_op", F.lit("i")))
-        upsert_merge_into(
-            spark, dst_target, v, closes.unionByName(inserts),
-            key_cols + [SCD2_START],
-            matched_update="s._cdc_op = 'c'",
-            matched_update_set={SCD2_END: f"s.{SCD2_END}"},
-            not_matched_insert="s._cdc_op = 'i'",
-            keep_versions=keep_versions, writer=writer,
-            source_meta_cols=("_cdc_op",))
+        _apply_scd2_version(spark, dst_target, ch, v, key_cols,
+                            keep_versions, writer)
 
     if scd2:
         # history fidelity IS the mode — never coalesce over versions
@@ -1355,7 +1374,8 @@ def stream_apply_changes(spark: SparkSession, src_target: str,
                          checkpoint_dir: str, keep_versions: int = 2,
                          writer: str = "replicate-stream",
                          available_now: bool = True,
-                         coalesce_after: int | None = 32):
+                         coalesce_after: int | None = 32,
+                         stored_as: str = "scd1"):
     """CONTINUOUS replication: the streaming twin of
     :func:`apply_changes_to_table` — the change feed drives per-version
     MERGE applies through ``foreachBatch``, so a replica follows its
@@ -1382,7 +1402,16 @@ def stream_apply_changes(spark: SparkSession, src_target: str,
     version. A key inserted then deleted inside the batch nets to a
     delete whose not-matched case is a no-op, so the net apply is
     state-equivalent to the replay. ``None`` keeps strict per-version
-    replay (every transition journaled on the replica)."""
+    replay (every transition journaled on the replica).
+
+    ``stored_as="scd2"`` keeps full history on the replica
+    (``__START_AT``/``__END_AT`` version stamps — see
+    apply_changes_to_table); the feed's v0 inserts seed the history
+    through the same per-version merge, and coalescing is ignored
+    (netting away intermediate row versions would defeat the mode)."""
+    if stored_as not in ("scd1", "scd2"):
+        raise ValueError(
+            f"stored_as={stored_as!r} — expected 'scd1' or 'scd2'")
     feed = stream_upsert_changes(spark, src_target, key_cols)
 
     def apply_batch(batch_df, _bid: int) -> None:
@@ -1410,6 +1439,14 @@ def stream_apply_changes(spark: SparkSession, src_target: str,
         versions = sorted(
             r["_commit_version"] for r in
             batch_df.select("_commit_version").distinct().collect())
+        if stored_as == "scd2":
+            for v in versions:
+                _apply_scd2_version(
+                    spark, dst_target,
+                    batch_df.filter(F.col("_commit_version") == v)
+                    .drop("_commit_version"),
+                    int(v), key_cols, keep_versions, writer)
+            return
         if coalesce_after is not None and len(versions) > max(
                 coalesce_after, 1):
             w = Window.partitionBy(*key_cols).orderBy(

@@ -803,3 +803,62 @@ def test_apply_changes_scd2_full_history(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="scd1.*scd2|stored_as"):
         apply_changes_to_table(spark, s, d, ["k"], stored_as="scd3")
+
+
+def test_stream_apply_changes_scd2_equals_batch(spark, tmp_path):
+    """The streaming SCD2 applier reaches the exact history table the
+    batch applier builds from the same source — v0 seeds through the
+    merge (pure inserts into a not-yet-born replica), later versions
+    close/open row versions per transition, and a checkpointed resume
+    applies only new versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        SCD2_END, SCD2_START, apply_changes_to_table,
+        stream_apply_changes)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, upsert_commit_batch, upsert_delete_where)
+
+    s = os.path.join(str(tmp_path), "src")
+
+    def commit(b, rows):
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        upsert_commit_batch(df, s, b, key_cols=["k"], order_col="v",
+                            keep_versions=16, incremental_min_bytes=0)
+
+    commit(0, [(1, 10), (2, 20), (3, 30)])
+    commit(1, [(1, 11), (4, 40)])
+    upsert_delete_where(spark, s, 2, "k = 2", keep_versions=16,
+                        incremental_min_bytes=0)
+
+    d_stream = os.path.join(str(tmp_path), "dst_stream")
+    d_batch = os.path.join(str(tmp_path), "dst_batch")
+    ck = os.path.join(str(tmp_path), "ckpt")
+    q = stream_apply_changes(spark, s, d_stream, ["k"], ck,
+                             keep_versions=16, stored_as="scd2")
+    q.awaitTermination()
+    apply_changes_to_table(spark, s, d_batch, ["k"], keep_versions=16,
+                           stored_as="scd2")
+
+    def hist(t):
+        return {(r.k, r.v, r[SCD2_START], r[SCD2_END]) for r in
+                read_upsert_version(spark, t).collect()}
+
+    assert hist(d_stream) == hist(d_batch)
+    assert hist(d_stream) == {
+        (1, 10, 0, 1), (1, 11, 1, None),
+        (2, 20, 0, 2),
+        (3, 30, 0, None),
+        (4, 40, 1, None),
+    }
+    # checkpointed catch-up across a further update
+    commit(3, [(1, 12)])
+    q = stream_apply_changes(spark, s, d_stream, ["k"], ck,
+                             keep_versions=16, stored_as="scd2")
+    q.awaitTermination()
+    assert {(r.k, r.v, r[SCD2_START], r[SCD2_END]) for r in
+            read_upsert_version(spark, d_stream)
+            .filter("k = 1").collect()} == {
+        (1, 10, 0, 1), (1, 11, 1, 3), (1, 12, 3, None)}
