@@ -133,24 +133,26 @@ def owner_groups(snapshot_dir: str, rels,
                  carry: dict[str, str] | None = None
                  ) -> dict[str, list[str]]:
     """Group logical file names by the directory that physically owns
-    them: {absolute owner dir: [snapshot-relative names]}. The group
-    count is bounded by the retention window (a carry can only point
-    at retained history), so the per-owner read fan-out stays a
-    handful of scan branches at any table size."""
+    them: {absolute owner dir: [snapshot-relative names]}. Ownership
+    is decided by MANIFEST MEMBERSHIP, not filesystem stats — a name
+    is either a carry entry (owned elsewhere) or physical in this dir
+    (rewritten files get fresh UUID names, so the two sets are
+    disjoint by construction); the read hot path therefore costs zero
+    per-file stat calls, which is what survives 10⁵-file snapshots on
+    an object store. The group count is bounded by the retention
+    window (a carry can only point at retained history), so the
+    per-owner read fan-out stays a handful of scan branches at any
+    table size."""
     if carry is None:
         carry = read_carry(snapshot_dir)
     vroot = versions_root_of(snapshot_dir)
     own = os.path.realpath(snapshot_dir)
     groups: dict[str, list[str]] = {}
     for rel in rels:
-        if os.path.exists(os.path.join(snapshot_dir, rel)):
-            groups.setdefault(own, []).append(rel)
-            continue
         t = carry.get(rel)
         if t is None:
-            raise FileNotFoundError(
-                f"data file {rel!r} of snapshot {snapshot_dir} is "
-                f"neither physical nor in its carry manifest")
+            groups.setdefault(own, []).append(rel)
+            continue
         owner, orel = t.split("/", 1)
         if orel != rel:
             raise ValueError(

