@@ -756,14 +756,17 @@ def _rebase_disjoint_stage(target_dir: str, versions_root: str,
             ours = set(delta_pdirs)
             for c in newer:
                 # scope claims: touched_partitions (upsert/merge/
-                # delete/update/overwrite incremental paths) or
-                # dropped_partitions (the metadata drop — exact by
-                # construction); absence means unclassifiable
+                # delete/update/overwrite incremental paths, and
+                # incremental OPTIMIZE — content-identical packing
+                # confined to its partitions) or dropped_partitions
+                # (the metadata drop — exact by construction); absence
+                # means unclassifiable
                 tp = c.get("touched_partitions")
                 if tp is None:
                     tp = c.get("dropped_partitions")
-                if (c.get("op") not in _VERSIONING_OPS or tp is None
-                        or ours & set(tp)):
+                claimable = (c.get("op") in _VERSIONING_OPS
+                             or c.get("op") == "optimize")
+                if not claimable or tp is None or ours & set(tp):
                     return None            # logical conflict: re-stage
             head = commits[-1]
             new_base = os.path.join(versions_root, head["version_name"])
@@ -2497,6 +2500,15 @@ def optimize_upsert_target(spark, target_dir: str,
             entry["zorder"] = list(zorder_by)
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
+            # incremental compaction packs per partition dir and the
+            # repartition keys on the partition columns, so rewrites
+            # never leave the packed partitions — exact scope claim for
+            # the disjoint-writer classifier (a writer racing an
+            # autoCompact of OTHER partitions rebases instead of
+            # re-merging)
+            claim = _touched_partition_claim(target_dir, to_pack)
+            if claim is not None:
+                entry["touched_partitions"] = claim
         if try_commit(_commits_dir(versions_root), head["seq"] + 1,
                       entry):
             commits, _ = _journal_state(versions_root)
