@@ -693,19 +693,43 @@ def _touched_partition_claim(target_dir: str,
     (_rebase_disjoint_stage). Valid ONLY when the op's rewritten rows
     cannot leave the touched partitions — true for DELETE (rows only
     vanish) and for UPDATE whose SET targets no partition column; the
-    callers enforce that. None for flat tables and oversized claims
-    (unrecorded scope = other writers classify it as conflicting, the
-    safe default). An EMPTY claim is valid: the op touched nothing."""
+    callers enforce that. None for flat tables, oversized claims, and
+    any touched name WITHOUT a partition dir (the relpath mapper's
+    basename fallback for paths outside the expected roots — an
+    under-claimed scope would let a real conflict rebase, so decline
+    instead). An EMPTY claim is valid: the op touched nothing."""
     import os
 
     from .partitioning import table_partitioning
     if not table_partitioning(target_dir):
         return None
-    dirs = sorted({os.path.dirname(f) for f in touched
-                   if os.path.dirname(f)})
-    if len(dirs) > PARTITION_PRUNE_CAP:
+    dirs = {os.path.dirname(f) for f in touched}
+    if "" in dirs or len(dirs) > PARTITION_PRUNE_CAP:
         return None
-    return dirs
+    return sorted(dirs)
+
+
+def _delta_partition_scope(df, target_dir: str, key_cols: list[str]):
+    """(partition tuples, partition dirs) of a delta/source frame —
+    the one delta-sized distinct+collect that feeds BOTH the
+    touched-file scan's pruning filter and the journal entry's
+    ``touched_partitions`` claim (upsert and MERGE writers share it).
+    (None, None) when the table is flat, the partition columns aren't
+    a key subset, or the delta spans more than PARTITION_PRUNE_CAP
+    partitions (unrecorded scope = conflicting, the safe default)."""
+    from .partitioning import partition_dir_of, table_partitioning
+
+    parts = table_partitioning(target_dir)
+    if not parts or not set(parts) <= set(key_cols):
+        return None, None
+    tuples = [r.asDict() for r in
+              df.select(*parts).dropDuplicates()
+              .limit(PARTITION_PRUNE_CAP + 1).collect()]
+    if len(tuples) > PARTITION_PRUNE_CAP:
+        return None, None
+    pdirs = sorted({partition_dir_of({c: t[c] for c in parts})
+                    for t in tuples})
+    return tuples, pdirs
 
 
 def _rebase_disjoint_stage(target_dir: str, versions_root: str,
@@ -898,25 +922,19 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                 .filter(F.col("_rn") == 1).drop("_rn"))
 
     # Commit-scope classification for the disjoint-writer fast path:
-    # when the table is partitioned on a key subset, the batch's
-    # distinct partition tuples (bounded by PARTITION_PRUNE_CAP —
-    # beyond it scope stays unrecorded and losers re-stage, as before)
-    # are BOTH the touched-file scan's pruning filter and the journal
-    # entry's ``touched_partitions`` claim other writers classify
-    # conflicts against. One tiny delta-sized collect, reused for both.
-    from .partitioning import partition_dir_of, table_partitioning
-    parts_decl = table_partitioning(target_dir)
-    part_tuples: list[dict] | None = None
-    delta_pdirs: list[str] | None = None
-    if parts_decl and set(parts_decl) <= set(key_cols):
-        part_tuples = [r.asDict() for r in
-                       batch_df.select(*parts_decl).dropDuplicates()
-                       .limit(PARTITION_PRUNE_CAP + 1).collect()]
-        if len(part_tuples) <= PARTITION_PRUNE_CAP:
-            delta_pdirs = sorted({partition_dir_of(
-                {c: t[c] for c in parts_decl}) for t in part_tuples})
-        else:
-            part_tuples = None
+    # the batch's distinct partition tuples are BOTH the touched-file
+    # scan's pruning filter and the journal entry's
+    # ``touched_partitions`` claim other writers classify conflicts
+    # against. One delta-sized collect, computed LAZILY on first use —
+    # full-rewrite commits (incremental off / tiny base / schema
+    # evolution) never need it and must not pay the extra job.
+    _scope_cache: list = []
+
+    def _scope():
+        if not _scope_cache:
+            _scope_cache.append(
+                _delta_partition_scope(batch_df, target_dir, key_cols))
+        return _scope_cache[0]
 
     retried = False
     for _attempt in range(max_retries):
@@ -967,7 +985,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                 # holding keys the delta touches; hard-link the rest
                 touched = _touched_files_by_keys(
                     spark, base_dir, delta, key_cols, target_dir,
-                    part_tuples=part_tuples)
+                    part_tuples=_scope()[0])
                 kept = [f for f in _snapshot_data_files(base_dir)
                         if f not in touched]
                 if touched:
@@ -1053,11 +1071,11 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
-            if delta_pdirs is not None:
+            if _scope()[1] is not None:
                 # scope claim for concurrent writers' conflict
                 # classification — only valid on the incremental path
                 # (a full rewrite touches everything)
-                entry["touched_partitions"] = delta_pdirs
+                entry["touched_partitions"] = _scope()[1]
         if ident:
             entry["identity_hwm"] = _staged_identity_hwm(
                 spark, os.path.join(versions_root, perm), ident,
@@ -1069,14 +1087,14 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
             return "applied-after-retry" if retried else "applied"
         # lost the race: our merge is based on a stale snapshot
         retried = True
-        if (reuse_stats is not None and delta_pdirs is not None
+        if (reuse_stats is not None and _scope()[1] is not None
                 and not ident):
             # disjoint-writer fast path: if every commit that beat us
             # is partition-disjoint, rebase the stage we already built
             # (file moves + carries, no Spark) instead of re-merging
             status = _rebase_disjoint_stage(
                 target_dir, versions_root, perm, kept, touched,
-                delta_pdirs, commits[-1]["seq"] if commits else -1,
+                _scope()[1], commits[-1]["seq"] if commits else -1,
                 batch_id, writer, keep_versions, reuse_stats[0])
             if status is not None:
                 return status
@@ -1429,9 +1447,13 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
             from .partitioning import table_partitioning as _tp
-            if not (set(sets) & set(_tp(target_dir))):
-                # no SET targets a partition column → updated rows stay
-                # in their partitions and the touched-dir claim is exact
+            if not (set(sets) & set(_tp(target_dir))) and not (
+                    set(gens) & set(_tp(target_dir))):
+                # no SET targets a partition column AND no partition
+                # column is GENERATED (apply_update recomputes
+                # generated columns from SET inputs — a generated
+                # partition column could move rows out of the claimed
+                # dirs) → updated rows stay put, the claim is exact
                 claim = _touched_partition_claim(target_dir, touched)
                 if claim is not None:
                     entry["touched_partitions"] = claim
@@ -1714,9 +1736,15 @@ def upsert_overwrite_partitions(spark, target_dir: str, batch_id: int,
                  "files_rewritten": touched_n,
                  "files_reused": len(kept),
                  "replaced_partitions": len(replaced)}
-        if len(replaced) <= PARTITION_PRUNE_CAP:
+        if len(replaced) <= PARTITION_PRUNE_CAP and _schemas_match(
+                _snapshot_read(spark, target_dir, base_dir).schema,
+                batch_df.schema):
             # exact scope by construction: a dynamic overwrite touches
-            # precisely its batch's partitions (requires parts ⊆ key)
+            # precisely its batch's partitions (requires parts ⊆ key).
+            # The schema gate matters: a claim certifies an UNCHANGED
+            # schema to the rebase classifier (a loser re-links its
+            # old-schema stage verbatim) — a schema-evolving overwrite
+            # must stay unclassifiable. Lazy schema, no Spark job.
             from .partitioning import partition_dir_of
             entry["touched_partitions"] = sorted(
                 partition_dir_of(dict(zip(parts, t))) for t in replaced)
@@ -2016,22 +2044,19 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
         return has.unionByName(
             _assign_identity(needs, ident, hwm)), hwm
 
-    # disjoint-writer scope claim (same mechanics as upsert_commit_-
-    # batch): the source's distinct partition tuples bound BOTH the
-    # touched files and every INSERTed row's partition (parts ⊆ key,
-    # and SET maps are refused on key columns), so the claim is exact
-    # for the incremental path
-    from .partitioning import partition_dir_of as _pdir_of
-    from .partitioning import table_partitioning as _tparts
-    _parts_decl = _tparts(target_dir)
-    merge_pdirs: list[str] | None = None
-    if _parts_decl and set(_parts_decl) <= set(key_cols):
-        _tuples = [r.asDict() for r in
-                   source.select(*_parts_decl).dropDuplicates()
-                   .limit(PARTITION_PRUNE_CAP + 1).collect()]
-        if len(_tuples) <= PARTITION_PRUNE_CAP:
-            merge_pdirs = sorted({_pdir_of(
-                {c: t[c] for c in _parts_decl}) for t in _tuples})
+    # disjoint-writer scope claim (shared mechanics with
+    # upsert_commit_batch via _delta_partition_scope): the source's
+    # distinct partition tuples bound BOTH the touched files and every
+    # INSERTed row's partition (parts ⊆ key, and SET maps are refused
+    # on key columns), so the claim is exact for the incremental path.
+    # Lazy: full-rewrite merges never pay the collect.
+    _scope_cache: list = []
+
+    def _scope():
+        if not _scope_cache:
+            _scope_cache.append(
+                _delta_partition_scope(source, target_dir, key_cols))
+        return _scope_cache[0]
 
     retried = False
     for _attempt in range(max_retries):
@@ -2114,8 +2139,7 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                         >= _min_bytes_cutoff(incremental_min_bytes)):
                     touched = _touched_files_by_keys(
                         spark, base_dir, source, key_cols, target_dir,
-                        part_tuples=(_tuples if merge_pdirs is not None
-                                     else None))
+                        part_tuples=_scope()[0])
                     kept = [f for f in _snapshot_data_files(base_dir)
                             if f not in touched]
                     sub = (_snapshot_read(spark, target_dir, base_dir,
@@ -2181,8 +2205,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                  "version_name": perm, "writer": writer}
         if reuse_stats is not None:
             entry["files_rewritten"], entry["files_reused"] = reuse_stats
-            if merge_pdirs is not None:
-                entry["touched_partitions"] = merge_pdirs
+            if _scope()[1] is not None:
+                entry["touched_partitions"] = _scope()[1]
         if ident:
             entry["identity_hwm"] = _staged_identity_hwm(
                 spark, os.path.join(versions_root, perm), ident,

@@ -120,10 +120,20 @@ def main() -> None:
                 "total_commits": 2 * n}
 
     try:
-        # warmup one tiny commit chain so JVM/codegen costs don't skew A
-        run_mode = run
-        out["fast_path_on"] = run_mode("fast")
-        out["fast_path_off"] = run_mode("off")
+        # warmup: one real (tiny) commit chain through the same code
+        # path so JVM/codegen costs are paid before either timed mode
+        warm = os.path.join(work, "warmup")
+        set_table_partitioning(warm, {"bucket": "bigint"})
+        wdf = spark.range(64).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("bucket"),
+            F.col("id").alias("v"), F.lit(0).alias("ord"))
+        for b in (0, 1):
+            ing.upsert_commit_batch(wdf, warm, b,
+                                    key_cols=["k", "bucket"],
+                                    order_col="ord", keep_versions=4,
+                                    incremental_min_bytes=0)
+        out["fast_path_on"] = run("fast")
+        out["fast_path_off"] = run("off")
     finally:
         ing._staged_write = real_staged_write
         ing._rebase_disjoint_stage = real_rebase
