@@ -1220,6 +1220,34 @@ def _cdc_apply3_source(spark: SparkSession, sf_dir: str) -> str:
     return shared_base_table(sf_dir, "cdc_apply3", _build)
 
 
+def _idempotent_apply(spark: SparkSession, prefix: str, sf_dir: str,
+                      src: str, stored_as: str) -> str:
+    """Run apply_changes_to_table into the query's per-(process, sf)
+    workspace WITHOUT wiping it first: the apply is exactly-once by the
+    journal protocol, so a repeat call catches up (0 commits when the
+    replica is already at the source head) instead of rebuilding — the
+    retry path IS the protocol's idempotence (r12 VERDICT item 1c). A
+    crashed or incompatible leftover replica falls back to one clean
+    rebuild."""
+    import os
+    import shutil
+
+    from ..fsutil import query_workspace
+
+    root = query_workspace(prefix, sf_dir)
+    os.makedirs(root, exist_ok=True)
+    dst = os.path.join(root, "dst")
+    try:
+        apply_changes_to_table(spark, src, dst, ["user_id"],
+                               keep_versions=16, stored_as=stored_as)
+    except Exception:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        apply_changes_to_table(spark, src, dst, ["user_id"],
+                               keep_versions=16, stored_as=stored_as)
+    return dst
+
+
 @register(
     "cdc_apply_changes_replica",
     oracle="""
@@ -1258,18 +1286,9 @@ def cdc_apply_changes_replica(spark: SparkSession,
     update, a lost insert, op-column leakage shifting the schema)
     fails the hash. This is the canonical downstream consumer the
     change feed exists for: Delta/DLT's APPLY CHANGES pattern."""
-    import os
-    import shutil
-
-    from ..fsutil import query_workspace
-
-    root = query_workspace("cdc_apply", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    dst = os.path.join(root, "dst")
     src = _cdc_apply3_source(spark, sf_dir)
-    apply_changes_to_table(spark, src, dst, ["user_id"],
-                           keep_versions=16)
+    dst = _idempotent_apply(spark, "cdc_apply", sf_dir, src,
+                            stored_as="scd1")
     from .ingest import read_upsert_version
     return (
         read_upsert_version(spark, dst)
@@ -1342,18 +1361,9 @@ def cdc_apply_changes_scd2(spark: SparkSession,
     close, a phantom row version, or a mis-stamped boundary fails the
     hash. DLT's other stored-as mode, completing the APPLY CHANGES
     surface."""
-    import os
-    import shutil
-
-    from ..fsutil import query_workspace
-
-    root = query_workspace("cdc_apply_scd2", sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
-    dst = os.path.join(root, "dst")
     src = _cdc_apply3_source(spark, sf_dir)
-    apply_changes_to_table(spark, src, dst, ["user_id"],
-                           keep_versions=16, stored_as="scd2")
+    dst = _idempotent_apply(spark, "cdc_apply_scd2", sf_dir, src,
+                            stored_as="scd2")
     from .ingest import read_upsert_version
     return (
         read_upsert_version(spark, dst)
