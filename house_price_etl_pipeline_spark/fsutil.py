@@ -214,11 +214,45 @@ def commit_time_of(commits_dir: str, entry: dict) -> float | None:
         return None
 
 
+def cas_put_if_absent(path: str, data: bytes) -> bool:
+    """THE compare-and-swap primitive every journal commit goes
+    through: atomically create ``path`` with ``data`` iff no file with
+    that name exists — True iff THIS caller created it. The shape is
+    exactly an object store's conditional write (S3/GCS/Azure
+    ``If-None-Match: *`` PUT; Delta commits through the same call on
+    its log), so a deployment swaps the backend by rebinding this one
+    name (``fsutil.cas_put_if_absent = my_backend``) — nothing above
+    it knows about the filesystem.
+
+    Local backend: single-shot O_EXCL create + write + fsync + parent
+    directory fsync. Single-shot matters: the file appears with its
+    full content or not at all (a failed write unlinks the claim), the
+    same all-or-nothing visibility a conditional PUT gives — readers
+    never see a claimed-but-empty journal slot."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+    except BaseException:
+        os.unlink(path)  # never leave a half-written claimed slot
+        raise
+    _fsync_dir(os.path.dirname(os.path.abspath(path)))
+    return True
+
+
 def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
     """Atomically claim commit number ``seq``. Returns True iff THIS
     caller created the journal entry; False means another writer won
-    the race (caller must re-read the journal and retry). The entry is
-    written via O_EXCL create + fsync + directory fsync.
+    the race (caller must re-read the journal and retry). The write
+    goes through ``cas_put_if_absent`` — the one swappable
+    if-none-match primitive — with the entry fully serialized BEFORE
+    the attempt, so the claim and the content are one atomic act on
+    any backend.
 
     The entry is stamped with an IN-COMMIT timestamp ``ts`` (Delta's
     ICT): wall clock, adjusted to be strictly greater than the
@@ -232,11 +266,6 @@ def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
     import time as _time
 
     os.makedirs(commits_dir, exist_ok=True)
-    path = commit_path(commits_dir, seq)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return False
     ts = _time.time()
     if seq > 0:
         try:
@@ -247,16 +276,8 @@ def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
                 ts = prev_ts + 0.001
         except (OSError, json.JSONDecodeError):
             pass   # previous entry pruned/unreadable: nothing to order
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(dict(payload, seq=seq, ts=ts), f)
-            f.flush()
-            os.fsync(f.fileno())
-    except BaseException:
-        os.unlink(path)  # never leave a half-written claimed slot
-        raise
-    _fsync_dir(commits_dir)
-    return True
+    data = json.dumps(dict(payload, seq=seq, ts=ts)).encode()
+    return cas_put_if_absent(commit_path(commits_dir, seq), data)
 
 
 def query_workspace(prefix: str, sf_dir: str) -> str:

@@ -117,7 +117,8 @@ def _table_columns(target_dir: str) -> list[tuple[str, str]]:
     m = table_column_mapping(target_dir)
     phys_to_log = {p: lg for lg, p in m["renames"].items()}
     dropped = set(m["dropped"])
-    snap = os.path.realpath(target_dir)
+    from .ingest import resolve_published_snapshot
+    snap = resolve_published_snapshot(target_dir)
     files = _data_files(snap)
     if not files:
         from .partitioning import read_empty_marker

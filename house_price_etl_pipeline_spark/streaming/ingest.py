@@ -103,6 +103,44 @@ def _resolve_version_dir(versions_root: str, version: int) -> str | None:
                       and not is_pruned_remnant(legacy)) else None
 
 
+def resolve_published_snapshot(target_dir: str) -> str:
+    """THE head resolver: the path of the table's published snapshot.
+
+    Symlink publish mode leaves a ``target_dir`` link — follow it (one
+    readlink, the local fast path, and what plain
+    ``spark.read.parquet(target)`` users rely on). Pointer mode (or a
+    link lost to an object-store migration) resolves the COMMIT
+    JOURNAL's head instead — Delta's readers-resolve-the-log rule, so
+    publication lag or a stale pointer can never regress a read; the
+    journal read is O(tail) through its checkpoints. The
+    ``_LATEST.json`` pointer file written at publish (Delta's
+    ``_last_checkpoint`` pattern — on an object store it turns the
+    journal LIST into one GET) is only the last resort here, for
+    journal-less layouts.
+
+    Returns ``target_dir`` unchanged when nothing resolves, preserving
+    legacy flat-directory reads and downstream FileNotFound behavior."""
+    import os
+
+    if os.path.islink(target_dir) or os.path.isdir(target_dir):
+        return os.path.realpath(target_dir)
+    versions_root = target_dir + "_versions"
+    commits, _ = _journal_state(versions_root)
+    if commits:
+        d = _resolve_version_dir(versions_root, commits[-1]["version"])
+        if d is not None:
+            return d
+    try:
+        with open(os.path.join(versions_root, "_LATEST.json")) as f:
+            name = json.load(f)["version_name"]
+        cand = os.path.join(versions_root, name)
+        if os.path.isdir(cand):
+            return cand
+    except (OSError, json.JSONDecodeError, KeyError):
+        pass
+    return target_dir
+
+
 def read_upsert_version(spark, target_dir: str,
                         version: int | None = None) -> DataFrame:
     """Time-travel read of a versioned upsert target (the mini table
@@ -116,7 +154,8 @@ def read_upsert_version(spark, target_dir: str,
     import os
 
     if version is None:
-        return _snapshot_read(spark, target_dir, target_dir)
+        return _snapshot_read(spark, target_dir,
+                              resolve_published_snapshot(target_dir))
     versions_root = target_dir + "_versions"
     vdir = _resolve_version_dir(versions_root, version)
     if vdir is None:
@@ -328,10 +367,31 @@ def _publish_commit(target_dir: str, versions_root: str,
                         _round, head["seq"], target_dir)
         if _pre_swap_hook is not None:
             _pre_swap_hook(head)
-        atomic_symlink_swap(
-            target_dir, os.path.join(versions_root, head["version_name"]))
+        from ..config import publish_mode
+        if publish_mode() == "symlink":
+            atomic_symlink_swap(
+                target_dir,
+                os.path.join(versions_root, head["version_name"]))
+        else:
+            # pointer publication: zero symlink syscalls (object stores
+            # have none) — the _LATEST pointer below and the journal
+            # itself ARE the publication. Drop any stale link left by
+            # an earlier symlink-mode publish so the head resolver
+            # can't regress to it after the mode flip.
+            if os.path.islink(target_dir):
+                try:
+                    os.unlink(target_dir)
+                except OSError:
+                    pass
         applied = sorted(c["version"] for c in commits
                          if c.get("op") in _VERSIONING_OPS)
+        # the pointer file (Delta's _last_checkpoint pattern): written
+        # in BOTH modes — derived data, one GET instead of a journal
+        # LIST for object-store readers; the journal stays authoritative
+        atomic_write_json(os.path.join(versions_root, "_LATEST.json"),
+                          {"version": head["version"],
+                           "version_name": head["version_name"],
+                           "seq": head["seq"], "ts": head.get("ts")})
         atomic_write_json(os.path.join(versions_root, "_POINTER.json"),
                           {"version": head["version"], "applied": applied})
         # Prune ONLY snapshots referenced by commits now outside the
@@ -2742,8 +2802,12 @@ def vacuum_upsert_target(target_dir: str,
     versions_root = target_dir + "_versions"
     commits, _ = _journal_state(versions_root)
     referenced = _retained_names(commits, keep_versions)
-    published = os.path.basename(os.path.realpath(target_dir)) \
-        if os.path.islink(target_dir) else None
+    # published head: resolver handles both publish modes (symlink or
+    # pointer/journal); only a head INSIDE the versions root pins a dir
+    _pub = resolve_published_snapshot(target_dir)
+    published = os.path.basename(_pub) \
+        if os.path.dirname(os.path.abspath(_pub)) == \
+        os.path.abspath(versions_root) else None
     # manifest-carry reachability (Delta VACUUM's rule): a retired
     # dir's physical file stays as long as any retained version's (or
     # the published head's) carry manifest references it — deleting it
@@ -3161,7 +3225,7 @@ def merge_into_conditional_orders(spark: SparkSession,
         not_matched_insert="s.o_totalprice >= 100000",
         keep_versions=2)
     return (
-        spark.read.parquet(target)
+        read_upsert_version(spark, target)
         .groupBy(F.floor(F.col("o_totalprice") / 100000)
                  .alias("price_band"))
         .agg(F.count("*").cast("bigint").alias("n_customers"),
@@ -3235,7 +3299,7 @@ def dml_update_where_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"value": "0 - value", "user_id": "user_id + 7"},
         key_cols=["event_id"], keep_versions=2)
     return (
-        spark.read.parquet(target)
+        read_upsert_version(spark, target)
         .groupBy("event_type")
         .agg(F.count("*").cast("bigint").alias("n_rows"),
              dec_sum("value").alias("sum_value"),
@@ -3326,7 +3390,7 @@ def table_generated_column_bands(spark: SparkSession,
     except GeneratedColumnViolation:
         enforced = True
     return (
-        spark.read.parquet(target)
+        read_upsert_version(spark, target)
         .groupBy("price_band")
         .agg(F.count("*").cast("bigint").alias("n_customers"),
              F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
@@ -3394,7 +3458,7 @@ def table_identity_column_ids(spark: SparkSession,
                         target, 1, key_cols=["event_id"],
                         order_col="ord", keep_versions=4)
     v0 = read_upsert_version(spark, target, 0)
-    tbl = spark.read.parquet(target)
+    tbl = read_upsert_version(spark, target)
     v0_max = v0.agg(F.max("row_uid")).first()[0]
     new_min = (tbl.join(v0.select("event_id"), "event_id", "left_anti")
                .agg(F.min("row_uid")).first()[0])
@@ -3593,7 +3657,7 @@ def maintenance_incremental_cow(spark: SparkSession,
         and ops[2].get("files_rewritten", 0) >= 1
         and ops[2].get("files_reused", 0) >= 1)
     return (
-        spark.read.parquet(target)
+        read_upsert_version(spark, target)
         .groupBy("event_type")
         .agg(F.count("*").cast("bigint").alias("n_rows"),
              dec_sum("value").alias("sum_value"))
@@ -4747,7 +4811,7 @@ def show_upsert_partitions(spark, target_dir: str) -> DataFrame:
     parts = table_partitioning(target_dir)
     if not parts:
         raise ValueError(f"{target_dir} is not PARTITIONED BY")
-    head = os.path.realpath(target_dir)
+    head = resolve_published_snapshot(target_dir)
     _ddl = {"tinyint": T.ByteType(), "smallint": T.ShortType(),
             "int": T.IntegerType(), "bigint": T.LongType(),
             "string": T.StringType(), "date": T.DateType(),
@@ -4791,7 +4855,7 @@ def auto_compact_upsert_target(spark, target_dir: str,
 
     from .carry import read_carry, resolve_data_file
 
-    head = os.path.realpath(target_dir)
+    head = resolve_published_snapshot(target_dir)
     carry = read_carry(head)
     small = 0
     for f in _snapshot_data_files(head):

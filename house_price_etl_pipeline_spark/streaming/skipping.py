@@ -256,7 +256,8 @@ def read_skipping(spark: SparkSession, target_dir: str,
     manifest state. Returns (df, n_files_scanned, n_files_total)."""
     from .ingest import _snapshot_read
 
-    snapshot_dir = os.path.realpath(target_dir)
+    from .ingest import resolve_published_snapshot
+    snapshot_dir = resolve_published_snapshot(target_dir)
     kept, total = prune_files(snapshot_dir, predicates)
     if kept:
         # _snapshot_read keeps partition columns (basePath + declared
@@ -330,7 +331,8 @@ def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                         order_col="event_id", keep_versions=2)
     # size the rewrite to ~8 files regardless of SF so the prune ratio
     # is layout-stable from sf0.001 through sf0.1
-    snap_bytes = _data_file_bytes(os.path.realpath(target))
+    from .ingest import resolve_published_snapshot
+    snap_bytes = _data_file_bytes(resolve_published_snapshot(target))
     optimize_upsert_target(
         spark, target, keep_versions=2,
         target_file_bytes=max(1, snap_bytes // 8),
