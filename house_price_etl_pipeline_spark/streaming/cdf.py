@@ -1024,7 +1024,8 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
                            keep_versions: int = 2,
                            writer: str = "replicate",
                            coalesce_after: int | None = 32,
-                           stored_as: str = "scd1") -> int:
+                           stored_as: str = "scd1",
+                           starting_version: int | None = None) -> int:
     """APPLY CHANGES INTO — replicate one versioned table into another
     by consuming the change feed, the DLT/Delta CDC-apply pattern and
     the canonical downstream consumer of ``read_upsert_changes``.
@@ -1085,7 +1086,18 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
     coalescing would skip the intermediate row versions that are the
     mode's entire point. The seed arrives as the snapshot with
     START = seed version — a replica started late has no history
-    before its seed, DLT's same semantics."""
+    before its seed, DLT's same semantics.
+
+    ``starting_version`` (Delta CDF's startingVersion contract,
+    VERDICT r12 item 3): bootstrap an EMPTY replica from version v
+    instead of the earliest retained one — the v snapshot seeds (SCD2:
+    as open rows, START=v / END=NULL) and only versions AFTER v
+    replay, so bootstrapping against a 10⁴-version source costs
+    O(head snapshot + lag-after-v), not O(history), and needs only v
+    and later retained. The replica then has no history before v —
+    seed-at-v + replay is exactly full replay restricted to versions
+    ≥ v (pinned by test). Specifying it for a non-empty destination
+    raises (the replica's own journal already fixes its history)."""
     from ..fsutil import read_commit_journal
     from .ingest import (read_upsert_changes, read_upsert_version,
                          upsert_commit_batch, upsert_merge_into)
@@ -1107,8 +1119,24 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
     # a source version at or below the replica's high-water mark was
     # either applied or coalesced over — never re-applied
     hwm = max(dst_versions) if dst_versions else None
-    pending = [c["version"] for c in src_vc
-               if hwm is None or c["version"] > hwm]
+    if starting_version is not None:
+        if hwm is not None:
+            raise ValueError(
+                f"starting_version={starting_version} on a non-empty "
+                f"replica (high-water mark {hwm}) — the bootstrap seed "
+                f"only applies to an empty destination")
+        if starting_version not in {c["version"] for c in src_vc}:
+            raise ValueError(
+                f"starting_version={starting_version} is not a "
+                f"version of {src_target}")
+        # treat v as the notional high-water mark: the seed below uses
+        # the v snapshot, replay covers strictly-later versions only
+        pending = [starting_version] + [
+            c["version"] for c in src_vc
+            if c["version"] > starting_version]
+    else:
+        pending = [c["version"] for c in src_vc
+                   if hwm is None or c["version"] > hwm]
     if not pending:
         return 0
     applied = 0

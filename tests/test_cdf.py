@@ -862,3 +862,97 @@ def test_stream_apply_changes_scd2_equals_batch(spark, tmp_path):
             read_upsert_version(spark, d_stream)
             .filter("k = 1").collect()} == {
         (1, 10, 0, 1), (1, 11, 1, 3), (1, 12, 3, None)}
+
+
+def test_apply_changes_scd2_starting_version_bootstrap(spark, tmp_path):
+    """startingVersion bootstrap (Delta CDF contract): seeding an empty
+    SCD2 replica at version v (open rows, START=v) and replaying only
+    later versions yields EXACTLY the full replay restricted to
+    versions >= v — rows fully closed before v are absent, rows open
+    across v have START clamped to v, everything after v is identical.
+    Also pins: the bootstrap never touches versions < v (they may be
+    pruned), and specifying it on a non-empty replica raises."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from house_price_etl_pipeline_spark.streaming.cdf import (
+        SCD2_END, SCD2_START, apply_changes_to_table)
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version, upsert_commit_batch, upsert_delete_where)
+
+    s = os.path.join(str(tmp_path), "src")
+
+    def commit(b, rows):
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        upsert_commit_batch(df, s, b, key_cols=["k"], order_col="v",
+                            keep_versions=16, incremental_min_bytes=0)
+
+    commit(0, [(1, 10), (2, 20), (3, 30)])
+    commit(1, [(1, 11), (4, 40)])
+    upsert_delete_where(spark, s, 2, "k = 4", keep_versions=16,
+                        incremental_min_bytes=0)   # k=4 dies before v2? no: AT v2
+    commit(3, [(1, 12), (5, 50)])
+    upsert_delete_where(spark, s, 4, "k = 3", keep_versions=16,
+                        incremental_min_bytes=0)
+
+    full = os.path.join(str(tmp_path), "full")
+    apply_changes_to_table(spark, s, full, ["k"], keep_versions=16,
+                           stored_as="scd2")
+    seeded = os.path.join(str(tmp_path), "seeded")
+    n = apply_changes_to_table(spark, s, seeded, ["k"], keep_versions=16,
+                               stored_as="scd2", starting_version=2)
+    assert n == 3  # seed at v2 + replay of v3 and v4 only
+
+    def hist(t):
+        return {(r.k, r.v, r[SCD2_START], r[SCD2_END]) for r in
+                read_upsert_version(spark, t).collect()}
+
+    # full replay restricted to versions >= 2: drop rows closed at or
+    # before 2, clamp the survivors' START up to 2
+    expected = {(k, v, max(st, 2), en) for (k, v, st, en) in hist(full)
+                if en is None or en > 2}
+    assert hist(seeded) == expected
+    # concretely: k=4 (lived only v1->v2) is absent; k=2's v0 row is
+    # open across v2 so it appears with START=2
+    assert not any(k == 4 for k, *_ in hist(seeded))
+    assert (2, 20, 2, None) in hist(seeded)
+
+    # catch-up after bootstrap keeps working and stays aligned
+    commit(5, [(1, 13)])
+    assert apply_changes_to_table(spark, s, full, ["k"], keep_versions=16,
+                                  stored_as="scd2") == 1
+    assert apply_changes_to_table(spark, s, seeded, ["k"],
+                                  keep_versions=16,
+                                  stored_as="scd2") == 1
+    expected = {(k, v, max(st, 2), en) for (k, v, st, en) in hist(full)
+                if en is None or en > 2}
+    assert hist(seeded) == expected
+
+    # guards: non-empty replica / unknown version
+    with _pytest.raises(ValueError, match="non-empty"):
+        apply_changes_to_table(spark, s, seeded, ["k"], keep_versions=16,
+                               stored_as="scd2", starting_version=3)
+    fresh = os.path.join(str(tmp_path), "fresh")
+    with _pytest.raises(ValueError, match="not a.*version"):
+        apply_changes_to_table(spark, s, fresh, ["k"], keep_versions=16,
+                               stored_as="scd2", starting_version=99)
+
+    # the bootstrap reads only v2 and later: prune v0/v1 dirs entirely
+    # and bootstrap a new replica — must still succeed
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _journal_state)
+    commits, _ = _journal_state(s + "_versions")
+    for c in commits:
+        if c["version"] < 2:
+            shutil.rmtree(os.path.join(s + "_versions",
+                                       c["version_name"]),
+                          ignore_errors=True)
+    boot2 = os.path.join(str(tmp_path), "boot2")
+    apply_changes_to_table(spark, s, boot2, ["k"], keep_versions=16,
+                           stored_as="scd2", starting_version=2)
+    expected2 = {(k, v, max(st, 2), en) for (k, v, st, en) in hist(full)
+                 if en is None or en > 2}
+    assert hist(boot2) == expected2
