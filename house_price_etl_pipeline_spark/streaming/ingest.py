@@ -537,9 +537,21 @@ def _snapshot_read(spark, target_dir: str, snap_dir: str,
         from pyspark.sql import functions as F
 
         groups = owner_groups(snap_dir, rels, carry)
-        dfs = [read_snapshot(spark, owner, parts, g) if parts
-               else spark.read.parquet(
-                   *(os.path.join(owner, f) for f in g))
+        if not parts:
+            # FLAT table: no basePath anchoring needed, so every owner
+            # group collapses into ONE multi-path scan — the read
+            # fan-out at deep retention (r12 VERDICT item 4 probe: 26
+            # owner dirs -> 16x read wall as a union) simply does not
+            # apply; one scan keeps whole-stage codegen, pushdown and
+            # _metadata.file_path intact at any owner count
+            paths = [os.path.join(owner, f)
+                     for owner, g in sorted(groups.items()) for f in g]
+            df = spark.read.parquet(*paths)
+            if file_col is not None:
+                df = df.withColumn(file_col,
+                                   F.col("_metadata.file_path"))
+            return to_logical(df, table_column_mapping(target_dir))
+        dfs = [read_snapshot(spark, owner, parts, g)
                for owner, g in sorted(groups.items())]
         if file_col is not None:
             dfs = [b.withColumn(file_col, F.col("_metadata.file_path"))
@@ -4842,21 +4854,37 @@ def auto_compact_upsert_target(spark, target_dir: str,
                                min_file_bytes: int = 16 * 1024 * 1024,
                                target_file_bytes: int = 128 * 1024 * 1024,
                                keep_versions: int = 2,
-                               writer: str = "auto-compact"
-                               ) -> str | None:
+                               writer: str = "auto-compact",
+                               max_owner_dirs: int = 16) -> str | None:
     """Delta's autoCompact contract: check the head's small-file debt
     with one listing, and run an INCREMENTAL OPTIMIZE only when at
     least ``min_small_files`` files sit under ``min_file_bytes`` —
     otherwise do nothing (None). Call it after commit bursts (e.g.
     from a foreachBatch sink every N batches); the check costs a
     directory walk, the compaction costs O(debt), and a quiet table
-    pays nothing."""
+    pays nothing.
+
+    ``max_owner_dirs`` additionally triggers when a PARTITIONED
+    manifest-carried head's ownership has spread across more than that
+    many version dirs (carry.owner_groups — the r12 item 4 fan-out
+    probe: a partitioned carried read costs one scan branch per owner,
+    so deep-retention single-key commit chains degrade reads until an
+    OPTIMIZE collapses ownership back to one dir; flat tables collapse
+    to a single multi-path scan and never trigger this)."""
     import os
 
-    from .carry import read_carry, resolve_data_file
+    from .carry import owner_groups, read_carry, resolve_data_file
+    from .partitioning import table_partitioning
 
     head = resolve_published_snapshot(target_dir)
     carry = read_carry(head)
+    if carry and table_partitioning(target_dir):
+        if len(owner_groups(head, _snapshot_data_files(head),
+                            carry)) > max_owner_dirs:
+            return optimize_upsert_target(
+                spark, target_dir, keep_versions=keep_versions,
+                writer=writer, target_file_bytes=target_file_bytes,
+                min_file_bytes=min_file_bytes, stats_cols=[])
     small = 0
     for f in _snapshot_data_files(head):
         try:

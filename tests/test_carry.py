@@ -421,3 +421,74 @@ def test_stream_cdf_refuses_pruned_remnant(spark, tmp_path, monkeypatch):
     # batch time travel refuses the remnant the same way
     with pytest.raises(FileNotFoundError, match="not retained"):
         read_upsert_version(spark, t, 1).count()
+
+
+def test_flat_carried_read_is_one_scan_at_any_owner_count(spark, tmp_path,
+                                                          monkeypatch):
+    """r12 VERDICT item 4 (fan-out probe) regression pin, flat half: a
+    FLAT manifest-carried head whose ownership spreads across many
+    version dirs must still read as ONE multi-path scan — no per-owner
+    union — so deep retention costs nothing on the read path
+    (scripts/carry_fanout_probe.py: 26 owners read 0.10s single-scan
+    vs 1.89s as a 26-branch union)."""
+    _manifest_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path, keep_versions=12)
+    for b in range(2, 10):  # 8 single-key commits spread ownership
+        delta = spark.createDataFrame([(b * 17, -b, b)],
+                                      "k bigint, v bigint, ord int")
+        upsert_commit_batch(delta, t, b, key_cols=["k"], order_col="ord",
+                            keep_versions=12, incremental_min_bytes=0,
+                            max_retries=4)
+    from house_price_etl_pipeline_spark.streaming.carry import owner_groups
+    head = _vdir(t)
+    groups = owner_groups(head, snapshot_files(head))
+    assert len(groups) >= 3, "fixture must actually spread ownership"
+    df = read_upsert_version(spark, t)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
+    assert df.count() == 400
+    assert df.filter("v < 0").count() == 8
+
+
+def test_auto_compact_collapses_partitioned_owner_fanout(spark, tmp_path,
+                                                         monkeypatch):
+    """r12 VERDICT item 4 regression pin, partitioned half: a
+    PARTITIONED carried read pays one scan branch per owner dir
+    (basePath anchoring allows no single scan), so
+    auto_compact_upsert_target triggers on owner spread and one
+    incremental OPTIMIZE collapses ownership back to a single dir with
+    identical rows."""
+    _manifest_mode(monkeypatch)
+    from house_price_etl_pipeline_spark.streaming.carry import owner_groups
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        auto_compact_upsert_target)
+
+    t = os.path.join(str(tmp_path), "ptbl")
+    set_table_partitioning(t, {"p": "int"})
+    base = spark.range(200).selectExpr("id as k", "id * 2 as v",
+                                       "cast(id % 4 as int) as p",
+                                       "0 as ord")
+    upsert_commit_batch(base, t, 0, key_cols=["k"], order_col="ord",
+                        keep_versions=12, incremental_min_bytes=0,
+                        max_retries=4)
+    for b in range(1, 7):   # spread ownership across 6 more dirs
+        delta = spark.createDataFrame([(b, -b, b % 4, b)],
+                                      "k bigint, v bigint, p int, ord int")
+        upsert_commit_batch(delta, t, b, key_cols=["k"], order_col="ord",
+                            keep_versions=12, incremental_min_bytes=0,
+                            max_retries=4)
+    head = _vdir(t)
+    spread = len(owner_groups(head, snapshot_files(head)))
+    assert spread >= 3
+    before = {(r.k, r.v, r.p) for r in read_upsert_version(spark, t).collect()}
+    # below the spread: no trigger;  at/above: one OPTIMIZE commit
+    assert auto_compact_upsert_target(
+        spark, t, min_small_files=10**6, keep_versions=12,
+        max_owner_dirs=spread) is None
+    assert auto_compact_upsert_target(
+        spark, t, min_small_files=10**6, keep_versions=12,
+        max_owner_dirs=spread - 1) is not None
+    head = _vdir(t)
+    assert len(owner_groups(head, snapshot_files(head))) == 1
+    after = {(r.k, r.v, r.p) for r in read_upsert_version(spark, t).collect()}
+    assert after == before
