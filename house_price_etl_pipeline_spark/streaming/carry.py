@@ -245,6 +245,12 @@ def prune_version_dir(versions_root: str, name: str,
         # tombstone it so time travel refuses it loudly instead of
         # returning the partial file set as if it were the version
         from ..fsutil import atomic_write_json
-        atomic_write_json(os.path.join(path, PRUNED_MARKER),
-                          {"pruned": True})
+        try:
+            atomic_write_json(os.path.join(path, PRUNED_MARKER),
+                              {"pruned": True})
+        except (FileNotFoundError, NotADirectoryError):
+            # a concurrent pruner (publish-time retention vs VACUUM)
+            # finished the dir off between our walk and the tombstone
+            # write — same terminal state, nothing to mark
+            return True
     return removed_all

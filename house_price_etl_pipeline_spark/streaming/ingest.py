@@ -2798,7 +2798,20 @@ def vacuum_upsert_target(target_dir: str,
 
     Retention below the floor requires ``force=True`` (VERDICT r5
     item 5 — Delta's retentionDurationCheck): a default call can never
-    reclaim a snapshot another writer staged seconds ago."""
+    reclaim a snapshot another writer staged seconds ago.
+
+    ``force`` waives the floor for RETIRED history only (dirs some
+    journal entry names): reclaiming those early breaks at worst a
+    time-travel reader. A dir NO journal entry names is different — it
+    is either a crashed leftover or a LIVE transaction (a stage mid-
+    write, or a renamed snapshot between its rename and its CAS), and
+    deleting a live one corrupts a writer, so journal-unreferenced
+    dirs keep the full floor regardless of ``force`` (r12 VERDICT item
+    5 stress: an age-0 force VACUUM racing disjoint writers reaped
+    their stages mid-write). Crashed leftovers still reclaim once they
+    age past the floor. Delta draws the same line: only files the log
+    doesn't reference wait out the retention period, because they may
+    belong to an uncommitted transaction."""
     import os
     import shutil
     import time
@@ -2814,6 +2827,7 @@ def vacuum_upsert_target(target_dir: str,
     versions_root = target_dir + "_versions"
     commits, _ = _journal_state(versions_root)
     referenced = _retained_names(commits, keep_versions)
+    journaled = {c["version_name"] for c in commits}
     # published head: resolver handles both publish modes (symlink or
     # pointer/journal); only a head INSIDE the versions root pins a dir
     _pub = resolve_published_snapshot(target_dir)
@@ -2837,8 +2851,14 @@ def vacuum_upsert_target(target_dir: str,
         path = os.path.join(versions_root, name)
         if not os.path.isdir(path):
             continue
-        if now - os.path.getmtime(path) < older_than_seconds:
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue          # a concurrent reclaim beat us to it
+        if age < older_than_seconds:
             continue
+        if name not in journaled and age < VACUUM_RETENTION_FLOOR_S:
+            continue          # possibly in-flight — see docstring
         if prune_version_dir(versions_root, name, pinned,
                              dry_run=dry_run):
             removed.append(name)

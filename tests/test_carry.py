@@ -492,3 +492,96 @@ def test_auto_compact_collapses_partitioned_owner_fanout(spark, tmp_path,
     assert len(owner_groups(head, snapshot_files(head))) == 1
     after = {(r.k, r.v, r.p) for r in read_upsert_version(spark, t).collect()}
     assert after == before
+
+
+def test_rebase_fast_path_survives_concurrent_vacuum_manifest(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r12 item 5: the disjoint-writer REBASE fast path racing
+    VACUUM in manifest carry mode. Two writers hammer disjoint
+    partitions (losers rebase: carry manifests re-pointed at the new
+    head between a stat-check and a publish) while a third thread
+    force-VACUUMs at zero age with tight retention — the exact window
+    where a rebase's carry targets can vanish mid-carry. Pins: every
+    commit lands (rebase or graceful full re-stage fallback), VACUUM
+    never errors, the journal stays gap-free, the final state equals
+    serial application, and NO retained version is left with a
+    dangling carry entry (every manifest target resolves to a physical
+    file)."""
+    import threading
+    import time
+
+    from house_price_etl_pipeline_spark.streaming.carry import read_carry
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        _journal_state, _retained_names, resolve_published_snapshot,
+        vacuum_upsert_target)
+
+    _manifest_mode(monkeypatch)
+    t = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(t, {"bucket": "bigint"})
+    base = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("bucket"),
+        F.lit(0).cast("long").alias("payload"),
+        F.lit(0).cast("long").alias("ord"))
+    upsert_commit_batch(base, t, 0, key_cols=["k", "bucket"],
+                        order_col="ord", keep_versions=2,
+                        incremental_min_bytes=0)
+
+    errors, stop = [], threading.Event()
+
+    def writer(tag, bucket, ids):
+        try:
+            for bid in ids:
+                df = spark.createDataFrame(
+                    [(bucket * 100 + j, bucket, bid, bid)
+                     for j in range(3)],
+                    "k long, bucket long, payload long, ord long")
+                r = upsert_commit_batch(
+                    df, t, bid, key_cols=["k", "bucket"],
+                    order_col="ord", keep_versions=2, writer=tag,
+                    max_retries=16, incremental_min_bytes=0)
+                assert r in ("applied", "applied-after-retry"), r
+        except Exception as exc:  # pragma: no cover
+            errors.append((tag, exc))
+
+    def vacuumer():
+        try:
+            while not stop.is_set():
+                vacuum_upsert_target(t, older_than_seconds=0,
+                                     keep_versions=2, force=True)
+                time.sleep(0.005)
+        except Exception as exc:  # pragma: no cover
+            errors.append(("vacuum", exc))
+
+    ts = [threading.Thread(target=writer, args=("a", 1, [1, 3, 5, 7, 9])),
+          threading.Thread(target=writer, args=("b", 2, [2, 4, 6, 8, 10])),
+          threading.Thread(target=vacuumer)]
+    for th in ts:
+        th.start()
+    for th in ts[:2]:
+        th.join()
+    stop.set()
+    ts[2].join()
+    assert errors == []
+
+    commits, _ = _journal_state(t + "_versions")
+    assert [c["seq"] for c in commits] == list(range(len(commits)))
+    assert {c["version"] for c in commits} == set(range(11))
+    # final state == serial keep-latest application
+    got = {r.k: (r.bucket, r.payload) for r in
+           read_upsert_version(spark, t).collect()}
+    model = {i: (i % 3, 0) for i in range(30)}
+    model.update({100 + j: (1, 9) for j in range(3)})
+    model.update({200 + j: (2, 10) for j in range(3)})
+    assert got == model
+    # no dangling manifest entries anywhere still reachable: every
+    # carry target of every RETAINED version (and the published head)
+    # must resolve to a physical file
+    vroot = t + "_versions"
+    reachable = _retained_names(commits, 2)
+    reachable.add(os.path.basename(resolve_published_snapshot(t)))
+    for name in sorted(reachable):
+        d = os.path.join(vroot, name)
+        assert os.path.isdir(d), f"retained version dir missing: {name}"
+        for rel, tgt in read_carry(d).items():
+            assert os.path.exists(os.path.join(vroot, tgt)), (
+                f"dangling carry entry {rel} -> {tgt} in {name}")

@@ -751,10 +751,23 @@ def test_vacuum_dry_run(spark, tmp_path):
         vacuum_upsert_target)
     t = _mk(spark, tmp_path)
     # publish already prunes retired versions; VACUUM's customers are
-    # crash-orphaned staging dirs — fake two
+    # crash-orphaned staging dirs — fake two, AGED past the in-flight
+    # floor (journal-unreferenced dirs younger than the floor are
+    # protected regardless of force: they may be live transactions —
+    # r12 VERDICT item 5)
+    import time as _time
     root = t + "_versions"
+    old = _time.time() - 2 * 3600
     for n in ("_stage_crashed_dead0001", "_stage_crashed_dead0002"):
-        os.makedirs(os.path.join(root, n))
+        d = os.path.join(root, n)
+        os.makedirs(d)
+        os.utime(d, (old, old))
+    # while they look young, even force-0 refuses them
+    fresh = os.path.join(root, "_stage_crashed_fresh0003")
+    os.makedirs(fresh)
+    assert "_stage_crashed_fresh0003" not in vacuum_upsert_target(
+        t, older_than_seconds=0, force=True, dry_run=True)
+    os.rmdir(fresh)
     would = vacuum_upsert_target(t, older_than_seconds=0, force=True,
                                  dry_run=True)
     assert set(would) >= {"_stage_crashed_dead0001",

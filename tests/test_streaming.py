@@ -1304,6 +1304,15 @@ def test_upsert_optimize_vacuum_and_change_feed(spark, tmp_path):
     # than the retention floor, so it survives
     assert vacuum_upsert_target(target, keep_versions=4) == []
     assert os.path.isdir(os.path.join(versions_root, "_stage_dead_beef"))
+    # even force-0 refuses a YOUNG journal-unreferenced dir — it could
+    # be a live transaction (r12 VERDICT item 5); aged past the floor,
+    # it's a crash orphan and reclaims
+    assert "_stage_dead_beef" not in vacuum_upsert_target(
+        target, older_than_seconds=0.0, keep_versions=4, force=True)
+    import time as _time
+    _old = _time.time() - 2 * 3600
+    os.utime(os.path.join(versions_root, "_stage_dead_beef"),
+             (_old, _old))
     removed = vacuum_upsert_target(target, older_than_seconds=0.0,
                                    keep_versions=4, force=True)
     assert "_stage_dead_beef" in removed
