@@ -603,6 +603,14 @@ def _staged_write(df, target_dir: str, stage_path: str,
                 f"declaration {parts}: got {bad} — cast the batch "
                 f"before writing (partition types are table metadata, "
                 f"never per-batch)")
+        # genuine-sentinel string values -> surrogate, so on disk only
+        # real NULLs carry __HIVE_DEFAULT_PARTITION__ (decoded back by
+        # read_snapshot / partition_values_of)
+        from .partitioning import encode_partition_sentinels
+        df = encode_partition_sentinels(df, parts)
+        w = df.write.mode("overwrite")
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
         w = w.partitionBy(*parts)
     w.parquet(stage_path)
     if parts:

@@ -798,9 +798,12 @@ def test_null_sentinel_checked_before_unescape(tmp_path):
         HIVE_DEFAULT_PARTITION, _escape_hive, partition_dir_of)
 
     parts = {"tag": "string"}
-    # a genuine value equal to the sentinel escapes its first char
+    # a genuine value equal to the sentinel routes through the
+    # column-level surrogate, then standard path escaping ('%'->'%25')
+    # — byte-identical to what Spark's partitionBy writer produces for
+    # the encoded value (r12 VERDICT item 6)
     esc = _escape_hive(HIVE_DEFAULT_PARTITION)
-    assert esc != HIVE_DEFAULT_PARTITION and esc.startswith("%5F")
+    assert esc != HIVE_DEFAULT_PARTITION and esc.startswith("%255F")
     got = partition_values_of(
         os.path.join(f"tag={esc}", "part-0.parquet"), parts)
     assert got == {"tag": HIVE_DEFAULT_PARTITION}
@@ -1247,3 +1250,65 @@ def test_rebase_across_disjoint_incremental_optimize(spark, tmp_path):
            read_upsert_version(spark, target).collect()}
     assert got[101] == (1, 42) and got[102] == (2, 43)
     assert len(got) == 42
+
+
+def test_hive_sentinel_string_roundtrips_distinct_from_null(
+        spark, tmp_path):
+    """VERDICT r12 item 6: a GENUINE string partition value equal to
+    __HIVE_DEFAULT_PARTITION__ is surrogate-encoded at write time, so
+    it round-trips distinct from NULL through every path — snapshot
+    read, change feed, metadata partition drop — instead of colliding
+    in the NULL directory (the partition column is path-only, so the
+    old collision was unrecoverable after the write)."""
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_changes, upsert_drop_partitions)
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        HIVE_DEFAULT_PARTITION, HIVE_SENTINEL_SURROGATE,
+        list_partition_dirs)
+
+    t = os.path.join(str(tmp_path), "tbl")
+    set_table_partitioning(t, {"p": "string"})
+    rows = [(0, None, 10), (1, HIVE_DEFAULT_PARTITION, 20),
+            (2, "normal", 30)]
+    df = spark.createDataFrame(rows, "k bigint, p string, v bigint")
+    upsert_commit_batch(df, t, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+
+    # snapshot read: three DISTINCT partition values, decoded exactly
+    got = {r.k: r.p for r in read_upsert_version(spark, t).collect()}
+    assert got == {0: None, 1: HIVE_DEFAULT_PARTITION, 2: "normal"}
+    # on disk: NULL's dir carries the raw sentinel; the genuine value's
+    # dir carries the escaped surrogate — two different directories
+    vroot = t + "_versions"
+    commits, _ = _journal_state(vroot)
+    head = os.path.join(vroot, commits[-1]["version_name"])
+    dirs = set(list_partition_dirs(head, {"p": "string"}))
+    assert f"p={HIVE_DEFAULT_PARTITION}" in dirs
+    assert not any(HIVE_SENTINEL_SURROGATE in d for d in dirs)  # escaped
+    assert len(dirs) == 3
+    # Python path decode agrees with the Spark read
+    vals = {d: v["p"] for d, v in
+            list_partition_dirs(head, {"p": "string"}).items()}
+    assert set(vals.values()) == {None, HIVE_DEFAULT_PARTITION, "normal"}
+
+    # change feed: an update in each partition reports decoded values
+    df2 = spark.createDataFrame(
+        [(0, None, 11), (1, HIVE_DEFAULT_PARTITION, 21)],
+        "k bigint, p string, v bigint")
+    upsert_commit_batch(df2, t, 1, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    ch = read_upsert_changes(spark, t, 0, 1, ["k"])
+    post = {r.k: r.p for r in
+            ch.filter("change_type = 'update_postimage'").collect()}
+    assert post == {0: None, 1: HIVE_DEFAULT_PARTITION}
+
+    # drop-predicate paths: p IS NULL drops ONLY the real NULL rows;
+    # p = '<sentinel>' drops ONLY the genuine-string rows
+    upsert_drop_partitions(spark, t, 2, "p IS NULL", keep_versions=8)
+    left = {r.k: r.p for r in read_upsert_version(spark, t).collect()}
+    assert left == {1: HIVE_DEFAULT_PARTITION, 2: "normal"}
+    upsert_drop_partitions(spark, t, 3,
+                           f"p = '{HIVE_DEFAULT_PARTITION}'",
+                           keep_versions=8)
+    left = {r.k: r.p for r in read_upsert_version(spark, t).collect()}
+    assert left == {2: "normal"}
