@@ -473,13 +473,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------------
 
+_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash (Charikar '02): per-token xxhash64, signed bit-vote
     sum, sign → fingerprint; near-dups = Hamming ≤ 3 found via the
     4x16-bit chunk pigeonhole (distance ≤ 3 ⇒ ≥1 chunk equal), so
     candidates come from a chunk-bucket equi-join, not all-pairs. Feature
     set = 3-gram shingles (see shingle_expr) so fingerprints are
-    near-uniform and chunk buckets stay selective."""
+    near-uniform and chunk buckets stay selective. Materialized once per
+    (session, SF) like the MinHash pair list — the 64-vote aggregation
+    is the family's heaviest single pass and its output is tiny."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     tok = _shared_shingle_tok(spark, sf_dir)
     h = F.xxhash64("t")
     votes = [
@@ -522,13 +531,16 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = sum(
         F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(4)
     )
-    return (
+    out = (
         cand.join(fa, "doc_a").join(fb, "doc_b")
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+        .localCheckpoint(eager=True)   # pair-scale; plan-truncated
     )
+    _SIMHASH_PAIRS_CACHE[key] = out
+    return out
 
 
 SIMHASH_PRECISION_FLOOR = 0.9  # measured 1.00 across sf0.001-0.1
