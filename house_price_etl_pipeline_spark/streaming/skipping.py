@@ -317,8 +317,6 @@ def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                          upsert_commit_batch)
 
     root = _skipping_workspace(sf_dir)
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root)
     target = os.path.join(root, "tbl")
     # half the events (deterministic slice, oracle's e CTE mirrors it):
     # the check exercises commit → OPTIMIZE ZORDER → manifest → pruned
@@ -327,20 +325,30 @@ def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("event_id") % 2 == 0)
           .select("event_id", "user_id", "event_type", "value"))
-    upsert_commit_batch(ev, target, 0, key_cols=["event_id"],
-                        order_col="event_id", keep_versions=2)
-    # size the rewrite to ~8 files regardless of SF so the prune ratio
-    # is layout-stable from sf0.001 through sf0.1
-    from .ingest import resolve_published_snapshot
-    snap_bytes = _data_file_bytes(resolve_published_snapshot(target))
-    optimize_upsert_target(
-        spark, target, keep_versions=2,
-        target_file_bytes=max(1, snap_bytes // 8),
-        zorder_by=["user_id", "event_id"])
-    lo_hi = ev.agg(F.min("user_id").alias("lo"),
-                   F.max("user_id").alias("hi")).collect()[0]
-    lo = int(lo_hi.lo)
-    hi = lo + (int(lo_hi.hi) - lo) // 16
+
+    # the commit + OPTIMIZE ZORDER build is durable; a repeat call is a
+    # consumer of the manifest — the pruned READ below runs every call
+    # (session_once, r12 item 1 pattern)
+    def _run():
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        upsert_commit_batch(ev, target, 0, key_cols=["event_id"],
+                            order_col="event_id", keep_versions=2)
+        # size the rewrite to ~8 files regardless of SF so the prune
+        # ratio is layout-stable from sf0.001 through sf0.1
+        from .ingest import resolve_published_snapshot
+        snap_bytes = _data_file_bytes(resolve_published_snapshot(target))
+        optimize_upsert_target(
+            spark, target, keep_versions=2,
+            target_file_bytes=max(1, snap_bytes // 8),
+            zorder_by=["user_id", "event_id"])
+        lo_hi = ev.agg(F.min("user_id").alias("lo"),
+                       F.max("user_id").alias("hi")).collect()[0]
+        return int(lo_hi.lo), int(lo_hi.hi)
+
+    from ..fsutil import session_once
+    lo, hi0 = session_once(spark, "file_skipping_tbl", sf_dir, _run)
+    hi = lo + (hi0 - lo) // 16
     df, n_scanned, n_total = read_skipping(spark, target,
                                            {"user_id": (lo, hi)})
     return (
