@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 
 
 def _fsync_dir(d: str) -> None:
@@ -281,6 +282,8 @@ def try_commit(commits_dir: str, seq: int, payload: dict) -> bool:
 
 
 _SESSION_ONCE: dict[tuple, object] = {}
+_SESSION_ONCE_LOCKS: dict[tuple, threading.Lock] = {}
+_SESSION_ONCE_GUARD = threading.Lock()
 
 
 def session_once(spark, name: str, sf_dir: str, build):
@@ -292,11 +295,19 @@ def session_once(spark, name: str, sf_dir: str, build):
     reads state it committed earlier. The build must leave its
     artifact durably on disk (the caller's consumer re-reads it every
     call); fresh processes — the driver's correctness gate — always
-    pay the full build."""
+    pay the full build.
+
+    Thread-safe per key: builds start with an rmtree of their shared
+    workspace, so two concurrent calls racing into the same build
+    would wipe each other mid-run — a per-key lock serializes them
+    (second caller finds the cache filled and skips the build)."""
     key = (spark.sparkContext.applicationId, name,
            os.path.abspath(sf_dir))
-    if key not in _SESSION_ONCE:
-        _SESSION_ONCE[key] = build()
+    with _SESSION_ONCE_GUARD:
+        lock = _SESSION_ONCE_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key not in _SESSION_ONCE:
+            _SESSION_ONCE[key] = build()
     return _SESSION_ONCE[key]
 
 

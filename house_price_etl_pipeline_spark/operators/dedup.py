@@ -691,7 +691,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     Catalyst plans stay constant-size across iterations instead of
     growing — the driver-side planning gap per round was comparable to
     the shuffle work itself on small pair lists."""
-    sym = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the INPUT once before the symmetric union references
+    # it twice — an expensive uncheckpointed pair-generation plan would
+    # otherwise execute once per union branch (harness callers pass
+    # already-materialized frames, for which this is a tiny copy)
+    sym = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .localCheckpoint(eager=True))
     edges = (sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True))

@@ -546,10 +546,6 @@ except ImportError:  # pragma: no cover
         raise NotImplementedError("Python DataSource writer needs Spark >= 4.0")
 
 
-# completed drains per (session, sf_dir) — see stream_pysink_jsonl
-_PYSINK_DRAINED: dict[tuple[str, str], str] = {}
-
-
 @register(
     "stream_pysink_jsonl",
     oracle=f"""
@@ -582,14 +578,16 @@ def stream_pysink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one reused workspace per (process, sf_dir): bench retries re-run
     # this query — a mkdtemp per call leaks a full sink + checkpoint
-    # copy. Session-cached shared base (r12 VERDICT item 1b, same
-    # pattern as the CDF chains): the drain through the Python
-    # reader+writer is deterministic for a given sf_dir, so repeat
-    # calls in one session skip straight to the consumer read-back —
-    # what a real pipeline does with an already-committed sink.
+    # copy. session_once (r12 VERDICT item 1b, same pattern as the CDF
+    # chains): the drain through the Python reader+writer is
+    # deterministic for a given sf_dir, so repeat calls in one session
+    # skip straight to the consumer read-back — what a real pipeline
+    # does with an already-committed sink.
+    from ..fsutil import session_once
+
     out_dir = query_workspace("pysink_jsonl", sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if _PYSINK_DRAINED.get(key) != out_dir:
+
+    def _drain():
         register_synthetic_source(spark)
         register_jsonaudit_sink(spark)
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -607,7 +605,9 @@ def stream_pysink_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        _PYSINK_DRAINED[key] = out_dir  # only after a COMPLETE drain
+        return out_dir
+
+    session_once(spark, "pysink_jsonl_drain", sf_dir, _drain)
     # explicit schema: json inference would cost a second full pass
     back = spark.read.schema(SYNTH_EVENTS_SCHEMA).json(
         os.path.join(out_dir, "batch-*", "*.jsonl"))

@@ -1129,6 +1129,14 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
             raise ValueError(
                 f"starting_version={starting_version} is not a "
                 f"version of {src_target}")
+        from .ingest import _resolve_version_dir
+        if _resolve_version_dir(src_target + "_versions",
+                                starting_version) is None:
+            raise ValueError(
+                f"starting_version={starting_version} is no longer "
+                f"retained on {src_target} — the bootstrap seeds from "
+                f"that snapshot (raise keep_versions, or start at a "
+                f"retained version)")
         # treat v as the notional high-water mark: the seed below uses
         # the v snapshot, replay covers strictly-later versions only
         pending = [starting_version] + [

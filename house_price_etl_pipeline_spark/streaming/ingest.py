@@ -122,7 +122,10 @@ def resolve_published_snapshot(target_dir: str) -> str:
     legacy flat-directory reads and downstream FileNotFound behavior."""
     import os
 
-    if os.path.islink(target_dir) or os.path.isdir(target_dir):
+    # a BROKEN link (target pruned/migrated away) must not win over
+    # the journal — isdir() follows the link, so it is False for a
+    # dangling one and resolution falls through to the journal head
+    if os.path.isdir(target_dir):
         return os.path.realpath(target_dir)
     versions_root = target_dir + "_versions"
     commits, _ = _journal_state(versions_root)
@@ -584,9 +587,6 @@ def _staged_write(df, target_dir: str, stage_path: str,
     from .partitioning import table_partitioning
 
     df = to_physical(df, table_column_mapping(target_dir))
-    w = df.write.mode("overwrite")
-    if max_records_per_file is not None:
-        w = w.option("maxRecordsPerFile", str(max_records_per_file))
     parts = table_partitioning(target_dir)
     if parts:
         missing = [c for c in parts if c not in df.columns]
@@ -608,9 +608,10 @@ def _staged_write(df, target_dir: str, stage_path: str,
         # read_snapshot / partition_values_of)
         from .partitioning import encode_partition_sentinels
         df = encode_partition_sentinels(df, parts)
-        w = df.write.mode("overwrite")
-        if max_records_per_file is not None:
-            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if parts:
         w = w.partitionBy(*parts)
     w.parquet(stage_path)
     if parts:
@@ -2837,11 +2838,14 @@ def vacuum_upsert_target(target_dir: str,
     referenced = _retained_names(commits, keep_versions)
     journaled = {c["version_name"] for c in commits}
     # published head: resolver handles both publish modes (symlink or
-    # pointer/journal); only a head INSIDE the versions root pins a dir
+    # pointer/journal); only a head INSIDE the versions root pins a
+    # dir. realpath BOTH sides — the resolver returns a fully-resolved
+    # path in symlink mode, and a symlinked parent (e.g. /tmp on some
+    # systems) would otherwise silently unpin the live head
     _pub = resolve_published_snapshot(target_dir)
     published = os.path.basename(_pub) \
-        if os.path.dirname(os.path.abspath(_pub)) == \
-        os.path.abspath(versions_root) else None
+        if os.path.realpath(os.path.dirname(os.path.abspath(_pub))) == \
+        os.path.realpath(versions_root) else None
     # manifest-carry reachability (Delta VACUUM's rule): a retired
     # dir's physical file stays as long as any retained version's (or
     # the published head's) carry manifest references it — deleting it
@@ -4917,10 +4921,14 @@ def auto_compact_upsert_target(spark, target_dir: str,
     if carry and table_partitioning(target_dir):
         if len(owner_groups(head, _snapshot_data_files(head),
                             carry)) > max_owner_dirs:
+            # FULL rewrite (min_file_bytes=None), deliberately: an
+            # incremental OPTIMIZE carries well-sized files under
+            # their ORIGINAL owners, so it can never collapse
+            # ownership — the whole point of this trigger
             return optimize_upsert_target(
                 spark, target_dir, keep_versions=keep_versions,
                 writer=writer, target_file_bytes=target_file_bytes,
-                min_file_bytes=min_file_bytes, stats_cols=[])
+                stats_cols=[])
     small = 0
     for f in _snapshot_data_files(head):
         try:

@@ -240,8 +240,22 @@ def read_snapshot(spark, snapshot_dir: str, parts: dict[str, str],
     else:
         df = r.parquet(snapshot_dir)
     # genuine-sentinel string values were surrogate-encoded at write
-    # time (see HIVE_SENTINEL_SURROGATE) — decode on every typed read
-    return decode_partition_sentinels(df, parts)
+    # time (see HIVE_SENTINEL_SURROGATE) — decode them back, but ONLY
+    # when a surrogate directory actually exists in this snapshot: the
+    # decode is a CASE WHEN over the partition attribute, which would
+    # defeat scan-level partition pruning on the column for every
+    # normal table that never stored the sentinel string
+    str_cols = [c for c, t in parts.items() if t.lower() == "string"]
+    if str_cols:
+        esc = _escape_hive(HIVE_DEFAULT_PARTITION)
+        if files is not None:
+            probe = files
+        else:
+            from .carry import snapshot_files
+            probe = snapshot_files(snapshot_dir)
+        if any(esc in f for f in probe):
+            df = decode_partition_sentinels(df, parts)
+    return df
 
 
 # Column-level surrogate for a GENUINE string value equal to the NULL

@@ -1312,3 +1312,36 @@ def test_hive_sentinel_string_roundtrips_distinct_from_null(
                            keep_versions=8)
     left = {r.k: r.p for r in read_upsert_version(spark, t).collect()}
     assert left == {2: "normal"}
+
+
+def test_string_partition_pruning_survives_sentinel_decode(spark,
+                                                           tmp_path):
+    """The sentinel decode is a CASE WHEN over the partition attribute,
+    which would defeat scan-level pruning — so it must apply ONLY when
+    a surrogate directory actually exists. Pins both sides: a normal
+    string-partitioned table keeps PartitionFilters pruning on the raw
+    column; a table holding a genuine-sentinel value still decodes."""
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        HIVE_DEFAULT_PARTITION)
+
+    t = os.path.join(str(tmp_path), "plain")
+    set_table_partitioning(t, {"tag": "string"})
+    df = spark.createDataFrame(
+        [(i, f"t{i % 4}", i) for i in range(40)],
+        "k bigint, tag string, v bigint")
+    upsert_commit_batch(df, t, 0, key_cols=["k", "tag"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    snap = read_upsert_version(spark, t).filter(F.col("tag") == "t1")
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(tag" in plan, plan
+    assert snap.count() == 10
+
+    s = os.path.join(str(tmp_path), "sent")
+    set_table_partitioning(s, {"tag": "string"})
+    df2 = spark.createDataFrame(
+        [(0, HIVE_DEFAULT_PARTITION, 1), (1, "plain", 2), (2, None, 3)],
+        "k bigint, tag string, v bigint")
+    upsert_commit_batch(df2, s, 0, key_cols=["k"], order_col="v",
+                        keep_versions=8, incremental_min_bytes=0)
+    got = {r.k: r.tag for r in read_upsert_version(spark, s).collect()}
+    assert got == {0: HIVE_DEFAULT_PARTITION, 1: "plain", 2: None}

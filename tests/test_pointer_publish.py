@@ -183,3 +183,18 @@ def test_cas_single_shot_content(tmp_path):
         os.path.join(cd, "c0000000000.json"), b'{"seq": 9}')
     with open(os.path.join(cd, "c0000000000.json")) as f:
         assert json.load(f) == {"seq": 0}
+
+
+def test_dangling_symlink_falls_back_to_journal(spark, tmp_path,
+                                                monkeypatch):
+    """A BROKEN published link (target pruned by an external cleanup or
+    lost in a migration) must not win over the journal: the resolver
+    falls through to the journal head and reads keep working."""
+    monkeypatch.setenv("SPARK_GRAFT_CARRY_MODE", "manifest")
+    t = _mk_flat(spark, tmp_path)
+    assert os.path.islink(t)
+    os.unlink(t)
+    os.symlink(os.path.join(t + "_versions", "does_not_exist"), t)
+    pub = resolve_published_snapshot(t)
+    assert os.path.isdir(pub) and os.path.dirname(pub) == t + "_versions"
+    assert read_upsert_version(spark, t).count() == 400
