@@ -4458,7 +4458,9 @@ def maintenance_clone_constraint(spark: SparkSession,
         enforced = True
 
     def agg(path: str, tag: str) -> DataFrame:
-        return (spark.read.parquet(path)
+        # head resolver, not a bare path read: works in pointer publish
+        # mode and reads carried files in manifest mode
+        return (read_upsert_version(spark, path)
                 .agg(F.count("*").cast("bigint").alias("n_customers"),
                      F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
                      .cast("double").alias("sum_price"))
