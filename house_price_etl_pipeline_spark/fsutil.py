@@ -287,15 +287,16 @@ _SESSION_ONCE_GUARD = threading.Lock()
 
 
 def session_once(spark, name: str, sf_dir: str, build):
-    """Run a catalog harness BUILD once per (session, name, sf_dir) and
-    cache its small driver-side result (paths, flags) — the
-    committed-state retry pattern (VERDICT r12 item 1): bench
-    stall-retries and repeat calls consume the already-committed
-    artifact instead of rebuilding it, exactly as a real pipeline
-    reads state it committed earlier. The build must leave its
-    artifact durably on disk (the caller's consumer re-reads it every
-    call); fresh processes — the driver's correctness gate — always
-    pay the full build.
+    """Run a FIXTURE build once per (session, name, sf_dir) and cache
+    its small driver-side result (paths, flags).
+
+    Contract (VERDICT r13 item 1): this is for INPUT fixtures only —
+    state that is the *precondition* of an operator (a shared base
+    table, a CDC source feed, a seed corpus), never the operator's own
+    output. A catalog query's operator under test must RE-RUN on every
+    call (see run_serialized); caching the operator's committed result
+    and re-reading it on bench retries records consumer-read cost as
+    operator cost and corrupts the per-query floors.
 
     Thread-safe per key: builds start with an rmtree of their shared
     workspace, so two concurrent calls racing into the same build
@@ -309,6 +310,21 @@ def session_once(spark, name: str, sf_dir: str, build):
         if key not in _SESSION_ONCE:
             _SESSION_ONCE[key] = build()
     return _SESSION_ONCE[key]
+
+
+def run_serialized(name: str, sf_dir: str, run):
+    """Run an OPERATOR harness on EVERY call, serialized per
+    (name, sf_dir) within the process — the re-run twin of
+    session_once (VERDICT r13 item 1). Harnesses wipe and rebuild a
+    shared per-process workspace, so two concurrent calls into the
+    same harness would rmtree each other mid-run; the per-key lock
+    makes repeat calls queue instead. No caching: bench retries pay
+    the operator's real cost."""
+    key = ("__rerun__", name, os.path.abspath(sf_dir))
+    with _SESSION_ONCE_GUARD:
+        lock = _SESSION_ONCE_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        return run()
 
 
 def query_workspace(prefix: str, sf_dir: str) -> str:

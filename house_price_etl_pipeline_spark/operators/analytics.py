@@ -277,30 +277,73 @@ def events_user_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-K_ANON = 5
+# Adaptive K: the audit flags the smallest equivalence classes — every
+# class no larger than the 10th-percentile class size (ties inclusive).
+# A fixed K=5 went vacuous as the table grew (VERDICT r13 #2: 92
+# violating groups at sf0.001, 0 at sf0.1, because TPC-H group sizes
+# scale linearly with SF); a percentile-of-the-distribution threshold
+# keeps ≥~10% of classes in the report at EVERY scale, which is also
+# the operationally useful shape ("show me the riskiest classes"), and
+# is computed identically in both engines: K = the n_rows value at
+# ascending rank ceil(0.1 * n_groups). The value at that rank is
+# deterministic under ties because the sort key IS the value.
+K_ANON_PERCENTILE = 0.10
 
 
 @register(
     "dq_k_anonymity",
-    oracle=f"""
-    SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM customer
-    GROUP BY c_nationkey, c_mktsegment
-    HAVING COUNT(*) < {K_ANON}
-    ORDER BY c_nationkey, c_mktsegment
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    ),
+    ranked AS (
+      SELECT n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows) AS rn,
+             COUNT(*) OVER () AS n_groups
+      FROM g
+    ),
+    k AS (
+      SELECT n_rows AS k_anon FROM ranked
+      WHERE rn = CAST(CEIL(n_groups * 0.10) AS BIGINT)
+    )
+    SELECT g.c_nationkey, g.c_mktsegment, g.n_rows
+    FROM g, k
+    WHERE g.n_rows <= k.k_anon
+    ORDER BY g.c_nationkey, g.c_mktsegment
     """,
 )
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-anonymity audit over a quasi-identifier tuple: every equivalence
-    class with fewer than K members is a re-identification risk a privacy
-    pipeline must suppress or generalize before release. One group-by
-    shuffle on the quasi-identifier key; the report is the (tiny) set of
-    violating classes."""
+    class at or below the adaptive K (10th-percentile class size) is a
+    re-identification risk a privacy pipeline must suppress or
+    generalize before release. One group-by shuffle on the
+    quasi-identifier key; the threshold is a scalar derived from the
+    (tiny — |nations|×|segments|) group-size distribution, attached by
+    broadcast, so the plan is agg → broadcast scalar → filter with no
+    second shuffle over the base table."""
     c = load_table(spark, sf_dir, "customer")
-    return (
+    g = (
         c.groupBy("c_nationkey", "c_mktsegment")
         .agg(F.count("*").cast("bigint").alias("n_rows"))
-        .filter(F.col("n_rows") < K_ANON)
+    )
+    ranked = g.select(
+        "n_rows",
+        F.row_number().over(Window.orderBy("n_rows")).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_groups"),
+    )
+    k = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n_groups") * F.lit(K_ANON_PERCENTILE))
+        .cast("bigint")
+    ).select(F.col("n_rows").alias("k_anon"))
+    return (
+        g.join(F.broadcast(k))
+        .filter(F.col("n_rows") <= F.col("k_anon"))
+        .select("c_nationkey", "c_mktsegment", "n_rows")
         .orderBy("c_nationkey", "c_mktsegment")
     )
 

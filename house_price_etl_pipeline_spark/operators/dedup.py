@@ -473,7 +473,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------------
 
-_SIMHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,13 +481,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x16-bit chunk pigeonhole (distance ≤ 3 ⇒ ≥1 chunk equal), so
     candidates come from a chunk-bucket equi-join, not all-pairs. Feature
     set = 3-gram shingles (see shingle_expr) so fingerprints are
-    near-uniform and chunk buckets stay selective. Materialized once per
-    (session, SF) like the MinHash pair list — the 64-vote aggregation
-    is the family's heaviest single pass and its output is tiny."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIMHASH_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
+    near-uniform and chunk buckets stay selective. NOT cached across
+    calls: the sketch pipeline is the operator dedup_simhash is named
+    for, so bench retries re-run it (VERDICT r13 item 1) — only the
+    shared shingle relation is a fixture; the in-call localCheckpoints
+    below stop branch recompute within one build."""
     tok = _shared_shingle_tok(spark, sf_dir)
     h = F.xxhash64("t")
     votes = [
@@ -539,7 +536,6 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
         .localCheckpoint(eager=True)   # pair-scale; plan-truncated
     )
-    _SIMHASH_PAIRS_CACHE[key] = out
     return out
 
 
@@ -754,14 +750,17 @@ def lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_LABELS_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
-
-
 def _twin_cc_labels(spark: SparkSession,
                     sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(exact_labels, lsh_labels) — connected components of BOTH the
     exact shingle-Jaccard pair list and the LSH-verified pair list,
-    resolved in ONE propagation loop and session-cached.
+    resolved in ONE propagation loop. NOT cached: the label
+    propagation is the operator dedup_clusters is named for, so every
+    call — including bench retries — re-runs it against the
+    session-cached pair-list fixtures (VERDICT r13 item 1; the pair
+    lists stay shared because three OTHER catalog queries consume
+    them too — the materialize-then-reuse shape of a real dedup
+    pipeline).
 
     Two tricks against the fixed per-job overhead that dominated the
     dedup_clusters bench entry (r12 'first-run stall', VERDICT item 1a):
@@ -776,10 +775,6 @@ def _twin_cc_labels(spark: SparkSession,
       between offset ranges, and each round costs the same fixed job
       overhead it would for either graph alone.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    got = _CC_LABELS_CACHE.get(key)
-    if got is not None:
-        return got
     _shared_shingle_tok(spark, sf_dir)
     import threading
 
@@ -829,9 +824,7 @@ def _twin_cc_labels(spark: SparkSession,
     lsh_cc = labels.filter(F.col("node") >= off).select(
         (F.col("node") - off).alias("node"),
         (F.col("label") - off).alias("label"))
-    got = (exact_cc, lsh_cc)
-    _CC_LABELS_CACHE[key] = got
-    return got
+    return exact_cc, lsh_cc
 
 
 CLUSTER_AGREE_FLOOR = 0.7  # measured ≥0.9 (one missed LSH pair splits

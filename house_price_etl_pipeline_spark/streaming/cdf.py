@@ -1257,32 +1257,32 @@ def _cdc_apply3_source(spark: SparkSession, sf_dir: str) -> str:
     return shared_base_table(sf_dir, "cdc_apply3", _build)
 
 
-def _idempotent_apply(spark: SparkSession, prefix: str, sf_dir: str,
-                      src: str, stored_as: str) -> str:
-    """Run apply_changes_to_table into the query's per-(process, sf)
-    workspace WITHOUT wiping it first: the apply is exactly-once by the
-    journal protocol, so a repeat call catches up (0 commits when the
-    replica is already at the source head) instead of rebuilding — the
-    retry path IS the protocol's idempotence (r12 VERDICT item 1c). A
-    crashed or incompatible leftover replica falls back to one clean
-    rebuild."""
+def _replay_apply(spark: SparkSession, prefix: str, sf_dir: str,
+                  src: str, stored_as: str) -> str:
+    """Run apply_changes_to_table into a WIPED per-(process, sf)
+    workspace on EVERY call: the replication apply is the operator
+    under test, so bench retries replay the full 3-version feed
+    against an empty replica instead of catching up to a head a prior
+    call already committed (run_serialized, VERDICT r13 item 1 — the
+    read-only SOURCE feed stays a session-cached fixture; the
+    exactly-once catch-up path is pinned separately in
+    tests/test_cdf.py)."""
     import os
     import shutil
 
-    from ..fsutil import query_workspace
+    from ..fsutil import query_workspace, run_serialized
 
     root = query_workspace(prefix, sf_dir)
-    os.makedirs(root, exist_ok=True)
     dst = os.path.join(root, "dst")
-    try:
-        apply_changes_to_table(spark, src, dst, ["user_id"],
-                               keep_versions=16, stored_as=stored_as)
-    except Exception:
+
+    def _run():
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root)
         apply_changes_to_table(spark, src, dst, ["user_id"],
                                keep_versions=16, stored_as=stored_as)
-    return dst
+        return dst
+
+    return run_serialized(f"{prefix}_apply", sf_dir, _run)
 
 
 @register(
@@ -1324,7 +1324,7 @@ def cdc_apply_changes_replica(spark: SparkSession,
     fails the hash. This is the canonical downstream consumer the
     change feed exists for: Delta/DLT's APPLY CHANGES pattern."""
     src = _cdc_apply3_source(spark, sf_dir)
-    dst = _idempotent_apply(spark, "cdc_apply", sf_dir, src,
+    dst = _replay_apply(spark, "cdc_apply", sf_dir, src,
                             stored_as="scd1")
     from .ingest import read_upsert_version
     return (
@@ -1399,7 +1399,7 @@ def cdc_apply_changes_scd2(spark: SparkSession,
     hash. DLT's other stored-as mode, completing the APPLY CHANGES
     surface."""
     src = _cdc_apply3_source(spark, sf_dir)
-    dst = _idempotent_apply(spark, "cdc_apply_scd2", sf_dir, src,
+    dst = _replay_apply(spark, "cdc_apply_scd2", sf_dir, src,
                             stored_as="scd2")
     from .ingest import read_upsert_version
     return (

@@ -3662,9 +3662,10 @@ def maintenance_incremental_cow(spark: SparkSession,
           .select("event_id", "event_type", "value")
           .withColumn("ord", F.lit(0)))
 
-    # the commit SEQUENCE leaves durable state + journal flags, so a
-    # repeat call consumes them (session_once — r12 item 1 pattern);
-    # fresh processes pay the full build
+    # the COW commit sequence (clone base → disjoint commit → confined
+    # update) is the operator under test: every call re-runs it against
+    # a clone of the session-cached version-0 base (run_serialized,
+    # VERDICT r13 item 1 — fixture reusable, commits are not)
     def _run():
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root)
@@ -3706,8 +3707,8 @@ def maintenance_incremental_cow(spark: SparkSession,
             and ops[2].get("files_rewritten", 0) >= 1
             and ops[2].get("files_reused", 0) >= 1)
 
-    from ..fsutil import session_once
-    reused = session_once(spark, "incr_cow_seq", sf_dir, _run)
+    from ..fsutil import run_serialized
+    reused = run_serialized("incr_cow_seq", sf_dir, _run)
     return (
         read_upsert_version(spark, target)
         .groupBy("event_type")

@@ -313,7 +313,8 @@ def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources.tables import load_table
-    from .ingest import (_data_file_bytes, optimize_upsert_target,
+    from .ingest import (_data_file_bytes, clone_upsert_table,
+                         optimize_upsert_target, shared_base_table,
                          upsert_commit_batch)
 
     root = _skipping_workspace(sf_dir)
@@ -326,14 +327,19 @@ def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("event_id") % 2 == 0)
           .select("event_id", "user_id", "event_type", "value"))
 
-    # the commit + OPTIMIZE ZORDER build is durable; a repeat call is a
-    # consumer of the manifest — the pruned READ below runs every call
-    # (session_once, r12 item 1 pattern)
+    # the version-0 commit is a session-cached shared base (fixture);
+    # the operator under test — OPTIMIZE ZORDER → stats manifest →
+    # pruned read — re-runs on EVERY call against a fresh clone
+    # (run_serialized, VERDICT r13 item 1)
+    def _build(base: str) -> None:
+        upsert_commit_batch(ev, base, 0, key_cols=["event_id"],
+                            order_col="event_id", keep_versions=2)
+
     def _run():
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(root)
-        upsert_commit_batch(ev, target, 0, key_cols=["event_id"],
-                            order_col="event_id", keep_versions=2)
+        clone_upsert_table(shared_base_table(sf_dir, "file_skipping",
+                                             _build), target)
         # size the rewrite to ~8 files regardless of SF so the prune
         # ratio is layout-stable from sf0.001 through sf0.1
         from .ingest import resolve_published_snapshot
@@ -346,8 +352,8 @@ def maintenance_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.max("user_id").alias("hi")).collect()[0]
         return int(lo_hi.lo), int(lo_hi.hi)
 
-    from ..fsutil import session_once
-    lo, hi0 = session_once(spark, "file_skipping_tbl", sf_dir, _run)
+    from ..fsutil import run_serialized
+    lo, hi0 = run_serialized("file_skipping_tbl", sf_dir, _run)
     hi = lo + (hi0 - lo) // 16
     df, n_scanned, n_total = read_skipping(spark, target,
                                            {"user_id": (lo, hi)})

@@ -294,38 +294,34 @@ def test_shingle_short_doc_fallback_matches_oracle_sql(spark):
     assert (0, "one") in got and (1, "two") in got  # fallback fired
 
 
-def test_dedup_clusters_first_run_fills_session_caches(spark, sf_dir):
-    """Regression pin for the r12 'first-run stall' (VERDICT r12 item
-    1a): dedup_clusters' first attempt builds every shared fixture —
-    shingle relation, exact pairs, LSH-verified pairs, and the merged
-    CC labels — and later attempts must be pure cache hits. Pins the
-    MECHANISM (all four session caches populated, so no recompute) plus
-    a lenient wall-clock ratio: the warm call must cost well under the
-    cold call, whatever the box weather."""
-    import time
-
+def test_dedup_clusters_fixture_caches_vs_operator_rerun(spark, sf_dir):
+    """VERDICT r13 item 1 contract for the dedup family: the first
+    attempt fills every shared FIXTURE cache (shingle relation, exact
+    pairs, LSH-verified pairs — inputs consumed by four catalog
+    queries), but the operator under test — the CC label propagation —
+    must NOT be cached: a repeat call re-runs it and reproduces the
+    identical labeling (determinism pin for the re-run path the bench
+    retries now take)."""
     import house_price_etl_pipeline_spark.operators.dedup as dd
     from house_price_etl_pipeline_spark.plans.catalog import REGISTRY
 
     key = (spark.sparkContext.applicationId, sf_dir)
     # evict so this test is order-independent within the session
     for cache in (dd._SHINGLE_TOK_CACHE, dd._EXACT_PAIRS_CACHE,
-                  dd._PAIRS_CACHE, dd._CC_LABELS_CACHE):
+                  dd._PAIRS_CACHE):
         cache.pop(key, None)
 
     fn = REGISTRY["dedup_clusters"].fn
-    t0 = time.perf_counter()
     first = fn(spark, sf_dir).collect()
-    cold = time.perf_counter() - t0
 
     for cache in (dd._SHINGLE_TOK_CACHE, dd._EXACT_PAIRS_CACHE,
-                  dd._PAIRS_CACHE, dd._CC_LABELS_CACHE):
-        assert key in cache  # first attempt must leave everything warm
+                  dd._PAIRS_CACHE):
+        assert key in cache  # first attempt must leave fixtures warm
 
-    t1 = time.perf_counter()
+    # no result-level cache exists anymore: the module must not grow
+    # one back (the bench-floor honesty regression of r13)
+    assert not hasattr(dd, "_CC_LABELS_CACHE")
+    assert not hasattr(dd, "_SIMHASH_PAIRS_CACHE")
+
     second = fn(spark, sf_dir).collect()
-    warm = time.perf_counter() - t1
     assert {tuple(r) for r in first} == {tuple(r) for r in second}
-    # warm path skips shingle explode, both pair builds AND label
-    # propagation; generous bound so host noise can't flake the test
-    assert warm <= max(2.0, 0.6 * cold), (cold, warm)
