@@ -159,6 +159,21 @@ def test_oracle_parity_sf01_rotation(name, spark, duck01):
     _assert_parity(name, spark, duck01, _SF01_DIR)
 
 
+# VERDICT r13 item 2: the window keys off max(BENCH_r*), so the
+# driver's own artifact drop advances it AFTER the builder's close run
+# — every round used to ship with its NEXT window untested (that's how
+# dq_k_anonymity's sf0.1 vacuity shipped in r13). Run next round's
+# window too, minus the overlap with the current one, so the advance
+# can't fail after sign-off.
+_NEXT_ONLY = [n for n in sf01_rotation_window(_current_round() + 1)
+              if n not in set(sf01_rotation_window())]
+
+
+@pytest.mark.parametrize("name", _NEXT_ONLY)
+def test_oracle_parity_sf01_rotation_next_round(name, spark, duck01):
+    _assert_parity(name, spark, duck01, _SF01_DIR)
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_queries_run(name, spark, sf_dir):
     """Non-SQL-expressible ops at least run, return rows (the same

@@ -185,6 +185,214 @@ def test_cas_single_shot_content(tmp_path):
         assert json.load(f) == {"seq": 0}
 
 
+# --- CAS/pointer fault matrix (VERDICT r13 item 3) --------------------------
+#
+# The happy path is proven above; these inject the conditional-PUT
+# failure modes an object store actually serves and assert the commit
+# protocol's invariants hold: no lost commits, no duplicated commits,
+# convergence after recovery, and reads that never regress.
+
+
+def test_cas_ambiguous_put_recovers_exactly_once(spark, tmp_path,
+                                                 monkeypatch):
+    """Ambiguous PUT: the backend APPLIES the conditional write but the
+    caller sees a raised error (connection reset after the server
+    committed — the classic S3/GCS ambiguity). Recovery rule: the
+    writer re-invokes the commit; the journal read disambiguates —
+    batch_id idempotence turns the re-invocation into a 'replayed'
+    no-op (entry already present) that also repairs publication. One
+    journal entry, correct final state, no duplicate version dirs."""
+    _no_links_pointer_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)   # versions 0, 1 committed cleanly
+
+    real = fsutil.cas_put_if_absent
+
+    def ambiguous(path, data):
+        created = real(path, data)
+        assert created  # seq 2 slot must be free in this scenario
+        raise OSError("connection reset by peer (response lost)")
+
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", ambiguous)
+    df = spark.range(1000, 1010).select(
+        F.col("id").alias("k"), F.lit(9).alias("v"),
+        F.lit(0).alias("ord"))
+    with pytest.raises(OSError, match="connection reset"):
+        upsert_commit_batch(df, t, 2, key_cols=["k"], order_col="ord",
+                            keep_versions=8, incremental_min_bytes=0,
+                            max_retries=4)
+
+    # the writer cannot know whether the PUT landed: re-invoke
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", real)
+    status = upsert_commit_batch(df, t, 2, key_cols=["k"],
+                                 order_col="ord", keep_versions=8,
+                                 incremental_min_bytes=0, max_retries=4)
+    assert status == "replayed"
+    commits, applied = _journal_state(t + "_versions")
+    assert [c["seq"] for c in commits] == [0, 1, 2]  # no duplicate slot
+    assert sorted(applied) == [0, 1, 2]
+    assert read_upsert_version(spark, t).count() == 410
+    assert read_upsert_version(spark, t).filter("v = 9").count() == 10
+    # publication was repaired by the replay (crash landed between CAS
+    # and publish, so the pointer had lagged)
+    assert _latest(t)["seq"] == 2
+
+
+def test_cas_ambiguous_put_not_applied_recovers(spark, tmp_path,
+                                                monkeypatch):
+    """The other side of the ambiguity: the error raised BEFORE the
+    backend applied anything. The same recovery rule (re-invoke) must
+    then take the normal commit path — ambiguity needs no special
+    casing at the call site."""
+    _no_links_pointer_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+
+    real = fsutil.cas_put_if_absent
+
+    def not_applied(path, data):
+        raise OSError("503 Slow Down (request never reached the store)")
+
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", not_applied)
+    df = spark.range(1000, 1010).select(
+        F.col("id").alias("k"), F.lit(9).alias("v"),
+        F.lit(0).alias("ord"))
+    with pytest.raises(OSError, match="503"):
+        upsert_commit_batch(df, t, 2, key_cols=["k"], order_col="ord",
+                            keep_versions=8, incremental_min_bytes=0,
+                            max_retries=4)
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", real)
+    status = upsert_commit_batch(df, t, 2, key_cols=["k"],
+                                 order_col="ord", keep_versions=8,
+                                 incremental_min_bytes=0, max_retries=4)
+    assert status == "applied"
+    commits, applied = _journal_state(t + "_versions")
+    assert [c["seq"] for c in commits] == [0, 1, 2]
+    assert read_upsert_version(spark, t).count() == 410
+
+
+def test_cas_transient_5xx_retrying_backend(spark, tmp_path,
+                                            monkeypatch):
+    """Transient 5xx: retry-on-throttle belongs in the BACKEND (every
+    object-store SDK retries 500/503 internally) — a backend that
+    fails twice then succeeds must be invisible to the protocol: one
+    commit, one journal entry, monotonic ICT."""
+    _no_links_pointer_mode(monkeypatch)
+    real = fsutil.cas_put_if_absent
+    attempts = {"n": 0}
+
+    def flaky_with_retry(path, data):
+        # the SDK-shaped wrapper: internal bounded retry on 5xx
+        for backoff in range(4):
+            attempts["n"] += 1
+            if attempts["n"] % 3 != 0:   # two failures, then success
+                continue                  # (simulated 503, retried)
+            return real(path, data)
+        raise OSError("retries exhausted")
+
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", flaky_with_retry)
+    t = _mk_flat(spark, tmp_path)   # both commits go through the shim
+    commits, applied = _journal_state(t + "_versions")
+    assert [c["seq"] for c in commits] == [0, 1]
+    assert sorted(applied) == [0, 1]
+    assert commits[1]["ts"] > commits[0]["ts"]
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", real)
+    assert read_upsert_version(spark, t).count() == 400
+    assert attempts["n"] >= 6   # the shim really did absorb failures
+
+
+def test_pointer_read_lag_never_regresses_reads(spark, tmp_path,
+                                                monkeypatch):
+    """Pointer-read lag: an object store can serve a STALE _LATEST.json
+    (read-your-write lag on the pointer object) while the journal
+    already has newer commits. Readers resolve the JOURNAL head —
+    Delta's readers-resolve-the-log rule — so the lagging pointer can
+    never regress a read; the pointer is only a last resort for
+    journal-less layouts."""
+    _no_links_pointer_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+    vr = t + "_versions"
+    stale = _latest(t)
+
+    upsert_delete_where(spark, t, 2, "k < 100", keep_versions=8,
+                        max_retries=4, incremental_min_bytes=0)
+    fresh = _latest(t)
+    assert fresh["seq"] > stale["seq"]
+
+    # simulate the lagging pointer object: overwrite with the stale one
+    with open(os.path.join(vr, "_LATEST.json"), "w") as f:
+        json.dump(stale, f)
+    commits, _ = _journal_state(vr)
+    pub = resolve_published_snapshot(t)
+    assert os.path.basename(pub) == commits[-1]["version_name"]
+    assert read_upsert_version(spark, t).count() == 300  # head, not stale
+
+    # pointer missing entirely: journal still resolves
+    os.unlink(os.path.join(vr, "_LATEST.json"))
+    assert read_upsert_version(spark, t).count() == 300
+
+
+def test_cas_fault_matrix_concurrent_writers_converge(spark, tmp_path,
+                                                      monkeypatch):
+    """Convergence under a deterministic fault mix: four writers race
+    disjoint-key batches through a backend that serves an ambiguous
+    raise-after-create on its 3rd call and a pre-apply raise on its
+    5th; every writer retries its own batch to completion (callers
+    re-invoke on error, per the recovery rule). Invariants: journal
+    seqs are gapless and strictly ordered, every batch applied exactly
+    once, final row count exact."""
+    _no_links_pointer_mode(monkeypatch)
+    import threading
+
+    t = os.path.join(str(tmp_path), "tbl")
+    real = fsutil.cas_put_if_absent
+    lock = threading.Lock()
+    calls = {"n": 0}
+
+    def faulty(path, data):
+        with lock:
+            calls["n"] += 1
+            n = calls["n"]
+        if n == 3:
+            created = real(path, data)
+            if created:
+                raise OSError("ambiguous: applied, response lost")
+            return False
+        if n == 5:
+            raise OSError("503 pre-apply")
+        return real(path, data)
+
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", faulty)
+
+    def writer(b: int):
+        df = spark.range(b * 100, (b + 1) * 100).select(
+            F.col("id").alias("k"), F.lit(b).alias("v"),
+            F.lit(0).alias("ord"))
+        for _ in range(6):   # caller-side re-invoke on raised errors
+            try:
+                upsert_commit_batch(df, t, b, key_cols=["k"],
+                                    order_col="ord", keep_versions=16,
+                                    writer=f"w{b}",
+                                    incremental_min_bytes=0,
+                                    max_retries=8)
+                return
+            except OSError:
+                continue
+        raise AssertionError(f"writer {b} never converged")
+
+    threads = [threading.Thread(target=writer, args=(b,))
+               for b in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    monkeypatch.setattr(fsutil, "cas_put_if_absent", real)
+    commits, applied = _journal_state(t + "_versions")
+    assert [c["seq"] for c in commits] == list(range(len(commits)))
+    assert sorted(applied) == [0, 1, 2, 3]          # exactly once each
+    assert len([c for c in commits if c["op"] == "upsert"]) == 4
+    assert read_upsert_version(spark, t).count() == 400
+
+
 def test_dangling_symlink_falls_back_to_journal(spark, tmp_path,
                                                 monkeypatch):
     """A BROKEN published link (target pruned by an external cleanup or
