@@ -149,6 +149,37 @@ def read_commit_journal(commits_dir: str) -> list[dict]:
     return out
 
 
+def journal_head(commits_dir: str) -> dict | None:
+    """The LAST committed journal entry WITHOUT reading history: one
+    listdir, then parse the highest-seq commit file, stepping back one
+    if the newest is still in-flight (exists but not yet fully
+    visible). None for an empty/absent journal.
+
+    This exists because head resolution is the hot read path (every
+    snapshot read resolves the head) and the r14 probe showed the
+    checkpointed full-journal read is O(history) with a better
+    constant, not O(tail) — the consolidated checkpoint still holds
+    every entry, so its JSON parse grows linearly (2.3 ms at 512
+    commits → 19.4 ms at 4096). Reading just the head is O(listdir) +
+    one small JSON — flat in history depth, which is what a 100 TB
+    table with 10^5 commits needs on EVERY read."""
+    if not os.path.isdir(commits_dir):
+        return None
+    names = sorted(
+        (n for n in os.listdir(commits_dir)
+         if n.startswith("c") and n.endswith(".json")),
+        reverse=True)
+    for i, n in enumerate(names):
+        try:
+            with open(os.path.join(commits_dir, n)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            if i == 0:
+                continue   # in-flight newest commit: step back one
+            raise
+    return None
+
+
 def maybe_checkpoint_journal(commits_dir: str,
                              entries: list[dict]) -> bool:
     """Write a journal checkpoint if the head has advanced at least

@@ -285,11 +285,33 @@ def minhash_signatures(tok: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return tok.groupBy("doc_id").agg(*aggs)
 
 
+# Hot-bucket cap for LSH candidate generation: a band bucket with m
+# members yields m(m-1)/2 candidate join rows — quadratic in the
+# bucket, and on a DUPLICATE-HEAVY corpus (the LLM-pipeline norm: one
+# template crawled 10^5 times) a single genuine-dup bucket is the
+# whole job's cost. Buckets at or under the cap join all-pairs
+# (complete); buckets OVER it take the star path — every member links
+# to the bucket's min doc_id only, m-1 edges instead of m²/2 — which
+# preserves exactly what dedup needs from a hot bucket (one connected
+# component through the hub after verification; CC supplies
+# transitivity) at linear cost. Recall tradeoff is confined to hot
+# buckets where a member matches OTHER members but not the hub —
+# rare, because a bucket that hot is one template's copies (measured:
+# sf0.001-0.1 max bucket = 4 docs, so the cap is inert at gate scale;
+# scripts/lsh_skew_probe.py for the duplicate-heavy measurement).
+LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "64"))
+
+
 def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
-                        rows: int = LSH_ROWS) -> DataFrame:
+                        rows: int = LSH_ROWS,
+                        bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Band the signature, bucket-join on (band_id, band_hash): docs equal
     on all rows of any band become candidates. The join key is the bucket
-    — the classic LSH trick that replaces all-pairs with an equi-join."""
+    — the classic LSH trick that replaces all-pairs with an equi-join.
+    Buckets larger than ``bucket_cap`` star-link to their min member
+    instead of joining all-pairs (see LSH_BUCKET_CAP): total candidate
+    volume is bounded by n_buckets·cap² + n_docs·bands, never quadratic
+    in a hot bucket."""
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -301,14 +323,25 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
         sig.select("doc_id", F.explode(band_structs).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
     )
-    x, y = banded.alias("x"), banded.alias("y")
-    return (
+    # bucket stats share the self-join's shuffle key (band_id,
+    # band_hash) — co-partitioned agg + join, no extra corpus shuffle
+    stats = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("m"), F.min("doc_id").alias("hub"))
+    tagged = banded.join(stats, ["band_id", "band_hash"])
+    small = tagged.filter(F.col("m") <= bucket_cap)
+    x, y = small.alias("x"), small.alias("y")
+    dense = (
         x.join(y, (F.col("x.band_id") == F.col("y.band_id"))
                & (F.col("x.band_hash") == F.col("y.band_hash"))
                & (F.col("x.doc_id") < F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
     )
+    star = (
+        tagged.filter((F.col("m") > bucket_cap)
+                      & (F.col("doc_id") != F.col("hub")))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return dense.unionByName(star).distinct()
 
 
 def verify_candidate_pairs(cand: DataFrame, tok: DataFrame,

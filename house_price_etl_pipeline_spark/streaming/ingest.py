@@ -128,10 +128,20 @@ def resolve_published_snapshot(target_dir: str) -> str:
     if os.path.isdir(target_dir):
         return os.path.realpath(target_dir)
     versions_root = target_dir + "_versions"
-    commits, _ = _journal_state(versions_root)
-    if commits:
-        d = _resolve_version_dir(versions_root, commits[-1]["version"])
-        if d is not None:
+    # journal_head, not a full journal read: resolution needs only the
+    # newest entry, and the head read is O(1) files at any history
+    # depth (the checkpointed full read is O(history) — r14 probe,
+    # SCALE.md §head-resolution)
+    from ..fsutil import journal_head
+
+    from .carry import is_pruned_remnant
+    head = journal_head(_commits_dir(versions_root))
+    if head is not None:
+        # the head entry carries its own version_name: no journal scan
+        # (the version->name mapping _resolve_version_dir does is for
+        # TIME-TRAVEL reads, where the number is all the caller has)
+        d = os.path.join(versions_root, head["version_name"])
+        if os.path.isdir(d) and not is_pruned_remnant(d):
             return d
     try:
         with open(os.path.join(versions_root, "_LATEST.json")) as f:

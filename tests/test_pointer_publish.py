@@ -393,6 +393,49 @@ def test_cas_fault_matrix_concurrent_writers_converge(spark, tmp_path,
     assert read_upsert_version(spark, t).count() == 400
 
 
+def test_head_resolution_never_reads_full_journal(spark, tmp_path,
+                                                  monkeypatch):
+    """Regression pin on the resolution-cost SHAPE (VERDICT r13 item
+    4): the r14 probe showed the checkpointed full-journal read is
+    O(history) with a better constant — one consolidated JSON still
+    parses every entry — so the head resolver must go through
+    fsutil.journal_head (one listdir + one small JSON, flat in
+    history depth) and NEVER the full journal read. Structural pin:
+    resolving a journaled pointer-mode table with read_commit_journal
+    forbidden must still succeed."""
+    _no_links_pointer_mode(monkeypatch)
+    t = _mk_flat(spark, tmp_path)
+
+    def forbidden(commits_dir):
+        raise AssertionError(
+            "resolve_published_snapshot read the FULL journal — head "
+            "resolution regressed to O(history)")
+
+    monkeypatch.setattr(fsutil, "read_commit_journal", forbidden)
+    commits_head = _latest(t)["version_name"]
+    pub = resolve_published_snapshot(t)
+    assert os.path.basename(pub) == commits_head
+
+
+def test_journal_head_steps_back_past_inflight_newest(tmp_path):
+    """journal_head must tolerate the claimed-but-unreadable newest
+    commit (a concurrent writer between create and fsync visibility)
+    by stepping back one entry — same tolerance read_commit_journal
+    gives its last entry."""
+    cd = str(tmp_path / "_commits")
+    os.makedirs(cd)
+    assert fsutil.try_commit(cd, 0, {"op": "upsert", "version": 0,
+                                     "version_name": "v0"})
+    assert fsutil.try_commit(cd, 1, {"op": "upsert", "version": 1,
+                                     "version_name": "v1"})
+    # simulate the in-flight window: newest file exists, content empty
+    with open(fsutil.commit_path(cd, 2), "w"):
+        pass
+    head = fsutil.journal_head(cd)
+    assert head is not None and head["seq"] == 1
+    assert fsutil.journal_head(str(tmp_path / "missing")) is None
+
+
 def test_dangling_symlink_falls_back_to_journal(spark, tmp_path,
                                                 monkeypatch):
     """A BROKEN published link (target pruned by an external cleanup or
