@@ -228,11 +228,15 @@ def drain_running_totals(spark, stream_df):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     store_key = "spark.sql.streaming.stateStore.providerClass"
     prev_store = spark.conf.get(store_key, None)
-    # RocksDB stores carry heavier per-partition open/commit cost than
-    # the HDFS-backed provider; halving the store count is a measured
-    # win at this key cardinality (A/B at sf0.1, 8 vs 4: 3.76→3.34 s)
+    # Unlike the JVM-side stream-stream joins (fewer stores win there),
+    # this drain's cost is the PYTHON state-server loop — one protobuf
+    # get+update round trip per key, serialized within a partition — so
+    # more partitions parallelize it until RocksDB open/commit overhead
+    # bites. r14 interleaved A/B at sf0.1 (5 reps, medians): 4 parts
+    # 4.89 s, 8 → 3.67 s, 16 → 3.54 s, 32 → 3.74 s; 2x the stream
+    # default is the measured knee.
     spark.conf.set("spark.sql.shuffle.partitions",
-                   str(max(2, stream_shuffle_partitions() // 2)))
+                   str(max(2, 2 * stream_shuffle_partitions())))
     # transformWithState keeps each typed state variable in its own
     # column family — only the RocksDB provider supports that (the
     # HDFS-backed default refuses); Spark bundles the RocksDB JNI.
