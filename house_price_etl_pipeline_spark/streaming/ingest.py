@@ -952,6 +952,12 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
     Returns "applied", "replayed" (exactly-once no-op), or
     "applied-after-retry" (lost at least one CAS race).
 
+    Order semantics: per key the row with the greatest ``order_col``
+    survives; on an exact ORDER TIE between a stored row and an
+    incoming one, the INCOMING row wins (deterministic — see
+    keep_latest_merge). Ties WITHIN one batch remain caller's
+    responsibility (supply a unique order, e.g. an event sequence).
+
     When the batch's schema matches the snapshot's, the stage is
     file-granular copy-on-write: a key semi-join against the snapshot
     scan's ``_metadata.file_path`` finds the files holding keys the
@@ -1011,6 +1017,23 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         return (df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1).drop("_rn"))
+
+    def keep_latest_merge(existing, incoming):
+        """Cross-commit keep-latest with DETERMINISTIC order ties: the
+        incoming row wins when its order_col EQUALS the stored row's
+        (SQL upsert intuition); strictly newer stored rows still
+        survive late replays. Without the tie column, row_number over
+        a tied window picks arbitrarily — the same merge could produce
+        different tables on different runs, which silently weakens the
+        rebase-equivalence and change-feed determinism contracts
+        (found by the model-based DML fuzzer, round 14)."""
+        u = (existing.withColumn("__kl_src", F.lit(0)).unionByName(
+            incoming.withColumn("__kl_src", F.lit(1)),
+            allowMissingColumns=True))
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), F.col("__kl_src").desc())
+        return (u.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn", "__kl_src"))
 
     # Commit-scope classification for the disjoint-writer fast path:
     # the batch's distinct partition tuples are BOTH the touched-file
@@ -1087,7 +1110,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         # match — inheritance stays change-sized
                         delta = _inherit_or_assign_identity(
                             delta, sub, ident, ident_hwm, key_cols)
-                    merged = keep_latest(sub.unionByName(delta))
+                    merged = keep_latest_merge(sub, delta)
                 else:
                     if ident:
                         delta = _assign_identity(delta, ident,
@@ -1110,9 +1133,7 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                     # merged schema with nulls, Delta mergeSchema
                     # semantics, not an error. Evolution forces a full
                     # rewrite: linked files can't change schema.
-                    merged = keep_latest(
-                        snapshot.unionByName(delta,
-                                             allowMissingColumns=True))
+                    merged = keep_latest_merge(snapshot, delta)
                 else:
                     if ident:
                         delta = _assign_identity(delta, ident,

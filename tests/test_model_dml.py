@@ -1,0 +1,197 @@
+"""Model-based randomized DML testing of the versioned table format.
+
+Hypothesis generates a random PROGRAM of DML ops (keep-latest upsert,
+MERGE INTO, DELETE WHERE, UPDATE WHERE, OPTIMIZE) and runs it twice:
+against the real copy-on-write journal format and against a pure-Python
+dict model of SQL semantics. Invariants checked:
+
+- after EVERY op, the head read equals the model state;
+- at program end, every still-retained version time-travels to the
+  model snapshot recorded when that version committed (and pruned
+  versions raise, never silently serve the wrong data);
+- the change feed between the earliest retained version and the head
+  equals the model diff of those two snapshots (insert/delete/
+  update_preimage/update_postimage, the Delta CDF contract).
+
+The targeted stresses elsewhere pin each op's contract in isolation;
+this test exercises the COMPOSITIONS nobody thought to write — e.g.
+merge-after-optimize-after-delete with retention pruning in between —
+which is where a table format's untested interleavings live. Its first
+run found a real wart: cross-commit keep-latest broke order_col ties
+NONDETERMINISTICALLY (row_number over a tied window), so the same
+merge could yield different tables on different runs; the format now
+pins incoming-wins-ties (keep_latest_merge) and the model encodes it.
+Upsert batches here draw order values from a 2-value domain precisely
+to keep hammering that tie path, alongside the late-data path (an
+older-ordered upsert must NOT regress a newer stored row). The op
+space deliberately stays inside the format's documented SQL semantics
+(no NULL keys/payloads: 3VL predicate behavior has its own pins).
+"""
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = list(range(12))
+KEEP = 4  # small retention so programs cross the pruning boundary
+
+
+def _batch(draw_pairs, ordv):
+    """Distinct-key batch rows (k, v, ord) from drawn (k, v) pairs."""
+    seen = {}
+    for k, v in draw_pairs:
+        seen[k] = v
+    return [(k, v, ordv) for k, v in sorted(seen.items())]
+
+
+_pairs = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(0, 99)),
+    min_size=1, max_size=6)
+_ord = st.integers(0, 1)  # tiny domain: ties and late data both likely
+
+_op = st.one_of(
+    st.tuples(st.just("upsert"), _pairs, _ord),
+    st.tuples(st.just("merge"), _pairs),
+    st.tuples(st.just("delete"), st.integers(0, 99)),
+    st.tuples(st.just("update"), st.integers(0, 99),
+              st.integers(1, 50)),
+    st.tuples(st.just("optimize")),
+)
+
+_program = st.tuples(_pairs, st.lists(_op, min_size=2, max_size=6))
+
+
+def _apply_model(state: dict, op) -> None:
+    """state: key -> (v, ord)."""
+    if op[0] == "upsert":
+        # keep-latest: greater ord wins; INCOMING wins an exact tie
+        # (keep_latest_merge's pinned rule); older batches never
+        # regress a newer stored row
+        for k, v, o in _batch(op[1], op[2]):
+            if k not in state or o >= state[k][1]:
+                state[k] = (v, o)
+    elif op[0] == "merge":
+        # WHEN MATCHED AND s.v > t.v THEN UPDATE *; NOT MATCHED INSERT *
+        # (UPDATE/INSERT * write every source column, ord included)
+        for k, v, o in _batch(op[1], 0):
+            if k not in state or v > state[k][0]:
+                state[k] = (v, o)
+    elif op[0] == "delete":
+        thr = op[1]
+        for k in [k for k, (v, _) in state.items() if v < thr]:
+            del state[k]
+    elif op[0] == "update":
+        thr, delta = op[1], op[2]
+        for k, (v, o) in state.items():
+            if v >= thr:
+                state[k] = (v + delta, o)
+    elif op[0] == "optimize":
+        pass
+
+
+def _model_diff(pre: dict, post: dict) -> set:
+    out = set()
+    for k in pre.keys() - post.keys():
+        out.add(("delete", k, *pre[k]))
+    for k in post.keys() - pre.keys():
+        out.add(("insert", k, *post[k]))
+    for k in pre.keys() & post.keys():
+        if pre[k] != post[k]:
+            out.add(("update_preimage", k, *pre[k]))
+            out.add(("update_postimage", k, *post[k]))
+    return out
+
+
+def _head(spark, t) -> dict:
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        read_upsert_version)
+
+    return {r["k"]: (r["v"], r["ord"])
+            for r in read_upsert_version(spark, t).collect()}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(prog=_program)
+def test_random_dml_program_matches_model(spark, tmp_path_factory, prog):
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        optimize_upsert_target, read_upsert_changes, read_upsert_version,
+        upsert_commit_batch, upsert_delete_where, upsert_merge_into,
+        upsert_update_where)
+
+    seed_pairs, ops = prog
+    t = str(tmp_path_factory.mktemp("model_dml") / "tbl")
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long, ord long")
+
+    state: dict = {}
+    snapshots: dict[int, dict] = {}
+
+    # version 0: the seed upsert (DML on a nonexistent table is a
+    # separate error-path contract, not this test's subject)
+    upsert_commit_batch(df_of(_batch(seed_pairs, 0)), t, 0,
+                        key_cols=["k"], order_col="ord",
+                        keep_versions=KEEP, incremental_min_bytes=0)
+    _apply_model(state, ("upsert", seed_pairs, 0))
+    snapshots[0] = dict(state)
+    assert _head(spark, t) == state
+
+    version = 0
+    for op in ops:
+        bid = version + 1
+        if op[0] == "upsert":
+            upsert_commit_batch(df_of(_batch(op[1], op[2])), t, bid,
+                                key_cols=["k"], order_col="ord",
+                                keep_versions=KEEP,
+                                incremental_min_bytes=0)
+        elif op[0] == "merge":
+            upsert_merge_into(spark, t, bid, df_of(_batch(op[1], 0)),
+                              ["k"], matched_update="s.v > t.v",
+                              not_matched_insert="true",
+                              keep_versions=KEEP,
+                              incremental_min_bytes=0)
+        elif op[0] == "delete":
+            upsert_delete_where(spark, t, bid, f"v < {op[1]}",
+                                keep_versions=KEEP,
+                                incremental_min_bytes=0)
+        elif op[0] == "update":
+            upsert_update_where(spark, t, bid, f"v >= {op[1]}",
+                                {"v": f"v + {op[2]}"}, key_cols=["k"],
+                                keep_versions=KEEP,
+                                incremental_min_bytes=0)
+        elif op[0] == "optimize":
+            # same-version journal entry, not a new version
+            optimize_upsert_target(spark, t, keep_versions=KEEP)
+            snapshots[version] = dict(state)
+            assert _head(spark, t) == state
+            continue
+        version = bid
+        _apply_model(state, op)
+        snapshots[version] = dict(state)
+        assert _head(spark, t) == state, f"head != model after {op}"
+
+    # --- time travel: every retained version serves its model
+    # snapshot; pruned versions raise (never wrong data) ---
+    retained = []
+    for v, snap in snapshots.items():
+        try:
+            df = read_upsert_version(spark, t, v)
+        except FileNotFoundError:
+            assert v < version, "head version must stay retained"
+            continue
+        got = {r["k"]: (r["v"], r["ord"]) for r in df.collect()}
+        assert got == snap, f"time travel v{v} != model snapshot"
+        retained.append(v)
+    assert version in retained
+
+    # --- change feed: earliest retained -> head equals model diff ---
+    lo = min(retained)
+    if lo != version:
+        rows = read_upsert_changes(spark, t, lo, version,
+                                   ["k"]).collect()
+        got = {(r["change_type"], r["k"], r["v"], r["ord"])
+               for r in rows}
+        assert got == _model_diff(snapshots[lo], snapshots[version])
