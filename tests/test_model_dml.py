@@ -195,3 +195,143 @@ def test_random_dml_program_matches_model(spark, tmp_path_factory, prog):
         got = {(r["change_type"], r["k"], r["v"], r["ord"])
                for r in rows}
         assert got == _model_diff(snapshots[lo], snapshots[version])
+
+
+# --- partitioned-table variant: partition-drop fast path in the mix ---
+#
+# Same program shape over a table PARTITIONED BY a derived bucket
+# column, plus a "dropb" op whose predicate references ONLY the
+# partition column — upsert_delete_where routes that to the
+# metadata-only upsert_drop_partitions fast path (zero rows read), so
+# the programs interleave hard-link-only commits with row-level DML,
+# retention pruning, and OPTIMIZE. The model is identical SQL
+# semantics; the change feed must make a metadata drop
+# indistinguishable from a row-level delete.
+
+_pop = st.one_of(
+    st.tuples(st.just("upsert"), _pairs, _ord),
+    st.tuples(st.just("merge"), _pairs),
+    st.tuples(st.just("delete"), st.integers(0, 99)),
+    st.tuples(st.just("update"), st.integers(0, 99),
+              st.integers(1, 50)),
+    st.tuples(st.just("dropb"), st.integers(0, 2)),
+    st.tuples(st.just("optimize")),
+)
+
+_pprogram = st.tuples(_pairs, st.lists(_pop, min_size=2, max_size=6))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(prog=_pprogram)
+def test_random_dml_program_partitioned_matches_model(
+        spark, tmp_path_factory, prog):
+    from house_price_etl_pipeline_spark.streaming.ingest import (
+        optimize_upsert_target, read_upsert_changes, read_upsert_version,
+        upsert_commit_batch, upsert_delete_where, upsert_merge_into,
+        upsert_update_where)
+    from house_price_etl_pipeline_spark.streaming.partitioning import (
+        set_table_partitioning)
+
+    seed_pairs, ops = prog
+    t = str(tmp_path_factory.mktemp("model_dml_part") / "tbl")
+    set_table_partitioning(t, {"bucket": "bigint"})
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v, o, k % 3) for (k, v, o) in rows],
+            "k long, v long, ord long, bucket long")
+
+    def model_head(spark_state):
+        return {k: (v, o) for k, (v, o) in spark_state.items()}
+
+    def _phead():
+        return {r["k"]: (r["v"], r["ord"])
+                for r in read_upsert_version(spark, t).collect()}
+
+    state: dict = {}
+    snapshots: dict[int, dict] = {}
+
+    upsert_commit_batch(df_of(_batch(seed_pairs, 0)), t, 0,
+                        key_cols=["k"], order_col="ord",
+                        keep_versions=KEEP, incremental_min_bytes=0)
+    _apply_model(state, ("upsert", seed_pairs, 0))
+    snapshots[0] = dict(state)
+    assert _phead() == model_head(state)
+
+    version = 0
+    for op in ops:
+        bid = version + 1
+        if op[0] == "upsert":
+            upsert_commit_batch(df_of(_batch(op[1], op[2])), t, bid,
+                                key_cols=["k"], order_col="ord",
+                                keep_versions=KEEP,
+                                incremental_min_bytes=0)
+        elif op[0] == "merge":
+            upsert_merge_into(spark, t, bid, df_of(_batch(op[1], 0)),
+                              ["k"], matched_update="s.v > t.v",
+                              not_matched_insert="true",
+                              keep_versions=KEEP,
+                              incremental_min_bytes=0)
+        elif op[0] == "delete":
+            upsert_delete_where(spark, t, bid, f"v < {op[1]}",
+                                keep_versions=KEEP,
+                                incremental_min_bytes=0)
+        elif op[0] == "update":
+            upsert_update_where(spark, t, bid, f"v >= {op[1]}",
+                                {"v": f"v + {op[2]}"}, key_cols=["k"],
+                                keep_versions=KEEP,
+                                incremental_min_bytes=0)
+        elif op[0] == "dropb":
+            # partition-only predicate -> metadata-only drop path
+            upsert_delete_where(spark, t, bid, f"bucket = {op[1]}",
+                                keep_versions=KEEP,
+                                incremental_min_bytes=0)
+            version = bid
+            b = op[1]
+            for k in [k for k in state if k % 3 == b]:
+                del state[k]
+            snapshots[version] = dict(state)
+            assert _phead() == model_head(state), \
+                f"head != model after partition drop {b}"
+            continue
+        elif op[0] == "optimize":
+            optimize_upsert_target(spark, t, keep_versions=KEEP)
+            snapshots[version] = dict(state)
+            assert _phead() == model_head(state)
+            continue
+        version = bid
+        _apply_model(state, op)
+        snapshots[version] = dict(state)
+        assert _phead() == model_head(state), f"head != model after {op}"
+
+    retained = []
+    for v, snap in snapshots.items():
+        try:
+            df = read_upsert_version(spark, t, v)
+        except FileNotFoundError:
+            assert v < version
+            continue
+        got = {r["k"]: (r["v"], r["ord"]) for r in df.collect()}
+        assert got == model_head(snap), f"time travel v{v} != model"
+        retained.append(v)
+    assert version in retained
+
+    lo = min(retained)
+    if lo != version:
+        rows = read_upsert_changes(spark, t, lo, version,
+                                   ["k"]).collect()
+        got = {(r["change_type"], r["k"], r["v"], r["ord"])
+               for r in rows}
+        want = set()
+        pre, post = snapshots[lo], snapshots[version]
+        for k in pre.keys() - post.keys():
+            want.add(("delete", k, *pre[k]))
+        for k in post.keys() - pre.keys():
+            want.add(("insert", k, *post[k]))
+        for k in pre.keys() & post.keys():
+            if pre[k] != post[k]:
+                want.add(("update_preimage", k, *pre[k]))
+                want.add(("update_postimage", k, *post[k]))
+        assert got == want

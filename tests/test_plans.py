@@ -114,6 +114,9 @@ _NESTED_LOOP_ALLOWED = {
     # (hash-sketch exact-twins — see their docstrings)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
     "sim_ann_batch_lsh_topk",
+    # 1-row adaptive-K threshold broadcast over the (|nations|x
+    # |segments|-bounded) group relation — r14 percentile rewrite
+    "dq_k_anonymity",
 }
 
 
