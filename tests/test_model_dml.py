@@ -29,9 +29,14 @@ space deliberately stays inside the format's documented SQL semantics
 """
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# deep-fuzz knob: SPARK_GRAFT_FUZZ_EXAMPLES=40 for an offline hunt
+_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "8"))
 
 KEYS = list(range(12))
 KEEP = 4  # small retention so programs cross the pruning boundary
@@ -111,7 +116,7 @@ def _head(spark, t) -> dict:
             for r in read_upsert_version(spark, t).collect()}
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(prog=_program)
@@ -221,7 +226,7 @@ _pop = st.one_of(
 _pprogram = st.tuples(_pairs, st.lists(_pop, min_size=2, max_size=6))
 
 
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=max(2, _EXAMPLES * 3 // 4), deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 @given(prog=_pprogram)
