@@ -47,6 +47,49 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def weather_probe(spark) -> dict:
+    """Time two FIXED workloads so a run's wall numbers are attributable:
+    the host shows multi-minute waves of hypervisor steal (BASELINE.md
+    §Contention; the round-14 close measured the same tree at 280-355 s
+    across five back-to-back runs). The probe work is deterministic, so
+    its wall time is a pure weather read:
+
+    - ``cpu1``: single-thread sha256 over a fixed buffer (Python-side,
+      GIL-bound) — reads per-core steal;
+    - ``spark32``: one JVM-side 32-partition range-agg (whole-stage
+      codegen, no shuffle read, no Python workers) — reads steal under
+      full-width parallel load, the regime the catalog runs in.
+
+    Quiet-box references are committed in BASELINE.md §Weather index;
+    values well above them mean the run's walls are inflated by the
+    host, not the code.
+    """
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(200):
+        h.update(buf)
+    cpu1 = round(time.perf_counter() - t0, 4)
+
+    from pyspark.sql import functions as F
+
+    # bit_xor, not sum: the session runs ANSI mode and a long sum of
+    # 2e8 hashes overflows. The tiny untimed run compiles/caches the
+    # stage's codegen so the first timed probe doesn't read compilation
+    # (~4 s observed) as weather.
+    def _probe_job(n: int):
+        spark.range(0, n, numPartitions=32).select(
+            F.bit_xor(F.xxhash64("id"))).collect()
+
+    _probe_job(1_000_000)
+    t0 = time.perf_counter()
+    _probe_job(200_000_000)
+    spark32 = round(time.perf_counter() - t0, 4)
+    return {"cpu1": cpu1, "spark32": spark32}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -150,6 +193,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     retry_log: dict[str, list[float]] = {}
+    weather = {"start": weather_probe(spark)}
 
     def _timed_run(name: str) -> float:
         t0 = time.perf_counter()
@@ -211,6 +255,7 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"bench2:{name}")
         _retry(name, "second-pass")
 
+    weather["end"] = weather_probe(spark)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_failed = sum(1 for t in timings.values() if t < 0)
     # The driver captures only the last ~2.2 KB of stdout: the final line
@@ -225,7 +270,8 @@ def main() -> None:
         # drifted round is diagnosable from the artifact — which queries
         # were re-run, and whether the re-run confirmed or beat the
         # first observation (VERDICT r5 item 1b)
-        json.dump({"sf": sf, "queries": timings, "retries": retry_log},
+        json.dump({"sf": sf, "queries": timings, "retries": retry_log,
+                   "weather": weather},
                   f, indent=1, sort_keys=True)
     print(f"per-query timings -> {out_name}", file=sys.stderr)
     print(json.dumps({"per_query": timings}), file=sys.stderr)
@@ -239,6 +285,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_failed": n_failed,
         "sf": sf,
+        "weather": weather,
     }))
 
 
