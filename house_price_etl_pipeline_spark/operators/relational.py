@@ -796,9 +796,11 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan computes BOTH the sketch quantiles and the exact
     interpolated ones, emits the exact triple plus an in-plan
     ``within_tolerance`` boolean (relative error <= 5% on each of
-    q25/median/q75 — the accuracy-10000 sketch's rank error on this
-    data is orders of magnitude tighter), and the oracle reproduces the
-    exact side (quantile_cont) and asserts TRUE.
+    q25/median/q75 — the accuracy-1000 sketch's worst observed relative
+    error is 0.7% at sf0.001 and 0.3% at sf0.1, 7-17x inside the bound;
+    accuracy 10000 bought nothing the tolerance could see and cost
+    ~0.4 s per run in sketch-buffer merges), and the oracle reproduces
+    the exact side (quantile_cont) and asserts TRUE.
     SPARK_GRAFT_EXACT_TWIN=0 → sketch-only production plan (no exact
     percentile sort in-plan)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -806,7 +808,7 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not exact_twin_enabled():
         return (
             li.groupBy("l_returnflag")
-            .agg(F.approx_percentile("l_extendedprice", ps, F.lit(10000))
+            .agg(F.approx_percentile("l_extendedprice", ps, F.lit(1000))
                  .alias("aq"))
             .select("l_returnflag",
                     F.round(F.col("aq")[0], 6).alias("approx_q25"),
@@ -815,7 +817,7 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag")
         )
     grouped = li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", ps, F.lit(10000)).alias("aq"),
+        F.approx_percentile("l_extendedprice", ps, F.lit(1000)).alias("aq"),
         F.percentile("l_extendedprice", ps).alias("eq"),
     )
 

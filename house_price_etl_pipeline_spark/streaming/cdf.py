@@ -754,6 +754,7 @@ def stream_cdf_schema_evolution(spark: SparkSession,
                .filter(F.col("_rn") == 1).drop("_rn")
                .withColumn("score", F.col("event_id") % 97))
         upsert_merge_into(spark, base, 1, src, ["user_id"],
+                          source_unique=True,  # keep-latest window
                           matched_update="s.event_id > t.event_id",
                           keep_versions=8)
 
@@ -1012,6 +1013,9 @@ def _apply_scd2_version(spark, dst_target: str, ch, v: int,
     upsert_merge_into(
         spark, dst_target, v, closes.unionByName(inserts),
         key_cols + [SCD2_START],
+        # unique on (key, __START_AT) by construction: one close per
+        # open row version + one insert per key at START=v
+        source_unique=True,
         matched_update="s._cdc_op = 'c'",
         matched_update_set={SCD2_END: f"s.{SCD2_END}"},
         not_matched_insert="s._cdc_op = 'i'",
@@ -1179,6 +1183,7 @@ def apply_changes_to_table(spark: SparkSession, src_target: str,
                 .withColumn("_cdc_op", F.lit("d")))
         upsert_merge_into(
             spark, dst_target, v, ups.unionByName(dels), key_cols,
+            source_unique=True,  # per-version change feed: ≤1 row/key
             matched_delete="s._cdc_op = 'd'",
             matched_update="s._cdc_op = 'u'",
             not_matched_insert="s._cdc_op = 'u'",
@@ -1477,6 +1482,9 @@ def stream_apply_changes(spark: SparkSession, src_target: str,
             upsert_merge_into(
                 spark, dst_target, v, ups.unionByName(dels),
                 key_cols,
+                # a per-version change feed of a keyed table carries at
+                # most one change per key
+                source_unique=True,
                 matched_delete="s._cdc_op = 'd'",
                 matched_update="s._cdc_op = 'u'",
                 not_matched_insert="s._cdc_op = 'u'",

@@ -509,6 +509,33 @@ def _file_paths_to_relpaths(rows, base_dir: str) -> set[str]:
     return out
 
 
+# Physical parquet schema per committed snapshot dir, keyed by
+# (applicationId, snap_dir). Snapshot dirs are IMMUTABLE once committed
+# (staged under a fresh uuid name, CAS-published, never rewritten in
+# place), and every file within a snapshot shares one schema (evolution
+# forces a full rewrite) — so the first read's inferred schema is the
+# dir's schema forever. Passing it explicitly on repeat reads skips
+# Spark's driver-side footer-read inference, which measures ~65 ms per
+# ``spark.read.parquet`` call (78 ms inferred vs 13 ms with schema) —
+# a steady CDC/MV/maintenance query performs 6-12 snapshot reads, so
+# this is a plan-construction cost, not data. Schema is METADATA (the
+# same thing Delta's snapshot state caches), never query results.
+_FLAT_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _flat_parquet_read(spark, snap_dir: str, paths: list[str]):
+    """Flat-table scan of ``paths`` (full dir or file subset) with the
+    snapshot's cached physical schema when this session has read the
+    dir before; first read infers and populates the cache."""
+    key = (spark.sparkContext.applicationId, snap_dir)
+    schema = _FLAT_SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*paths)
+    df = spark.read.parquet(*paths)
+    _FLAT_SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def _snapshot_read(spark, target_dir: str, snap_dir: str,
                    files: list[str] | None = None,
                    file_col: str | None = None):
@@ -559,7 +586,7 @@ def _snapshot_read(spark, target_dir: str, snap_dir: str,
             # _metadata.file_path intact at any owner count
             paths = [os.path.join(owner, f)
                      for owner, g in sorted(groups.items()) for f in g]
-            df = spark.read.parquet(*paths)
+            df = _flat_parquet_read(spark, snap_dir, paths)
             if file_col is not None:
                 df = df.withColumn(file_col,
                                    F.col("_metadata.file_path"))
@@ -574,10 +601,11 @@ def _snapshot_read(spark, target_dir: str, snap_dir: str,
         if parts:
             df = read_snapshot(spark, snap_dir, parts, files)
         elif files is not None:
-            df = spark.read.parquet(
-                *(os.path.join(snap_dir, f) for f in files))
+            df = _flat_parquet_read(
+                spark, snap_dir,
+                [os.path.join(snap_dir, f) for f in files])
         else:
-            df = spark.read.parquet(snap_dir)
+            df = _flat_parquet_read(spark, snap_dir, [snap_dir])
         if file_col is not None:
             from pyspark.sql import functions as F
             df = df.withColumn(file_col, F.col("_metadata.file_path"))
@@ -2026,7 +2054,8 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                       matched_update_set: dict | None = None,
                       not_matched_by_source_update=None,
                       not_matched_by_source_set: dict | None = None,
-                      not_matched_by_source_delete=None) -> str:
+                      not_matched_by_source_delete=None,
+                      source_unique: bool = False) -> str:
     """Delta-style ``MERGE INTO`` committed through the optimistic CAS
     journal — the general conditional form of which upsert_commit_batch
     (keep-latest) and upsert_delete_where are the two fixed special
@@ -2064,7 +2093,10 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
 
     The source must have at most ONE row per key (Delta's multiple-
     source-rows-match error) — enforced with one aggregate; pre-reduce
-    with keep-latest if the feed has duplicates. Exactly-once by
+    with keep-latest if the feed has duplicates. ``source_unique=True``
+    skips that enforcement job when the caller can PROVE uniqueness by
+    construction (keep-latest window, per-version change feed, unique-
+    column filter) — the engine's internal replication paths do. Exactly-once by
     ``batch_id``. At 100 TB the stage first computes the TOUCHED file
     set (a key semi-join against the snapshot scan's ``_metadata.
     file_path`` — Delta's touched-file join), full-outer-joins only
@@ -2084,13 +2116,23 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
     from ..fsutil import cas_backoff, try_commit
     from .index import _input_vanished
 
-    dup = (source.groupBy(*key_cols).count()
-           .filter(F.col("count") > 1).limit(1).count())
-    if dup:
-        raise ValueError(
-            "MERGE source has multiple rows for at least one key — "
-            "reduce it (e.g. keep-latest) before merging, as Delta "
-            "requires")
+    # ``source_unique=True`` is the caller's declaration that the
+    # source has at most one row per key BY CONSTRUCTION (a keep-latest
+    # window over the keys, a per-version change feed of a keyed table,
+    # a filter on a unique column) — it skips the eager duplicate-key
+    # pre-check below, which costs one whole Spark job (a source-sized
+    # group-count) per MERGE before any staging work starts. The
+    # engine's own CDC/replication paths all qualify; external callers
+    # keep the default guarded behavior (Delta's multiple-source-rows
+    # error).
+    if not source_unique:
+        dup = (source.groupBy(*key_cols).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "MERGE source has multiple rows for at least one key — "
+                "reduce it (e.g. keep-latest) before merging, as Delta "
+                "requires")
     from .partitioning import check_table_writable
     check_table_writable(target_dir)
     has_nmbs = (not_matched_by_source_delete is not None
@@ -3295,6 +3337,7 @@ def merge_into_conditional_orders(spark: SparkSession,
            .select("o_custkey", "o_totalprice"))
     upsert_merge_into(
         spark, target, 1, src, key_cols=["o_custkey"],
+        source_unique=True,  # keep-latest window over the key
         matched_delete="s.o_totalprice < 50000",
         matched_update="s.o_totalprice > t.o_totalprice",
         not_matched_insert="s.o_totalprice >= 100000",
@@ -5042,6 +5085,7 @@ def merge_nmbs_sync_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("o_orderkey", "o_totalprice"))
     upsert_merge_into(
         spark, target, 1, src, ["o_orderkey"],
+        source_unique=True,  # filter on the unique order key
         matched_update_set={
             "o_totalprice": "t.o_totalprice + s.o_totalprice"},
         not_matched_insert=None,

@@ -3119,6 +3119,32 @@ def test_merge_into_replay_cdc_and_dup_source(spark, tmp_path):
         upsert_merge_into(spark, target, 2, src.unionAll(src), ["k"])
 
 
+def test_merge_source_unique_skips_precheck_same_result(spark, tmp_path):
+    """``source_unique=True`` (the caller's by-construction uniqueness
+    declaration, round-14 optimization: it skips the eager duplicate-
+    key pre-check job) must produce a byte-identical table to the
+    guarded default on a unique source."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_merge_into
+
+    src0 = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v int")
+    src1 = spark.createDataFrame(
+        [(2, 25), (3, 1), (9, 90)], "k long, v int")
+    tables = {}
+    for tag, unique in (("guarded", False), ("declared", True)):
+        t = str(tmp_path / tag)
+        assert upsert_merge_into(
+            spark, t, 0, src0, ["k"], source_unique=unique) == "applied"
+        assert upsert_merge_into(
+            spark, t, 1, src1, ["k"], source_unique=unique,
+            matched_delete="s.v < 5") == "applied"
+        tables[tag] = sorted(
+            tuple(r) for r in spark.read.parquet(t).collect())
+    assert tables["guarded"] == tables["declared"]
+    assert tables["guarded"] == [(1, 10), (2, 25), (9, 90)]
+
+
 def test_merge_into_empty_table_inserts_only(spark, tmp_path):
     """MERGE into a table with no commits: only the INSERT clause can
     produce rows, and its condition is honored."""
