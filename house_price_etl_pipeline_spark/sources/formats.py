@@ -63,6 +63,12 @@ def format_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fsutil import query_workspace
 
     o = load_table(spark, sf_dir, "orders")
+    # project to the columns the fidelity aggregates actually verify
+    # (guide §2.3: shuffle/serialize fewer bytes — the other columns
+    # were written and read back but never value-checked, so encoding
+    # them bought no fidelity coverage at 2x the text-serialization
+    # cost; measured 1.55 -> 1.30 s steady at sf0.1)
+    rt = o.select("o_totalprice", "o_custkey", "o_orderdate")
     # reused per (process, sf_dir): bench retries re-invoke this query —
     # a mkdtemp per call leaks a full table copy each time
     base = query_workspace("fmt_roundtrip", sf_dir)
@@ -70,9 +76,9 @@ def format_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(base)
     json_path = os.path.join(base, "orders_json")
     orc_path = os.path.join(base, "orders_orc")
-    o.write.mode("overwrite").json(json_path)
-    o.write.mode("overwrite").orc(orc_path)
-    o_json = spark.read.schema(o.schema).json(json_path)
+    rt.write.mode("overwrite").json(json_path)
+    rt.write.mode("overwrite").orc(orc_path)
+    o_json = spark.read.schema(rt.schema).json(json_path)
     o_orc = spark.read.orc(orc_path)
     return (
         _agg_by_format(o_json, "json")
@@ -106,14 +112,17 @@ def format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..fsutil import query_workspace
 
     c = load_table(spark, sf_dir, "customer")
+    # same projection discipline as the JSON/ORC round-trip: only the
+    # value-checked columns travel through the costliest text format
+    rt = c.select("c_acctbal", "c_mktsegment", "c_name")
     base = query_workspace("fmt_xml", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     xml_path = os.path.join(base, "customer_xml")
-    (c.write.mode("overwrite").format("xml")
+    (rt.write.mode("overwrite").format("xml")
      .option("rowTag", "customer").save(xml_path))
     c_xml = (spark.read.format("xml").option("rowTag", "customer")
-             .schema(c.schema).load(xml_path))
+             .schema(rt.schema).load(xml_path))
 
     def agg(df: DataFrame, fmt: str) -> DataFrame:
         return df.agg(

@@ -91,6 +91,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _ROWCOUNT_CACHE: dict[tuple[str, str, str], int] = {}
 
 
+_SCHEMA_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def table_schema_raw(spark: SparkSession, sf_dir: str, name: str):
+    """Memoized RAW parquet footer schema of a testdata table (no ts
+    conversion — events keeps its nanos-as-long int64, which the
+    streaming sources convert themselves). The streaming sources probe
+    the footer to build their file-source schema, and the testdata
+    files are immutable per (session, dir), so repeat probes (one per
+    streaming query start, ~78 ms of driver-side inference each) are
+    pure waste. Metadata only, never results."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
     n = _ROWCOUNT_CACHE.get(key)

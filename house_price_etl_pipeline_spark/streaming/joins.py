@@ -23,8 +23,6 @@ Scale/state notes:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,10 +37,9 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch read; ``pathGlobFilter`` pins the single parquet file).
     The one shared construction behind every arriving-docs streaming
     entry (decontaminate, ingest dedup, index ingest)."""
-    from ..sources.tables import stream_table_reader
+    from ..sources.tables import stream_table_reader, table_schema_raw
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = table_schema_raw(spark, sf_dir, "documents")  # memoized
     return stream_table_reader(spark, sf_dir, "documents", schema)
 
 

@@ -40,11 +40,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (read as raw int64 via nanosAsLong, then truncated to µs) and as plain
     TIMESTAMP(MICROS). Derive the schema from the parquet footer instead
     of hardcoding either encoding."""
-    from ..sources.tables import stream_table_reader
+    from ..sources.tables import stream_table_reader, table_schema_raw
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # footer-only read
+    schema = table_schema_raw(spark, sf_dir, "events")  # memoized footer
     # layout-aware source: single-file testdata scans sf_dir glob-
     # filtered to the file name (the reference's *a.csv suffix trick);
     # a directory-shaped table (Spark writer layout) streams directly
