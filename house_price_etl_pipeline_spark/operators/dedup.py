@@ -277,11 +277,23 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
+# per-session caches for the MinHash/LSH expression batteries (same
+# rationale as _simhash_exprs: pure expressions over fixed column names,
+# rebuilt per call only at py4j round-trip cost)
+_MINHASH_AGG_CACHE: dict[tuple, list] = {}
+_BAND_STRUCT_CACHE: dict[tuple, object] = {}
+
+
 def minhash_signatures(tok: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, h0..h{k-1}): min over tokens of xxhash64(seed_i, token).
     Seeded JVM hash = k independent permutation approximations, computed
     in ONE pass over the inverted index (one shuffle on doc_id)."""
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("t"))).alias(f"h{i}") for i in range(k)]
+    key = (tok.sparkSession.sparkContext.applicationId, k)
+    aggs = _MINHASH_AGG_CACHE.get(key)
+    if aggs is None:
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("t"))).alias(f"h{i}")
+                for i in range(k)]
+        _MINHASH_AGG_CACHE[key] = aggs
     return tok.groupBy("doc_id").agg(*aggs)
 
 
@@ -312,13 +324,18 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = LSH_BANDS,
     instead of joining all-pairs (see LSH_BUCKET_CAP): total candidate
     volume is bounded by n_buckets·cap² + n_docs·bands, never quadratic
     in a hot bucket."""
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
+    bkey = (sig.sparkSession.sparkContext.applicationId, bands, rows)
+    band_structs = _BAND_STRUCT_CACHE.get(bkey)
+    if band_structs is None:
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}")
+                             for r in range(rows)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ])
+        _BAND_STRUCT_CACHE[bkey] = band_structs
     banded = (
         sig.select("doc_id", F.explode(band_structs).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
@@ -508,6 +525,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Per-session cache of the SimHash expression battery. The 64 bit-vote
+# aggregates + 4 chunk assemblers are PURE expressions over fixed column
+# names, but building them with Column operators costs ~400 py4j round
+# trips (~0.66 s measured per simhash_pairs call — a quarter of the
+# query's wall, pure driver time). Each expression is now ONE F.expr
+# parse (the SQL forms are operator-for-operator identical: when/
+# otherwise = CASE WHEN, bitwiseAND = &, cast long = CAST AS BIGINT),
+# and the resulting Column objects are reused across calls within a
+# session — expression METADATA, not data.
+_SIMHASH_EXPR_CACHE: dict[str, tuple] = {}
+
+
+def _simhash_exprs(spark: SparkSession) -> tuple:
+    key = spark.sparkContext.applicationId
+    got = _SIMHASH_EXPR_CACHE.get(key)
+    if got is None:
+        votes = [
+            F.expr(f"sum(CASE WHEN (shiftright(xxhash64(t), {i}) & 1) = 1"
+                   f" THEN 1 ELSE -1 END) AS bit{i}")
+            for i in range(64)
+        ]
+        # 4 chunks of 16 bits each → chunk value in [0, 2^16)
+        chunk_cols = [
+            F.expr("CAST(0 AS BIGINT) + " + " + ".join(
+                f"shiftleft(CAST((bit{c * 16 + i} > 0) AS BIGINT), {i})"
+                for i in range(16)) + f" AS chunk{c}")
+            for c in range(4)
+        ]
+        got = (votes, chunk_cols)
+        _SIMHASH_EXPR_CACHE[key] = got
+    return got
+
+
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash (Charikar '02): per-token xxhash64, signed bit-vote
     sum, sign → fingerprint; near-dups = Hamming ≤ 3 found via the
@@ -520,21 +570,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared shingle relation is a fixture; the in-call localCheckpoints
     below stop branch recompute within one build."""
     tok = _shared_shingle_tok(spark, sf_dir)
-    h = F.xxhash64("t")
-    votes = [
-        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        .alias(f"bit{i}")
-        for i in range(64)
-    ]
+    votes, chunk_cols = _simhash_exprs(spark)
     bits = tok.groupBy("doc_id").agg(*votes)
-    # 4 chunks of 16 bits each → chunk value in [0, 2^16)
-    chunk_cols = []
-    for c in range(4):
-        expr = F.lit(0).cast("long")
-        for i in range(16):
-            bit = (F.col(f"bit{c * 16 + i}") > 0).cast("long")
-            expr = expr + F.shiftleft(bit, i)
-        chunk_cols.append(expr.alias(f"chunk{c}"))
     # localCheckpoint: fp feeds three branches (chunk explode + both
     # sides of the hamming verify); without materialization each branch
     # would recompute the full shingle explode + 64-vote aggregation

@@ -651,7 +651,25 @@ def _staged_write(df, target_dir: str, stage_path: str,
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     if parts:
         w = w.partitionBy(*parts)
-    w.parquet(stage_path)
+    # staged writes coalesce to ADVISORY-SIZED partitions, not to core
+    # count: for a write job "more parallelism" means more small output
+    # files + more task overhead, while advisory sizing yields the
+    # 64 MB+ parquet files guide §6 wants at any scale. Scoped to the
+    # write action (set/restore): the global default stays
+    # parallelism-first for compute stages, where an A/B showed the
+    # opposite trade (clean_winsorize +0.53 s under size-first vs
+    # commit paths −0.3 s).
+    spark = df.sparkSession
+    prev = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false")
+        w.parquet(stage_path)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", prev)
     if parts:
         from .partitioning import write_empty_marker_if_needed
         # a DELETE/drop that empties a PARTITIONED table writes ZERO
@@ -2439,6 +2457,16 @@ def _zorder_value(df, cols: list[str], bits: int):
     for c, qs in zip(cols, all_cuts):
         cut_arrays[c] = qs
 
+    def _dbl_literal(v: float) -> str:
+        import math
+        if math.isfinite(v):
+            # repr() is the shortest round-trip decimal: parsing it (in
+            # Python or in Spark's double-literal lexer) recovers the
+            # identical IEEE double, so the string form evaluates
+            # bit-for-bit like F.lit(float(v)) did
+            return f"{float(v)!r}D"
+        return f"CAST('{float(v)}' AS DOUBLE)"  # Infinity/-Infinity/NaN
+
     def bucket_rank(c: str):
         # balanced when-tree binary search: log2(cuts) comparisons per
         # row, whole-stage codegen — NOT size(filter(cuts_array, ...)),
@@ -2448,18 +2476,24 @@ def _zorder_value(df, cols: list[str], bits: int):
         # is shuffle-bound like plain). Rank = count of cuts <= value
         # (bisect_right); a NULL value fails every >= branch and lands
         # in bucket 0 (nulls first, the Delta convention).
+        #
+        # The tree is assembled as ONE nested-CASE SQL string parsed by
+        # a single F.expr: building it from Column operators cost ~250
+        # recursive py4j constructions (~0.7 s of pure driver time per
+        # OPTIMIZE ZORDER call, measured round 14); CASE WHEN/ELSE is
+        # operator-identical to when/otherwise, so evaluation is
+        # unchanged.
         cuts = cut_arrays[c]
-        dcol = F.col(c).cast("double")
+        dcol = f"CAST(`{c}` AS DOUBLE)"
 
-        def tree(lo: int, hi: int):
+        def tree(lo: int, hi: int) -> str:
             if lo >= hi:
-                return F.lit(lo)
+                return str(lo)
             mid = (lo + hi) // 2
-            return (F.when(dcol >= F.lit(float(cuts[mid])),
-                           tree(mid + 1, hi))
-                    .otherwise(tree(lo, mid)))
+            return (f"CASE WHEN {dcol} >= {_dbl_literal(cuts[mid])} "
+                    f"THEN {tree(mid + 1, hi)} ELSE {tree(lo, mid)} END")
 
-        return tree(0, len(cuts))
+        return F.expr(tree(0, len(cuts)))
 
     return _interleave_bits([bucket_rank(c) for c in cols], bits)
 
