@@ -61,6 +61,18 @@ WAV_FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def media_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Kernel width for the media transcode/decode mapInPandas tasks:
+    ~2000 docs per Python task (each task amortizes worker + Arrow
+    setup over real codec work), floored at 8 so the CPU-bound kernel
+    still spreads locally, capped like every scaled width. Grows with
+    the corpus, never pinned to core count."""
+    from ..sources.tables import scaled_partitions
+
+    return scaled_partitions(spark, sf_dir, "documents",
+                             rows_per_partition=2000, floor=8)
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload binary, meta struct): the canonical
     multimodal layout. sha256 content-addressing enables exact media
@@ -197,7 +209,8 @@ def _parse_wav(blob: bytes) -> tuple[int, "np.ndarray"]:
     return rate, samples
 
 
-def wrap_media(media: DataFrame, codec: str) -> DataFrame:
+def wrap_media(media: DataFrame, codec: str,
+               partitions: int | None = None) -> DataFrame:
     """Encode each payload into a real media container (mapInPandas —
     same Arrow-batched 1→1 flow a production transcoder rides).
 
@@ -205,7 +218,12 @@ def wrap_media(media: DataFrame, codec: str) -> DataFrame:
     locally, and a CPU-bound Python kernel chained on the scan would
     run on ≤2 cores (same lesson as the pre-explode repartition in
     dedup) — the downstream decode kernel rides the same partitioning
-    with no extra shuffle."""
+    with no extra shuffle. ``partitions`` sizes the kernel width to the
+    DOC COUNT (see media_partitions): a fixed core-count fan-out put
+    ~150 docs in each of 32 Python tasks locally and per-task
+    worker/Arrow overhead dominated the codec work (measured 0.84 s →
+    0.42 s at sf0.1 going 32 → 8 tasks); at corpus scale the same knob
+    grows linearly with documents."""
     enc = {"bmp": _encode_bmp, "wav": _encode_wav,
            "png": _encode_png}[codec]
     # Decode-boundary contract (round 9 NULL audit): a transcodable
@@ -214,7 +232,8 @@ def wrap_media(media: DataFrame, codec: str) -> DataFrame:
     # the Arrow kernel outright. Filtered JVM-side so no None ever
     # reaches Python; oracles mirror with WHERE strlen(text) > 0.
     media = media.filter(F.octet_length("payload") > 0)
-    par = media.sparkSession.sparkContext.defaultParallelism
+    par = (partitions if partitions is not None
+           else media.sparkSession.sparkContext.defaultParallelism)
     media = media.repartition(par, "doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -313,7 +332,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     math fails the hash. No PIL needed: BMP is numpy-parseable, which is
     the point — the mapInPandas flow is identical for a PIL/ffmpeg
     kernel."""
-    bmp = wrap_media(media_table(spark, sf_dir), "bmp")
+    bmp = wrap_media(media_table(spark, sf_dir), "bmp",
+                     partitions=media_partitions(spark, sf_dir))
     return decode_bmp_features(bmp).orderBy("doc_id")
 
 
@@ -338,7 +358,8 @@ def mm_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     as genuine RIFF/WAVE 8-bit mono PCM, decoded by walking the RIFF
     chunks (no fixed layout assumed), reduced to exact integer sample
     aggregates the oracle replays from the text bytes."""
-    wav = wrap_media(media_table(spark, sf_dir), "wav")
+    wav = wrap_media(media_table(spark, sf_dir), "wav",
+                     partitions=media_partitions(spark, sf_dir))
     return decode_wav_features(wav).orderBy("doc_id")
 
 
@@ -806,7 +827,8 @@ def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (pixel i channel c = text byte (i*3+c) mod n), so any
     filter-reconstruction or chunk-layout bug fails the hash. No PIL:
     the mapInPandas flow is what a PIL/turbojpeg kernel rides at scale."""
-    png = wrap_media(media_table(spark, sf_dir), "png")
+    png = wrap_media(media_table(spark, sf_dir), "png",
+                     partitions=media_partitions(spark, sf_dir))
     return decode_png_features(png).orderBy("doc_id")
 
 
