@@ -236,21 +236,32 @@ def main() -> None:
             retry_log.setdefault(name, [timings[name]]).append(second)
             timings[name] = min(timings[name], second)
 
-    # Second pass (VERDICT r5 item 1b): under SYSTEMIC contention the
-    # inline retry re-runs into the same noisy window and keeps a still-
-    # inflated minimum. After the full sweep — often minutes later, a
-    # different contention regime — re-run everything still >2.5x its
-    # committed minimum, worst offenders first, while budget lasts. The
-    # min-of-runs rule means this can only tighten the recorded number;
-    # a true regression stays slow on every run and still shows.
+    # Second pass (VERDICT r5 item 1b + r13 item 1): under SYSTEMIC
+    # contention the inline retry re-runs into the same noisy window and
+    # keeps a still-inflated minimum; and a fixture-backed query's FIRST
+    # attempt necessarily pays the one-time session fixture build, so
+    # its honest operator cost only appears on a re-run against the warm
+    # fixtures (run_serialized re-RUNS the operator — never a re-read of
+    # its output). After the full sweep, re-run everything still above
+    # its STEADY floor (committed minima; round-14 change — the old pass
+    # compared against the COLD floor, so fixture-heavy entries never
+    # got their steady re-run and the recorded value conflated fixture
+    # build with operator cost), biggest absolute excess first, while
+    # budget lasts. The min-of-runs rule means this can only tighten the
+    # recorded number; a true regression stays slow on every run and
+    # still shows. Every attempt is logged in bench_queries.json
+    # "retries" for audit.
+    def _steady(name: str) -> float:
+        return minima.get(name, 2.0)
+
     second_pass = sorted(
-        ((t / _floor(n), n) for n, t in timings.items()
-         if t >= 0 and t > 2.5 * _floor(n)),
+        ((t - _steady(n), n) for n, t in timings.items()
+         if t >= 0 and t > max(1.3 * _steady(n), _steady(n) + 0.3)),
         reverse=True)
-    for ratio, name in second_pass:
+    for excess, name in second_pass:
         if retry_budget <= 0:
             print(f"second-pass budget exhausted before {name} "
-                  f"({ratio:.1f}x its minimum)", file=sys.stderr)
+                  f"(+{excess:.1f}s over its steady floor)", file=sys.stderr)
             break
         spark.sparkContext.setJobDescription(f"bench2:{name}")
         _retry(name, "second-pass")
