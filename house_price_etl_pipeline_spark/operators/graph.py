@@ -174,17 +174,32 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
 def _pagerank_rounds(spark: SparkSession, sf_dir: str,
                      edges: DataFrame,
                      _first_round_plan: bool = False) -> DataFrame:
-    # checkpointed inputs: edges once (passed in), out-degrees once
-    # (reused every round — recomputing the groupBy per round is pure
-    # waste), node set once. After localCheckpoint Catalyst loses size
-    # stats (LogicalRDD defaults to "huge"), so every node-sized join
-    # below carries an EXPLICIT broadcast hint — without them each round
-    # silently planned sort-merge shuffles of thousands-row relations
-    # (measured ~2x). The hint is GUARDED on the node count (VERDICT r4
-    # item 6: unconditional broadcast of ranks OOMs the driver at
-    # web-graph scale): above the session's autoBroadcastJoinThreshold
-    # the joins fall back to shuffle joins — correct, since at that
-    # cardinality the node relations are data, not dimensions.
+    # checkpointed inputs: edges once (passed in), the WEIGHTED edge
+    # list once (deg attached up front — joining out-degrees inside
+    # every round re-broadcast the degree relation five times), the
+    # seeded rank vector once. After localCheckpoint Catalyst loses
+    # size stats (LogicalRDD defaults to "huge"), so every node-sized
+    # join below carries an EXPLICIT broadcast hint — without them each
+    # round silently planned sort-merge shuffles of thousands-row
+    # relations (measured ~2x). The hint is GUARDED on the node count
+    # (VERDICT r4 item 6: unconditional broadcast of ranks OOMs the
+    # driver at web-graph scale): above the session's
+    # autoBroadcastJoinThreshold the joins fall back to shuffle joins —
+    # correct, since at that cardinality the node relations are data,
+    # not dimensions.
+    #
+    # Round shape (round-15 job-count rework, guide §1.2: 60 jobs/query
+    # was ~45% driver gap): each round is ONE aggregation job over a
+    # union of (a) per-edge contributions rank/deg keyed by dst and
+    # (b) a zero-contribution row per node carrying its static dangling
+    # flag — so nodes with no in-edges appear with an EXACT 0.0 sum
+    # (x+0.0 == x for the positive partials here, and the oracle's
+    # COALESCE(m, 0) is the same value) and the old separate
+    # nodes-left-join disappears. The dangling mass is a 1-row
+    # aggregate over the checkpointed rank vector (same rows the old
+    # left_anti selected — the flag is precomputed once) attached via
+    # an always-safe 1-row broadcast. 3 jobs/round (rank broadcast +
+    # dangling broadcast + checkpoint) vs 12 before.
     nodes = (load_table(spark, sf_dir, "supplier")
              .select(F.col("s_suppkey").alias("node")).distinct()
              .localCheckpoint())
@@ -197,32 +212,56 @@ def _pagerank_rounds(spark: SparkSession, sf_dir: str,
     def node_sized(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if may_broadcast else df
 
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    # deg rides on each edge for the whole loop; out-degree never
+    # changes, so the per-round degree join was pure recompute. Same
+    # storage discipline as the caller's edge checkpoint: a large
+    # memory-resident edge cache pins the storage half of the unified
+    # pool and starves the round aggregations (see
+    # graph_pagerank_suppliers).
+    from ..sources.tables import table_rowcount
+    if table_rowcount(spark, sf_dir, "lineitem") > 5_000_000:
+        from pyspark import StorageLevel
+        edges_w = edges.join(node_sized(outdeg), "src").localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    else:
+        edges_w = edges.join(node_sized(outdeg), "src").localCheckpoint()
+    # dangling flag is STATIC (a node's out-degree never changes):
+    # compute it once on the seed vector instead of per-round anti-joins
+    srcs = outdeg.select("src")
+    ranks = (nodes.join(node_sized(srcs),
+                        nodes.node == srcs.src, "left")
+             .select("node", F.lit(1.0 / n_nodes).alias("rank"),
+                     F.col("src").isNull().alias("dang"))
+             .localCheckpoint())
     for i in range(PR_ITERS):
         r = ranks.alias("r")
-        # per round: ONE shuffle (contributions summed by destination);
-        # rank and degree sides ride in as broadcasts when node-sized
+        # per round: ONE shuffle job — contributions plus the per-node
+        # zero rows summed by destination in a single aggregate
         contribs = (
-            edges.join(node_sized(r), F.col("src") == F.col("r.node"))
-            .join(node_sized(outdeg), "src")
+            edges_w.join(node_sized(r), F.col("src") == F.col("r.node"))
             .select(F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node").agg(F.sum("c").alias("in_mass"))
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                    F.lit(None).cast("boolean").alias("dang"))
         )
+        base = ranks.select("node", F.lit(0.0).alias("c"), "dang")
+        summed = (contribs.unionByName(base)
+                  .groupBy("node")
+                  .agg(F.sum("c").alias("in_mass"),
+                       F.max("dang").alias("dang")))
         # dangling = rank mass sitting on nodes without out-edges
         dangling = (
-            ranks.join(node_sized(outdeg), ranks.node == outdeg.src,
-                       "left_anti")
+            ranks.filter("dang")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         ranks = (
-            nodes.join(node_sized(contribs), "node", "left")
+            summed
             .crossJoin(F.broadcast(dangling))  # always 1 row: safe
             .select(
                 "node",
                 (F.lit((1.0 - PR_DAMPING) / n_nodes)
-                 + PR_DAMPING * (F.coalesce(F.col("in_mass"), F.lit(0.0))
-                                 + F.col("dm") / n_nodes)).alias("rank"))
+                 + PR_DAMPING * (F.col("in_mass")
+                                 + F.col("dm") / n_nodes)).alias("rank"),
+                "dang")
         )
         if _first_round_plan:
             # plan-inspection seam (tests): the per-round joins are
