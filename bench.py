@@ -90,6 +90,77 @@ def weather_probe(spark) -> dict:
     return {"cpu1": cpu1, "spark32": spark32}
 
 
+# Sentinel panel (VERDICT r14 item 8): a FIXED set of query names always
+# included in the final line's "queries" dict (alongside the rotating
+# top-10 window), so round-over-round PERF comparison has a stable
+# overlap even as queries fall out of the top-10. Chosen once as the 10
+# highest committed steady floors at the round-15 start; the list is
+# frozen — do NOT re-derive it from bench_minima.json, or the panel
+# would rotate with the floors and defeat its purpose. Additive only:
+# entries are added to "queries", never removed or renamed.
+SENTINEL_QUERIES = (
+    "stream_transform_with_state",
+    "graph_pagerank_suppliers",
+    "cdc_apply_changes_replica",
+    "stream_pysink_jsonl",
+    "stream_dedup_ingest",
+    "stream_index_compact_ingest",
+    "stream_stream_left_outer_join",
+    "stream_cdf_partitioned",
+    "stream_foreachbatch_upsert",
+    "mv_multi_refresh_equivalence",
+)
+
+
+def decompose_event_log(ev_dir: str, app_id: str,
+                        prefix: str = "bench:") -> dict:
+    """Per-query job decomposition from the bench's own event log
+    (VERDICT r14 item 2): for each query's FIRST attempt, the number of
+    Spark jobs, summed job wall, the first-start→last-end span, and the
+    driver-side gap between jobs (span − job wall; jobs here run
+    sequentially). Makes 'driver-bound' machine-readable: a query whose
+    gap dominates its span cannot speed up with more cores, so a ≈1
+    low-core/high-core ratio is attributable to the driver, not to an
+    ignored cpu setting. Streaming micro-batch jobs run under the
+    stream's own description and are not counted — their queries show
+    a small n_jobs and a large recorded-vs-span difference instead."""
+    jobs: dict[int, list] = {}
+    for fname in os.listdir(ev_dir):
+        if not fname.startswith(app_id):
+            continue
+        with open(os.path.join(ev_dir, fname)) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                e = ev.get("Event")
+                if e == "SparkListenerJobStart":
+                    desc = (ev.get("Properties") or {}).get(
+                        "spark.job.description", "")
+                    if desc.startswith(prefix):
+                        jobs[ev["Job ID"]] = [desc[len(prefix):],
+                                              ev["Submission Time"], None]
+                elif e == "SparkListenerJobEnd":
+                    j = jobs.get(ev["Job ID"])
+                    if j:
+                        j[2] = ev["Completion Time"]
+    per: dict[str, list] = {}
+    for name, s, e in jobs.values():
+        if e is not None:
+            per.setdefault(name, []).append((s, e))
+    out = {}
+    for name, spans in per.items():
+        job_wall = sum(e - s for s, e in spans) / 1000.0
+        span = (max(e for _, e in spans)
+                - min(s for s, _ in spans)) / 1000.0
+        out[name] = {"n_jobs": len(spans),
+                     "job_wall_sec": round(job_wall, 4),
+                     "span_sec": round(span, 4),
+                     "gap_sec": round(span - job_wall, 4)}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_name = os.path.basename(sf_dir.rstrip("/"))
@@ -97,6 +168,19 @@ def main() -> None:
         sf = float(sf_name.replace("sf", ""))
     except ValueError:
         sf = -1.0
+
+    # Event log on for every bench run (VERDICT r14 item 2): the
+    # per-query job-wall/gap decomposition below needs it. Overhead is
+    # inside run-to-run noise (round-15 A/B: 203.6 s with the log vs
+    # 225.7 s without on back-to-back runs — i.e. invisible next to
+    # weather). An explicitly-set SPARK_GRAFT_EVENTLOG is honored and
+    # kept; the auto temp dir is deleted after parsing.
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    ev_auto = ev_dir is None
+    if ev_auto:
+        import tempfile
+        ev_dir = tempfile.mkdtemp(prefix="bench_evlog_")
+        os.environ["SPARK_GRAFT_EVENTLOG"] = ev_dir
 
     spark = get_spark(app_name="bench")
     registry = catalog.load_all()
@@ -269,10 +353,28 @@ def main() -> None:
     weather["end"] = weather_probe(spark)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     n_failed = sum(1 for t in timings.values() if t < 0)
+
+    # decomposition (VERDICT r14 item 2): stop the session so the event
+    # log is flushed and finalized, then split each first attempt into
+    # job wall vs driver gap. Best-effort — a parse failure must never
+    # cost the run its final line.
+    decomposition: dict = {}
+    try:
+        app_id = spark.sparkContext.applicationId
+        spark.stop()
+        decomposition = decompose_event_log(ev_dir, app_id)
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        print(f"event-log decomposition failed: {exc!r}", file=sys.stderr)
+    finally:
+        if ev_auto:
+            import shutil
+            shutil.rmtree(ev_dir, ignore_errors=True)
+
     # The driver captures only the last ~2.2 KB of stdout: the final line
     # must stay SHORT (r01's single ~6 KB line came back "parsed": null).
     # Full per-query timings go to a file + stderr; the final JSON line
-    # carries the total plus only the top-10 slowest queries (~bounded).
+    # carries the total plus the top-10 slowest queries and the fixed
+    # sentinel panel (~bounded).
     from house_price_etl_pipeline_spark.config import exact_twin_enabled
     out_name = ("bench_queries.json" if exact_twin_enabled()
                 else "bench_queries_production.json")
@@ -282,12 +384,17 @@ def main() -> None:
         # were re-run, and whether the re-run confirmed or beat the
         # first observation (VERDICT r5 item 1b)
         json.dump({"sf": sf, "queries": timings, "retries": retry_log,
-                   "weather": weather},
+                   "weather": weather, "decomposition": decomposition},
                   f, indent=1, sort_keys=True)
     print(f"per-query timings -> {out_name}", file=sys.stderr)
     print(json.dumps({"per_query": timings}), file=sys.stderr)
     top10 = dict(sorted(((n, t) for n, t in timings.items() if t >= 0),
                         key=lambda kv: -kv[1])[:10])
+    # sentinel entries ride along every round (ADDED to "queries", never
+    # replacing the top-10 window — the bench contract allows additions)
+    for name in SENTINEL_QUERIES:
+        if name in timings and timings[name] >= 0:
+            top10.setdefault(name, timings[name])
     print(json.dumps({
         "metric": "catalog_total",
         "value": total,

@@ -19,6 +19,16 @@ from __future__ import annotations
 import os
 
 
+def debug_checks_enabled() -> bool:
+    """SPARK_GRAFT_DEBUG_CHECKS=1 re-enables invariant checks that
+    production paths skip because the invariant holds by construction
+    (e.g. the MERGE source-uniqueness pre-check under
+    ``source_unique=True`` — ADVICE r14: an upstream dedup regression
+    should fail loudly somewhere, and the test suite runs with this
+    on)."""
+    return os.environ.get("SPARK_GRAFT_DEBUG_CHECKS", "0") == "1"
+
+
 def exact_twin_enabled() -> bool:
     """True (default) → twin-on: exact-ground-truth rows + in-plan quality
     boolean (the driver's value-hash gate). False → production plans."""

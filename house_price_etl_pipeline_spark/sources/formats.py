@@ -53,10 +53,16 @@ def _agg_by_format(df: DataFrame, fmt: str) -> DataFrame:
     """,
 )
 def format_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write orders to JSON-lines and ORC, read each back, and aggregate
-    all three copies (parquet original included): identical rows per
-    format == lossless round-trip. Timestamps travel as ISO strings in
-    JSON (schema-applied on read); doubles survive via Spark's
+    """Write the VALUE-CHECKED projection of orders (o_totalprice,
+    o_custkey, o_orderdate — the three columns the fidelity aggregates
+    verify) to JSON-lines and ORC, read each back, and aggregate all
+    three copies (parquet original included): identical aggregates per
+    format == lossless round-trip of a double, a key, and a date
+    through each encoding. The demonstrated surface is deliberately
+    that projection, not the whole table (ADVICE r14) — columns the
+    aggregates never checked bought no fidelity coverage at 2x the
+    text-serialization cost. Timestamps travel as ISO strings in JSON
+    (schema-applied on read); doubles survive via Spark's
     full-precision JSON serialization."""
     import shutil
 
@@ -101,12 +107,16 @@ def format_roundtrip_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def format_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4's built-in XML source: write customer as row-tagged XML,
-    read it back schema-applied, and aggregate both copies — same
-    fidelity contract as the JSON/ORC round-trip. XML is the costliest
-    text format (tag-per-field, no pushdown/pruning); like JSON it's an
-    interchange edge, never the analytics store — the engine ingests it
-    once and persists parquet."""
+    """Spark 4's built-in XML source: write the VALUE-CHECKED
+    projection of customer (c_acctbal, c_mktsegment, c_name — a
+    double, a low-cardinality string, a high-cardinality string) as
+    row-tagged XML, read it back schema-applied, and aggregate both
+    copies — same narrowed fidelity contract as the JSON/ORC
+    round-trip (ADVICE r14: the demonstrated surface is the checked
+    projection, not the whole table). XML is the costliest text format
+    (tag-per-field, no pushdown/pruning); like JSON it's an
+    interchange edge, never the analytics store — the engine ingests
+    it once and persists parquet."""
     import shutil
 
     from ..fsutil import query_workspace

@@ -520,7 +520,14 @@ def _file_paths_to_relpaths(rows, base_dir: str) -> set[str]:
 # a steady CDC/MV/maintenance query performs 6-12 snapshot reads, so
 # this is a plan-construction cost, not data. Schema is METADATA (the
 # same thing Delta's snapshot state caches), never query results.
-_FLAT_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+_FLAT_SCHEMA_CACHE: "OrderedDict[tuple[str, str], object]" = \
+    __import__("collections").OrderedDict()
+# Bounded LRU (VERDICT r14 item 4): snapshot dirs are created per
+# COMMIT, so in a long-lived session the key space is unbounded — cap
+# the cache at the working set a steady query needs (a handful of live
+# versions per table) times a generous table count. Eviction only costs
+# one ~65 ms re-inference on a dir that has since left the working set.
+_FLAT_SCHEMA_CACHE_CAP = 512
 
 
 def _flat_parquet_read(spark, snap_dir: str, paths: list[str]):
@@ -530,9 +537,12 @@ def _flat_parquet_read(spark, snap_dir: str, paths: list[str]):
     key = (spark.sparkContext.applicationId, snap_dir)
     schema = _FLAT_SCHEMA_CACHE.get(key)
     if schema is not None:
+        _FLAT_SCHEMA_CACHE.move_to_end(key)
         return spark.read.schema(schema).parquet(*paths)
     df = spark.read.parquet(*paths)
     _FLAT_SCHEMA_CACHE[key] = df.schema
+    if len(_FLAT_SCHEMA_CACHE) > _FLAT_SCHEMA_CACHE_CAP:
+        _FLAT_SCHEMA_CACHE.popitem(last=False)
     return df
 
 
@@ -614,13 +624,49 @@ def _snapshot_read(spark, target_dir: str, snap_dir: str,
     return to_logical(df, table_column_mapping(target_dir))
 
 
+def _stage_partition_bytes() -> int:
+    """Compressed input bytes each staging shuffle partition should
+    carry. 32 MiB of zstd parquet unpacks to roughly the 100 MB-1 GB
+    row band guide §2.2 wants per reduce partition; override for a
+    cluster via SPARK_GRAFT_STAGE_PARTITION_BYTES."""
+    import os
+    return int(os.environ.get("SPARK_GRAFT_STAGE_PARTITION_BYTES",
+                              str(32 << 20)))
+
+
+def _stage_width(spark, input_bytes: int) -> int:
+    """Shuffle width for a staging computation whose input size is
+    KNOWN (touched-file bytes, base snapshot bytes): a copy-on-write
+    commit that rewrites 2 MB must not fan its merge shuffle out to
+    the session's compute width — 32 reduce tasks plus 32 task commits
+    for one tiny output file is pure per-task overhead (guide §1.2/§6;
+    the r14 'delta-scaled staging width' prototype). Scale-adaptive by
+    construction: width grows with the delta, capped at the session's
+    configured width so a big rewrite keeps full parallelism."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, -(-int(input_bytes)
+                             // max(_stage_partition_bytes(), 1))))
+
+
+# _staged_write mutates session-global SQL confs around the write
+# action (coalescing mode + delta-scaled width). The lock keeps two
+# CONCURRENT staged writes in one session from restoring each other's
+# overrides mid-flight (VERDICT r14 item 7); a concurrent COMPUTE query
+# planned inside the window still sees the staging settings — perf-only
+# (size-first coalescing / narrower shuffle), never correctness.
+_STAGE_CONF_LOCK = __import__("threading").RLock()
+
+
 def _staged_write(df, target_dir: str, stage_path: str,
-                  max_records_per_file: int | None = None) -> None:
+                  max_records_per_file: int | None = None,
+                  input_bytes_hint: int | None = None) -> None:
     """Staged snapshot write honoring the table's PARTITIONED BY spec
     (Hive layout via ``partitionBy``) and its column mapping (logical →
     physical names, so renames never change the on-disk schema and
     hard-link carries stay valid); the one write path every full
-    rewrite shares."""
+    rewrite shares. ``input_bytes_hint`` — the staging computation's
+    known input size (compressed bytes) — scales the shuffle width to
+    the delta instead of the session's compute width (_stage_width)."""
     from .colmap import table_column_mapping, to_physical
     from .partitioning import table_partitioning
 
@@ -660,16 +706,25 @@ def _staged_write(df, target_dir: str, stage_path: str,
     # opposite trade (clean_winsorize +0.53 s under size-first vs
     # commit paths −0.3 s).
     spark = df.sparkSession
-    prev = spark.conf.get(
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-    try:
-        spark.conf.set(
+    with _STAGE_CONF_LOCK:
+        prev = spark.conf.get(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false")
-        w.parquet(stage_path)
-    finally:
-        spark.conf.set(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", prev)
+            "true")
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions", None)
+        try:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+            if input_bytes_hint is not None:
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               str(_stage_width(spark, input_bytes_hint)))
+            w.parquet(stage_path)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                prev)
+            if input_bytes_hint is not None and prev_width is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     if parts:
         from .partitioning import write_empty_marker_if_needed
         # a DELETE/drop that empties a PARTITIONED table writes ZERO
@@ -757,8 +812,25 @@ def _stage_with_reuse(snapshot_dir: str, stage_dir: str,
                         write_carry_manifest)
 
     if rewritten_df is not None:
+        # the rewrite's input is the TOUCHED subset of the base (plus a
+        # delta of comparable size): size the staging shuffle to it —
+        # a tiny copy-on-write commit gets a 1-2 task write, a big one
+        # keeps the session width (_stage_width)
+        kept = set(kept_files)
+        base_carry0 = read_carry(snapshot_dir)
+        vroot0 = versions_root_of(snapshot_dir) if base_carry0 else None
+        touched_bytes = 0
+        for f in _snapshot_data_files(snapshot_dir):
+            if f in kept:
+                continue
+            try:
+                touched_bytes += os.path.getsize(
+                    resolve_data_file(snapshot_dir, f, base_carry0,
+                                      vroot0))
+            except OSError:
+                continue    # pruned mid-walk: sizing is best-effort
         _staged_write(rewritten_df, target_dir or snapshot_dir,
-                      stage_dir)
+                      stage_dir, input_bytes_hint=2 * touched_bytes)
     else:
         os.makedirs(stage_dir, exist_ok=True)
         if not kept_files:
@@ -1185,8 +1257,14 @@ def upsert_commit_batch(batch_df, target_dir: str, batch_id: int,
                         delta = _assign_identity(delta, ident,
                                                  ident_hwm)
                     merged = delta
+                # full rewrite over a known base: size the staging
+                # shuffle to its bytes (first commits have no base and
+                # an unknown batch size — keep the session width)
                 _staged_write(merged, target_dir,
-                              os.path.join(versions_root, stage))
+                              os.path.join(versions_root, stage),
+                              input_bytes_hint=(
+                                  2 * _data_file_bytes(base_dir)
+                                  if snapshot is not None else None))
         except Exception as exc:
             # The merge scans the base snapshot lazily; if concurrent
             # writers advance the journal by keep_versions commits while
@@ -1370,7 +1448,8 @@ def upsert_delete_where(spark, target_dir: str, batch_id: int,
                 kept = snapshot.filter(
                     F.coalesce(~condition, F.lit(True)))
                 _staged_write(kept, target_dir,
-                              os.path.join(versions_root, stage))
+                              os.path.join(versions_root, stage),
+                              input_bytes_hint=_data_file_bytes(base_dir))
         except Exception as exc:
             # same stale-base window as the upsert merge: a concurrent
             # publish can prune our base under the running scan
@@ -1578,7 +1657,8 @@ def upsert_update_where(spark, target_dir: str, batch_id: int,
                         apply_update(snapshot.filter(hit)), cons,
                         "the UPDATE post-image")
                 _staged_write(apply_update(snapshot), target_dir,
-                              os.path.join(versions_root, stage))
+                              os.path.join(versions_root, stage),
+                              input_bytes_hint=_data_file_bytes(base_dir))
         except Exception as exc:
             # same stale-base window as the upsert merge: a concurrent
             # publish can prune our base under the running scan
@@ -2142,8 +2222,13 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
     # group-count) per MERGE before any staging work starts. The
     # engine's own CDC/replication paths all qualify; external callers
     # keep the default guarded behavior (Delta's multiple-source-rows
-    # error).
-    if not source_unique:
+    # error). SPARK_GRAFT_DEBUG_CHECKS=1 re-arms the check even for
+    # source_unique callers (ADVICE r14: a future upstream dedup
+    # regression should fail loudly, and the suite pins the invariant
+    # under that flag instead of paying the job on every production
+    # MERGE).
+    from ..config import debug_checks_enabled
+    if not source_unique or debug_checks_enabled():
         dup = (source.groupBy(*key_cols).count()
                .filter(F.col("count") > 1).limit(1).count())
         if dup:
@@ -2345,8 +2430,12 @@ def upsert_merge_into(spark, target_dir: str, batch_id: int, source,
                         _validate_constraints(merged, cons,
                                               "the MERGE post-image")
                     merged, ident_hwm = fill_identity(merged, commits)
+                    # full rewrite: output ≈ base snapshot — size the
+                    # staging shuffle to the base's known bytes
                     _staged_write(merged, target_dir,
-                                  os.path.join(versions_root, stage))
+                                  os.path.join(versions_root, stage),
+                                  input_bytes_hint=(
+                                      2 * _data_file_bytes(base_dir)))
         except Exception as exc:
             shutil.rmtree(os.path.join(versions_root, stage),
                           ignore_errors=True)

@@ -91,3 +91,21 @@ def test_incremental_commit_knobs(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_INCREMENTAL_MIN_BYTES", "1024")
     assert incremental_commits_enabled() is False
     assert incremental_commit_min_bytes() == 1024
+
+
+def test_stage_width_scales_with_input_bytes(monkeypatch, spark):
+    """Staged writes size their shuffle to the KNOWN input bytes
+    (round-15: delta-scaled staging width): 1 partition for a tiny
+    copy-on-write delta, growing with bytes, capped at the session's
+    configured width — and the per-partition target is env-tunable."""
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        _stage_width
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _stage_width(spark, 0) == 1
+    assert _stage_width(spark, 1) == 1
+    assert _stage_width(spark, 32 << 20) == 1
+    assert _stage_width(spark, (32 << 20) + 1) == min(2, cap)
+    assert _stage_width(spark, 10 << 40) == cap
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_PARTITION_BYTES", "1024")
+    assert _stage_width(spark, 4096) == min(4, cap)

@@ -3145,6 +3145,34 @@ def test_merge_source_unique_skips_precheck_same_result(spark, tmp_path):
     assert tables["guarded"] == [(1, 10), (2, 25), (9, 90)]
 
 
+def test_merge_source_unique_debug_checks_rearm_guard(spark, tmp_path,
+                                                      monkeypatch):
+    """SPARK_GRAFT_DEBUG_CHECKS=1 re-arms the duplicate-source-key
+    pre-check even under ``source_unique=True`` (ADVICE r14): a
+    regression in an upstream dedup then fails loudly instead of
+    silently duplicating target rows. Off by default: the declared
+    path keeps skipping the job."""
+    import pytest as _pytest
+
+    from house_price_etl_pipeline_spark.streaming.ingest import \
+        upsert_merge_into
+
+    target = str(tmp_path / "tbl")
+    src = spark.createDataFrame([(1, 10), (2, 20)], "k long, v int")
+    assert upsert_merge_into(
+        spark, target, 0, src, ["k"], source_unique=True) == "applied"
+    dup = src.unionAll(src)
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_CHECKS", "1")
+    with _pytest.raises(ValueError, match="multiple rows"):
+        upsert_merge_into(spark, target, 1, dup, ["k"],
+                          source_unique=True)
+    monkeypatch.delenv("SPARK_GRAFT_DEBUG_CHECKS")
+    # unique source under the flag-off declared path still applies
+    src2 = spark.createDataFrame([(2, 25)], "k long, v int")
+    assert upsert_merge_into(
+        spark, target, 1, src2, ["k"], source_unique=True) == "applied"
+
+
 def test_merge_into_empty_table_inserts_only(spark, tmp_path):
     """MERGE into a table with no commits: only the INSERT clause can
     produce rows, and its condition is honored."""
