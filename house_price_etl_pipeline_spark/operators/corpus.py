@@ -428,7 +428,15 @@ def corpus_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks).cast("bigint")
     score = F.round(
         F.size(F.array_distinct(toks)) / n_tokens.cast("double"), 6)
-    n_buckets = max(2, spark.sparkContext.defaultParallelism)
+    # max(core count, data-scaled) buckets: the data-scaled term bounds
+    # rows per (lang, bucket) window task at corpus scale, the core
+    # floor keeps the local spread (VERDICT r14 item 9). Results are
+    # bucket-count-independent — buckets only split the window work
+    # along the (score desc, doc_id) total order.
+    from ..sources.tables import scaled_partitions
+    n_buckets = max(2, spark.sparkContext.defaultParallelism,
+                    scaled_partitions(spark, sf_dir, "documents",
+                                      rows_per_partition=100_000))
     # deterministic score-band bucket: score ∈ [0, 1]; bucket ascending
     # == score descending, and equal scores share a bucket, so
     # (bucket, score desc, doc_id) is the same total order both phases

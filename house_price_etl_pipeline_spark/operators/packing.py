@@ -161,7 +161,16 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     lens = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n"))
 
-    par = spark.sparkContext.defaultParallelism
+    # bucket count = max(core count, data-scaled): a pure core-count
+    # bucket grid leaves each per-bucket window task with corpus/cores
+    # rows at 100 TB — the data-scaled term bounds rows/bucket while
+    # the core floor keeps the local spread (VERDICT r14 item 9).
+    # Results are bucket-count-independent: buckets only split the
+    # prefix-sum work, the (doc_id) total order is global.
+    from ..sources.tables import scaled_partitions
+    par = max(spark.sparkContext.defaultParallelism,
+              scaled_partitions(spark, sf_dir, "documents",
+                                rows_per_partition=100_000))
     bounds = lens.agg(F.min("doc_id").alias("lo"),
                       F.max("doc_id").alias("hi")).collect()[0]
     if bounds.lo is None:

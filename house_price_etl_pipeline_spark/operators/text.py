@@ -230,9 +230,18 @@ def text_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The documents parquet arrives as ONE input split, and the per-char
     interpreted HOF is the expensive part — repartition FIRST so the
     ~300x per-row expansion runs on every core, not one task (same
-    lesson as the dedup shingle pipelines; 3.75 s → 0.78 s at sf0.1)."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
+    lesson as the dedup shingle pipelines; 3.75 s → 0.78 s at sf0.1).
+    Width = max(core count, data-scaled): a bare defaultParallelism
+    repartition would CAP the stage at core count (and bottleneck a
+    100 TB corpus through 32 tasks); the data-scaled term grows with
+    the corpus while the core floor keeps the small-corpus spread
+    (VERDICT r14 item 9)."""
+    from ..sources.tables import scaled_partitions
+
+    width = max(spark.sparkContext.defaultParallelism,
+                scaled_partitions(spark, sf_dir, "documents",
+                                  rows_per_partition=2000))
+    d = load_table(spark, sf_dir, "documents").repartition(width)
     grams = F.transform(
         F.sequence(F.lit(1), F.length("text") - 2),
         lambda i: F.col("text").substr(i, F.lit(3)),
