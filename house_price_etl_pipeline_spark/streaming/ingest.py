@@ -648,13 +648,41 @@ def _stage_width(spark, input_bytes: int) -> int:
                              // max(_stage_partition_bytes(), 1))))
 
 
-# _staged_write mutates session-global SQL confs around the write
+# Staging writes mutate session-global SQL confs around the write
 # action (coalescing mode + delta-scaled width). The lock keeps two
 # CONCURRENT staged writes in one session from restoring each other's
 # overrides mid-flight (VERDICT r14 item 7); a concurrent COMPUTE query
 # planned inside the window still sees the staging settings — perf-only
 # (size-first coalescing / narrower shuffle), never correctness.
 _STAGE_CONF_LOCK = __import__("threading").RLock()
+
+
+@__import__("contextlib").contextmanager
+def _staging_conf(spark, input_bytes_hint: int | None):
+    """The staging-write conf window, shared by every snapshot/state
+    writer: size-first AQE coalescing (64 MB+ output files, guide §6)
+    plus the delta-scaled shuffle width when the input size is known."""
+    with _STAGE_CONF_LOCK:
+        prev = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "true")
+        prev_width = spark.conf.get("spark.sql.shuffle.partitions", None)
+        try:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+            if input_bytes_hint is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    str(_stage_width(spark, input_bytes_hint)))
+            yield
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                prev)
+            if input_bytes_hint is not None and prev_width is not None:
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               prev_width)
 
 
 def _staged_write(df, target_dir: str, stage_path: str,
@@ -706,25 +734,8 @@ def _staged_write(df, target_dir: str, stage_path: str,
     # opposite trade (clean_winsorize +0.53 s under size-first vs
     # commit paths −0.3 s).
     spark = df.sparkSession
-    with _STAGE_CONF_LOCK:
-        prev = spark.conf.get(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "true")
-        prev_width = spark.conf.get("spark.sql.shuffle.partitions", None)
-        try:
-            spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
-            if input_bytes_hint is not None:
-                spark.conf.set("spark.sql.shuffle.partitions",
-                               str(_stage_width(spark, input_bytes_hint)))
-            w.parquet(stage_path)
-        finally:
-            spark.conf.set(
-                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                prev)
-            if input_bytes_hint is not None and prev_width is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    with _staging_conf(spark, input_bytes_hint):
+        w.parquet(stage_path)
     if parts:
         from .partitioning import write_empty_marker_if_needed
         # a DELETE/drop that empties a PARTITIONED table writes ZERO

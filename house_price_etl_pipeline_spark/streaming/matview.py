@@ -79,14 +79,38 @@ def _read_meta(view_dir: str) -> dict | None:
 _META_KEYS = ("version", "state", "group_cols", "sum_col")
 
 
-def _stage_state(view_dir: str, df: DataFrame) -> str:
+def _state_bytes(view_dir: str, meta: dict | None) -> int | None:
+    """On-disk bytes of the view's current state — the incremental
+    fold's input-size proxy (the delta is change-sized and the new
+    state is old-state-shaped). None when there is no state yet."""
+    if meta is None:
+        return None
+    total = 0
+    try:
+        root = os.path.join(view_dir, meta["state"])
+        for f in os.listdir(root):
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        return None
+    return total
+
+
+def _stage_state(view_dir: str, df: DataFrame,
+                 input_bytes_hint: int | None = None) -> str:
     """Materialize a candidate view state to a fresh uniquely-named
     subdir — data only, no pointer: the journal must only ever
     reference fully-written state (the same staging-before-CAS ordering
-    the upsert table uses)."""
+    the upsert table uses). The write rides the shared staging conf
+    window (size-first coalescing + delta-scaled width when the input
+    size is known): a grouped view state is output-file-sized work,
+    not core-count work."""
+    from .ingest import _staging_conf
+
     os.makedirs(view_dir, exist_ok=True)
     name = f"state_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(os.path.join(view_dir, name))
+    with _staging_conf(df.sparkSession, input_bytes_hint):
+        df.write.mode("overwrite").parquet(os.path.join(view_dir, name))
     return name
 
 
@@ -255,6 +279,10 @@ def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
             snap = read_upsert_version(spark, target_dir, head)
             new_state = _aggregate(snap, group_cols, sum_col)
             mode = "full"
+            from .ingest import _data_file_bytes, _resolve_version_dir
+            vdir = _resolve_version_dir(target_dir + "_versions", head)
+            stage_hint = (_data_file_bytes(vdir)
+                          if vdir is not None else None)
         else:
             try:
                 ch = read_upsert_changes(spark, target_dir,
@@ -262,6 +290,9 @@ def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
                 new_state = _fold_changes(spark, view_dir, meta, ch,
                                           group_cols, sum_col)
                 mode = "incremental"
+                # fold input ≈ old state + change-sized delta
+                sb = _state_bytes(view_dir, meta)
+                stage_hint = 2 * sb if sb is not None else None
             except FileNotFoundError:
                 # the view's base version fell out of the table's
                 # retention window (refreshed less often than
@@ -271,8 +302,15 @@ def refresh_mv(spark: SparkSession, target_dir: str, view_dir: str,
                 snap = read_upsert_version(spark, target_dir, head)
                 new_state = _aggregate(snap, group_cols, sum_col)
                 mode = "full"
+                from .ingest import (_data_file_bytes,
+                                     _resolve_version_dir)
+                vdir = _resolve_version_dir(target_dir + "_versions",
+                                            head)
+                stage_hint = (_data_file_bytes(vdir)
+                              if vdir is not None else None)
         try:
-            name = _stage_state(view_dir, new_state)
+            name = _stage_state(view_dir, new_state,
+                                input_bytes_hint=stage_hint)
         except Exception as exc:
             # The fold scans the base state lazily; a peer that wins the
             # race can publish and (age-gated) GC our base under the
