@@ -811,7 +811,20 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.4 s per run in sketch-buffer merges), and the oracle reproduces
     the exact side (quantile_cont) and asserts TRUE.
     SPARK_GRAFT_EXACT_TWIN=0 → sketch-only production plan (no exact
-    percentile sort in-plan)."""
+    percentile sort in-plan).
+
+    Accuracy/tolerance trade, on the record (ADVICE r14): the 7-17x
+    margin is DATA-DEPENDENT — Spark documents approx_percentile's
+    guarantee as a RANK error of 1/accuracy, so a distribution whose
+    value spread is steep around a requested rank (heavy skew, atoms
+    near a quartile) converts the same rank error into a larger VALUE
+    error and shrinks the margin. The 5% bound itself still holds with
+    big room at the tested SFs (pinned at sf0.001/0.01/0.1 by the
+    parity suite); deployments with pathological skew should raise the
+    accuracy literal — the cost is sketch-merge time, not plan shape.
+    In production mode the emitted values are sketch outputs and moved
+    when accuracy changed 10000→1000 (r14, within the documented 5%
+    contract)."""
     li = _t(spark, sf_dir, "lineitem")
     ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
     if not exact_twin_enabled():
