@@ -1259,10 +1259,16 @@ def test_upsert_optimize_vacuum_and_change_feed(spark, tmp_path):
                 .withColumn("ts", F.col("ts").cast("timestamp")))
 
     target = str(tmp_path / "opt_target")
-    # force sharded snapshots (AQE would coalesce 3 rows to one file)
+    # force sharded snapshots: disable AQE coalescing (would fold 3
+    # rows to one file) AND pin the delta-scaled staging width wide
+    # (round 15: _stage_width would otherwise size this KB-scale
+    # table's commit to 1 partition = 1 file, leaving OPTIMIZE nothing
+    # to compact)
     prev_coalesce = spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    prev_stage = os.environ.get("SPARK_GRAFT_STAGE_PARTITION_BYTES")
+    os.environ["SPARK_GRAFT_STAGE_PARTITION_BYTES"] = "1"
     try:
         b0 = frame([(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
                     (2, "2024-01-01 10:05:00", 2, "view", 2.0, "{}")])
@@ -1274,6 +1280,10 @@ def test_upsert_optimize_vacuum_and_change_feed(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
                        prev_coalesce)
+        if prev_stage is None:
+            os.environ.pop("SPARK_GRAFT_STAGE_PARTITION_BYTES", None)
+        else:
+            os.environ["SPARK_GRAFT_STAGE_PARTITION_BYTES"] = prev_stage
 
     versions_root = target + "_versions"
     pre_files = _glob.glob(os.path.join(os.path.realpath(target),
